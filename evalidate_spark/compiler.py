@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -40,6 +41,7 @@ from .spec import (
     Default,
     Each,
     EqualToObjectOfOtherKeys,
+    Native,
     OrV,
     Regexp,
     Rule,
@@ -184,7 +186,7 @@ class Compiled:
     opts: Options
 
     def first_error(self) -> Column:
-        return F.element_at(self.violations, 1)
+        return F.try_element_at(self.violations, F.lit(1))
 
 
 def _viol_struct(
@@ -281,7 +283,7 @@ def _type_matches(cond: Any, col: Column, dt: T.DataType, scope: Scope) -> Optio
                 keysets = F.transform(col, lambda m: F.array_sort(F.map_keys(m)))
                 return (
                     (F.size(col) >= 2)
-                    & (F.size(F.element_at(keysets, 1)) > 0)
+                    & (F.size(F.try_element_at(keysets, F.lit(1))) > 0)
                     & (F.size(F.array_distinct(keysets)) == 1)
                 )
             if isinstance(elem, T.StructType):
@@ -395,6 +397,10 @@ def _compile_validators(
             for c in conds[1:]:
                 ok = ok & c
             clauses.append(VClause(~ok, F.lit(E.V_ERR_DEFAULT)))
+        elif isinstance(v, Native):
+            for cond, message, err in v.build(col, dt):
+                msg_col = F.lit(message) if isinstance(message, str) else message
+                clauses.append(VClause(cond, msg_col, error_kind=err))
         elif isinstance(v, CustomValidator):
             if in_hof or scope.in_element:
                 raise SpecError(
@@ -447,7 +453,7 @@ def _custom_validator_col(
     """Compile a custom predicate to an Arrow-batched pandas UDF producing a
     marker string: NULL pass, 'F:msg' false-kind, 'E:msg' error-kind —
     protocol at /root/reference/src/evv.erl:62-84."""
-    import pandas as pd
+
     from pyspark.sql.functions import pandas_udf
 
     fn, arity, vectorized = v.fn, v.arity, v.vectorized
@@ -594,7 +600,7 @@ def _to_string(col: Column, dt: T.DataType) -> Column:
 
 
 def _custom_converter(conv: CustomConverter, col: Column, dt: T.DataType, scope: Scope) -> ConvResult:
-    import pandas as pd
+
     from pyspark.sql.functions import pandas_udf
 
     fn, vectorized, arity = conv.fn, conv.vectorized, conv.arity
@@ -823,7 +829,7 @@ def _compile_rule_or(
     if node.on_error is not None:
         message: Column = F.lit(node.on_error)
     else:
-        first_msgs = [F.element_at(v, 1).getField("message") for v in alt_viols]
+        first_msgs = [F.try_element_at(v, F.lit(1)).getField("message") for v in alt_viols]
         message = F.array_join(
             F.array_distinct(F.reverse(F.array(*first_msgs))), " or "
         )

@@ -146,7 +146,7 @@ def validate(
     compiled = compile_spec(rules, df.schema, opts)
     ids = list(id_cols) if id_cols else [df.schema.fields[0].name]
     annotated = df.withColumn(VIOLATIONS_COL, compiled.violations).withColumn(
-        FIRST_ERROR_COL, F.element_at(F.col(VIOLATIONS_COL), 1)
+        FIRST_ERROR_COL, F.try_element_at(F.col(VIOLATIONS_COL), F.lit(1))
     )
     return ValidationResult(annotated=annotated, compiled=compiled, id_cols=ids)
 

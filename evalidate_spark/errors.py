@@ -85,7 +85,10 @@ def fmt_p(v: Any) -> str:
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return _num_repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, tuple):
+        # Erlang tuple — the canonical python twin of a StructType value
+        return "{%s}" % ",".join(fmt_p(x) for x in v)
+    if isinstance(v, list):
         return "[%s]" % ",".join(fmt_p(x) for x in v)
     if isinstance(v, dict):
         return "[%s]" % ",".join("{%s,%s}" % (fmt_p(k), fmt_p(x)) for k, x in v.items())
@@ -102,7 +105,9 @@ def type_cond_name(cond: Any) -> str:
     if isinstance(cond, tuple) and len(cond) == 2 and cond[0] == "list":
         return "list"
     if isinstance(cond, (list,)):
-        return "".join(type_cond_name(c) for c in cond)
+        # union renders as the Erlang list literal: '[integer,binary]'
+        # (suite test_type_validators_bad expected message)
+        return "[%s]" % ",".join(type_cond_name(c) for c in cond)
     return str(cond)
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "OrV",
     "EqualToObjectOfOtherKeys",
     "CustomValidator",
+    "Native",
     "Converter",
     "Each",
     "CustomConverter",
@@ -168,6 +169,21 @@ class EqualToObjectOfOtherKeys:
 
 
 @dataclass(frozen=True)
+class Native:
+    """A validator backed by a compile-time builder producing native Column
+    clauses — how the library validators (``include/evalidate_lib.hrl``) are
+    re-expressed JVM-side instead of as per-row funs.
+
+    ``build(col, dtype) -> list[(fail_cond, message, error_kind)]`` where
+    message is a str or Column.  Created via :mod:`evalidate_spark.lib`.
+    """
+
+    name: str
+    build: Callable[..., Any]
+    oracle: Optional[Callable[..., Any]] = None  # pure-python twin for the oracle
+
+
+@dataclass(frozen=True)
 class CustomValidator:
     """Custom predicate (reference fun/1 & fun/2,
     ``/root/reference/src/evv.erl:62-84``).
@@ -193,12 +209,15 @@ class CustomValidator:
             raise SpecError("CustomValidator arity must be 1 or 2")
 
 
-Validator = Union[Type, Size, Regexp, Allowed, OrV, EqualToObjectOfOtherKeys, CustomValidator]
+Validator = Union[
+    Type, Size, Regexp, Allowed, OrV, EqualToObjectOfOtherKeys, CustomValidator, Native
+]
 
 
 def _check_validator(v: Any) -> None:
     if isinstance(
-        v, (Type, Size, Regexp, Allowed, OrV, EqualToObjectOfOtherKeys, CustomValidator)
+        v,
+        (Type, Size, Regexp, Allowed, OrV, EqualToObjectOfOtherKeys, CustomValidator, Native),
     ):
         if isinstance(v, OrV):
             for alt in v.alternatives:
