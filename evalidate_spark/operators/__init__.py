@@ -1,0 +1,16 @@
+"""Table-level validation operators (north-rule additions beyond the
+reference's element-local checks — SURVEY.md §2.8).
+
+* :mod:`.table_checks` — column stats profile, uniqueness, referential
+  integrity, distribution drift (PSI/KS)
+* :mod:`.spans` — span-sequence structural validation on the interleaved
+  text+media documents table (explode-free HOFs)
+"""
+
+from .table_checks import (
+    profile,
+    uniqueness_violations,
+    referential_violations,
+    drift,
+)
+from .spans import span_rules, span_structure_violations

@@ -1,0 +1,179 @@
+"""Table-level checks: stats profile, uniqueness, referential integrity,
+distribution drift.
+
+The reference has **no** aggregations or joins (all checks are element-local,
+``/root/reference/src/evalidate.erl``); these operators are the north-rule
+additions (``BASELINE.json: north_rule``), designed for 10^12-row scale:
+
+* ``profile`` — ONE ``agg()`` pass computing count/nulls/min/max/distinct/
+  quantiles for every requested column.  Partial+final hash aggregation:
+  one shuffle of a handful of rows per partition.  ``approx_distinct=True``
+  uses HyperLogLog++ (``approx_count_distinct``) — mergeable sketches, O(1)
+  memory; exact mode is for small-scale oracle cross-checks only.
+* ``uniqueness_violations`` — duplicate keys via groupBy+count.  Counts are
+  map-side combined so a hot key costs one partial row per partition, not a
+  shuffled row per duplicate; AQE skew handling covers the final merge.  For
+  pathological single-key skew a two-level salted aggregate is provided
+  (``salt_buckets``).
+* ``referential_violations`` — LEFT ANTI join of fact refs against a
+  dimension; broadcast when the dim is small (explicit ``broadcast()``
+  hint), sort-merge + AQE skew split otherwise.
+* ``drift`` — PSI + KS distance between two datasets' numeric columns from
+  equi-width histograms computed distributed (one agg per dataset);
+  comparison is a driver-side numpy op on ~num_bins values.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    approx_distinct: bool = True,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-column stats in ONE aggregation pass.
+
+    Returns one row per column: ``column, n_rows, n_nulls, n_distinct,
+    min_repr, max_repr, quantiles(array<double> for numeric)``.
+    """
+    cols = list(columns) if columns else [f.name for f in df.schema.fields]
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    aggs: List = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        qc = F.col("`%s`" % c)
+        aggs.append(F.sum(qc.isNull().cast("long")).alias(f"{c}__nulls"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(qc).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.countDistinct(qc).alias(f"{c}__distinct"))
+        aggs.append(F.min(qc).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(qc).cast("string").alias(f"{c}__max"))
+        if c in numeric and quantiles:
+            aggs.append(
+                F.percentile_approx(qc.cast("double"), list(quantiles)).alias(f"{c}__q")
+            )
+    row = df.agg(*aggs)
+    # unpivot driver-side expression (still lazy — one stack over 1 row)
+    parts = []
+    for c in cols:
+        q = f"`{c}__q`" if c in numeric and quantiles else "cast(null as array<double>)"
+        parts.append(
+            f"struct('{c}' as column, __n as n_rows, `{c}__nulls` as n_nulls, "
+            f"`{c}__distinct` as n_distinct, `{c}__min` as min_repr, "
+            f"`{c}__max` as max_repr, {q} as quantiles)"
+        )
+    return row.select(
+        F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s")
+    ).select("s.*")
+
+
+def uniqueness_violations(
+    df: DataFrame, key: str, salt_buckets: Optional[int] = None
+) -> DataFrame:
+    """Keys appearing more than once → ``(key, dup_count)``.
+
+    NULL keys are excluded (missing ≠ duplicate; they're presence
+    violations).  With ``salt_buckets`` the count is a two-level aggregate
+    (key+salt partial → key final) for pathological key skew; plain
+    groupBy+count already map-side combines, so salting is only needed when
+    a single key dominates entire partitions downstream.
+    """
+    kc = F.col("`%s`" % key)
+    nn = df.filter(kc.isNotNull())
+    if salt_buckets:
+        partial = (
+            nn.withColumn("__salt", F.pmod(F.crc32(kc.cast("string")), F.lit(salt_buckets)))
+            .groupBy(kc.alias(key), "__salt")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        counts = partial.groupBy(key).agg(F.sum("__c").alias("dup_count"))
+    else:
+        counts = nn.groupBy(kc.alias(key)).agg(F.count(F.lit(1)).alias("dup_count"))
+    return counts.filter(F.col("dup_count") > 1)
+
+
+def referential_violations(
+    fact: DataFrame,
+    ref_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Rows of *fact* whose ``ref_col`` does not exist in *dim* (dangling
+    references) — LEFT ANTI join.  NULL refs are not dangling (presence
+    checks own those).  ``broadcast_dim`` forces a broadcast hash join for
+    small dimensions (media catalogs); otherwise Catalyst/AQE picks
+    sort-merge with skew splitting."""
+    d = dim.select(F.col("`%s`" % dim_key).alias("__ref")).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.filter(F.col("`%s`" % ref_col).isNotNull()).join(
+        d, on=fact["`%s`" % ref_col] == d["__ref"], how="left_anti"
+    )
+
+
+def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[float]:
+    """Equi-width histogram as relative frequencies — one distributed agg."""
+    c = F.col("`%s`" % col).cast("double")
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(
+        F.lit(bins - 1), F.greatest(F.lit(0), F.floor((c - lo) / width).cast("int"))
+    )
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    total = sum(r["__c"] for r in counts) or 1
+    hist = [0.0] * bins
+    for r in counts:
+        hist[r["__b"]] = r["__c"] / total
+    return hist
+
+
+def drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    columns: Sequence[str],
+    bins: int = 10,
+) -> List[Dict[str, float]]:
+    """PSI and KS statistics per numeric column between two datasets.
+
+    Each dataset contributes one groupBy-histogram job (shuffle of ≤ *bins*
+    rows per partition); PSI/KS math is driver-side on *bins* floats.
+    Standard thresholds: PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
+    """
+    out: List[Dict[str, float]] = []
+    for col in columns:
+        c = F.col("`%s`" % col).cast("double")
+        bounds = baseline.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None or hi is None or lo == hi:
+            out.append({"column": col, "psi": 0.0, "ks": 0.0})
+            continue
+        hb = _histogram(baseline, col, lo, hi, bins)
+        hc = _histogram(current, col, lo, hi, bins)
+        eps = 1e-6
+        psi = 0.0
+        ks = 0.0
+        cb = cc = 0.0
+        import math
+
+        for b, c_ in zip(hb, hc):
+            pb, pc = max(b, eps), max(c_, eps)
+            psi += (pc - pb) * math.log(pc / pb)
+            cb += b
+            cc += c_
+            ks = max(ks, abs(cb - cc))
+        out.append({"column": col, "psi": psi, "ks": ks})
+    return out

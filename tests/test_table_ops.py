@@ -1,0 +1,123 @@
+"""Table-level operators: stats profile, uniqueness, referential anti-join,
+drift, span structure — cross-checked against DuckDB / direct computation."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from evalidate_spark.fixtures import (
+    gen_documents,
+    gen_events_baseline,
+    gen_events_shifted,
+    gen_media_catalog,
+)
+from evalidate_spark.operators import (
+    drift,
+    profile,
+    referential_violations,
+    span_structure_violations,
+    uniqueness_violations,
+)
+from evalidate_spark.operators.spans import media_refs, offset_monotonic_ok
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_profile_matches_duckdb(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    prof = {
+        r["column"]: r
+        for r in profile(df, ["l_quantity", "l_orderkey"], approx_distinct=False).collect()
+    }
+    exp = duckdb.sql(
+        f"""SELECT count(*) n, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) nn,
+            count(DISTINCT l_quantity) nd, min(l_quantity) mn, max(l_quantity) mx
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchone()
+    p = prof["l_quantity"]
+    assert p["n_rows"] == exp[0]
+    assert p["n_nulls"] == (exp[1] or 0)
+    assert p["n_distinct"] == exp[2]
+    assert float(p["min_repr"]) == pytest.approx(float(exp[3]))
+    assert float(p["max_repr"]) == pytest.approx(float(exp[4]))
+
+
+def test_uniqueness_matches_duckdb(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    got = uniqueness_violations(df, "o_custkey").count()
+    exp = duckdb.sql(
+        f"""SELECT count(*) FROM (SELECT o_custkey FROM '{SF}/orders.parquet'
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    assert got == exp
+    # salted two-level variant agrees
+    assert uniqueness_violations(df, "o_custkey", salt_buckets=8).count() == exp
+
+
+def test_referential_matches_duckdb(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    # suppliers referenced by lineitem that don't exist in customer keys —
+    # an artificial dangling-ref check with a known DuckDB answer
+    got = referential_violations(li, "l_suppkey", cust, "c_custkey").count()
+    exp = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF}/lineitem.parquet' l
+            WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM '{SF}/customer.parquet' c WHERE c.c_custkey = l.l_suppkey)"""
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_drift_detects_shift(spark):
+    base = gen_events_baseline(spark, 5000)
+    same = gen_events_baseline(spark, 5000)
+    shifted = gen_events_shifted(spark, 5000, shift=4.0)
+    stable = drift(same, base, ["value"])[0]
+    moved = drift(shifted, base, ["value"])[0]
+    assert stable["psi"] < 0.01 and stable["ks"] < 0.01
+    assert moved["psi"] > 0.25 and moved["ks"] > 0.2
+
+
+def test_generated_documents_shape(spark):
+    docs = gen_documents(spark, 500, n_media=100)
+    assert docs.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>>"
+    )
+    n = docs.count()
+    assert n == 500
+    nulls = docs.filter(F.col("doc_id").isNull()).count()
+    assert 0 < nulls < 25  # ~1%
+    # determinism: same seed → identical content
+    again = gen_documents(spark, 500, n_media=100)
+    assert docs.exceptAll(again).count() == 0
+
+
+def test_span_structure_violations(spark):
+    docs = gen_documents(spark, 1000, n_media=100)
+    v = span_structure_violations(docs)
+    by_rule = {r["rule_id"]: r["n"] for r in v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # injected inconsistencies and inversions must be found
+    assert by_rule.get("span:kind_consistency", 0) > 0
+    assert by_rule.get("span:offset_monotonic", 0) > 0
+    # offsets: docs flagged monotonic-ok must have no inversion violations
+    ok_docs = docs.filter(offset_monotonic_ok(F.col("spans"))).select("doc_id")
+    bad = v.filter(F.col("rule_id") == "span:offset_monotonic").select("doc_id").distinct()
+    assert ok_docs.join(bad, "doc_id", "inner").count() == 0
+
+
+def test_media_referential_roundtrip(spark):
+    docs = gen_documents(spark, 1000, n_media=100)
+    catalog = gen_media_catalog(spark, 100)
+    refs = media_refs(docs)
+    dangling = referential_violations(refs, "media_ref", catalog, "media_ref")
+    n_dangling = dangling.count()
+    assert n_dangling > 0  # ~1% injected
+    # every dangling ref points beyond the catalog by construction
+    assert dangling.filter(~F.col("media_ref").rlike(r"^m-\d+$")).count() == 0
+    max_ok = catalog.agg(F.max(F.expr("cast(substring(media_ref, 3) as int)"))).collect()[0][0]
+    assert (
+        dangling.filter(F.expr("cast(substring(media_ref, 3) as int)") <= max_ok).count()
+        == 0
+    )
