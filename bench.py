@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line ``{"metric", "value", "unit": "sec", "queries", "sf",
+"docs_per_sec", "cpus"}``.
+
+The flagship measurement is the north-star metric: full rule-set validation
+throughput (validated docs/sec) over the interleaved text+media documents
+table (input_hint shape).  The spans input is generated once per (n_docs)
+with the deterministic distributed generator (seed 42) and cached as parquet
+under ``.bench_cache/`` so the timed section is scan → fused validation
+projection → verdict roll-up, exactly the production plan.
+
+Every query is forced with a ``noop`` write (full evaluation of all
+columns, no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _sf() -> float:
+    try:
+        return float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"evalidate-bench-{CPUS}")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.default.parallelism", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def spans_input(spark, n_docs: int):
+    """Generated interleaved docs cached as parquet (deterministic seed 42)."""
+    path = os.path.join(CACHE, f"docs_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from evalidate_spark.fixtures import gen_documents
+
+        gen_documents(spark, n_docs, partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_validate_spans(spark, docs):
+    """North-star: full rule-set pass over interleaved docs — engine rules
+    (presence/type/size/allowed over doc_id + spans) fused with the span
+    structural HOF checks, rolled up to per-partition verdicts."""
+    from evalidate_spark import validate
+    from evalidate_spark.operators.spans import span_rules
+
+    res = validate(docs, span_rules(), id_cols=["doc_id"])
+    return res.annotated.select(
+        "doc_id",
+        (res.annotated["violations"].getField("rule_id")).alias("rule_ids"),
+    )
+
+
+def q_span_structure_full(spark, docs):
+    from evalidate_spark.operators.spans import span_structure_violations
+
+    return span_structure_violations(docs)
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    n_docs = max(10_000, int(2_000_000 * _sf()))
+    docs = spans_input(spark, n_docs)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM/codegen once with a trivial job
+    spark.range(1000).count()
+
+    timed("validate_spans", lambda: _force(q_validate_spans(spark, docs)))
+    timed("span_structure_full", lambda: _force(q_span_structure_full(spark, docs)))
+
+    qs = entry.queries()
+    for name in (
+        "validate_documents",
+        "clean_documents",
+        "profile_lineitem",
+        "uniqueness_events_user",
+        "referential_lineitem_supplier",
+        "histogram_events_value",
+        "span_refs_dangling",
+    ):
+        timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["validate_spans"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf(),
+                "n_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,27 @@ def referential_violations(
     )
 
 
+def histogram_df(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equi-width histogram as a DataFrame ``(bucket, n)`` — fully
+    distributed: one tiny agg for bounds (broadcast back as a 1-row cross
+    join), one groupBy of ≤ *bins* keys (map-side combined).  This is the
+    shared input of PSI/KS drift; counts are integers so it also serves as
+    the DuckDB-checkable face of the drift operator."""
+    c = F.col("`%s`" % col).cast("double")
+    bounds = df.filter(c.isNotNull()).agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((c - F.col("__lo")) / width).cast("int")),
+    )
+    return (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[float]:
     """Equi-width histogram as relative frequencies — one distributed agg."""
     c = F.col("`%s`" % col).cast("double")

@@ -302,12 +302,18 @@ class Rule:
     on_error: Optional[str] = None  # on_validate_error template, {{key}}/{{value}}
 
     def __post_init__(self) -> None:
-        if isinstance(self.presence, str) and self.presence not in (
-            REQUIRED,
-            OPTIONAL,
-            DEPRECATED,
+        # normalise the reference's literal {optional, Default} tuple shape
+        if (
+            isinstance(self.presence, tuple)
+            and len(self.presence) == 2
+            and self.presence[0] == OPTIONAL
         ):
-            raise SpecError("Unknown presence '%s'" % self.presence)
+            object.__setattr__(self, "presence", Default(self.presence[1]))
+        if isinstance(self.presence, str):
+            if self.presence not in (REQUIRED, OPTIONAL, DEPRECATED):
+                raise SpecError("Unknown presence '%s'" % self.presence)
+        elif not isinstance(self.presence, Default):
+            raise SpecError("Unknown presence %r" % (self.presence,))
         for v in self.validators or ():
             _check_validator(v)
         _check_converter(self.converter)
