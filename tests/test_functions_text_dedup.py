@@ -1,0 +1,138 @@
+"""Training-data text + dedup ops: tokenisation, quality, lang-id,
+fingerprints, exact/MinHash/SimHash/Jaccard dedup — each checked against a
+small pure-Python oracle on literal rows."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark.functions import dedup, text
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick brown fox jumps over the lazy cat"),   # near-dup of d1
+    ("d3", "completely different content about spark engines"),
+    ("d4", "the quick brown fox jumps over the lazy dog"),   # exact dup of d1
+    ("d5", "El perro corre por la calle y la casa"),
+]
+
+
+class TestText:
+    def test_token_count(self, spark):
+        df = docs_df(spark, [("a", "one two  three"), ("b", ""), ("c", "solo")])
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()
+        }
+        assert got == {"a": 3, "b": 0, "c": 1}
+
+    def test_token_count_bpe(self, spark):
+        df = docs_df(spark, [("a", "abcd abcdefgh xy")])
+        # ceil(4/4)+ceil(8/4)+ceil(2/4) = 1+2+1
+        [r] = df.select(text.token_count_bpe(F.col("text")).alias("n")).collect()
+        assert r["n"] == 4
+
+    def test_quality_metrics_oracle(self, spark):
+        raw = "the cat sat on the mat, happily."
+        df = docs_df(spark, [("a", raw)])
+        [r] = text.quality_metrics(df).collect()
+        toks = raw.split()
+        assert r["n_tokens"] == len(toks)
+        assert r["n_chars_q"] == len(raw)
+        stop = sum(1 for t in toks if t.lower() in text.STOPWORDS_EN)
+        assert r["stopword_ratio"] == pytest.approx(stop / len(toks))
+        punct = sum(1 for ch in raw if not ch.isalnum() and not ch.isspace())
+        assert r["punct_ratio"] == pytest.approx(punct / len(raw))
+
+    def test_quality_score_bounds(self, spark):
+        df = docs_df(spark, [("ok", "word " * 30), ("tiny", "x"), ("rep", "spam " * 100)])
+        got = {r["doc_id"]: r["quality_score"] for r in text.quality_score(df).collect()}
+        assert got["ok"] > got["tiny"]
+        assert all(0.0 <= v <= 1.0 for v in got.values())
+
+    def test_lang_id(self, spark):
+        df = docs_df(
+            spark,
+            [
+                ("en", "the dog and the cat sat in a house"),
+                ("es", "el perro y la casa de los gatos"),
+                ("de", "der hund und die katze ist nicht da"),
+                ("none", "zzz qqq www"),
+            ],
+        )
+        got = {r["doc_id"]: r["lang_guess"] for r in text.lang_id(df).collect()}
+        assert got == {"en": "en", "es": "es", "de": "de", "none": "und"}
+
+    def test_fingerprint_normalises(self, spark):
+        df = docs_df(spark, [("a", "Hello  World"), ("b", "hello world"), ("c", "hello worlds")])
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in df.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+        }
+        assert got["a"] == got["b"] != got["c"]
+        assert got["b"] == hashlib.md5(b"hello world").hexdigest()
+
+    def test_shingles(self, spark):
+        df = docs_df(spark, [("a", "w1 w2 w3 w4"), ("b", "w1")])
+        got = {
+            r["doc_id"]: r["s"]
+            for r in df.select("doc_id", text.shingles(F.col("text"), 3).alias("s")).collect()
+        }
+        assert got["a"] == ["w1 w2 w3", "w2 w3 w4"]
+        assert got["b"] == ["w1"]
+
+
+class TestDedup:
+    def test_exact_duplicates(self, spark):
+        df = docs_df(spark, DOCS)
+        [g] = dedup.exact_duplicates(df).collect()
+        assert g["n_docs"] == 2 and g["doc_ids"] == ["d1", "d4"]
+
+    def test_distinct_by_fingerprint(self, spark):
+        df = docs_df(spark, DOCS)
+        kept = {r["doc_id"] for r in dedup.distinct_by_fingerprint(df).collect()}
+        assert kept == {"d1", "d2", "d3", "d5"}
+
+    def test_minhash_near_dups(self, spark):
+        df = docs_df(spark, DOCS)
+        pairs = dedup.near_duplicates(df, threshold=0.5, num_hashes=32, bands=16)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert ("d1", "d4") in got and got[("d1", "d4")] == 1.0
+        assert ("d1", "d2") in got and 0.5 <= got[("d1", "d2")] < 1.0
+        assert all("d3" not in p and "d5" not in p for p in got)
+
+    def test_jaccard_matches_python_oracle(self, spark):
+        df = docs_df(spark, DOCS)
+        cand = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+        [r] = dedup.jaccard_pairs(df, cand, shingle_k=3).collect()
+
+        def sh(s, k=3):
+            t = s.split()
+            return {" ".join(t[i : i + k]) for i in range(max(len(t) - k + 1, 1))}
+
+        a, b = sh(DOCS[0][1]), sh(DOCS[1][1])
+        assert r["jaccard"] == pytest.approx(len(a & b) / len(a | b), abs=1e-6)
+
+    def test_simhash_close_for_near_dups(self, spark):
+        df = docs_df(spark, DOCS)
+        sigs = {
+            r["doc_id"]: r["s"]
+            for r in df.select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()
+        }
+        assert sigs["d1"] == sigs["d4"]
+        mask = (1 << 64) - 1
+        ham = bin((sigs["d1"] ^ sigs["d2"]) & mask).count("1")
+        ham_far = bin((sigs["d1"] ^ sigs["d3"]) & mask).count("1")
+        assert ham < ham_far
+
+    def test_simhash_candidates(self, spark):
+        df = docs_df(spark, DOCS)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_candidates(df).collect()}
+        assert got[("d1", "d4")] == 0
+        assert ("d1", "d2") in got
