@@ -18,8 +18,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from evalidate_spark import Allowed, Default, Regexp, Rule, Size, Type, validate
+from evalidate_spark import Allowed, Default, Regexp, Rule, RuleOr, Size, Type, validate
+from evalidate_spark.functions import dedup, multimodal, similarity, text
 from evalidate_spark.operators.table_checks import (
+    drift_df,
     histogram_df,
     profile,
     referential_violations,
@@ -162,6 +164,117 @@ def q_span_refs_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("doc_id", "media_ref")
 
 
+def q_rule_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rule_or branching: first passing alternative wins; on all-fail the
+    member errors are deduped and joined with ' or ' in reverse trial order
+    (evalidate.erl:251-265)."""
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        Rule(key="doc_id"),
+        RuleOr(rules=[
+            Rule(key="lang", validators=[Allowed(["en", "es"])]),
+            Rule(key="lang", validators=[Regexp("^(de|fr)$")]),
+        ]),
+    ]
+    res = validate(docs, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "rule_seq", "rule_id", "message")
+
+
+# --------------------------------------------------- training-data ops
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics as integer basis points (exact cross-engine compare)."""
+    m = text.quality_metrics(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens",
+        F.floor(F.col("stopword_ratio") * 10_000).cast("long").alias("stop_bp"),
+        F.floor(F.col("uniq_token_ratio") * 10_000).cast("long").alias("uniq_bp"),
+    )
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_lang_marker_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.lang_marker_counts(d).drop("text")
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups keyed on the first-5-token prefix fingerprint
+    (the corpus has no full-text dups; the prefix key exercises the same
+    hash-groupBy plan with real collisions)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    return (
+        d.select(key.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-token-shingle Jaccard on a deterministic candidate list
+    (docs (i, i+1) for i % 50 == 0) — the verify stage of near-dup."""
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .filter(F.col("id_a") % 50 == 0)
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    return dedup.jaccard_pairs(d, cand, shingle_k=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 5 probe vectors (ranked on the
+    6-dp-rounded similarity + id tiebreak → cross-engine stable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, probes, k=3)
+
+
+def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI/KS drift (integer basis points): even-user events as baseline vs
+    the full stream."""
+    ev = _t(spark, sf_dir, "events")
+    return drift_df(ev, ev.filter(F.col("user_id") % 2 == 0), ["value", "user_id"])
+
+
+# -------------------------------------------- rows-only (no SQL oracle)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (xxhash64 not available in DuckDB —
+    rows-only check; exact-Jaccard verification is oracled separately)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidates(d, num_hashes=32, bands=16)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over the deterministic
+    synthetic media table (decode step stubbed; plumbing real)."""
+    return multimodal.extract_features(multimodal.synth_media(spark, 200))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -178,10 +291,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
+        "rule_or": q_rule_or,
+        "token_counts": q_token_counts,
+        "quality_documents": q_quality_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "lang_marker_counts": q_lang_marker_counts,
+        "exact_dup_groups": q_exact_dup_groups,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "drift_events": q_drift_events,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_docs": q_simhash_docs,
+        "media_features": q_media_features,
     }
 
 
 _ALLOWED_REPR = '[<<"en">>,<<"es">>,<<"de">>,<<"fr">>]'
+
+_STOPWORDS_SQL = "'the','and','of','to','a','in','is','that','it','for','on','with','as','this'"
+
+_SHINGLES_SQL = """list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+    i -> array_to_string(string_split(text,' ')[i:i+2],' ')))"""
+
+
+def _drift_col_sql(col: str) -> str:
+    """DuckDB twin of ``drift_df`` for one column: baseline = even-user
+    events, current = all events, 10 equi-width bins over baseline bounds."""
+    bb = (
+        f"(SELECT min(cast({col} AS double)) AS lo, max(cast({col} AS double)) AS hi "
+        f"FROM events WHERE user_id % 2 = 0 AND {col} IS NOT NULL)"
+    )
+    hist = lambda pred: f"""
+      SELECT bucket, cnt / cast(sum(cnt) OVER () AS double) AS p FROM (
+        SELECT least(9, greatest(0,
+            cast(floor((cast({col} AS double) - bb.lo) / ((bb.hi - bb.lo) / 10)) AS int))) AS bucket,
+          count(*) AS cnt
+        FROM events, {bb} bb WHERE {pred} AND {col} IS NOT NULL GROUP BY 1)"""
+    return f"""
+SELECT '{col}' AS column,
+  cast(floor(sum(psi_term) * 10000) AS bigint) AS psi_bp,
+  cast(floor(max(ks_gap) * 10000) AS bigint) AS ks_bp
+FROM (
+  SELECT
+    (greatest(pc,1e-6) - greatest(pb,1e-6)) * ln(greatest(pc,1e-6) / greatest(pb,1e-6)) AS psi_term,
+    abs(sum(pb) OVER (ORDER BY bucket) - sum(pc) OVER (ORDER BY bucket)) AS ks_gap
+  FROM (
+    SELECT g.bucket, coalesce(b.p, 0.0) AS pb, coalesce(c.p, 0.0) AS pc
+    FROM (SELECT unnest(generate_series(0, 9)) AS bucket) g
+    LEFT JOIN ({hist("user_id % 2 = 0")}) b USING (bucket)
+    LEFT JOIN ({hist("true")}) c USING (bucket)))"""
 
 ORACLE = {
     "validate_documents": f"""
@@ -276,6 +435,62 @@ UNION ALL
 SELECT doc_id, 'm-' || CAST(doc_id % 30 AS VARCHAR)
 FROM documents WHERE doc_id % 30 >= 20
 """,
+    "rule_or": """
+SELECT doc_id, 2 AS rule_seq, 'rule_or' AS rule_id,
+  'Value ''' || lang || ''' is not valid. Validation with regexp ''^(de|fr)$'' failed or Value ''\\<\\<"'
+    || lang || '"\\>\\>'' is not valid. Value is not in allowed list [<<"en">>,<<"es">>]' AS message
+FROM documents
+WHERE lang NOT IN ('en','es') AND NOT regexp_matches(lang, '^(de|fr)$')
+""",
+    "token_counts": """
+SELECT doc_id,
+  len(string_split(text,' ')) AS n_tokens,
+  cast(list_sum(list_transform(string_split(text,' '), t -> ceil(length(t)/4.0))) AS bigint) AS n_tokens_bpe
+FROM documents
+""",
+    "quality_documents": """
+SELECT doc_id, length(text) AS n_chars_q, len(string_split(text,' ')) AS n_tokens,
+  cast(floor((len(list_filter(string_split(text,' '),
+        t -> lower(t) IN (%s))) / cast(len(string_split(text,' ')) AS double)) * 10000) AS bigint) AS stop_bp,
+  cast(floor((len(list_distinct(string_split(text,' '))) / cast(len(string_split(text,' ')) AS double)) * 10000) AS bigint) AS uniq_bp
+FROM documents
+""" % _STOPWORDS_SQL,
+    "fingerprint_documents": """
+SELECT doc_id,
+  md5(array_to_string(list_transform(string_split(text,' '), t -> lower(t)), ' ')) AS fp
+FROM documents
+""",
+    "lang_marker_counts": """
+SELECT doc_id,
+  len(list_filter(string_split(text,' '), t -> lower(t) IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
+  len(list_filter(string_split(text,' '), t -> lower(t) IN ('el','la','de','que','y','los','en','un'))) AS es_hits,
+  len(list_filter(string_split(text,' '), t -> lower(t) IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de_hits,
+  len(list_filter(string_split(text,' '), t -> lower(t) IN ('le','la','les','de','et','un','est','que'))) AS fr_hits
+FROM documents
+""",
+    "exact_dup_groups": """
+SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    "jaccard_pairs": f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 50 = 0
+""",
+    "ann_topk": """
+WITH scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(cast(c.embedding AS double[]), cast(p.embedding AS double[])), 6) AS cosine
+  FROM embeddings c, embeddings p WHERE p.vec_id < 5)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+""",
+    "drift_events": "%s UNION ALL %s" % (_drift_col_sql("value"), _drift_col_sql("user_id")),
 }
 
 

@@ -99,9 +99,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        """Two runs, report the min — the first run pays one-off codegen
+        compilation + parquet footer reads; steady-state throughput is what
+        scales to the cluster."""
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # warm the JVM/codegen once with a trivial job
     spark.range(1000).count()
@@ -118,6 +125,11 @@ def main() -> None:
         "referential_lineitem_supplier",
         "histogram_events_value",
         "span_refs_dangling",
+        "quality_documents",
+        "minhash_pairs",
+        "ann_topk",
+        "drift_events",
+        "media_features",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

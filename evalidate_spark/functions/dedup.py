@@ -66,28 +66,42 @@ def minhash_signature(
     col: Column, num_hashes: int = 64, shingle_k: int = 3
 ) -> Column:
     """MinHash signature (array<bigint> of length *num_hashes*): permutation
-    *i* is ``min over shingles of xxhash64(shingle, i)``.  Pure Column
-    expressions — vectorised JVM-side, one pass over the shingle array."""
-    sh = shingles(col, shingle_k)
+    *i* is ``min over shingles of xxhash64(base_hash, i)``.
 
-    def perm_min(i: int) -> Column:
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-
-    return F.array(*[perm_min(i) for i in range(num_hashes)])
+    One pass: shingle strings are hashed ONCE (``xxhash64`` per shingle),
+    then each permutation is a cheap integer re-hash folded through a
+    single ``aggregate`` with an array accumulator.  Higher-order-function
+    expressions are interpreted (not whole-stage-codegen), so the naive
+    form — num_hashes separate ``array_min(transform(shingles…))`` trees —
+    re-tokenises and re-hashes the text per permutation and blows the plan
+    up quadratically once downstream expressions reference the signature."""
+    hs = F.transform(shingles(col, shingle_k), lambda s: F.xxhash64(s))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), num_hashes),
+        lambda acc, h: F.zip_with(acc, idx, lambda m, i: F.least(m, F.xxhash64(h, i))),
+    )
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     """LSH band hashes: array of *bands* structs ``(band, h)`` where ``h``
-    hashes the band's *rows* signature slots."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)]).alias("h"),
-            )
-            for b in range(bands)
-        ]
+    hashes the band's *rows* signature slots.
+
+    The signature expression is let-bound via a single-element-array
+    ``transform`` so it appears exactly ONCE in the plan — referencing it
+    per band would inline a full copy of the signature tree each time."""
+    per_band = F.transform(
+        F.array(sig),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(F.slice(s, b * rows + 1, rows)).alias("h"),
+            ),
+        ),
     )
+    return F.flatten(per_band)
 
 
 def minhash_candidates(
@@ -110,7 +124,14 @@ def minhash_candidates(
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
     sig = minhash_signature(F.col("`%s`" % text_col), num_hashes, shingle_k)
-    banded = df.select(ids.alias("__id"), F.explode(minhash_bands(sig, bands, rows)).alias("b"))
+    # Materialise the signature behind an analysis barrier before banding:
+    # each band's element_at(sig, …) would otherwise inline a full copy of
+    # the num_hashes-permutation expression tree (quadratic plan blow-up —
+    # Catalyst's CollapseProject re-duplicates cheap-looking projections).
+    sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
+    banded = sigs.select(
+        "__id", F.explode(minhash_bands(F.col("__sig"), bands, rows)).alias("b")
+    )
     buckets = (
         banded.groupBy(F.col("b.band").alias("band"), F.col("b.h").alias("h"))
         .agg(F.sort_array(F.collect_list("__id")).alias("ids"))

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile(
@@ -140,6 +140,85 @@ def histogram_df(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def drift_df(
+    current: DataFrame,
+    baseline: DataFrame,
+    columns: Sequence[str],
+    bins: int = 10,
+) -> DataFrame:
+    """PSI + KS drift per numeric column, fully distributed — returns
+    ``(column, psi_bp, ks_bp)`` in integer basis points
+    (``floor(stat * 10_000)``) so results are exactly comparable across
+    engines despite float formatting.
+
+    Plan per column: one tiny bounds agg on the baseline (broadcast), one
+    histogram groupBy per dataset (≤ *bins* groups, map-side combined), a
+    *bins*-row join, and a 1-row final agg.  All driver-free; per-column
+    plans are unioned into one job."""
+    import math  # noqa: F401  (documenting the ln used below)
+
+    eps = 1e-6
+    outs: List[DataFrame] = []
+    for col in columns:
+        c = F.col("`%s`" % col).cast("double")
+        bounds = (
+            baseline.filter(c.isNotNull())
+            .agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+        )
+
+        def hist(df: DataFrame, name: str) -> DataFrame:
+            width = (F.col("__hi") - F.col("__lo")) / bins
+            bucket = F.when(
+                F.col("__hi") == F.col("__lo"), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(F.lit(0), F.floor((c - F.col("__lo")) / width).cast("int")),
+                )
+            )
+            counts = (
+                df.filter(c.isNotNull())
+                .crossJoin(F.broadcast(bounds))
+                .groupBy(bucket.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            total = F.sum("__c").over(Window.partitionBy())
+            return counts.select("bucket", (F.col("__c") / total).alias(name))
+
+        b = hist(baseline, "pb")
+        cu = hist(current, "pc")
+        grid = b.sparkSession.range(bins).select(F.col("id").cast("int").alias("bucket"))
+        j = (
+            grid.join(b, "bucket", "left")
+            .join(cu, "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce("pb", F.lit(0.0)).alias("pb"),
+                F.coalesce("pc", F.lit(0.0)).alias("pc"),
+            )
+        )
+        w = Window.partitionBy().orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        term = (
+            (F.greatest(F.col("pc"), F.lit(eps)) - F.greatest(F.col("pb"), F.lit(eps)))
+            * F.log(F.greatest(F.col("pc"), F.lit(eps)) / F.greatest(F.col("pb"), F.lit(eps)))
+        )
+        scored = j.select(
+            term.alias("psi_term"),
+            F.abs(F.sum("pb").over(w) - F.sum("pc").over(w)).alias("ks_gap"),
+        )
+        outs.append(
+            scored.agg(
+                F.lit(col).alias("column"),
+                F.floor(F.sum("psi_term") * 10_000).cast("long").alias("psi_bp"),
+                F.floor(F.max("ks_gap") * 10_000).cast("long").alias("ks_bp"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result
 
 
 def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[float]:

@@ -1,0 +1,83 @@
+"""Checkpoint/resume: a run killed mid-way and resumed produces exactly the
+same violations/verdicts as an uninterrupted run; re-running a completed
+unit is idempotent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark.checkpoint import CheckpointedRun, list_units
+from evalidate_spark.spec import Allowed, Rule, Size
+
+
+@pytest.fixture()
+def input_dir(spark, tmp_path):
+    path = str(tmp_path / "docs_in")
+    (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.when(F.col("id") % 7 == 0, F.lit("x")).otherwise(F.lit("valid text here")).alias("text"),
+            F.when(F.col("id") % 5 == 0, F.lit("zz")).otherwise(F.lit("en")).alias("lang"),
+        )
+        .repartition(8)
+        .write.parquet(path)
+    )
+    return path
+
+
+RULES = [
+    Rule(key="doc_id"),
+    Rule(key="text", validators=[Size(5, 100)]),
+    Rule(key="lang", validators=[Allowed(["en", "es"])]),
+]
+
+
+def collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestCheckpoint:
+    def test_units_deterministic(self, input_dir):
+        a = list_units(input_dir, files_per_unit=2)
+        b = list_units(input_dir, files_per_unit=2)
+        assert a == b and len(a) == 4
+        assert all(len(u["files"]) == 2 for u in a)
+
+    def test_kill_and_resume_equals_one_shot(self, spark, input_dir, tmp_path):
+        one = CheckpointedRun(spark, input_dir, RULES, str(tmp_path / "one"), files_per_unit=2)
+        one.run()
+
+        two = CheckpointedRun(spark, input_dir, RULES, str(tmp_path / "two"), files_per_unit=2)
+        first = two.run(max_units=2)  # simulate crash after 2 of 4 units
+        assert len(first["processed_now"]) == 2
+        assert len(two.pending_units()) == 2
+        second = two.run()  # resume
+        assert len(second["processed_now"]) == 2
+        assert two.pending_units() == []
+
+        cols = ["doc_id", "rule_id", "key_path", "message"]
+        assert collect_sorted(two.violations(), cols) == collect_sorted(one.violations(), cols)
+        assert (
+            two.verdicts().agg(F.sum("rows"), F.sum("failed")).collect()
+            == one.verdicts().agg(F.sum("rows"), F.sum("failed")).collect()
+        )
+
+    def test_resume_is_noop_when_complete(self, spark, input_dir, tmp_path):
+        run = CheckpointedRun(spark, input_dir, RULES, str(tmp_path / "out"), files_per_unit=4)
+        run.run()
+        before = collect_sorted(run.violations(), ["doc_id", "rule_id"])
+        again = run.run()
+        assert again["processed_now"] == []
+        assert collect_sorted(run.violations(), ["doc_id", "rule_id"]) == before
+
+    def test_lineage_records(self, spark, input_dir, tmp_path):
+        run = CheckpointedRun(spark, input_dir, RULES, str(tmp_path / "out"), files_per_unit=2)
+        run.run()
+        lin = run.lineage()
+        assert [r["unit_id"] for r in lin] == [f"unit-{i:05d}" for i in range(4)]
+        assert sum(r["rows"] for r in lin) == 200
+        assert sum(r["failed_rows"] for r in lin) == len(
+            {i for i in range(200) if i % 7 == 0 or i % 5 == 0}
+        )
+        for r in lin:
+            assert r["engine_version"] and len(r["input_files"]) == 2 and r["wall_s"] >= 0
