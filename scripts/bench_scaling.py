@@ -112,7 +112,7 @@ of the rest.
   turbo limits cap the speedup; on a real multi-executor cluster each
   executor keeps its own socket headroom, which the 4→16 pair models)
 
-The job is a single fused whole-stage-codegen projection per partition
+The job is a single fused projection per partition
 (scan → violations array → size/verdict partial agg) followed by a
 per-partition-id final aggregate of ≤ #partitions rows: no data shuffle,
 no skewed key, so efficiency is bounded only by scheduling overhead.
