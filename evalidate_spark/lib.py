@@ -108,7 +108,7 @@ def v_binary_integer(lo: Optional[int] = None, hi: Optional[int] = None) -> Nati
             return (False, E.size_max_msg("limit", hi))
         return True
 
-    return Native("v_binary_integer", build, oracle)
+    return Native("v_binary_integer", build, oracle, params=(lo, hi))
 
 
 # -- numeric --------------------------------------------------------- L8/L9
@@ -147,7 +147,7 @@ def v_binary_numeric(lo: Optional[float] = None, hi: Optional[float] = None) -> 
             return (False, E.size_max_msg("limit", hi))
         return True
 
-    return Native("v_binary_numeric", build, oracle)
+    return Native("v_binary_numeric", build, oracle, params=(lo, hi))
 
 
 # -- boolean ---------------------------------------------------------- L10
@@ -269,7 +269,7 @@ def elements_in(allowed: list) -> Native:
     def oracle(v: Any) -> Any:
         return isinstance(v, list) and all(e in allowed for e in v)
 
-    return Native("elements_in", build, oracle)
+    return Native("elements_in", build, oracle, params=(list(allowed),))
 
 
 def v_array() -> Native:

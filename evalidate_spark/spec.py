@@ -181,6 +181,7 @@ class Native:
     name: str
     build: Callable[..., Any]
     oracle: Optional[Callable[..., Any]] = None  # pure-python twin for the oracle
+    params: Sequence[Any] = ()  # constructor args, for JSON round-trip
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,108 @@
+"""Structured Streaming adapter for the validation engine.
+
+The reference is a synchronous in-memory call (no streams,
+``/root/reference/src/evalidate.erl:19-34``) and the north rule's
+incremental-processing property is met by batch checkpoint/resume
+(:mod:`evalidate_spark.checkpoint`).  This adapter additionally lets the
+same compiled rule-set run over a Structured Streaming source — useful
+when documents arrive continuously (e.g. a landing directory or Kafka).
+
+Because the engine compiles to a single stateless projection, the
+violations stream is **append-mode compatible** — no state store, no
+watermark needed; Spark's own streaming checkpoint gives exactly-once
+sink semantics.  Only the windowed verdict aggregation is stateful and
+needs a watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .compiler import Options, compile_spec
+from .engine import FIRST_ERROR_COL, VIOLATIONS_COL, validate
+
+
+def annotate_stream(stream_df: DataFrame, rules: Any, **opts: Any) -> DataFrame:
+    """Input stream + ``violations``/``first_error`` columns — one stateless
+    projection, append-mode safe."""
+    compiled = compile_spec(rules, stream_df.schema, Options(**opts) if opts else None)
+    return stream_df.withColumn(VIOLATIONS_COL, compiled.violations).withColumn(
+        FIRST_ERROR_COL, F.try_element_at(F.col(VIOLATIONS_COL), F.lit(1))
+    )
+
+
+def violations_stream(
+    stream_df: DataFrame, rules: Any, id_cols: Sequence[str] = ("doc_id",), **opts: Any
+) -> DataFrame:
+    """Typed violation rows as an append-mode stream."""
+    ann = annotate_stream(stream_df, rules, **opts)
+    v = ann.select(*id_cols, F.explode(F.col(VIOLATIONS_COL)).alias("v"))
+    return v.select(
+        *id_cols,
+        F.col("v.rule_seq").alias("rule_seq"),
+        F.col("v.rule_id").alias("rule_id"),
+        F.col("v.key_path").alias("key_path"),
+        F.col("v.span_index").alias("span_index"),
+        F.col("v.message").alias("message"),
+        F.col("v.value_repr").alias("value_repr"),
+    )
+
+
+def windowed_verdicts(
+    stream_df: DataFrame,
+    rules: Any,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    **opts: Any,
+) -> DataFrame:
+    """Event-time windowed pass/fail roll-up (the streaming analogue of the
+    per-partition verdicts): one watermarked window aggregate, update/append
+    mode per Spark's watermark rules — late rows beyond *watermark* drop."""
+    ann = annotate_stream(stream_df, rules, **opts)
+    ok = (F.size(F.col(VIOLATIONS_COL)) == 0).cast("int")
+    return (
+        ann.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(ok).alias("passed"),
+            (F.count(F.lit(1)) - F.sum(ok)).alias("failed"),
+        )
+        .withColumn(
+            "verdict", F.when(F.col("failed") == 0, F.lit("pass")).otherwise(F.lit("fail"))
+        )
+    )
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    rules: Any,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_cols: Sequence[str] = ("doc_id",),
+    trigger_available_now: bool = True,
+):
+    """Micro-batch bridge to the batch engine: each micro-batch is validated
+    with :func:`evalidate_spark.validate` and its violations/verdicts are
+    appended under *out_dir* (violations/, verdicts/ with batch_id).
+    Spark's streaming checkpoint makes the sink exactly-once per batch."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        res = validate(batch_df, rules, id_cols=list(id_cols))
+        res.violations.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir + "/violations"
+        )
+        res.verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir + "/verdicts"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,65 @@
+"""spark-submit entrypoint for a checkpointed validation run.
+
+Production submission (north rule: ``spark-submit --py-files``):
+
+    cd /root/repo && zip -qr /tmp/evalidate_spark.zip evalidate_spark
+    spark-submit --py-files /tmp/evalidate_spark.zip \
+        scripts/run_validation_job.py \
+        --input /data/documents --rules rules.json --out /data/validated \
+        --id-cols doc_id --files-per-unit 32
+
+Re-running the same command resumes from the unit manifest: completed
+units are skipped, so a crashed 10^12-doc run loses at most one unit of
+work.  The rule-set JSON is copied into the output directory for lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="input parquet directory")
+    ap.add_argument("--rules", required=True, help="rules JSON file (spec_json format)")
+    ap.add_argument("--out", required=True, help="output directory (violations/verdicts/manifest)")
+    ap.add_argument("--id-cols", default="doc_id", help="comma-separated id columns")
+    ap.add_argument("--files-per-unit", type=int, default=32)
+    ap.add_argument("--max-units", type=int, default=None, help="process at most N units (testing)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from evalidate_spark.checkpoint import CheckpointedRun
+    from evalidate_spark.spec_json import rules_from_json
+
+    with open(args.rules) as fh:
+        rules = rules_from_json(fh.read())
+
+    spark = SparkSession.builder.appName("evalidate-validation-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    os.makedirs(args.out, exist_ok=True)
+    shutil.copyfile(args.rules, os.path.join(args.out, "rules.json"))  # lineage
+
+    run = CheckpointedRun(
+        spark,
+        args.input,
+        rules,
+        args.out,
+        id_cols=[c.strip() for c in args.id_cols.split(",") if c.strip()],
+        files_per_unit=args.files_per_unit,
+    )
+    summary = run.run(max_units=args.max_units)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

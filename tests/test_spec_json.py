@@ -1,0 +1,106 @@
+"""Spec JSON round-trip + the spark-submit job entrypoint."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from evalidate_spark import lib
+from evalidate_spark.spec import (
+    Allowed,
+    CustomValidator,
+    Default,
+    Each,
+    OrV,
+    Regexp,
+    Rule,
+    RuleAnd,
+    RuleOr,
+    Size,
+    SpecError,
+    Type,
+)
+from evalidate_spark.spec_json import rules_from_json, rules_to_json
+
+FULL_SPEC = [
+    Rule(key="doc_id", presence="required", validators=[Type("binary"), Size(1, None)]),
+    Rule(
+        key="spans",
+        presence="required",
+        validators=[Type("list")],
+        childs=[
+            Rule(key="kind", validators=[Allowed(["text", "media"])]),
+            Rule(key="offset", presence=Default(0), validators=[Size(0, None)]),
+        ],
+    ),
+    Rule(key="email", presence="optional", validators=[lib.v_email()]),
+    Rule(key="count", validators=[lib.v_binary_integer(1, 100)], converter="to_int"),
+    Rule(key="tags", validators=[OrV([Type("list"), Type("binary")])],
+         converter=Each("lowercase")),
+    RuleOr(rules=[Rule(key="lang", validators=[Allowed(["en"])]),
+                  Rule(key="lang", validators=[Regexp("^d")])]),
+    RuleAnd(rules=[Rule(key="a", presence="optional")], on_error="both needed"),
+    Rule(key="legacy", presence="deprecated", on_error="{{key}} gone"),
+]
+
+
+class TestSpecJson:
+    def test_roundtrip_identity(self):
+        js = rules_to_json(FULL_SPEC)
+        back = rules_from_json(js)
+        assert rules_to_json(back) == js  # fixpoint
+        assert json.loads(js)[0]["kind"] == "rule"
+
+    def test_roundtrip_compiles_identically(self, spark):
+        from evalidate_spark import validate
+
+        df = spark.createDataFrame(
+            [("d1", [("text", 5)], "a@b.co", "42", ["X"], "en", None, None)],
+            "doc_id string, spans array<struct<kind string, offset int>>, email string,"
+            " count string, tags array<string>, lang string, a string, legacy string",
+        )
+        a = validate(df, FULL_SPEC, id_cols=["doc_id"])
+        b = validate(df, rules_from_json(rules_to_json(FULL_SPEC)), id_cols=["doc_id"])
+        assert sorted(map(tuple, a.violations.collect())) == sorted(map(tuple, b.violations.collect()))
+        assert a.clean.columns == b.clean.columns
+
+    def test_custom_validator_rejected(self):
+        with pytest.raises(SpecError, match="cannot be serialized"):
+            rules_to_json([Rule(key="x", validators=[CustomValidator(lambda v: True)])])
+
+    def test_elements_in_params(self):
+        js = rules_to_json([Rule(key="k", validators=[lib.elements_in(["a", "b"])])])
+        [rule] = rules_from_json(js)
+        assert rule.validators[0].params == (["a", "b"],)
+
+
+class TestSubmitJob:
+    def test_job_runs_and_resumes(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        spark.range(100).selectExpr(
+            "concat('d', id) doc_id",
+            "case when id % 9 = 0 then 'no' else 'valid text' end text",
+        ).repartition(4).write.parquet(src)
+        rules_file = tmp_path / "rules.json"
+        rules_file.write_text(
+            rules_to_json([Rule(key="doc_id"), Rule(key="text", validators=[Size(5, 100)])])
+        )
+        out = str(tmp_path / "out")
+
+        def run(extra):
+            p = subprocess.run(
+                [sys.executable, "scripts/run_validation_job.py",
+                 "--input", src, "--rules", str(rules_file), "--out", out,
+                 "--files-per-unit", "2", *extra],
+                capture_output=True, text=True, cwd="/root/repo", timeout=600,
+            )
+            assert p.returncode == 0, p.stderr[-2000:]
+            return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+
+        first = run(["--max-units", "1"])
+        assert len(first["processed_now"]) == 1
+        second = run([])
+        assert second["total_units_done"] == 2
+        assert second["rows"] == 100
+        assert (tmp_path / "out" / "rules.json").exists()

@@ -1,0 +1,94 @@
+"""Structured Streaming adapter: streaming violations equal the batch
+engine's on the same files; windowed verdicts aggregate; foreachBatch
+bridge appends with exactly-once checkpointing."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark import Rule, Size, Allowed, validate
+from evalidate_spark import streaming
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    path = str(tmp_path / "stream_in")
+    (
+        spark.range(120)
+        .selectExpr(
+            "concat('d', id) doc_id",
+            "case when id % 11 = 0 then 'x' else 'valid text body' end text",
+            "case when id % 7 = 0 then 'zz' else 'en' end lang",
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+        )
+        .repartition(4)
+        .write.parquet(path)
+    )
+    return path
+
+
+RULES = [
+    Rule(key="doc_id"),
+    Rule(key="text", validators=[Size(5, 100)]),
+    Rule(key="lang", validators=[Allowed(["en", "es"])]),
+]
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_memory(df, name, mode="append", timeout_s=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    assert not q.isActive
+    return q
+
+
+class TestStreaming:
+    def test_violations_stream_equals_batch(self, spark, docs_dir):
+        sv = streaming.violations_stream(_stream(spark, docs_dir), RULES)
+        _run_to_memory(sv, "sv_out")
+        got = sorted(
+            tuple(r) for r in spark.table("sv_out").select("doc_id", "rule_id", "message").collect()
+        )
+        batch = validate(spark.read.parquet(docs_dir), RULES, id_cols=["doc_id"])
+        want = sorted(
+            tuple(r) for r in batch.violations.select("doc_id", "rule_id", "message").collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_windowed_verdicts(self, spark, docs_dir):
+        wv = streaming.windowed_verdicts(
+            _stream(spark, docs_dir), RULES, ts_col="ts", window="10 minutes"
+        )
+        _run_to_memory(wv, "wv_out", mode="complete")
+        rows = spark.table("wv_out").collect()
+        assert sum(r["rows"] for r in rows) == 120
+        # 120 docs * 30s apart = 1 hour span → 6 windows of 10 minutes
+        assert len(rows) == 6
+        assert all(r["verdict"] == ("pass" if r["failed"] == 0 else "fail") for r in rows)
+        assert any(r["failed"] > 0 for r in rows)
+
+    def test_foreach_batch_bridge(self, spark, docs_dir, tmp_path):
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = streaming.run_foreach_batch(
+            _stream(spark, docs_dir), RULES, out, ckpt
+        )
+        q.awaitTermination(120)
+        viols = spark.read.parquet(out + "/violations")
+        batch = validate(spark.read.parquet(docs_dir), RULES, id_cols=["doc_id"])
+        assert viols.count() == batch.violations.count()
+        # restart with same checkpoint: no new data → no duplicate appends
+        q2 = streaming.run_foreach_batch(_stream(spark, docs_dir), RULES, out, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out + "/violations").count() == batch.violations.count()
