@@ -114,6 +114,14 @@ def main() -> None:
     spark.range(1000).count()
 
     timed("validate_spans", lambda: _force(q_validate_spans(spark, docs)))
+
+    def q_verdict_scan():
+        from evalidate_spark.fastpath import verdict_scan
+        from evalidate_spark.operators.spans import span_rules
+
+        return _force(verdict_scan(docs, span_rules()))
+
+    timed("verdict_scan", q_verdict_scan)
     timed("span_structure_full", lambda: _force(q_span_structure_full(spark, docs)))
 
     qs = entry.queries()

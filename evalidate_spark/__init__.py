@@ -15,6 +15,7 @@ Public surface:
 """
 
 from .engine import ValidationError, ValidationResult, validate, validate_and_convert
+from .fastpath import compile_fail_predicate, verdict_scan
 from .spec import (
     Allowed,
     CustomConverter,

@@ -1,0 +1,83 @@
+"""Predicate-only fast path: fail predicate ≡ (size(violations) > 0) of the
+rich engine on the violation-injected fixture; scan pruning verified from
+the executed plan."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark import Rule, RuleAnd, RuleOr, Allowed, Size, Type, validate
+from evalidate_spark.fastpath import compile_fail_predicate, verdict_scan
+from evalidate_spark.fixtures import gen_documents
+from evalidate_spark.operators.spans import span_rules
+
+
+def assert_equiv(df, rules, id_col="doc_id"):
+    rich = validate(df, rules, id_cols=[id_col]).annotated.select(
+        F.monotonically_increasing_id().alias("i"),
+        (F.size("violations") > 0).alias("rich_fail"),
+    )
+    fast = df.select(
+        F.monotonically_increasing_id().alias("i"),
+        F.coalesce(compile_fail_predicate(rules, df.schema), F.lit(False)).alias("fast_fail"),
+    )
+    j = rich.join(fast, "i")
+    assert j.filter(F.col("rich_fail") != F.col("fast_fail")).count() == 0
+    assert rich.filter("rich_fail").count() > 0  # fixture must exercise failures
+
+
+class TestFastPath:
+    def test_span_rules_equiv_on_fixture(self, spark):
+        docs = gen_documents(spark, 3000, partitions=4)
+        assert_equiv(docs, span_rules())
+
+    def test_flat_rules_equiv(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "hello", "en"), (None, "x", "en"), ("d3", None, "zz"), ("d4", "okay!", "es")],
+            "doc_id string, text string, lang string",
+        )
+        rules = [
+            Rule(key="doc_id"),
+            Rule(key="text", validators=[Type("binary"), Size(3, 10)]),
+            Rule(key="lang", validators=[Allowed(["en", "es"])]),
+            Rule(key="absent"),
+            RuleOr(rules=[Rule(key="lang", validators=[Allowed(["en"])]),
+                          Rule(key="text", validators=[Size(1, 5)])]),
+            RuleAnd(rules=[Rule(key="doc_id", validators=[Size(1, 99)])]),
+        ]
+        rich = validate(df, rules, id_cols=["doc_id"]).annotated.select(
+            "text", (F.size("violations") > 0).alias("rf")
+        ).collect()
+        fast = df.select(
+            "text", F.coalesce(compile_fail_predicate(rules, df.schema), F.lit(False)).alias("ff")
+        ).collect()
+        assert {(r["text"], r["rf"]) for r in rich} == {(r["text"], r["ff"]) for r in fast}
+
+    def test_verdict_scan_equals_rich_verdicts(self, spark):
+        docs = gen_documents(spark, 2000, partitions=4)
+        rich = validate(docs, span_rules(), id_cols=["doc_id"]).verdicts
+        fast = verdict_scan(docs, span_rules())
+        key = lambda rows: {r["partition_id"]: (r["rows"], r["passed"], r["failed"], r["verdict"]) for r in rows}
+        assert key(fast.collect()) == key(rich.collect())
+
+    def test_scan_is_pruned(self, spark, tmp_path):
+        path = str(tmp_path / "docs")
+        gen_documents(spark, 500, partitions=2).write.parquet(path)
+        docs = spark.read.parquet(path)
+        plan = verdict_scan(docs, span_rules())._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"ReadSchema: (\S+)", plan)
+        assert m, plan
+        schema = m.group(1)
+        assert "text" not in schema and "media_ref" not in schema
+        assert "kind" in schema and "offset" in schema
+
+    def test_deprecated_and_default(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", None)], "doc_id string, legacy string"
+        )
+        rules = [Rule(key="doc_id"), Rule(key="legacy", presence="deprecated")]
+        fast = df.select(
+            "doc_id", compile_fail_predicate(rules, df.schema).alias("f")
+        ).collect()
+        assert {r["doc_id"]: r["f"] for r in fast} == {"a": True, "b": False}
