@@ -180,6 +180,60 @@ def q_rule_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.select("doc_id", "rule_seq", "rule_id", "message")
 
 
+def q_lib_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library validators (evalidate_lib.hrl layer) on the gate: email /
+    UUID-v4 / binary-integer-with-bounds checks over derived columns."""
+    from evalidate_spark import lib
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit("@example.com")))
+        .otherwise(F.col("source"))
+        .alias("email"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("A1B2C3D4-E5F6-4A7B-8C9D-0E1F2A3B4C5D"),
+        )
+        .otherwise(F.lit("not-a-uuid"))
+        .alias("uid"),
+        F.col("n_chars").cast("string").alias("count_str"),
+    )
+    rules = [
+        Rule(key="doc_id"),
+        Rule(key="email", validators=[lib.v_email()]),
+        Rule(key="uid", validators=[lib.v_uuid_v4()]),
+        Rule(key="count_str", validators=[lib.v_binary_integer(60, 400)]),
+    ]
+    res = validate(d, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "rule_id", "message")
+
+
+def q_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter layer on the gate: to_int parse, Each(lowercase) over a
+    derived token array, filter_duplicates order-preserving dedupe."""
+    from evalidate_spark.spec import Each
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("string").alias("n_str"),
+        F.split(F.upper(F.col("text")), " ").alias("toks_lower"),
+        F.split(F.col("text"), " ").alias("toks_uniq"),
+    )
+    rules = [
+        Rule(key="doc_id"),
+        Rule(key="n_str", converter="to_int"),
+        Rule(key="toks_lower", converter=Each("lowercase")),
+        Rule(key="toks_uniq", converter="filter_duplicates"),
+    ]
+    clean = validate(d, rules, id_cols=["doc_id"]).clean
+    return clean.select(
+        "doc_id",
+        F.col("n_str").alias("n_int"),
+        F.concat_ws(" ", "toks_lower").alias("lower_join"),
+        F.concat_ws(" ", "toks_uniq").alias("uniq_join"),
+    )
+
+
 # --------------------------------------------------- training-data ops
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -292,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
         "rule_or": q_rule_or,
+        "lib_validators": q_lib_validators,
+        "converters": q_converters,
         "token_counts": q_token_counts,
         "quality_documents": q_quality_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -441,6 +497,27 @@ SELECT doc_id, 2 AS rule_seq, 'rule_or' AS rule_id,
     || lang || '"\\>\\>'' is not valid. Value is not in allowed list [<<"en">>,<<"es">>]' AS message
 FROM documents
 WHERE lang NOT IN ('en','es') AND NOT regexp_matches(lang, '^(de|fr)$')
+""",
+    "lib_validators": """
+SELECT doc_id, 'rule:email' AS rule_id, 'Value is not valid' AS message
+FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT doc_id, 'rule:uid', 'Value is not valid'
+FROM documents WHERE doc_id % 4 <> 0
+UNION ALL
+SELECT doc_id, 'rule:count_str',
+  CASE WHEN n_chars < 60
+       THEN 'Value is not valid. Value''s limit is less than minimum allowed: 60'
+       ELSE 'Value is not valid. Value''s limit is more than maximum allowed: 400' END
+FROM documents WHERE n_chars < 60 OR n_chars > 400
+""",
+    "converters": """
+SELECT doc_id, n_chars AS n_int, lower(text) AS lower_join,
+  array_to_string(
+    list_filter(string_split(text,' '),
+                (x, i) -> list_position(string_split(text,' '), x) = i),
+    ' ') AS uniq_join
+FROM documents
 """,
     "token_counts": """
 SELECT doc_id,
