@@ -175,6 +175,12 @@ class OutCol:
     name: str
     col: Column
     dtype: T.DataType
+    # per-row "this rule emitted a pair for this key" condition (None =
+    # always). The reference's output is a proplist: an optional rule with a
+    # missing value emits no pair, and a rule_or emits only the winning
+    # alternative's pairs — later pairs overwrite earlier ones only where
+    # they exist.
+    present: Optional[Column] = None
 
 
 @dataclass
@@ -716,6 +722,7 @@ def compile_spec(rules: Any, schema: T.StructType, opts: Optional[Options] = Non
     seq = _Seq()
     scope = _root_scope(schema)
     arrays, outputs = _compile_rules(rules, scope, opts, seq)
+    outputs = _merge_outputs(outputs)
     viols = F.concat(*arrays) if arrays else _empty_viols()
     if opts.keep_unruled:
         ruled = {o.name for o in outputs}
@@ -723,6 +730,42 @@ def compile_spec(rules: Any, schema: T.StructType, opts: Optional[Options] = Non
             if f_.name not in ruled:
                 outputs.append(OutCol(f_.name, F.col("`%s`" % f_.name), f_.dataType))
     return Compiled(violations=viols, outputs=outputs, opts=opts)
+
+
+def _merge_outputs(outputs: List[OutCol]) -> List[OutCol]:
+    """Collapse duplicate output keys the way ``dict(pairs)`` does over the
+    reference's proplist: per row, the LAST rule that actually emitted a
+    pair for the key wins; keys keep their first position.  Conflicting
+    Spark types across duplicates cannot share one typed column — config
+    error (documented divergence from the untyped reference)."""
+    groups: dict = {}
+    order: List[str] = []
+    for o in outputs:
+        if o.name not in groups:
+            order.append(o.name)
+        groups.setdefault(o.name, []).append(o)
+    merged: List[OutCol] = []
+    for name in order:
+        occ = groups[name]
+        if len(occ) == 1:
+            merged.append(occ[0])
+            continue
+        dts = {o.dtype.simpleString() for o in occ if not isinstance(o.dtype, T.NullType)}
+        if len(dts) > 1:
+            raise SpecError(
+                "conflicting output types for key '%s': %s" % (name, sorted(dts))
+            )
+        expr: Column = F.lit(None)
+        present: Optional[Column] = F.lit(False)
+        for o in occ:  # earliest → latest; later wraps earlier as fallback
+            if o.present is None:
+                expr, present = o.col, None
+            else:
+                expr = F.when(o.present, o.col).otherwise(expr)
+                present = None if present is None else (present | o.present)
+        dtype = next((o.dtype for o in occ if not isinstance(o.dtype, T.NullType)), occ[-1].dtype)
+        merged.append(OutCol(name, expr, dtype, present))
+    return merged
 
 
 def _root_scope(schema: T.StructType) -> Scope:
@@ -822,9 +865,14 @@ def _compile_rule_or(
         alt_outs.append(sub_outputs)
 
     fails = [F.size(v) > 0 for v in alt_viols]
-    all_fail = fails[0]
-    for f_ in fails[1:]:
-        all_fail = all_fail & f_
+    # winner = first passing alternative (reference tries them in order,
+    # /root/reference/src/evalidate.erl:251-259)
+    wins: List[Column] = []
+    prior_fail: Column = F.lit(True)
+    for f_ in fails:
+        wins.append(prior_fail & ~f_)
+        prior_fail = prior_fail & f_
+    all_fail = prior_fail
 
     if node.on_error is not None:
         message: Column = F.lit(node.on_error)
@@ -837,26 +885,28 @@ def _compile_rule_or(
         all_fail, _viol_struct(s, "rule_or", None, message, None, scope.span_index)
     )
 
-    # winner-guarded outputs: group by output name; pick first alternative
-    # that passes and defines that name
+    # winner-guarded outputs: only the WINNING alternative's outputs appear
+    # (the oracle returns the first passing alternative's pairs alone)
     names = []
     for outs in alt_outs:
         for o in outs:
             if o.name not in names:
                 names.append(o.name)
     for name in names:
-        expr: Column = F.lit(None)
         dtype: T.DataType = T.NullType()
         chain = None
-        for ok_cond, outs in zip([~f_ for f_ in fails], alt_outs):
+        present: Column = F.lit(False)
+        for win, outs in zip(wins, alt_outs):
             match = [o for o in outs if o.name == name]
             if not match:
                 continue
             o = match[0]
             dtype = o.dtype
-            chain = F.when(ok_cond, o.col) if chain is None else chain.when(ok_cond, o.col)
+            emitted = win if o.present is None else (win & o.present)
+            chain = F.when(emitted, o.col) if chain is None else chain.when(emitted, o.col)
+            present = present | emitted
         if chain is not None:
-            outputs.append(OutCol(name, chain, dtype))
+            outputs.append(OutCol(name, chain, dtype, present))
     return _entry_array(entry)
 
 
@@ -1037,15 +1087,53 @@ def _compile_rule(
         out_expr = cres.out
         out_dt = cres.out_dtype
         if isinstance(rule.presence, Default):
+            if not _default_fits(rule.presence.value, out_dt):
+                # the reference injects any term untyped; a Spark column is
+                # typed, so a mismatched default is a config error caught at
+                # compile time (mirroring the reference's config-error
+                # philosophy, /root/reference/src/evv.erl:86-87)
+                raise SpecError(
+                    "default %r does not fit output type %s for key '%s'"
+                    % (rule.presence.value, out_dt.simpleString(), key)
+                )
             out_expr = F.when(is_missing, F.lit(rule.presence.value)).otherwise(out_expr)
+        # optional-without-default + missing value → the reference emits no
+        # pair for this key (it can be shadowed by an earlier rule's pair)
+        pair_present = (
+            ~is_missing
+            if (rule.presence == OPTIONAL and key is not None)
+            else None
+        )
         if key is not None:
-            outs.append(OutCol(key, out_expr, out_dt))
+            outs.append(OutCol(key, out_expr, out_dt, pair_present))
         else:
             # top-level rule: converted whole-row struct exposed as _root
             outs.append(OutCol("_root", out_expr, out_dt))
 
     viols = F.concat(*entries) if entries else _empty_viols()
     return viols, outs
+
+
+def _default_fits(value: Any, dt: T.DataType) -> bool:
+    """Can *value* be injected as a literal into a column of type *dt*
+    without a lossy/failing cast?"""
+    if value is None or isinstance(dt, T.NullType):
+        return True
+    if isinstance(value, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(value, int):
+        return _is_number(dt)
+    if isinstance(value, float):
+        return _is_float(dt)
+    if isinstance(value, str):
+        return _is_string(dt)
+    if isinstance(value, (list, tuple)):
+        return isinstance(dt, T.ArrayType) and all(
+            _default_fits(v, dt.elementType) for v in value
+        )
+    if isinstance(value, dict):
+        return isinstance(dt, (T.MapType, T.StructType))
+    return False
 
 
 def _lit_out(key: str, value: Any) -> OutCol:
