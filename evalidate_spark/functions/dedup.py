@@ -22,7 +22,7 @@ Scale design (10^12 docs):
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 from pyspark.sql import Column, DataFrame, functions as F
 

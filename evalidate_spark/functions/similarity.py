@@ -23,7 +23,7 @@ Python in any hot path.
 
 from __future__ import annotations
 
-import math
+
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F

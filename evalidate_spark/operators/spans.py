@@ -13,7 +13,7 @@ no row multiplication, which is what makes this viable at 10^12 docs.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 

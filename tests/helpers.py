@@ -35,13 +35,21 @@ def _canon(v: Any) -> Any:
 
 
 def _eq(a, b) -> bool:
+    """Engine value (a) vs oracle value (b).  A NULL struct field on the
+    engine side equals an ABSENT key on the oracle side: Spark structs have
+    fixed schemas, so the reference's 'optional key omitted from the output
+    object' becomes a NULL field (same convention as top-level columns)."""
     if isinstance(a, float) and isinstance(b, (int, float)):
         return abs(a - b) < 1e-9
     if isinstance(a, dict) and isinstance(b, tuple):
         # Spark struct row vs python-tuple twin: compare field values in order
         return _eq(list(a.values()), list(b))
     if isinstance(a, dict) and isinstance(b, dict):
-        return set(a) == set(b) and all(_eq(a[k], b[k]) for k in a)
+        if not set(b) <= set(a):
+            return False
+        if any(a[k] is not None for k in set(a) - set(b)):
+            return False
+        return all(_eq(a[k], b[k]) for k in b)
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
     return a == b
