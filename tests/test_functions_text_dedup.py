@@ -131,6 +131,14 @@ class TestDedup:
         ham_far = bin((sigs["d1"] ^ sigs["d3"]) & mask).count("1")
         assert ham < ham_far
 
+    def test_simhash_arrow_bit_identical(self, spark):
+        df = docs_df(spark, DOCS)
+        a = {r["doc_id"]: r["s"] for r in
+             df.select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()}
+        b = {r["doc_id"]: r["s"] for r in
+             df.select("doc_id", dedup.simhash64_arrow(F.col("text")).alias("s")).collect()}
+        assert a == b
+
     def test_simhash_candidates(self, spark):
         df = docs_df(spark, DOCS)
         got = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_candidates(df).collect()}
