@@ -137,15 +137,38 @@ def validate(
     parent_key: bool = True,
     keep_unruled: bool = False,
     id_cols: Optional[Sequence[str]] = None,
+    gate_fast: bool = True,
 ) -> ValidationResult:
     """Compile *rules* against ``df.schema`` and annotate every row with its
     violations.  Spec errors raise :class:`evalidate_spark.spec.SpecError`
     before any job launches (reference config errors,
-    ``/root/reference/src/evv.erl:86-87,124-125``)."""
+    ``/root/reference/src/evv.erl:86-87,124-125``).
+
+    ``gate_fast`` (default on) guards the full violation-construction
+    expression behind the cheap predicate-only compile
+    (:mod:`evalidate_spark.fastpath`): rows with zero violations — the
+    overwhelming majority at corpus scale — evaluate only the boolean and
+    skip message/struct building entirely.  The two compilations are
+    equivalence-tested, so results are identical; gating is skipped
+    automatically for specs with custom pandas-UDF validators (the UDF
+    must not run twice)."""
     opts = Options(mode=mode, parent_key=parent_key, keep_unruled=keep_unruled)
     compiled = compile_spec(rules, df.schema, opts)
     ids = list(id_cols) if id_cols else [df.schema.fields[0].name]
-    annotated = df.withColumn(VIOLATIONS_COL, compiled.violations).withColumn(
+    viols = compiled.violations
+    if gate_fast:
+        from .fastpath import _has_custom, compile_fail_predicate
+        from .spec import normalize_rules
+
+        nodes = normalize_rules(rules)
+        if not any(_has_custom(n) for n in nodes):
+            fail = compile_fail_predicate(rules, df.schema, opts)
+            empty = F.expr("array()").cast(
+                "array<struct<rule_seq:int,rule_id:string,key_path:string,"
+                "span_index:int,message:string,value_repr:string>>"
+            )
+            viols = F.when(F.coalesce(fail, F.lit(False)), viols).otherwise(empty)
+    annotated = df.withColumn(VIOLATIONS_COL, viols).withColumn(
         FIRST_ERROR_COL, F.try_element_at(F.col(VIOLATIONS_COL), F.lit(1))
     )
     return ValidationResult(annotated=annotated, compiled=compiled, id_cols=ids)

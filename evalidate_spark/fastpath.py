@@ -32,12 +32,14 @@ from typing import Any, List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-from .compiler import Options, Scope, _compile_validators
+from .compiler import Options, Scope, _compile_converter, _compile_validators
 from .spec import (
     DEPRECATED,
     REQUIRED,
+    CustomConverter,
     CustomValidator,
     Default,
+    Each,
     Rule,
     RuleAnd,
     RuleOr,
@@ -59,14 +61,41 @@ def _clauses_fail(validators: Sequence[Any], col: Column, dt: T.DataType, scope:
     return fail
 
 
+def _custom_conv(conv: Any) -> bool:
+    if isinstance(conv, CustomConverter):
+        return True
+    if isinstance(conv, Each):
+        return _custom_conv(conv.conv)
+    return False
+
+
 def _has_custom(node: Any) -> bool:
+    """Specs with custom pandas-UDF validators OR converters cannot be
+    predicate-compiled without running the UDF — callers fall back to the
+    rich path."""
     if isinstance(node, Rule):
-        return any(isinstance(v, CustomValidator) for v in (node.validators or ())) or any(
-            _has_custom(c) for c in (node.childs or ())
+        return (
+            any(isinstance(v, CustomValidator) for v in (node.validators or ()))
+            or _custom_conv(node.converter)
+            or any(_has_custom(c) for c in (node.childs or ()))
         )
     if isinstance(node, (RuleAnd, RuleOr)):
         return any(_has_custom(r) for r in node.rules)
     return False
+
+
+def _convert_fail(conv: Any, col: Column, dt: T.DataType, scope: Scope) -> Column:
+    """Converter crash condition ("Couldn't convert …",
+    /root/reference/src/evalidate.erl:176-178) — part of the row's fail
+    predicate.  Custom converters are rejected by :func:`_has_custom`
+    before we get here."""
+    if conv is None or conv == "no_return":
+        return F.lit(False)
+    cres = _compile_converter(conv, col, dt, scope)
+    fail = F.lit(False)
+    if cres.fail is not None:
+        fail = fail | F.coalesce(cres.fail, F.lit(False))
+    return fail
 
 
 def _proxyable(v: Any) -> bool:
@@ -144,6 +173,8 @@ def _one_key_fail(
     present = ~is_missing
     if rule.validators:
         fail = fail | (present & _clauses_fail(rule.validators, vval, vdt, scope))
+    if not rule.childs:  # parent converter over childs: raw-value fail N/A
+        fail = fail | (present & _convert_fail(rule.converter, orig_val, dt, scope))
 
     if rule.childs:
         if isinstance(dt, T.StructType):
@@ -213,6 +244,11 @@ def _element_rules_fail(
             fail = fail | F.exists(
                 sub, lambda e: e.isNotNull() & _clauses_fail(vs, e, fdt, fscope)
             )
+        if c.converter not in (None, "no_return"):
+            conv = c.converter
+            fail = fail | F.exists(
+                sub, lambda e: e.isNotNull() & _convert_fail(conv, e, fdt, fscope)
+            )
     if fallback:
 
         def elem_fail(e: Column) -> Column:
@@ -252,6 +288,11 @@ def compile_fail_predicate(
     the top level (their fail condition is kept, messages dropped)."""
     opts = opts or Options()
     rules = normalize_rules(rules)
+    if any(_has_custom(n) for n in rules):
+        raise SpecError(
+            "predicate-only compilation cannot express custom pandas-UDF "
+            "validators/converters — use the rich validate() path"
+        )
     names = {f.name: f.dataType for f in schema.fields}
 
     def get(k: str) -> Column:

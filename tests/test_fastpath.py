@@ -5,6 +5,8 @@ the executed plan."""
 import re
 
 import pytest
+
+from pyspark.sql import functions as _F
 from pyspark.sql import functions as F
 
 from evalidate_spark import Rule, RuleAnd, RuleOr, Allowed, Size, Type, validate
@@ -25,6 +27,21 @@ def assert_equiv(df, rules, id_col="doc_id"):
     j = rich.join(fast, "i")
     assert j.filter(F.col("rich_fail") != F.col("fast_fail")).count() == 0
     assert rich.filter("rich_fail").count() > 0  # fixture must exercise failures
+
+
+def assert_equiv_no_require_fail(df, rules):
+    rich = validate(df, rules, gate_fast=False).annotated.select(
+        _F.monotonically_increasing_id().alias("i"),
+        (_F.size("violations") > 0).alias("rich_fail"),
+    )
+    fast = df.select(
+        _F.monotonically_increasing_id().alias("i"),
+        _F.coalesce(compile_fail_predicate(rules, df.schema), _F.lit(False)).alias("fast_fail"),
+    )
+    j = rich.join(fast, "i")
+    mism = j.filter(_F.col("rich_fail") != _F.col("fast_fail")).count()
+    assert mism == 0
+    assert rich.filter("rich_fail").count() > 0
 
 
 class TestFastPath:
@@ -71,6 +88,22 @@ class TestFastPath:
         schema = m.group(1)
         assert "text" not in schema and "media_ref" not in schema
         assert "kind" in schema and "offset" in schema
+
+    def test_converter_failures_in_predicate(self, spark):
+        # rows failing ONLY through conversion must still fail the predicate
+        df = spark.createDataFrame(
+            [("d1", "12"), ("d2", "oops"), ("d3", None)], "doc_id string, n_str string"
+        )
+        rules = [Rule(key="doc_id"), Rule(key="n_str", presence="optional", converter="to_int")]
+        assert_equiv_no_require_fail(df, rules)
+
+    def test_custom_validator_rejected(self, spark):
+        from evalidate_spark.spec import CustomValidator, SpecError
+
+        df = spark.createDataFrame([("a",)], "k string")
+        rules = [Rule(key="k", validators=[CustomValidator(lambda v: True)])]
+        with pytest.raises(SpecError, match="predicate-only"):
+            compile_fail_predicate(rules, df.schema)
 
     def test_deprecated_and_default(self, spark):
         df = spark.createDataFrame(
