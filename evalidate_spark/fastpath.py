@@ -118,7 +118,10 @@ def _proxy_field(rule: Rule, edt: T.StructType) -> T.StructField:
     return edt.fields[0]
 
 
-def _rule_fail(rule: Rule, scope: Scope, opts: Options, path: Tuple[str, ...]) -> Column:
+def _rule_fail(
+    rule: Rule, scope: Scope, opts: Options, path: Tuple[str, ...],
+    in_element: bool = False,
+) -> Column:
     keys: List[Optional[str]]
     if rule.key is None:
         keys = [None]
@@ -128,12 +131,29 @@ def _rule_fail(rule: Rule, scope: Scope, opts: Options, path: Tuple[str, ...]) -
         keys = list(rule.key)
     fail = F.lit(False)
     for k in keys:
-        fail = fail | _one_key_fail(rule, k, scope, opts, path)
+        fail = fail | _one_key_fail(rule, k, scope, opts, path, in_element)
     return fail
 
 
+def _childs_conv_fail(conv: Any, dt: T.DataType) -> bool:
+    """Does the converter fail-condition fire for a rule WITH childs?
+
+    The rich path applies the converter to the child-shaped output
+    (``compiler._compile_rule`` conv_in = child struct / converted element
+    array).  Statically derivable: over a struct-childs output,
+    ``filter_duplicates`` / ``Each`` hit the non-array branch whose fail is
+    ``input.isNotNull()`` ≡ present; every other built-in either has no fail
+    condition (casts to string) or fails analysis in the rich compile before
+    gating can matter.  Over array-childs output no built-in converter
+    produces a fail condition."""
+    if not isinstance(dt, T.StructType):
+        return False
+    return conv == "filter_duplicates" or isinstance(conv, Each)
+
+
 def _one_key_fail(
-    rule: Rule, key: Optional[str], scope: Scope, opts: Options, path: Tuple[str, ...]
+    rule: Rule, key: Optional[str], scope: Scope, opts: Options, path: Tuple[str, ...],
+    in_element: bool = False,
 ) -> Column:
     if key is None:
         val, dt = scope.get("__row__"), T.StructType()
@@ -152,7 +172,8 @@ def _one_key_fail(
     orig_val = val  # childs fallback needs the real struct array
     vval, vdt = val, dt
     if (
-        key is not None
+        not in_element  # root-relative F.col paths invalid inside HOF lambdas
+        and key is not None
         and isinstance(dt, T.ArrayType)
         and isinstance(dt.elementType, T.StructType)
         and dt.elementType.fields
@@ -173,7 +194,7 @@ def _one_key_fail(
     present = ~is_missing
     if rule.validators:
         fail = fail | (present & _clauses_fail(rule.validators, vval, vdt, scope))
-    if not rule.childs:  # parent converter over childs: raw-value fail N/A
+    if not rule.childs:
         fail = fail | (present & _convert_fail(rule.converter, orig_val, dt, scope))
 
     if rule.childs:
@@ -184,16 +205,24 @@ def _one_key_fail(
             )
             sub = F.lit(False)
             for c in rule.childs:
-                sub = sub | _node_fail(c, cscope, opts, path + ((key,) if key else ()))
+                sub = sub | _node_fail(
+                    c, cscope, opts, path + ((key,) if key else ()), in_element
+                )
             fail = fail | (present & sub)
+            # parent converter over the child-struct output (rich path:
+            # compiler._compile_rule conv over child_struct_out)
+            if _childs_conv_fail(rule.converter, dt):
+                fail = fail | present
         elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
             fail = fail | (
                 present
                 & _element_rules_fail(
                     list(rule.childs), orig_val, dt.elementType,
-                    path + ((key,) if key else ()), opts
+                    path + ((key,) if key else ()), opts, in_element
                 )
             )
+            # no built-in converter has a fail condition over the converted
+            # element array (see _childs_conv_fail)
         else:
             fail = fail | present  # wrong childs
     return fail
@@ -205,6 +234,7 @@ def _element_rules_fail(
     edt: T.StructType,
     path: Tuple[str, ...],
     opts: Options,
+    in_element: bool = False,
 ) -> Column:
     """Child rules over array<struct> elements.
 
@@ -217,8 +247,12 @@ def _element_rules_fail(
     fail = F.lit(False)
     fallback: List[Any] = []
     for c in childs:
+        # the F.col(dotted-path) subfield-array form is only valid when the
+        # array itself is root-addressable; inside an element lambda all
+        # childs must go through the getField fallback
         simple = (
-            isinstance(c, Rule)
+            not in_element
+            and isinstance(c, Rule)
             and isinstance(c.key, str)
             and not c.childs
             and not any(isinstance(v, CustomValidator) for v in (c.validators or ()))
@@ -257,25 +291,28 @@ def _element_rules_fail(
             )
             f_ = F.lit(False)
             for c in fallback:
-                f_ = f_ | _node_fail(c, escope, opts, path)
+                f_ = f_ | _node_fail(c, escope, opts, path, in_element=True)
             return f_
 
         fail = fail | F.exists(arr, elem_fail)
     return fail
 
 
-def _node_fail(node: Any, scope: Scope, opts: Options, path: Tuple[str, ...]) -> Column:
+def _node_fail(
+    node: Any, scope: Scope, opts: Options, path: Tuple[str, ...],
+    in_element: bool = False,
+) -> Column:
     if isinstance(node, Rule):
-        return _rule_fail(node, scope, opts, path)
+        return _rule_fail(node, scope, opts, path, in_element)
     if isinstance(node, RuleAnd):
         fail = F.lit(False)
         for r in node.rules:
-            fail = fail | _node_fail(r, scope, opts, path)
+            fail = fail | _node_fail(r, scope, opts, path, in_element)
         return fail
     if isinstance(node, RuleOr):
         fail = F.lit(True)
         for r in node.rules:
-            fail = fail & _node_fail(r, scope, opts, path)
+            fail = fail & _node_fail(r, scope, opts, path, in_element)
         return fail
     raise SpecError("Unknown rule(s) '%r'" % (node,))
 

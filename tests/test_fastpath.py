@@ -105,6 +105,69 @@ class TestFastPath:
         with pytest.raises(SpecError, match="predicate-only"):
             compile_fail_predicate(rules, df.schema)
 
+    def test_doubly_nested_array_childs(self, spark):
+        # array<struct> nested inside array<struct> childs: the predicate
+        # path must resolve inner fields via element lambdas, not root
+        # F.col dotted paths (which fail analysis)
+        df = spark.createDataFrame(
+            [
+                ("d1", [{"name": "a", "inner": [{"kind": "text", "v": 1}]}]),
+                ("d2", [{"name": "b", "inner": [{"kind": "bogus", "v": 2}]}]),
+                ("d3", [{"name": None, "inner": [{"kind": "media", "v": None}]}]),
+                ("d4", [{"name": "c", "inner": []}]),
+            ],
+            "doc_id string, docs array<struct<name:string, inner:array<struct<kind:string, v:int>>>>",
+        )
+        rules = [
+            Rule(key="doc_id"),
+            Rule(
+                key="docs",
+                childs=[
+                    Rule(key="name"),
+                    Rule(
+                        key="inner",
+                        childs=[
+                            Rule(key="kind", validators=[Allowed(["text", "media"])]),
+                            Rule(key="v", presence="optional", validators=[Size(0, 10)]),
+                        ],
+                    ),
+                ],
+            ),
+        ]
+        assert_equiv_no_require_fail(df, rules)
+        # and the default gated validate() must agree with the ungated one
+        gated = validate(df, rules).annotated.select(
+            "doc_id", F.size("violations").alias("n")
+        ).collect()
+        rich = validate(df, rules, gate_fast=False).annotated.select(
+            "doc_id", F.size("violations").alias("n")
+        ).collect()
+        assert {(r["doc_id"], r["n"]) for r in gated} == {(r["doc_id"], r["n"]) for r in rich}
+
+    def test_childs_with_converter_fail_gated(self, spark):
+        # converter over struct-childs output: the rich path emits a
+        # "Couldn't convert" violation (filter_duplicates on a struct);
+        # the gate predicate must not drop it
+        df = spark.createDataFrame(
+            [("d1", {"k": "x"})], "doc_id string, obj struct<k:string>"
+        )
+        rules = [
+            Rule(key="doc_id"),
+            Rule(key="obj", childs=[Rule(key="k")], converter="filter_duplicates"),
+        ]
+        rich_n = (
+            validate(df, rules, gate_fast=False)
+            .annotated.select(F.size("violations").alias("n"))
+            .collect()[0]["n"]
+        )
+        gated_n = (
+            validate(df, rules)
+            .annotated.select(F.size("violations").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert rich_n == 1
+        assert gated_n == rich_n
+
     def test_deprecated_and_default(self, spark):
         df = spark.createDataFrame(
             [("a", "x"), ("b", None)], "doc_id string, legacy string"

@@ -97,3 +97,79 @@ def test_nested_engine_matches_oracle(spark_holder, rules, rows):
         assert_parity(spark_holder, rules, rows, SCHEMA)
     except SpecError:
         pass
+
+
+# ---- doubly-nested: array<struct> childs inside array<struct> childs ----
+DEEP_SCHEMA = "docs array<struct<name string, inner array<struct<kind string, v bigint>>>>"
+
+INNERS = st.sampled_from(
+    [
+        None,
+        [],
+        [{"kind": "text", "v": 1}],
+        [{"kind": "bogus", "v": 2}, {"kind": "media", "v": None}],
+        [{"kind": None, "v": 200}],
+    ]
+)
+DOCS = st.lists(
+    st.fixed_dictionaries(
+        {"name": st.sampled_from([None, "a", "b" * 5]), "inner": INNERS}
+    ),
+    max_size=3,
+).map(lambda d: d or None)
+
+DEEP_RULES = st.lists(
+    st.builds(
+        Rule,
+        key=st.just("docs"),
+        presence=st.sampled_from(["required", "optional"]),
+        childs=st.tuples(
+            st.builds(
+                Rule,
+                key=st.just("name"),
+                presence=st.sampled_from(["required", "optional"]),
+                validators=st.lists(st.builds(Size, st.just(1), st.just(3)), max_size=1),
+            ),
+            st.builds(
+                Rule,
+                key=st.just("inner"),
+                presence=st.sampled_from(["required", "optional"]),
+                childs=st.tuples(
+                    st.builds(
+                        Rule,
+                        key=st.just("kind"),
+                        validators=st.lists(
+                            st.builds(Allowed, st.just(["text", "media"])), max_size=1
+                        ),
+                    ),
+                    st.builds(
+                        Rule,
+                        key=st.just("v"),
+                        presence=st.sampled_from(["required", "optional"]),
+                        validators=st.lists(
+                            st.builds(Size, st.just(0), st.just(100)), max_size=1
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=1,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rules=DEEP_RULES, rows=st.lists(st.fixed_dictionaries({"docs": DOCS}), min_size=6, max_size=6))
+def test_doubly_nested_engine_matches_oracle(spark_holder, rules, rows):
+    from evalidate_spark.spec import SpecError
+
+    try:
+        assert_parity(spark_holder, rules, rows, DEEP_SCHEMA)
+    except SpecError:
+        pass
