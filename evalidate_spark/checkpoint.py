@@ -127,11 +127,21 @@ class CheckpointedRun:
                 os.path.join(self.out_dir, VERDICTS_DIR)
             )
 
-            stats = verd.agg(
-                F.sum("rows").alias("rows"),
-                F.sum("failed").alias("failed_rows"),
-                F.count(F.lit(1)).alias("partitions"),
-            ).collect()[0]
+            # stats from the verdicts JUST WRITTEN (a tiny parquet read of
+            # one row per input partition) — not by re-running the whole
+            # validation as a second action, which would double per-unit
+            # cost and could diverge from the written data if inputs change
+            # between the two actions
+            stats = (
+                self.spark.read.parquet(os.path.join(self.out_dir, VERDICTS_DIR))
+                .filter(F.col("unit_id") == unit["unit_id"])
+                .agg(
+                    F.sum("rows").alias("rows"),
+                    F.sum("failed").alias("failed_rows"),
+                    F.count(F.lit(1)).alias("partitions"),
+                )
+                .collect()[0]
+            )
             rec = {
                 "unit_id": unit["unit_id"],
                 "input_files": unit["files"],

@@ -10,7 +10,9 @@ Scale design (10^12 docs):
   Python, no shuffle); candidate generation explodes only ``bands`` rows per
   doc and groupBy-joins on (band, band_hash) buckets.  Only bucket
   collisions are ever paired, so the quadratic blow-up is confined to
-  near-identical groups; a group-size cap guards boilerplate buckets.
+  near-identical groups; buckets are capped BEFORE aggregation
+  (:func:`similarity.cap_per_group`) so no executor buffer ever holds a
+  whole boilerplate bucket, and capped output carries a ``truncated`` flag.
 * **SimHash** — 64-bit signature via bitwise majority vote over token
   hashes, all with integer Column expressions; Hamming-distance candidate
   pairing via band buckets on 16-bit chunks.
@@ -26,21 +28,27 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .similarity import cap_per_group
 from .text import fingerprint, shingles
 
 
 # ---------------------------------------------------------------- exact
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_ids: int = 100
 ) -> DataFrame:
     """Groups of exact duplicates (after whitespace/case normalisation):
-    ``(fingerprint, n_docs, doc_ids)``.  One shuffle on the fingerprint."""
+    ``(fingerprint, n_docs, doc_ids, truncated)``.  One shuffle on the
+    fingerprint.  ``n_docs`` is the TRUE group size; ``doc_ids`` lists at
+    most *max_ids* members (capped before aggregation so a boilerplate
+    fingerprint with millions of copies never materialises one giant array
+    in an executor buffer), with ``truncated`` flagging capped groups."""
     fp = fingerprint(F.col("`%s`" % text_col))
-    return (
-        df.select(fp.alias("fingerprint"), F.col("`%s`" % id_col).alias("__id"))
-        .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("__id")).alias("doc_ids"))
-        .filter(F.col("n_docs") > 1)
+    keyed = df.select(fp.alias("fingerprint"), F.col("`%s`" % id_col).alias("__id"))
+    capped = cap_per_group(keyed, ["fingerprint"], "__id", max_ids)
+    return capped.groupBy("fingerprint").agg(
+        F.max("__gsz").alias("n_docs"),
+        F.sort_array(F.collect_list("__id")).alias("doc_ids"),
+        (F.max("__gsz") > max_ids).alias("truncated"),
     )
 
 
@@ -113,13 +121,16 @@ def minhash_candidates(
     shingle_k: int = 3,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs ``(id_a, id_b, n_bands)`` from
-    MinHash LSH: docs sharing ≥1 band bucket, id_a < id_b.
+    """Candidate near-duplicate pairs ``(id_a, id_b, n_bands, truncated)``
+    from MinHash LSH: docs sharing ≥1 band bucket, id_a < id_b.
 
-    ``max_bucket`` caps pairs emitted per bucket (boilerplate guard): a
-    bucket of B docs yields B·(B−1)/2 pairs, so one viral template could
-    otherwise dominate the output.  Capped buckets keep the first
-    *max_bucket* ids (deterministic by sort) — flagged via ``truncated``.
+    ``max_bucket`` caps bucket membership (boilerplate guard): a bucket of B
+    docs yields B·(B−1)/2 pairs, so one viral template could otherwise
+    dominate the output.  The cap is applied BEFORE aggregation (window
+    row_number over the bucket key), so the collect_list buffer never holds
+    more than *max_bucket* ids; capped buckets keep the first *max_bucket*
+    ids (deterministic by id order) and their pairs carry
+    ``truncated = true``.
     """
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
@@ -131,12 +142,11 @@ def minhash_candidates(
     sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
     banded = sigs.select(
         "__id", F.explode(minhash_bands(F.col("__sig"), bands, rows)).alias("b")
-    )
-    buckets = (
-        banded.groupBy(F.col("b.band").alias("band"), F.col("b.h").alias("h"))
-        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.slice("ids", 1, max_bucket).alias("ids"))
+    ).select(F.col("b.band").alias("band"), F.col("b.h").alias("h"), "__id")
+    capped = cap_per_group(banded, ["band", "h"], "__id", max_bucket)
+    buckets = capped.groupBy("band", "h").agg(
+        F.sort_array(F.collect_list("__id")).alias("ids"),
+        (F.max("__gsz") > max_bucket).alias("__trunc"),
     )
     pairs = buckets.select(
         F.explode(
@@ -149,11 +159,15 @@ def minhash_candidates(
                     ),
                 )
             )
-        ).alias("p")
+        ).alias("p"),
+        F.col("__trunc"),
     )
     return (
         pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.max("__trunc").alias("truncated"),
+        )
     )
 
 
@@ -272,8 +286,10 @@ def simhash_candidates(
     """Near-dup candidates by SimHash banding: split the 64-bit signature
     into four 16-bit chunks; docs sharing any chunk value are candidates
     (catches all pairs within Hamming distance 3).  Returns
-    ``(id_a, id_b, hamming)`` with exact Hamming distance computed via
-    bit_count on the XOR."""
+    ``(id_a, id_b, hamming, truncated)`` with exact Hamming distance
+    computed via bit_count on the XOR.  Buckets are capped at *max_bucket*
+    members BEFORE aggregation (first ids by order, deterministic);
+    pairs from capped buckets carry ``truncated = true``."""
     ids = F.col("`%s`" % id_col)
     sig = simhash64(F.col("`%s`" % text_col), shingle_k)
     sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
@@ -291,12 +307,11 @@ def simhash_candidates(
                 ]
             )
         ).alias("c"),
-    )
-    buckets = (
-        chunks.groupBy(F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v"))
-        .agg(F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("xs"))
-        .filter(F.size("xs") > 1)
-        .select(F.slice("xs", 1, max_bucket).alias("xs"))
+    ).select(F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v"), "__id", "__sig")
+    capped = cap_per_group(chunks, ["chunk", "v"], "__id", max_bucket)
+    buckets = capped.groupBy("chunk", "v").agg(
+        F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("xs"),
+        (F.max("__gsz") > max_bucket).alias("__trunc"),
     )
     pairs = buckets.select(
         F.explode(
@@ -313,9 +328,13 @@ def simhash_candidates(
                     ),
                 )
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming")
-    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+        ).alias("p"),
+        F.col("__trunc"),
+    ).select("p.id_a", "p.id_b", "p.hamming", "__trunc")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.min("hamming").alias("hamming"),
+        F.max("__trunc").alias("truncated"),
+    )
 
 
 # ------------------------------------------------------------- embeddings

@@ -29,6 +29,28 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def cap_per_group(
+    df: DataFrame, keys: List[str], order_col: str, cap: int, min_size: int = 2
+) -> DataFrame:
+    """Bound per-group rows BEFORE any aggregation buffer exists.
+
+    Appends ``__rn`` (rank by *order_col* within *keys*) and ``__gsz`` (the
+    TRUE group size), keeping only groups of ≥ *min_size* rows and the first
+    *cap* rows of each.  Any later ``collect_list`` over the result holds at
+    most *cap* elements per group — unlike collect-then-``slice``, whose
+    aggregation buffer materialises the whole group first and OOMs on a
+    boilerplate bucket with millions of members at corpus scale.  The window
+    sort spills to disk (UnsafeExternalSorter); the aggregate buffer never
+    grows past *cap*.  The window and the downstream groupBy hash-partition
+    on the same keys, so no extra exchange is introduced."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__rn", F.row_number().over(w.orderBy(order_col)))
+        .withColumn("__gsz", F.count(F.lit(1)).over(w))
+        .filter((F.col("__gsz") >= min_size) & (F.col("__rn") <= cap))
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -61,9 +83,12 @@ def cosine_topk(
     neighbor id (deterministic).
 
     Probes are broadcast (they must be small — a probe *set*, not a second
-    corpus); the corpus is scanned once.  A per-partition partial top-k
-    (repartition-free window over ``spark_partition_id``) cuts the final
-    per-query shuffle to ≤ k rows per (query, partition).
+    corpus); the corpus is scanned once and scored JVM-side.  The partial
+    top-k is a per-partition Arrow ``mapInPandas`` prune with O(|probes|·k)
+    running state (batches folded into a bounded per-query buffer), so the
+    ONLY exchange in the plan is the final per-query window over
+    ≤ k·partitions rows per query — a window over the full scored set would
+    instead hash-exchange every |corpus|·|probes| scored row first.
     """
     c = corpus.select(
         F.col("`%s`" % id_col).alias("neighbor_id"), F.col("`%s`" % vec_col).alias("__cv")
@@ -75,11 +100,23 @@ def cosine_topk(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("__cv"), F.col("__pv")), 6).alias("cosine"),
-        F.spark_partition_id().alias("__part"),
     )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        buf = None
+        for pdf in batches:
+            cur = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+            )
+            buf = cur.groupby("query_id", sort=False).head(k)
+        if buf is not None:
+            yield buf
+
+    pruned = scored.mapInPandas(local_topk, schema=scored.schema)
     order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
-    partial = Window.partitionBy("query_id", "__part").orderBy(*order)
-    pruned = scored.withColumn("__pr", F.row_number().over(partial)).filter(F.col("__pr") <= k)
     final = Window.partitionBy("query_id").orderBy(*order)
     return (
         pruned.withColumn("rank", F.row_number().over(final))
@@ -98,10 +135,14 @@ def lsh_bucket_pairs(
 ) -> DataFrame:
     """All-pairs candidate generation via random-hyperplane LSH: bucket =
     sign bits of *planes* fixed random projections (deterministic seed),
-    exact cosine computed inside buckets only → ``(id_a, id_b, cosine)``.
+    exact cosine computed inside buckets only →
+    ``(id_a, id_b, cosine, truncated)``.
 
     The hyperplanes are literal arrays compiled into the plan (planes×d
-    doubles — tiny); bucketing is one shuffle on the bucket key."""
+    doubles — tiny); bucketing is one shuffle on the bucket key.  Buckets
+    are capped at *max_bucket* members BEFORE aggregation (the first
+    *max_bucket* ids, deterministic); pairs from a capped bucket carry
+    ``truncated = true`` so callers see the recall loss explicitly."""
     import numpy as np
 
     first = df.select(F.size(F.col("`%s`" % vec_col)).alias("d")).first()
@@ -123,11 +164,12 @@ def lsh_bucket_pairs(
         "__v",
         F.concat_ws("", *[b.cast("string") for b in bits]).alias("__bucket"),
     )
-    buckets = (
-        sigs.groupBy("__bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("__id", "__v"))).alias("xs"))
-        .filter(F.size("xs") > 1)
-        .select(F.slice("xs", 1, max_bucket).alias("xs"))
+    # cap BEFORE aggregating: the collect_list buffer holds ≤ max_bucket full
+    # vectors per bucket, never the whole (possibly-degenerate) bucket
+    capped = cap_per_group(sigs, ["__bucket"], "__id", max_bucket)
+    buckets = capped.groupBy("__bucket").agg(
+        F.sort_array(F.collect_list(F.struct("__id", "__v"))).alias("xs"),
+        (F.max("__gsz") > max_bucket).alias("__trunc"),
     )
     pairs = buckets.select(
         F.explode(
@@ -144,24 +186,35 @@ def lsh_bucket_pairs(
                     ),
                 )
             )
-        ).alias("p")
+        ).alias("p"),
+        F.col("__trunc"),
     )
-    return pairs.select("p.id_a", "p.id_b", "p.cosine").dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(
+            F.min("p.cosine").alias("cosine"),
+            F.max("__trunc").alias("truncated"),
+        )
+    )
 
 
 def _kmeans_centroids(
     df: DataFrame, vec_col: str, n_centroids: int, sample_n: int, iters: int, seed: int
 ) -> List[List[float]]:
     """Fit centroids on a driver-side sample with numpy (deterministic).
-    The sample is tiny (default 10k vectors); the corpus itself is never
-    collected."""
+    The sample is tiny (default 10k vectors) and RANDOM — ``sample(seed)``
+    over the whole corpus, not ``limit`` (the first partitions of a sorted
+    or source-clustered corpus are a biased slice that would skew the IVF
+    cells).  ``count()`` over parquet is metadata-only; the corpus itself
+    is never collected."""
     import numpy as np
 
-    rows = (
-        df.select(F.col("`%s`" % vec_col).alias("v"))
-        .limit(sample_n)
-        .collect()
-    )
+    vdf = df.select(F.col("`%s`" % vec_col).alias("v"))
+    total = vdf.count()
+    if total > sample_n:
+        frac = min(1.0, 1.2 * sample_n / total)  # slight over-draw, then trim
+        vdf = vdf.sample(fraction=frac, seed=seed)
+    rows = vdf.limit(sample_n).collect()
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     n = len(x)
     rng = np.random.default_rng(seed)

@@ -90,15 +90,26 @@ def uniqueness_violations(
     kc = F.col("`%s`" % key)
     nn = df.filter(kc.isNotNull())
     if salt_buckets:
-        partial = (
-            nn.withColumn("__salt", F.pmod(F.crc32(kc.cast("string")), F.lit(salt_buckets)))
-            .groupBy(kc.alias(key), "__salt")
-            .agg(F.count(F.lit(1)).alias("__c"))
+        counts = _salted_partial(nn, key, kc, salt_buckets).groupBy(key).agg(
+            F.sum("__c").alias("dup_count")
         )
-        counts = partial.groupBy(key).agg(F.sum("__c").alias("dup_count"))
     else:
         counts = nn.groupBy(kc.alias(key)).agg(F.count(F.lit(1)).alias("dup_count"))
     return counts.filter(F.col("dup_count") > 1)
+
+
+def _salted_partial(nn: DataFrame, key: str, kc, salt_buckets: int) -> DataFrame:
+    """Partial stage of the salted uniqueness aggregate: one group per
+    (key, salt).  The salt MUST be independent of the key — derived from
+    ``spark_partition_id()`` — so a hot key's rows land in up to
+    *salt_buckets* distinct partial groups that hash to different reducers;
+    a key-derived salt (e.g. crc32(key) % B) is constant per key and
+    degenerates the two-level aggregate back to a plain groupBy."""
+    return (
+        nn.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
+        .groupBy(kc.alias(key), "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
 
 
 def referential_violations(
@@ -130,9 +141,13 @@ def histogram_df(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     c = F.col("`%s`" % col).cast("double")
     bounds = df.filter(c.isNotNull()).agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / bins
-    bucket = F.least(
-        F.lit(bins - 1),
-        F.greatest(F.lit(0), F.floor((c - F.col("__lo")) / width).cast("int")),
+    # hi == lo (constant column): everything lands in bucket 0 explicitly
+    # instead of via null division (same guard as drift_df's histogram)
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((c - F.col("__lo")) / width).cast("int")),
+        )
     )
     return (
         df.filter(c.isNotNull())

@@ -48,6 +48,20 @@ class TestSimilarity:
         hit = sum(1 for r in partial if (r["query_id"], r["neighbor_id"]) in exact_pairs)
         assert hit >= len(partial) // 2
 
+    def test_cosine_topk_prunes_before_exchange(self, spark):
+        import re
+
+        corpus, _ = embed_df(spark, n=40)
+        probes, _ = embed_df(spark, n=3, seed=11, id_col="query_id")
+        df = similarity.cosine_topk(corpus, probes, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hashex = [m.start() for m in re.finditer(r"Exchange hashpartitioning", plan)]
+        # exactly one hash exchange (the final per-query window) and it sits
+        # ABOVE the MapInPandas prune — the full scored set is never shuffled
+        assert len(hashex) == 1, plan
+        mp = plan.find("MapInPandas")
+        assert mp >= 0 and hashex[0] < mp, plan
+
     def test_lsh_bucket_pairs_finds_identical(self, spark):
         rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]),
                 (3, [-1.0, 0.0, 0.0])]

@@ -144,3 +144,44 @@ class TestDedup:
         got = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_candidates(df).collect()}
         assert got[("d1", "d4")] == 0
         assert ("d1", "d2") in got
+
+    def test_degenerate_bucket_bounded(self, spark):
+        # 10k identical docs — the worst-case boilerplate bucket.  With the
+        # pre-aggregation cap the job completes with per-group state bounded
+        # by the cap, output restricted to the first cap ids, and truncation
+        # flagged explicitly (no silent recall loss).
+        n = 10_000
+        df = spark.range(n).select(
+            F.format_string("d%05d", F.col("id")).alias("doc_id"),
+            F.lit("the exact same boilerplate text repeated everywhere").alias("text"),
+        )
+        [g] = dedup.exact_duplicates(df, max_ids=50).collect()
+        assert g["n_docs"] == n and len(g["doc_ids"]) == 50 and g["truncated"]
+        assert g["doc_ids"] == [f"d{i:05d}" for i in range(50)]
+
+        cand = dedup.minhash_candidates(df, num_hashes=16, bands=4, max_bucket=20).collect()
+        # pairs only among the first 20 ids → C(20,2); every band agrees
+        assert len(cand) == 190
+        assert all(r["truncated"] and r["n_bands"] == 4 for r in cand)
+
+        sim = dedup.simhash_candidates(df, max_bucket=20).collect()
+        assert len(sim) == 190
+        assert all(r["truncated"] and r["hamming"] == 0 for r in sim)
+
+    def test_degenerate_embedding_bucket_bounded(self, spark):
+        from evalidate_spark.functions import similarity
+
+        df = spark.range(1000).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.5), F.lit(-0.25)).alias("embedding"),
+        )
+        pairs = similarity.lsh_bucket_pairs(df, planes=4, max_bucket=10).collect()
+        assert len(pairs) == 45  # C(10,2) among the first 10 ids
+        assert all(r["truncated"] and r["cosine"] == pytest.approx(1.0) for r in pairs)
+        ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+        assert ids == set(range(10))
+
+    def test_truncated_false_for_small_buckets(self, spark):
+        df = docs_df(spark, DOCS)
+        cand = dedup.minhash_candidates(df, num_hashes=32, bands=16).collect()
+        assert cand and all(not r["truncated"] for r in cand)

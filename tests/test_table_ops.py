@@ -55,6 +55,31 @@ def test_uniqueness_matches_duckdb(spark):
     assert uniqueness_violations(df, "o_custkey", salt_buckets=8).count() == exp
 
 
+def test_salted_uniqueness_spreads_hot_key(spark):
+    from evalidate_spark.operators.table_checks import _salted_partial
+
+    # a single hot key across 8 partitions must occupy >1 partial group
+    # (the salt is partition-derived, NOT key-derived)
+    hot = (
+        spark.range(0, 8000)
+        .select(F.lit(7).cast("long").alias("k"))
+        .repartition(8)
+    )
+    partial_groups = _salted_partial(hot, "k", F.col("k"), 4).count()
+    assert partial_groups > 1
+    # and the two-level aggregate still sums to the exact count
+    [r] = uniqueness_violations(hot, "k", salt_buckets=4).collect()
+    assert r["k"] == 7 and r["dup_count"] == 8000
+
+
+def test_histogram_constant_column(spark):
+    from evalidate_spark.operators.table_checks import histogram_df
+
+    df = spark.range(100).select(F.lit(5.0).alias("v"))
+    [r] = histogram_df(df, "v", bins=10).collect()
+    assert r["bucket"] == 0 and r["n"] == 100
+
+
 def test_referential_matches_duckdb(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
