@@ -18,7 +18,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from evalidate_spark import Allowed, Default, Regexp, Rule, RuleOr, Size, Type, validate
+from evalidate_spark import (
+    Allowed,
+    CustomValidator,
+    Default,
+    Regexp,
+    Rule,
+    RuleAnd,
+    RuleOr,
+    Size,
+    Type,
+    validate,
+    validate_values,
+    validate_zipped,
+)
 from evalidate_spark.functions import dedup, multimodal, similarity, text
 from evalidate_spark.operators.table_checks import (
     drift_df,
@@ -234,6 +247,112 @@ def q_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipped_rulesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 zipped rule-sets dispatch (evalidate.erl:44-46): rule-set 0
+    validates even docs (allowed-lang), rule-set 1 odd docs (text size) —
+    one fused projection, per-row when/otherwise dispatch."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "rsid", (F.col("doc_id") % 2).cast("int")
+    )
+    rs0 = [Rule(key="doc_id"), Rule(key="lang", validators=[Allowed(["en", "es"])])]
+    rs1 = [Rule(key="doc_id"), Rule(key="text", validators=[Size(50, 400)])]
+    res = validate_zipped(docs, [rs0, rs1], "rsid", id_cols=["doc_id"])
+    return res.violations.select("doc_id", "rule_id", "message")
+
+
+def q_bare_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare single-value validation (evalidate.erl:51-52) distributed over a
+    value column: keyless Size rule, violations keyed 'none'."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("value"))
+    rule = Rule(validators=[Size(50, 400)], converter="lowercase")
+    res = validate_values(d, rule, "value", id_cols=["doc_id"])
+    return res.violations.select("doc_id", "key_path", "message")
+
+
+def q_rule_and_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rule_and with on_error override (evalidate.erl:87-95; suite
+    :1665-1701): any member failure is replaced by the single on_error
+    message."""
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        Rule(key="doc_id"),
+        RuleAnd(
+            rules=[
+                Rule(key="lang", validators=[Allowed(ALLOWED_LANGS)]),
+                Rule(key="n_chars", validators=[Size(60, 400)]),
+            ],
+            on_error="lang/n_chars combo is invalid",
+        ),
+    ]
+    res = validate(docs, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "rule_id", "message")
+
+
+def q_deprecated_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deprecated presence (evalidate.erl:123-124; suite :738-815): key
+    PRESENT → violation."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("source")).alias("legacy"),
+    )
+    rules = [Rule(key="doc_id"), Rule(key="legacy", presence="deprecated")]
+    res = validate(docs, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "message")
+
+
+def q_nested_childs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """childs over a real nested struct column with dotted parent key paths
+    (evalidate.erl:145-155,267-279; suite :941-1138 — 'Key 'k.nk' is
+    required')."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("tag"),
+            F.when(F.col("doc_id") % 7 != 0, F.col("source")).alias("nk"),
+        ).alias("k"),
+    )
+    rules = [
+        Rule(key="doc_id"),
+        Rule(key="k", childs=[Rule(key="tag"), Rule(key="nk")]),
+    ]
+    res = validate(docs, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "key_path", "message")
+
+
+def q_password(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """?V_PASSWORD with the exact thrown messages (evv.erl:197-223; suite
+    :1652,:1656)."""
+    from evalidate_spark import lib
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Short1!"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("nouppercase1!"))
+        .otherwise(F.lit("GoodPassw0rd!"))
+        .alias("pw"),
+    )
+    rules = [Rule(key="doc_id"), Rule(key="pw", validators=[lib.v_password()])]
+    res = validate(d, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "message")
+
+
+def q_custom_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom fun/1 validator via the Arrow pandas-UDF protocol
+    (evv.erl:62-73): (False, msg) → false-kind violation.  The predicate is
+    deliberately SQL-expressible so DuckDB can oracle the UDF path."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def min_len(v):
+        return True if v is not None and len(v) >= 50 else (False, "too short for corpus")
+
+    rules = [
+        Rule(key="doc_id"),
+        Rule(key="text", validators=[CustomValidator(min_len, name="min_len")]),
+    ]
+    res = validate(docs, rules, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "message")
+
+
 # --------------------------------------------------- training-data ops
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -352,6 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "lang_marker_counts": q_lang_marker_counts,
+        "zipped_rulesets": q_zipped_rulesets,
+        "bare_values": q_bare_values,
+        "rule_and_on_error": q_rule_and_on_error,
+        "deprecated_keys": q_deprecated_keys,
+        "nested_childs": q_nested_childs,
+        "password": q_password,
+        "custom_validator": q_custom_validator,
         "exact_dup_groups": q_exact_dup_groups,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
@@ -544,6 +670,47 @@ SELECT doc_id,
   len(list_filter(string_split(text,' '), t -> lower(t) IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de_hits,
   len(list_filter(string_split(text,' '), t -> lower(t) IN ('le','la','les','de','et','un','est','que'))) AS fr_hits
 FROM documents
+""",
+    "zipped_rulesets": """
+SELECT doc_id, 'rule:lang' AS rule_id,
+  'Value ''\\<\\<"' || lang || '"\\>\\>'' is not valid. Value is not in allowed list [<<"en">>,<<"es">>]' AS message
+FROM documents WHERE doc_id % 2 = 0 AND lang NOT IN ('en','es')
+UNION ALL
+SELECT doc_id, 'rule:text',
+  CASE WHEN length(text) < 50
+       THEN 'Value is not valid. Value''s byte_size is less than minimum allowed: 50'
+       ELSE 'Value is not valid. Value''s byte_size is more than maximum allowed: 400' END
+FROM documents WHERE doc_id % 2 = 1 AND (length(text) < 50 OR length(text) > 400)
+""",
+    "bare_values": """
+SELECT doc_id, 'none' AS key_path,
+  CASE WHEN length(text) < 50
+       THEN 'Value is not valid. Value''s byte_size is less than minimum allowed: 50'
+       ELSE 'Value is not valid. Value''s byte_size is more than maximum allowed: 400' END AS message
+FROM documents WHERE length(text) < 50 OR length(text) > 400
+""",
+    "rule_and_on_error": """
+SELECT doc_id, 'rule_and' AS rule_id, 'lang/n_chars combo is invalid' AS message
+FROM documents
+WHERE lang NOT IN ('en','es','de','fr') OR n_chars < 60 OR n_chars > 400
+""",
+    "deprecated_keys": """
+SELECT doc_id, 'Key ''legacy'' is deprecated' AS message
+FROM documents WHERE doc_id % 5 = 0
+""",
+    "nested_childs": """
+SELECT doc_id, 'k.nk' AS key_path, 'Key ''k.nk'' is required' AS message
+FROM documents WHERE doc_id % 7 = 0
+""",
+    "password": """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'Password length must be at least 9 characters'
+       ELSE 'Password must contain at least one uppercase, one lowercase, one special symbol and one numeric symbol' END AS message
+FROM documents WHERE doc_id % 3 IN (0, 1)
+""",
+    "custom_validator": """
+SELECT doc_id, 'too short for corpus' AS message
+FROM documents WHERE length(text) < 50
 """,
     "exact_dup_groups": """
 SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs

@@ -14,8 +14,15 @@ Public surface:
   text analysis, multimodal plumbing)
 """
 
-from .engine import ValidationError, ValidationResult, validate, validate_and_convert
+from .engine import (
+    ValidationError,
+    ValidationResult,
+    validate,
+    validate_and_convert,
+    validate_zipped,
+)
 from .fastpath import compile_fail_predicate, verdict_scan
+from .values import validate_value, validate_values
 from .spec import (
     Allowed,
     CustomConverter,

@@ -174,6 +174,103 @@ def validate(
     return ValidationResult(annotated=annotated, compiled=compiled, id_cols=ids)
 
 
+def validate_zipped(
+    df: DataFrame,
+    rulesets: Sequence[Any],
+    ruleset_id_col: str = "ruleset_id",
+    *,
+    mode: str = "soft",
+    parent_key: bool = True,
+    id_cols: Optional[Sequence[str]] = None,
+) -> ValidationResult:
+    """Zipped rule-sets mode (reference ``struct/3`` zipwith branch,
+    ``/root/reference/src/evalidate.erl:44-46``; suite ``:1145-1180``):
+    rule-set *i* validates the rows whose ``ruleset_id_col`` equals *i*.
+
+    The reference zips N rule-sets against N rows positionally; the
+    Spark-native shape is a ``ruleset_id`` column dispatching each row to
+    its rule-set.  Every rule-set compiles once on the driver; the dispatch
+    is a single ``when/otherwise`` chain inside the same fused projection —
+    no shuffle, no per-ruleset pass over the data.  Rows with an id outside
+    ``0..len(rulesets)-1`` get a config-error violation (the reference
+    would crash on a length mismatch).
+
+    Output columns are the union of all rule-sets' outputs; a row populates
+    only its own rule-set's keys (others NULL), with conflicting Spark
+    types across rule-sets rejected at compile time."""
+    from pyspark.sql import types as TT
+
+    from .compiler import OutCol, _empty_viols, _entry_array, _viol_struct
+    from .spec import SpecError
+
+    opts = Options(mode=mode, parent_key=parent_key)
+    compiled = [compile_spec(rs, df.schema, opts) for rs in rulesets]
+    rid = F.col("`%s`" % ruleset_id_col)
+    bad_id = _entry_array(
+        F.when(
+            rid.isNull() | (rid < 0) | (rid >= len(rulesets)),
+            _viol_struct(
+                0,
+                "ruleset_dispatch",
+                F.lit(ruleset_id_col),
+                F.concat(
+                    F.lit("No rule-set for %s=" % ruleset_id_col), rid.cast("string")
+                ),
+                None,
+            ),
+        )
+    )
+    viols: Optional[F.Column] = None  # type: ignore[name-defined]
+    chain = None
+    for i, c in enumerate(compiled):
+        chain = (
+            F.when(rid == i, c.violations)
+            if chain is None
+            else chain.when(rid == i, c.violations)
+        )
+    viols = chain.otherwise(bad_id) if chain is not None else bad_id
+
+    # union of outputs, each guarded by its rule-set winning the dispatch
+    names: List[str] = []
+    for c in compiled:
+        for o in c.outputs:
+            if o.name not in names:
+                names.append(o.name)
+    merged: List[OutCol] = []
+    for name in names:
+        dts = {
+            o.dtype.simpleString()
+            for c in compiled
+            for o in c.outputs
+            if o.name == name and not isinstance(o.dtype, TT.NullType)
+        }
+        if len(dts) > 1:
+            raise SpecError(
+                "conflicting output types for key '%s' across rule-sets: %s"
+                % (name, sorted(dts))
+            )
+        expr = F.lit(None)
+        present = F.lit(False)
+        dtype: Any = TT.NullType()
+        for i, c in enumerate(compiled):
+            match = [o for o in c.outputs if o.name == name]
+            if not match:
+                continue
+            o = match[0]
+            dtype = o.dtype if not isinstance(o.dtype, TT.NullType) else dtype
+            emitted = (rid == i) if o.present is None else ((rid == i) & o.present)
+            expr = F.when(emitted, o.col).otherwise(expr)
+            present = present | emitted
+        merged.append(OutCol(name, expr, dtype, present))
+
+    annotated = df.withColumn(VIOLATIONS_COL, viols).withColumn(
+        FIRST_ERROR_COL, F.try_element_at(F.col(VIOLATIONS_COL), F.lit(1))
+    )
+    comp = Compiled(violations=viols, outputs=merged, opts=opts)
+    ids = list(id_cols) if id_cols else [df.schema.fields[0].name]
+    return ValidationResult(annotated=annotated, compiled=comp, id_cols=ids)
+
+
 def validate_and_convert(df: DataFrame, rules: Any, **kw: Any) -> DataFrame:
     """Reference-shaped entry (`validate_and_convert/2,3`,
     ``/root/reference/src/evalidate.erl:19-34``): hard mode — raises on the

@@ -144,7 +144,12 @@ def key_deprecated_msg(key: str) -> str:
 
 
 def couldnt_convert_msg(value_ts: str, key: Any) -> str:
-    return TPL_COULDNT_CONVERT.format(value=value_ts, key=fmt_ts(key))
+    # a keyless (bare-value / top-level) rule renders the key atom `none`,
+    # not `undefined` (/root/reference/src/evalidate.erl:176-178 with
+    # Key = none)
+    return TPL_COULDNT_CONVERT.format(
+        value=value_ts, key="none" if key is None else fmt_ts(key)
+    )
 
 
 def resolve_on_error(template: str, key: Any, value: Any) -> str:
