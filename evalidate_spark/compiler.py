@@ -801,6 +801,56 @@ def _struct_scope(parent: Column, dt: T.StructType, parents: Tuple[str, ...], in
     )
 
 
+def _map_scope(
+    parent: Column,
+    dt: T.MapType,
+    parents: Tuple[str, ...],
+    in_element: bool,
+    span_index: Optional[Column],
+) -> Scope:
+    """Scope over a MapType value — the reference's fully-dynamic proplist
+    (``/root/reference/src/evalidate.erl:114``): any key resolves
+    (``has`` is always true) to ``try_element_at(map, key)``, typed as the
+    map's value type.
+
+    Presence note (SURVEY §2.3 P1): an absent key and a key mapped to NULL
+    are both "missing" — exactly the reference, where a proplist value of
+    ``undefined`` is what ``get_value`` returns for an absent key too, so
+    ``try_element_at(..).isNull()`` ≡ ``~map_contains_key ∨ value IS NULL``
+    is the parity-correct presence test."""
+    vt = dt.valueType
+
+    def get(k: str) -> Column:
+        if k == "__row__":
+            return parent
+        return F.try_element_at(parent, F.lit(k))
+
+    return Scope(
+        get=get,
+        dtype_of=lambda k: vt,
+        has=lambda k: True,
+        parents=parents,
+        in_element=in_element,
+        span_index=span_index,
+    )
+
+
+def _child_scope(
+    val: Column,
+    dt: T.DataType,
+    parents: Tuple[str, ...],
+    in_element: bool,
+    span_index: Optional[Column],
+) -> Optional[Scope]:
+    """Scope for recursing childs into a struct (fixed keys) or map
+    (dynamic keys) value; None if the type cannot host childs."""
+    if isinstance(dt, T.StructType):
+        return _struct_scope(val, dt, parents, in_element, span_index)
+    if isinstance(dt, T.MapType) and isinstance(dt.keyType, T.StringType):
+        return _map_scope(val, dt, parents, in_element, span_index)
+    return None
+
+
 def _key_path(key: Optional[str], scope: Scope, opts: Options) -> str:
     if not opts.parent_key or not scope.parents:
         return key if key is not None else ""
@@ -1012,11 +1062,11 @@ def _compile_rule(
     child_struct_out: Optional[Column] = None
     child_struct_dt: Optional[T.DataType] = None
     if rule.childs:
-        if isinstance(dt, T.StructType):
-            cscope = _struct_scope(
-                val, dt, scope.parents + ((key,) if key else ()), scope.in_element,
-                scope.span_index,
-            )
+        cscope = _child_scope(
+            val, dt, scope.parents + ((key,) if key else ()), scope.in_element,
+            scope.span_index,
+        )
+        if cscope is not None:  # struct (fixed keys) or map (dynamic keys)
             carrays, couts = _compile_rules(list(rule.childs), cscope, opts, seq)
             child_v = F.concat(*carrays) if carrays else _empty_viols()
             entries.append(F.when(present, child_v).otherwise(_empty_viols()))
@@ -1027,7 +1077,13 @@ def _compile_rule(
                 child_struct_dt = T.StructType(
                     [T.StructField(o.name, o.dtype) for o in couts]
                 )
-        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        elif isinstance(dt, T.ArrayType) and (
+            isinstance(dt.elementType, T.StructType)
+            or (
+                isinstance(dt.elementType, T.MapType)
+                and isinstance(dt.elementType.keyType, T.StringType)
+            )
+        ):
             edt = dt.elementType
             parents = scope.parents + ((key,) if key else ())
             carr, conv_elem, conv_dt = _compile_element_rules(
@@ -1167,14 +1223,15 @@ def _render_on_error(template: str, key: str, val: Column, dt: T.DataType) -> Co
 def _compile_element_rules(
     childs: Sequence[Any],
     arr: Column,
-    edt: T.StructType,
+    edt: T.DataType,
     parents: Tuple[str, ...],
     opts: Options,
     seq: _Seq,
-) -> Tuple[Column, Optional[Column], T.StructType]:
+) -> Tuple[Column, Optional[Column], T.DataType]:
     """Child rules mapped over every element of an array<struct> (the spans
     pattern — reference 'rules over object lists',
-    /root/reference/src/evalidate.erl:48-49, suite :1231-1279).
+    /root/reference/src/evalidate.erl:48-49, suite :1231-1279) or
+    array<map<string,_>> (dynamic-key objects).
 
     Explode-free: one `transform` with an index lambda produces per-element
     violation arrays, flattened into the row's violations.  Catalyst keeps
@@ -1186,7 +1243,7 @@ def _compile_element_rules(
     def build(e: Column, i: Column) -> Column:
         local = _Seq()
         local.n = start
-        escope = _struct_scope(e, edt, parents, True, i.cast("int"))
+        escope = _child_scope(e, edt, parents, True, i.cast("int"))
         arrays, _ = _compile_rules(list(childs), escope, opts, local)
         return F.concat(*arrays) if arrays else _empty_viols()
 
@@ -1195,18 +1252,18 @@ def _compile_element_rules(
     # advance the shared counter to account for the element rules
     probe = _Seq()
     probe.n = start
-    dummy_scope = _struct_scope(F.lit(None).cast(edt.simpleString()), edt, parents, True, None)
+    dummy_scope = _child_scope(F.lit(None).cast(edt.simpleString()), edt, parents, True, None)
     _, probe_outs = _compile_rules(list(childs), dummy_scope, opts, probe)
     seq.n = probe.n
 
     conv_elem: Optional[Column] = None
-    conv_dt = edt
+    conv_dt: T.DataType = edt
     if probe_outs:
 
         def conv_one(e: Column) -> Column:
             local = _Seq()
             local.n = start
-            escope = _struct_scope(e, edt, parents, True, None)
+            escope = _child_scope(e, edt, parents, True, None)
             _, outs = _compile_rules(list(childs), escope, opts, local)
             return F.struct(*[o.col.alias(o.name) for o in outs])
 

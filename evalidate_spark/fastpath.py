@@ -52,6 +52,21 @@ def _field_scope(names: dict, get) -> Scope:
     return Scope(get=get, dtype_of=lambda k: names[k], has=lambda k: k in names)
 
 
+def _map_value_scope(parent: Column, dt: T.MapType) -> Scope:
+    """Dynamic-key scope over a map value (compiler parity: any key
+    resolves via try_element_at, typed as the map's value type)."""
+    vt = dt.valueType
+    return Scope(
+        get=lambda k, p=parent: p if k == "__row__" else F.try_element_at(p, F.lit(k)),
+        dtype_of=lambda k: vt,
+        has=lambda k: True,
+    )
+
+
+def _string_keyed_map(dt: T.DataType) -> bool:
+    return isinstance(dt, T.MapType) and isinstance(dt.keyType, T.StringType)
+
+
 def _clauses_fail(validators: Sequence[Any], col: Column, dt: T.DataType, scope: Scope) -> Column:
     """OR of all validator fail conditions (messages built but never
     referenced → they never reach the plan)."""
@@ -146,7 +161,7 @@ def _childs_conv_fail(conv: Any, dt: T.DataType) -> bool:
     condition (casts to string) or fails analysis in the rich compile before
     gating can matter.  Over array-childs output no built-in converter
     produces a fail condition."""
-    if not isinstance(dt, T.StructType):
+    if not (isinstance(dt, T.StructType) or _string_keyed_map(dt)):
         return False
     return conv == "filter_duplicates" or isinstance(conv, Each)
 
@@ -198,22 +213,29 @@ def _one_key_fail(
         fail = fail | (present & _convert_fail(rule.converter, orig_val, dt, scope))
 
     if rule.childs:
-        if isinstance(dt, T.StructType):
-            names = {f.name: f.dataType for f in dt.fields}
-            cscope = _field_scope(
-                names, lambda k, v=val: v if k == "__row__" else v.getField(k)
-            )
+        if isinstance(dt, T.StructType) or _string_keyed_map(dt):
+            if isinstance(dt, T.StructType):
+                names = {f.name: f.dataType for f in dt.fields}
+                cscope = _field_scope(
+                    names, lambda k, v=val: v if k == "__row__" else v.getField(k)
+                )
+            else:
+                cscope = _map_value_scope(val, dt)
             sub = F.lit(False)
             for c in rule.childs:
                 sub = sub | _node_fail(
-                    c, cscope, opts, path + ((key,) if key else ()), in_element
+                    c, cscope, opts, path + ((key,) if key else ()),
+                    in_element or _string_keyed_map(dt),
                 )
             fail = fail | (present & sub)
             # parent converter over the child-struct output (rich path:
             # compiler._compile_rule conv over child_struct_out)
             if _childs_conv_fail(rule.converter, dt):
                 fail = fail | present
-        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        elif isinstance(dt, T.ArrayType) and (
+            isinstance(dt.elementType, T.StructType)
+            or _string_keyed_map(dt.elementType)
+        ):
             fail = fail | (
                 present
                 & _element_rules_fail(
@@ -231,7 +253,7 @@ def _one_key_fail(
 def _element_rules_fail(
     childs: Sequence[Any],
     arr: Column,
-    edt: T.StructType,
+    edt: T.DataType,
     path: Tuple[str, ...],
     opts: Options,
     in_element: bool = False,
@@ -243,15 +265,17 @@ def _element_rules_fail(
     (``col("parent.field")``), one ``exists`` per rule — the parquet scan
     then reads only the referenced subfields.  Anything else falls back to
     an ``exists`` over the element struct (correct, just unpruned)."""
-    names = {f.name: f.dataType for f in edt.fields}
+    is_map = _string_keyed_map(edt)
+    names = {} if is_map else {f.name: f.dataType for f in edt.fields}
     fail = F.lit(False)
     fallback: List[Any] = []
     for c in childs:
         # the F.col(dotted-path) subfield-array form is only valid when the
-        # array itself is root-addressable; inside an element lambda all
-        # childs must go through the getField fallback
+        # array itself is root-addressable; inside an element lambda (and
+        # over dynamic map elements) all childs go through the fallback
         simple = (
             not in_element
+            and not is_map
             and isinstance(c, Rule)
             and isinstance(c.key, str)
             and not c.childs
@@ -286,9 +310,12 @@ def _element_rules_fail(
     if fallback:
 
         def elem_fail(e: Column) -> Column:
-            escope = _field_scope(
-                names, lambda k, el=e: el if k == "__row__" else el.getField(k)
-            )
+            if is_map:
+                escope = _map_value_scope(e, edt)
+            else:
+                escope = _field_scope(
+                    names, lambda k, el=e: el if k == "__row__" else el.getField(k)
+                )
             f_ = F.lit(False)
             for c in fallback:
                 f_ = f_ | _node_fail(c, escope, opts, path, in_element=True)
