@@ -145,6 +145,36 @@ class TestDedup:
         assert got[("d1", "d4")] == 0
         assert ("d1", "d2") in got
 
+    def test_minhash_signature_matches_xxh64_oracle(self, spark):
+        # independent pure-Python XXH64 twin (DuckDB lacks xxhash64) —
+        # row-wise bit-identity on real corpus text
+        from tests import xxh64_oracle as X
+
+        d = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+        )
+        rows = d.select(
+            "doc_id", "text", dedup.minhash_signature(F.col("text"), 8, 3).alias("sig")
+        ).collect()
+        assert len(rows) == 40
+        for r in rows:
+            assert list(r["sig"]) == X.minhash_signature(r["text"], 8, 3), r["doc_id"]
+
+    def test_simhash_matches_xxh64_oracle(self, spark):
+        from tests import xxh64_oracle as X
+
+        d = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+        )
+        rows = d.select("doc_id", "text", dedup.simhash64(F.col("text"), 2).alias("s")).collect()
+        assert len(rows) == 40
+        for r in rows:
+            assert r["s"] == X.simhash64(r["text"], 2), r["doc_id"]
+
     def test_degenerate_bucket_bounded(self, spark):
         # 10k identical docs — the worst-case boilerplate bucket.  With the
         # pre-aggregation cap the job completes with per-group state bounded
