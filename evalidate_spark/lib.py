@@ -360,3 +360,20 @@ def v_unicode_null() -> Native:
 def c_lowercase() -> str:
     """?C_LOWERCASE (`evalidate_lib.hrl:132`) — named converter."""
     return "lowercase"
+
+
+def validate_password(password: Any) -> bool:
+    """Standalone ``validate_password/1`` entry
+    (``/root/reference/src/evalidate.erl:36-37`` → ``src/evv.erl:197-223``):
+    returns ``True`` or raises with the exact thrown message
+    (suite ``:1652``, ``:1656``).
+
+    This is the reference's only scalar public entry — a driver-side check,
+    no job.  For column-scale password validation use the
+    :func:`v_password` validator inside a rule."""
+    from .engine import ValidationError
+
+    res = v_password().oracle(password)
+    if res is True:
+        return True
+    raise ValidationError(res[1])

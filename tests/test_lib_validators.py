@@ -130,3 +130,19 @@ def test_unknown_rule_is_spec_error(spark):
 def test_wrong_converter_is_spec_error(spark):
     with pytest.raises(SpecError):
         Rule(key="k", converter="bogus_converter")
+
+
+def test_validate_password_standalone():
+    # validate_password/1 (evalidate.erl:36-37): True or raises the exact
+    # thrown message (suite :1652, :1656)
+    from evalidate_spark import ValidationError
+
+    assert lib.validate_password("GoodPassw0rd!") is True
+    with pytest.raises(ValidationError, match="at least 9 characters"):
+        lib.validate_password("Short1!")
+    with pytest.raises(ValidationError, match="shorter than 256 characters"):
+        lib.validate_password("A1!" + "a" * 260)
+    with pytest.raises(ValidationError, match="one uppercase, one lowercase"):
+        lib.validate_password("nouppercase1!")
+    with pytest.raises(ValidationError):
+        lib.validate_password(12345)
