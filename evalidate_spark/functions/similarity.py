@@ -292,6 +292,74 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> List[List[float]]:
+    """Build the IVF index layout: assign every vector to its nearest
+    centroid cell and write the corpus PARTITIONED BY cell.  Returns the
+    fitted centroids (persist them next to the index).
+
+    This is the production-scale half of IVF: with a cell-partitioned
+    layout a probe reads only ``nprobe/n_centroids`` of the data via
+    parquet/Iceberg PARTITION PRUNING — the scan never touches non-probed
+    cells' files (asserted from the executed plan in tests)."""
+    centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_n, iters, seed)
+    assigned = ivf_assign(corpus, centroids, vec_col).select(
+        F.col("`%s`" % id_col).alias("vec_id"),
+        F.col("`%s`" % vec_col).alias("embedding"),
+        "cell",
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return centroids
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    centroids: List[List[float]],
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k over a cell-partitioned index written by :func:`ivf_write`.
+
+    The union of all probes' cells (a tiny driver-side set — probes are a
+    probe *set*) becomes a partition-pruning filter, so only the probed
+    cells' files are scanned; scoring then joins each probe to its own
+    cells only, exactly like :func:`ivf_topk`."""
+    probe_cells = ivf_probe_cells(probes, centroids, nprobe, vec_col, probe_id_col)
+    cells = sorted(
+        {int(c) for r in probe_cells.select("cells").collect() for c in r["cells"]}
+    )
+    assigned = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))  # → PartitionFilters on the scan
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "cell")
+    )
+    scored = assigned.join(
+        F.broadcast(probe_cells), F.array_contains(probe_cells["cells"], assigned["cell"])
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cv"), F.col("__pv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_probe_cells(
     probes: DataFrame,
     centroids: List[List[float]],

@@ -1,0 +1,120 @@
+"""Source/sink seam — Iceberg when available, parquet otherwise.
+
+The reference has no storage layer at all (caller passes in-memory terms,
+``/root/reference/src/evalidate.erl:19``); the north rule targets Iceberg
+tables.  This sandbox has no ``iceberg-spark-runtime`` jar, so the seam
+detects the runtime and degrades to parquet with identical call sites:
+swap the table ref from a path to ``catalog.db.table`` and the same
+pipeline runs against Iceberg (hidden partitioning, snapshot reads,
+dynamic overwrite all come from the format, not from us).
+
+Refs:
+
+* ``"iceberg:db.tbl"`` or any dotted name with the Iceberg extension
+  loaded → ``spark.read.format("iceberg").load`` / ``writeTo`` API
+* a filesystem path → parquet (``spark.read.parquet`` / ``write.parquet``)
+
+Snapshot pinning: ``read_table(..., snapshot_id=...)`` maps to Iceberg's
+``snapshot-id`` read option; the parquet fallback raises — checkpoint
+manifests (:mod:`evalidate_spark.checkpoint`) provide the resume story
+without snapshots.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath (the
+    DataSource can be instantiated)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _is_iceberg_ref(ref: str, spark: SparkSession) -> bool:
+    if ref.startswith(ICEBERG_PREFIX):
+        return True
+    # dotted catalog name with no path separator → table identifier
+    return "/" not in ref and "." in ref and iceberg_available(spark)
+
+
+def _strip(ref: str) -> str:
+    return ref[len(ICEBERG_PREFIX):] if ref.startswith(ICEBERG_PREFIX) else ref
+
+
+def read_table(
+    spark: SparkSession, ref: str, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """E5 — the engine's only scan.  Iceberg table identifier or parquet
+    path; ``snapshot_id`` pins an Iceberg snapshot (time-travel read)."""
+    if _is_iceberg_ref(ref, spark):
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.load(_strip(ref))
+    if snapshot_id is not None:
+        raise ValueError(
+            "snapshot reads need the Iceberg runtime; the parquet fallback "
+            "has no snapshots (resume via checkpoint manifests instead)"
+        )
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """E6 — violations/verdicts/metrics sink.  ``mode`` is ``append`` |
+    ``overwrite`` (dynamic partition overwrite on both formats)."""
+    spark = df.sparkSession
+    if _is_iceberg_ref(ref, spark):
+        name = _strip(ref)
+        w = df.writeTo(name)
+        if mode == "overwrite":
+            w.overwritePartitions()
+        else:
+            w.append()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(ref)
+
+
+@dataclass
+class ResultSink:
+    """Writes a ValidationResult's three outputs as tables under one root
+    (or three Iceberg tables when *root* is ``iceberg:db`` — the north
+    rule's violations/verdicts/metrics tables)."""
+
+    root: str
+
+    def _ref(self, name: str) -> str:
+        if self.root.startswith(ICEBERG_PREFIX) or "/" not in self.root:
+            return f"{self.root}.{name}"
+        return f"{self.root.rstrip('/')}/{name}"
+
+    def write(self, result, mode: str = "append") -> dict:
+        """result: :class:`evalidate_spark.engine.ValidationResult`."""
+        refs = {
+            "violations": self._ref("violations"),
+            "verdicts": self._ref("verdicts"),
+            "metrics": self._ref("metrics"),
+        }
+        write_table(result.violations, refs["violations"], mode)
+        write_table(result.verdicts, refs["verdicts"], mode)
+        write_table(result.metrics(), refs["metrics"], mode)
+        return refs

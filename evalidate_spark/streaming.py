@@ -77,6 +77,72 @@ def windowed_verdicts(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: first occurrence of each
+    content fingerprint within the watermark horizon passes, later copies
+    drop.  ``dropDuplicatesWithinWatermark`` expires fingerprint state once
+    it falls behind the watermark, so state size is O(distinct fingerprints
+    per horizon), not O(stream lifetime) — the streaming twin of
+    :func:`evalidate_spark.functions.dedup.distinct_by_fingerprint`."""
+    from .functions.text import fingerprint
+
+    return (
+        stream_df.withColumn("__fp", fingerprint(F.col("`%s`" % text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
+def running_verdicts(
+    stream_df: DataFrame,
+    rules: Any,
+    key_col: str,
+    **opts: Any,
+) -> DataFrame:
+    """Per-key RUNNING pass/fail totals via ``applyInPandasWithState`` —
+    the custom-stateful-operator path for semantics the built-in aggregates
+    can't express incrementally per group (here: cumulative counts emitted
+    every micro-batch, usable as a live data-quality scoreboard).
+
+    State per key is two longs (rows, failed) — O(#keys), no growth with
+    stream length.  Arrow-batched: the per-batch rows arrive as pandas
+    frames, never row-at-a-time Python."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ann = annotate_stream(stream_df, rules, **opts)
+    flagged = ann.select(
+        F.col("`%s`" % key_col).alias("k"),
+        (F.size(F.col(VIOLATIONS_COL)) > 0).cast("long").alias("bad"),
+    )
+
+    def update(key, pdfs, state):
+        rows, failed = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            failed += int(pdf["bad"].sum())
+        state.update((rows, failed))
+        yield pd.DataFrame(
+            {"k": [key[0]], "rows": [rows], "failed": [failed],
+             "verdict": ["pass" if failed == 0 else "fail"]}
+        )
+
+    return flagged.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType="k string, rows bigint, failed bigint, verdict string",
+        stateStructType="rows bigint, failed bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_foreach_batch(
     stream_df: DataFrame,
     rules: Any,

@@ -1,0 +1,97 @@
+"""Source/sink seam (Iceberg detection + parquet fallback), ResultSink,
+and the IVF cell-partitioned index with partition-pruned probing."""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark import Rule, Size, validate
+from evalidate_spark import sources
+from evalidate_spark.functions import similarity
+
+
+class TestSources:
+    def test_iceberg_absent_in_sandbox(self, spark):
+        # no iceberg-spark-runtime jar here — the seam must detect that
+        assert sources.iceberg_available(spark) is False
+
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = spark.range(10).select(F.col("id").alias("x"))
+        sources.write_table(df, p, mode="overwrite")
+        assert sources.read_table(spark, p).count() == 10
+
+    def test_snapshot_requires_iceberg(self, spark, tmp_path):
+        p = str(tmp_path / "t2")
+        spark.range(3).write.parquet(p)
+        with pytest.raises(ValueError, match="Iceberg runtime"):
+            sources.read_table(spark, p, snapshot_id=123)
+
+    def test_result_sink_layout(self, spark, tmp_path):
+        root = str(tmp_path / "out")
+        df = spark.createDataFrame(
+            [("d1", "okay text"), ("d2", "x")], "doc_id string, text string"
+        )
+        res = validate(df, [Rule(key="doc_id"), Rule(key="text", validators=[Size(5, 100)])],
+                       id_cols=["doc_id"])
+        refs = sources.ResultSink(root).write(res, mode="overwrite")
+        assert spark.read.parquet(refs["violations"]).count() == 1
+        verd = spark.read.parquet(refs["verdicts"])
+        assert verd.agg(F.sum("rows")).collect()[0][0] == 2
+        met = spark.read.parquet(refs["metrics"]).collect()
+        assert met and met[0]["violations"] == 1
+
+
+class TestIvfPartitioned:
+    def test_pruned_probe_matches_unpartitioned(self, spark, tmp_path):
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((80, 8))
+        corpus = spark.createDataFrame(
+            [(int(i), [float(v) for v in vecs[i]]) for i in range(80)],
+            "vec_id long, embedding array<double>",
+        )
+        probes = spark.createDataFrame(
+            [(int(i), [float(v) for v in vecs[i] + 0.01]) for i in range(3)],
+            "query_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivf")
+        cents = similarity.ivf_write(corpus, path, n_centroids=4, sample_n=80, seed=5)
+        got = similarity.ivf_topk_partitioned(
+            spark, path, cents, probes, k=5, nprobe=2
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), plan  # scan prunes non-probed cells
+
+        # same centroids + same nprobe through the unpartitioned path
+        assigned = similarity.ivf_assign(corpus, cents).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+            "cell",
+        )
+        pc = similarity.ivf_probe_cells(probes, cents, 2)
+        want = (
+            assigned.join(F.broadcast(pc), F.array_contains(pc["cells"], assigned["cell"]))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(similarity.cosine(F.col("__cv"), F.col("__pv")), 6).alias("cosine"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        want = (
+            want.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(got) == key(want)
+        # each probe finds itself first (it's in the corpus, shifted ~0)
+        firsts = {r["query_id"]: r["neighbor_id"] for r in got.collect() if r["rank"] == 1}
+        assert firsts == {0: 0, 1: 1, 2: 2}

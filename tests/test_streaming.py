@@ -78,6 +78,48 @@ class TestStreaming:
         assert all(r["verdict"] == ("pass" if r["failed"] == 0 else "fail") for r in rows)
         assert any(r["failed"] > 0 for r in rows)
 
+    def test_dedup_stream_bounded_state(self, spark, tmp_path):
+        path = str(tmp_path / "dups_in")
+        (
+            spark.range(60)
+            .selectExpr(
+                "concat('d', id) doc_id",
+                # 3 copies of each of 20 distinct texts
+                "concat('text body number ', cast(id % 20 as string)) text",
+                "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) ts",
+            )
+            .repartition(2)
+            .write.parquet(path)
+        )
+        dd = streaming.dedup_stream(_stream(spark, path), "ts", watermark="1 hour")
+        _run_to_memory(dd, "dd_out")
+        rows = spark.table("dd_out").collect()
+        assert len(rows) == 20
+        assert len({r["text"] for r in rows}) == 20
+
+    def test_running_verdicts_stateful(self, spark, docs_dir):
+        rv = streaming.running_verdicts(_stream(spark, docs_dir), RULES, key_col="lang")
+        _run_to_memory(rv, "rv_out", mode="update")
+        # last update per key = cumulative totals
+        rows = spark.table("rv_out").collect()
+        latest = {}
+        for r in rows:
+            latest[r["k"]] = (r["rows"], r["failed"], r["verdict"])
+        batch = validate(spark.read.parquet(docs_dir), RULES, id_cols=["doc_id"])
+        want = {
+            r["lang"]: (r["n"], r["bad"])
+            for r in batch.annotated.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.size("violations") > 0).cast("long")).alias("bad"),
+            )
+            .collect()
+        }
+        assert {k: v[:2] for k, v in latest.items()} == want
+        assert all(
+            v[2] == ("pass" if v[1] == 0 else "fail") for v in latest.values()
+        )
+
     def test_foreach_batch_bridge(self, spark, docs_dir, tmp_path):
         out = str(tmp_path / "out")
         ckpt = str(tmp_path / "ckpt")
