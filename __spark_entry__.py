@@ -444,7 +444,10 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over the deterministic
-    synthetic media table (decode step stubbed; plumbing real)."""
+    synthetic media table.  Decode is REAL for BMP images and PCM WAV audio
+    (zero-dependency codecs); only compressed video stays stubbed (flagged
+    ``decoded = false``).  No SQL oracle (payload generation isn't
+    SQL-expressible); features are recomputed independently in pytest."""
     return multimodal.extract_features(multimodal.synth_media(spark, 200))
 
 

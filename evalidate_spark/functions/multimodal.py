@@ -3,10 +3,15 @@
 ``mapInPandas`` UDFs.
 
 The Spark side is real and tested: schemas, batch iteration, partition
-sizing, UDF signatures.  The codec step itself is a **deterministic stub**
-(``decode_stub``) because no image/audio libraries exist in this sandbox —
-swap ``_decode_payload`` for PIL/torchaudio/ffmpeg in production; nothing
-else changes.
+sizing, UDF signatures.  The decode step is REAL for uncompressed
+containers — 24-bit BMP images and 16-bit PCM WAV audio decode with the
+zero-dependency codecs in :mod:`evalidate_spark.functions.codecs` — and a
+**clearly-marked stub** for compressed codecs (JPEG/PNG/MP4/…), which need
+external libraries this sandbox doesn't have: ``strict=True`` raises
+``NotImplementedError`` for them, the default derives deterministic fake
+dimensions (flagged ``decoded = false`` in the feature rows) so pipelines
+stay testable end-to-end.  Swap :func:`decode_media`'s fallback for
+PIL/soundfile/pyav in production; nothing else changes.
 
 Scale notes: payload bytes never pass through the driver, never join, and
 never shuffle — feature extraction is a map-only stage.  Keep
@@ -17,10 +22,12 @@ partition of payloads fits executor memory; Arrow batch size is capped via
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -40,28 +47,65 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),  # real decode vs stub dims
     ]
 )
 
 
-def _decode_payload(kind: str, payload: bytes) -> dict:
-    """STUB — deterministic fake decode.  In production this is the only
-    function to replace (PIL for images, soundfile/torchaudio for audio,
-    pyav/ffmpeg frame sampling for video).  The fake derives stable
-    pseudo-dimensions from the payload hash so tests are reproducible."""
+def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
+    """Decode one payload to typed features.
+
+    Real paths (no external libraries): BMP → width/height; WAV →
+    duration/sample-rate/RMS.  Anything else is a compressed codec this
+    sandbox cannot decode: ``strict=True`` raises ``NotImplementedError``;
+    otherwise deterministic pseudo-dimensions are derived from the payload
+    hash and the row is flagged ``decoded: False``."""
     import hashlib
+    import math
 
-    h = hashlib.sha256(payload or b"").digest()
+    out = {
+        "width": None, "height": None, "duration_ms": None,
+        "sample_rate": None, "rms": None, "decoded": True,
+    }
+    payload = payload or b""
+    if payload[:2] == b"BM":
+        px = codecs.decode_bmp(payload)
+        out.update(width=int(px.shape[1]), height=int(px.shape[0]))
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = codecs.decode_wav(payload)
+        rms = float(math.sqrt((samples.astype("float64") ** 2).mean())) if len(samples) else 0.0
+        out.update(
+            duration_ms=int(len(samples) * 1000 / rate),
+            sample_rate=int(rate),
+            rms=round(rms, 6),
+        )
+        return out
+    if strict:
+        raise NotImplementedError(
+            f"cannot decode compressed/unknown {kind!r} payload without external "
+            "codec libraries (PIL/soundfile/pyav) — not available in this sandbox"
+        )
+    # STUB fallback: stable pseudo-dimensions from the payload hash
+    h = hashlib.sha256(payload).digest()
+    out["decoded"] = False
     if kind == "image":
-        return {"width": 64 + h[0], "height": 64 + h[1], "duration_ms": None}
-    if kind == "audio":
-        return {"width": None, "height": None, "duration_ms": 1000 + int.from_bytes(h[2:4], "big")}
-    if kind == "video":
-        return {"width": 64 + h[0], "height": 64 + h[1], "duration_ms": 1000 + int.from_bytes(h[2:4], "big")}
-    raise NotImplementedError(f"unknown media kind {kind!r}")
+        out.update(width=64 + h[0], height=64 + h[1])
+    elif kind == "audio":
+        out.update(duration_ms=1000 + int.from_bytes(h[2:4], "big"))
+    elif kind == "video":
+        out.update(
+            width=64 + h[0], height=64 + h[1],
+            duration_ms=1000 + int.from_bytes(h[2:4], "big"),
+        )
+    else:
+        raise NotImplementedError(f"unknown media kind {kind!r}")
+    return out
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over a media table
     (:data:`MEDIA_SCHEMA`-shaped) → :data:`FEATURE_SCHEMA` rows.
 
@@ -74,7 +118,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             decoded = [
-                _decode_payload(k, p if p is not None else b"")
+                decode_media(k, p if p is not None else b"", strict=strict)
                 for k, p in zip(pdf["media_kind"], pdf["payload"])
             ]
             yield pd.DataFrame(
@@ -88,17 +132,54 @@ def extract_features(media: DataFrame) -> DataFrame:
                     ],
                     "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
                     "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
-                    "duration_ms": pd.array([d["duration_ms"] for d in decoded], dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [d["duration_ms"] for d in decoded], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [d["sample_rate"] for d in decoded], dtype="Int32"
+                    ),
+                    "rms": pd.array([d["rms"] for d in decoded], dtype="Float64"),
+                    "decoded": [d["decoded"] for d in decoded],
                 }
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for BMP payloads: decode → nearest-neighbour
+    resample → re-encode, inside the Arrow batch loop (binary in, binary
+    out, no driver involvement).  Non-BMP payloads pass through unchanged
+    with ``meta['resize'] = 'skipped:<reason>'`` — at production scale the
+    same loop calls a real codec for JPEG/PNG."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads, metas = [], []
+            for kind, p, m in zip(pdf["media_kind"], pdf["payload"], pdf["meta"]):
+                meta = dict(m) if isinstance(m, dict) else {}
+                if kind == "image" and p is not None and bytes(p[:2]) == b"BM":
+                    px = codecs.decode_bmp(bytes(p))
+                    out = codecs.encode_bmp(codecs.resize_nearest(px, width, height))
+                    payloads.append(out)
+                    meta["resize"] = f"{width}x{height}"
+                else:
+                    payloads.append(p)
+                    meta["resize"] = "skipped:not-bmp" if kind == "image" else "skipped:not-image"
+                metas.append(meta)
+            out_pdf = pdf.copy()
+            out_pdf["payload"] = payloads
+            out_pdf["meta"] = metas
+            yield out_pdf
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """STUB resize: passes payloads through ``mapInPandas`` with the target
-    dims recorded in ``meta`` (real impl: decode→resize→re-encode in the
-    same batch loop).  Proves the binary-in/binary-out batch path."""
+    dims recorded in ``meta`` (use :func:`resize_images` for the real BMP
+    path).  Proves the binary-in/binary-out batch path."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -116,7 +197,8 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """STUB video frame sampling: emits one row per sampled frame with a
-    deterministic frame payload (real impl: pyav keyframe iteration).
+    deterministic frame payload (real impl: pyav keyframe iteration — video
+    containers are all compressed, no library-free path exists).
     Demonstrates the 1→N ``mapInPandas`` row-expansion shape."""
     import hashlib
 
@@ -137,7 +219,7 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for ref, kind, payload in zip(pdf["media_ref"], pdf["media_kind"], pdf["payload"]):
                 if kind != "video":
                     continue
-                dur = _decode_payload(kind, payload if payload is not None else b"")["duration_ms"]
+                dur = decode_media(kind, payload if payload is not None else b"")["duration_ms"]
                 for ix, ts in enumerate(range(0, dur, every_ms)):
                     refs.append(ref)
                     ixs.append(ix)
@@ -150,21 +232,46 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
-def synth_media(spark, n: int = 100, partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic media table (payload = repeated xxhash bytes)
-    for tests/benchmarks — no external data."""
-    i = F.col("id")
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(i), F.lit(3)) + 1).cast("int"),
-    )
-    payload = F.encode(
-        F.concat_ws("-", *[F.conv(F.xxhash64(i, F.lit(j)).cast("string"), 10, 16) for j in range(4)]),
-        "utf-8",
-    )
-    return spark.range(0, n, numPartitions=partitions).select(
-        F.concat(F.lit("m-"), i.cast("string")).alias("media_ref"),
-        kind.alias("media_kind"),
-        payload.alias("payload"),
-        F.create_map(F.lit("src"), F.lit("synth")).alias("meta"),
+def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic synthetic media table with REAL payloads where a
+    library-free container exists: images are true 24-bit BMPs
+    (8–23 px noise squares), audio is true mono 16-bit PCM WAV (sine tones
+    1.0–3.0 s at 4 kHz), video stays an opaque pseudo-payload (every video
+    container is compressed).  Generated distributed (``mapInPandas`` over
+    ``spark.range`` — no driver-side loop), seeded per id."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            refs, kinds, payloads, metas = [], [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(42 + i)
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    w, h = 8 + i % 16, 8 + (i // 3) % 16
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    payload = codecs.encode_bmp(px)
+                elif kind == "audio":
+                    rate = 4000
+                    dur_s = 1.0 + (i % 5) * 0.5
+                    t = np.arange(int(rate * dur_s))
+                    freq = 100 + (i % 20) * 25
+                    samples = (
+                        np.sin(2 * np.pi * freq * t / rate) * 8000
+                    ).astype(np.int16)
+                    payload = codecs.encode_wav(samples, rate)
+                else:
+                    payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+                refs.append(f"m-{i}")
+                kinds.append(kind)
+                payloads.append(payload)
+                metas.append({"src": "synth"})
+            yield pd.DataFrame(
+                {"media_ref": refs, "media_kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
     )

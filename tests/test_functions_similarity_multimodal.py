@@ -72,7 +72,77 @@ class TestSimilarity:
         assert all(3 not in p for p in pairs)
 
 
+class TestCodecs:
+    def test_bmp_roundtrip(self):
+        from evalidate_spark.functions import codecs
+
+        rng = np.random.default_rng(1)
+        for h, w in [(1, 1), (5, 3), (16, 17), (7, 32)]:  # incl. padded widths
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = codecs.decode_bmp(codecs.encode_bmp(px))
+            assert out.shape == (h, w, 3) and (out == px).all()
+
+    def test_wav_roundtrip(self):
+        from evalidate_spark.functions import codecs
+
+        t = np.arange(8000)
+        samples = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+        got, rate = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+        assert rate == 8000 and (got == samples).all()
+
+    def test_resize_nearest(self):
+        from evalidate_spark.functions import codecs
+
+        px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        small = codecs.resize_nearest(px, 3, 2)
+        assert small.shape == (2, 3, 3)
+        assert (small[0, 0] == px[0, 0]).all()
+
+    def test_decode_media_real_vs_strict(self):
+        from evalidate_spark.functions import codecs, multimodal
+
+        bmp = codecs.encode_bmp(np.zeros((4, 5, 3), dtype=np.uint8))
+        d = multimodal.decode_media("image", bmp, strict=True)
+        assert (d["width"], d["height"], d["decoded"]) == (5, 4, True)
+        wav = codecs.encode_wav(np.zeros(6000, dtype=np.int16), 4000)
+        d = multimodal.decode_media("audio", wav, strict=True)
+        assert d["duration_ms"] == 1500 and d["sample_rate"] == 4000
+        assert d["rms"] == 0.0
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal.decode_media("video", b"\x00opaque", strict=True)
+        # non-strict stub fallback is flagged
+        d = multimodal.decode_media("video", b"\x00opaque")
+        assert d["decoded"] is False and d["duration_ms"] >= 1000
+
+
 class TestMultimodal:
+    def test_real_decode_on_synth(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        feats = multimodal.extract_features(media).collect()
+        by_kind = {}
+        for r in feats:
+            by_kind.setdefault(r["media_kind"], []).append(r)
+        # images and audio decode for REAL; only video uses stub dims
+        assert all(r["decoded"] for r in by_kind["image"])
+        assert all(r["decoded"] for r in by_kind["audio"])
+        assert all(not r["decoded"] for r in by_kind["video"])
+        assert all(8 <= r["width"] <= 23 for r in by_kind["image"])
+        assert all(r["sample_rate"] == 4000 and r["rms"] > 0 for r in by_kind["audio"])
+        assert all(1000 <= r["duration_ms"] <= 3000 for r in by_kind["audio"])
+
+    def test_resize_images_real(self, spark):
+        from evalidate_spark.functions import codecs
+
+        media = multimodal.synth_media(spark, n=12)
+        out = multimodal.resize_images(media, 10, 7).collect()
+        for r in out:
+            if r["media_kind"] == "image":
+                px = codecs.decode_bmp(bytes(r["payload"]))
+                assert px.shape == (7, 10, 3)
+                assert r["meta"]["resize"] == "10x7"
+            else:
+                assert r["meta"]["resize"].startswith("skipped")
+
     def test_extract_features(self, spark):
         media = multimodal.synth_media(spark, n=30)
         feats = multimodal.extract_features(media).collect()
