@@ -412,6 +412,21 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, cand, shingle_k=3)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over duplicate pairs (iterative min-label
+    propagation) → (id, cluster_id).  Deterministic chain pairs
+    (i — i+1 for i % 10 < 3) give 4-node components; the DuckDB oracle
+    resolves the same components with a recursive CTE."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 10 < 3)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for 5 probe vectors (ranked on the
     6-dp-rounded similarity + id tiebreak → cross-engine stable)."""
@@ -482,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "password": q_password,
         "custom_validator": q_custom_validator,
         "exact_dup_groups": q_exact_dup_groups,
+        "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "drift_events": q_drift_events,
@@ -718,6 +734,21 @@ FROM documents WHERE length(text) < 50
     "exact_dup_groups": """
 SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs
 FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    "dup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
 """,
     "jaccard_pairs": f"""
 WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)

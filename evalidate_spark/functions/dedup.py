@@ -337,6 +337,69 @@ def simhash_candidates(
     )
 
 
+# ---------------------------------------------------- cluster resolution
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate pairs → ``(id, cluster_id)``
+    with ``cluster_id`` = the component's minimum id (deterministic
+    canonical representative).
+
+    The last stage of the dedup pipeline: LSH gives candidate *pairs*;
+    keeping one doc per transitive duplicate *group* needs the components.
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbours (one join + one
+    groupBy per round), converging in O(component diameter) rounds; near-
+    dup components are shallow (template families), so a handful of rounds
+    suffices and ``max_iter`` bounds adversarial chains.  Each round
+    ``localCheckpoint``s the label table: without it the loop's lineage
+    doubles per iteration and the final plan is exponential.  All joins are
+    id↔id hash joins; nothing is ever collected to the driver."""
+    e = pairs.select(
+        F.col("`%s`" % id_a).alias("src"), F.col("`%s`" % id_b).alias("dst")
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["dst"] == labels["id"]).select(
+            sym["src"].alias("id"), F.col("label")
+        )
+        new = (
+            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def apply_dedup_clusters(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical doc per duplicate cluster: rows whose id is a
+    cluster's min id survive, other cluster members drop, docs in no
+    cluster pass through.  One LEFT ANTI join against the non-canonical
+    member list (small: only docs inside duplicate groups)."""
+    non_canonical = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__drop")
+    )
+    ids = F.col("`%s`" % id_col)
+    return df.join(non_canonical, on=ids == non_canonical["__drop"], how="left_anti")
+
+
 # ------------------------------------------------------------- embeddings
 def embedding_near_dups(
     df: DataFrame,

@@ -211,6 +211,42 @@ class TestDedup:
         ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
         assert ids == set(range(10))
 
+    def test_duplicate_clusters_union_find_oracle(self, spark):
+        import random
+
+        rng = random.Random(7)
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+
+        # independent union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for x in {v for e in edges for v in e}:
+            comp.setdefault(find(x), []).append(x)
+        want = {x: min(members) for members in comp.values() for x in members}
+        assert got == want
+
+    def test_apply_dedup_clusters_keeps_canonical(self, spark):
+        df = docs_df(spark, DOCS)
+        pairs = spark.createDataFrame(
+            [("d1", "d4"), ("d4", "d2")], "id_a string, id_b string"
+        )
+        clusters = dedup.duplicate_clusters(pairs)
+        kept = {r["doc_id"] for r in dedup.apply_dedup_clusters(df, clusters).collect()}
+        # d1 < d2 < d4 all one cluster → d1 canonical; d3/d5 untouched
+        assert kept == {"d1", "d3", "d5"}
+
     def test_truncated_false_for_small_buckets(self, spark):
         df = docs_df(spark, DOCS)
         cand = dedup.minhash_candidates(df, num_hashes=32, bands=16).collect()
