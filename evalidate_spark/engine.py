@@ -182,6 +182,7 @@ def validate_zipped(
     mode: str = "soft",
     parent_key: bool = True,
     id_cols: Optional[Sequence[str]] = None,
+    gate_fast: bool = True,
 ) -> ValidationResult:
     """Zipped rule-sets mode (reference ``struct/3`` zipwith branch,
     ``/root/reference/src/evalidate.erl:44-46``; suite ``:1145-1180``):
@@ -206,6 +207,25 @@ def validate_zipped(
     opts = Options(mode=mode, parent_key=parent_key)
     compiled = [compile_spec(rs, df.schema, opts) for rs in rulesets]
     rid = F.col("`%s`" % ruleset_id_col)
+    # per-ruleset fast gating (same trick as validate()): passing rows —
+    # the vast majority — evaluate only the boolean predicate of their own
+    # rule-set and skip message/struct construction
+    viol_cols = [c.violations for c in compiled]
+    if gate_fast:
+        from .fastpath import _has_custom, compile_fail_predicate
+        from .spec import normalize_rules as _norm
+
+        empty_g = F.expr("array()").cast(
+            "array<struct<rule_seq:int,rule_id:string,key_path:string,"
+            "span_index:int,message:string,value_repr:string>>"
+        )
+        for i, rs in enumerate(rulesets):
+            if any(_has_custom(n) for n in _norm(rs)):
+                continue
+            fail = compile_fail_predicate(rs, df.schema, opts)
+            viol_cols[i] = F.when(
+                F.coalesce(fail, F.lit(False)), viol_cols[i]
+            ).otherwise(empty_g)
     bad_id = _entry_array(
         F.when(
             rid.isNull() | (rid < 0) | (rid >= len(rulesets)),
@@ -220,14 +240,9 @@ def validate_zipped(
             ),
         )
     )
-    viols: Optional[F.Column] = None  # type: ignore[name-defined]
     chain = None
-    for i, c in enumerate(compiled):
-        chain = (
-            F.when(rid == i, c.violations)
-            if chain is None
-            else chain.when(rid == i, c.violations)
-        )
+    for i, vc in enumerate(viol_cols):
+        chain = F.when(rid == i, vc) if chain is None else chain.when(rid == i, vc)
     viols = chain.otherwise(bad_id) if chain is not None else bad_id
 
     # union of outputs, each guarded by its rule-set winning the dispatch
