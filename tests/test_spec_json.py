@@ -104,3 +104,35 @@ class TestSubmitJob:
         assert second["total_units_done"] == 2
         assert second["rows"] == 100
         assert (tmp_path / "out" / "rules.json").exists()
+
+
+def test_map_childs_roundtrip(spark):
+    from evalidate_spark.spec_json import rules_from_json, rules_to_json
+
+    rules = [
+        Rule(
+            key="attrs",
+            childs=[
+                Rule(key="k1"),
+                Rule(key="k2", presence=Default("d"), converter="lowercase"),
+            ],
+        )
+    ]
+    back = rules_from_json(rules_to_json(rules))
+    # canonical-JSON equality (dataclass empty defaults are tuples, the
+    # deserializer produces lists — same spec)
+    assert rules_to_json(back) == rules_to_json(rules)
+    # and the round-tripped spec compiles against a map column
+    df = spark.createDataFrame([({"k1": "A"},)], "attrs map<string,string>")
+    from evalidate_spark import validate
+
+    assert validate(df, back, id_cols=["attrs"]).violations.count() == 0
+
+
+def test_zip_rulesets_serialize_per_set():
+    from evalidate_spark.spec_json import rules_from_json, rules_to_json
+
+    rs0 = [Rule(key="a")]
+    rs1 = [Rule(key="b", validators=[Type("binary")])]
+    blobs = [rules_to_json(rs) for rs in (rs0, rs1)]
+    assert [rules_to_json(rules_from_json(b)) for b in blobs] == blobs
