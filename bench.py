@@ -139,6 +139,18 @@ def main() -> None:
     timed("verdict_scan_2m", q_verdict_scan_2m)
     timed("span_structure_full", lambda: _force(q_span_structure_full(spark, docs)))
 
+    # production profile path: HLL approx-distinct (the driver-gate query
+    # keeps exact mode because its DuckDB oracle needs exact counts)
+    def q_profile_hll():
+        from evalidate_spark.operators.table_checks import profile
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return _force(
+            profile(li, columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+        )
+
+    timed("profile_lineitem_hll", q_profile_hll)
+
     qs = entry.queries()
     for name in (
         "validate_documents",

@@ -270,6 +270,10 @@ def _type_matches(cond: Any, col: Column, dt: T.DataType, scope: Scope) -> Optio
             # atoms do not exist in the Spark data model except booleans
             return None if isinstance(dt, T.BooleanType) else F.lit(False)
         if cond == "uniq_list":
+            if isinstance(dt, T.MapType):
+                # proplist uniq_list = unique KEYS (/root/reference/src/evv.erl:140-147);
+                # a Spark map's keys are unique by construction
+                return None
             if not isinstance(dt, T.ArrayType):
                 return F.lit(False)
             elem = dt.elementType

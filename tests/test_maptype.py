@@ -137,3 +137,11 @@ class TestMapChilds:
         assert res.violations.count() == 0
         clean = {r["doc_id"]: r["attrs"] for r in res.clean.collect()}
         assert clean["a"]["x"] == "1"
+
+
+def test_uniq_list_statically_true_on_maps(spark):
+    from evalidate_spark import Type as TypeV
+
+    df = spark.createDataFrame([({"a": "1", "b": "2"},)], "attrs map<string,string>")
+    rules = [Rule(key="attrs", validators=[TypeV("uniq_list")])]
+    assert validate(df, rules, id_cols=["attrs"]).violations.count() == 0
