@@ -247,6 +247,37 @@ def q_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second full rule-set gate over a different table shape (part):
+    integer type, anchored regexp, allowed set, int + double size bounds —
+    one fused projection, depth-first rule_seq."""
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        Rule(key="p_partkey", validators=[Type("integer")]),
+        Rule(key="p_brand", validators=[Regexp("^Brand#[0-9]+$")]),
+        Rule(key="p_type", validators=[Allowed(["ECONOMY", "STANDARD", "MEDIUM", "SMALL"])]),
+        Rule(key="p_size", validators=[Size(5, 45)]),
+        Rule(key="p_retailprice", validators=[Size(900, 990)]),
+    ]
+    res = validate(part, rules, id_cols=["p_partkey"])
+    return res.violations.select("p_partkey", "rule_seq", "rule_id", "message")
+
+
+def q_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensional rollup through an explicit broadcast join (nation ⋈
+    region, 25×5 rows — the join-strategy face of the referential family)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
 def q_zipped_rulesets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 zipped rule-sets dispatch (evalidate.erl:44-46): rule-set 0
     validates even docs (allowed-lang), rule-set 1 odd docs (text size) —
@@ -489,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "lang_marker_counts": q_lang_marker_counts,
+        "validate_part": q_validate_part,
+        "nation_region_rollup": q_nation_region_rollup,
         "zipped_rulesets": q_zipped_rulesets,
         "bare_values": q_bare_values,
         "rule_and_on_error": q_rule_and_on_error,
@@ -689,6 +722,26 @@ SELECT doc_id,
   len(list_filter(string_split(text,' '), t -> lower(t) IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de_hits,
   len(list_filter(string_split(text,' '), t -> lower(t) IN ('le','la','les','de','et','un','est','que'))) AS fr_hits
 FROM documents
+""",
+    "validate_part": """
+SELECT p_partkey, 3 AS rule_seq, 'rule:p_type' AS rule_id,
+  'Value ''\\<\\<"' || p_type || '"\\>\\>'' is not valid. Value is not in allowed list [<<"ECONOMY">>,<<"STANDARD">>,<<"MEDIUM">>,<<"SMALL">>]' AS message
+FROM part WHERE p_type NOT IN ('ECONOMY','STANDARD','MEDIUM','SMALL')
+UNION ALL
+SELECT p_partkey, 4, 'rule:p_size',
+  CASE WHEN p_size < 5
+       THEN 'Value is not valid. Value''s limit is less than minimum allowed: 5'
+       ELSE 'Value is not valid. Value''s limit is more than maximum allowed: 45' END
+FROM part WHERE p_size < 5 OR p_size > 45
+UNION ALL
+SELECT p_partkey, 5, 'rule:p_retailprice',
+  'Value is not valid. Value''s limit is more than maximum allowed: 990'
+FROM part WHERE p_retailprice > 990
+""",
+    "nation_region_rollup": """
+SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """,
     "zipped_rulesets": """
 SELECT doc_id, 'rule:lang' AS rule_id,
