@@ -160,14 +160,14 @@ def validate(
         from .fastpath import _has_custom, compile_fail_predicate
         from .spec import normalize_rules
 
+        from .compiler import _empty_viols
+
         nodes = normalize_rules(rules)
         if not any(_has_custom(n) for n in nodes):
             fail = compile_fail_predicate(rules, df.schema, opts)
-            empty = F.expr("array()").cast(
-                "array<struct<rule_seq:int,rule_id:string,key_path:string,"
-                "span_index:int,message:string,value_repr:string>>"
+            viols = F.when(F.coalesce(fail, F.lit(False)), viols).otherwise(
+                _empty_viols()
             )
-            viols = F.when(F.coalesce(fail, F.lit(False)), viols).otherwise(empty)
     annotated = df.withColumn(VIOLATIONS_COL, viols).withColumn(
         FIRST_ERROR_COL, F.try_element_at(F.col(VIOLATIONS_COL), F.lit(1))
     )
@@ -215,17 +215,13 @@ def validate_zipped(
         from .fastpath import _has_custom, compile_fail_predicate
         from .spec import normalize_rules as _norm
 
-        empty_g = F.expr("array()").cast(
-            "array<struct<rule_seq:int,rule_id:string,key_path:string,"
-            "span_index:int,message:string,value_repr:string>>"
-        )
         for i, rs in enumerate(rulesets):
             if any(_has_custom(n) for n in _norm(rs)):
                 continue
             fail = compile_fail_predicate(rs, df.schema, opts)
             viol_cols[i] = F.when(
                 F.coalesce(fail, F.lit(False)), viol_cols[i]
-            ).otherwise(empty_g)
+            ).otherwise(_empty_viols())
     bad_id = _entry_array(
         F.when(
             rid.isNull() | (rid < 0) | (rid >= len(rulesets)),

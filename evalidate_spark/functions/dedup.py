@@ -343,6 +343,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over duplicate pairs → ``(id, cluster_id)``
     with ``cluster_id`` = the component's minimum id (deterministic
@@ -357,7 +358,12 @@ def duplicate_clusters(
     suffices and ``max_iter`` bounds adversarial chains.  Each round
     ``localCheckpoint``s the label table: without it the loop's lineage
     doubles per iteration and the final plan is exponential.  All joins are
-    id↔id hash joins; nothing is ever collected to the driver."""
+    id↔id hash joins; nothing is ever collected to the driver.
+
+    If labels have not converged after *max_iter* rounds (a component of
+    diameter > max_iter) the result would silently SPLIT real components —
+    ``on_nonconverged='raise'`` (default) raises instead; pass
+    ``'ignore'`` to accept the partial merge."""
     e = pairs.select(
         F.col("`%s`" % id_a).alias("src"), F.col("`%s`" % id_b).alias("dst")
     )
@@ -366,6 +372,7 @@ def duplicate_clusters(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["dst"] == labels["id"]).select(
             sym["src"].alias("id"), F.col("label")
@@ -382,7 +389,14 @@ def duplicate_clusters(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged and on_nonconverged != "ignore":
+        raise RuntimeError(
+            "duplicate_clusters did not converge within max_iter=%d rounds "
+            "(a component has diameter > max_iter); raise max_iter or pass "
+            "on_nonconverged='ignore' to accept split components" % max_iter
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -70,19 +70,34 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
         "sample_rate": None, "rms": None, "decoded": True,
     }
     payload = payload or b""
-    if payload[:2] == b"BM":
-        px = codecs.decode_bmp(payload)
-        out.update(width=int(px.shape[1]), height=int(px.shape[0]))
-        return out
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        samples, rate = codecs.decode_wav(payload)
-        rms = float(math.sqrt((samples.astype("float64") ** 2).mean())) if len(samples) else 0.0
-        out.update(
-            duration_ms=int(len(samples) * 1000 / rate),
-            sample_rate=int(rate),
-            rms=round(rms, 6),
-        )
-        return out
+    # dispatch on DECLARED kind + container magic: a payload whose bytes
+    # don't match its kind (mislabeled/corrupt upstream) must not decode as
+    # another modality — it falls through to strict-raise / flagged stub.
+    # Unsupported container VARIANTS (32bpp BMP, stereo WAV, truncated
+    # files) likewise fall through instead of crashing the whole stage.
+    if kind == "image" and payload[:2] == b"BM":
+        try:
+            px = codecs.decode_bmp(payload)
+            out.update(width=int(px.shape[1]), height=int(px.shape[0]))
+            return out
+        except Exception:
+            pass
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            samples, rate = codecs.decode_wav(payload)
+            rms = (
+                float(math.sqrt((samples.astype("float64") ** 2).mean()))
+                if len(samples)
+                else 0.0
+            )
+            out.update(
+                duration_ms=int(len(samples) * 1000 / rate),
+                sample_rate=int(rate),
+                rms=round(rms, 6),
+            )
+            return out
+        except Exception:
+            pass
     if strict:
         raise NotImplementedError(
             f"cannot decode compressed/unknown {kind!r} payload without external "

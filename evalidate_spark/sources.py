@@ -22,12 +22,18 @@ without snapshots.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_PREFIX = "iceberg:"
+
+# catalog identifier: dotted bare words, no path separators, and the last
+# segment is not a data-file extension (data.parquet is a PATH, not a table)
+_TABLE_IDENT = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)+$")
+_FILE_EXTS = ("parquet", "orc", "csv", "json", "avro")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -45,8 +51,13 @@ def iceberg_available(spark: SparkSession) -> bool:
 def _is_iceberg_ref(ref: str, spark: SparkSession) -> bool:
     if ref.startswith(ICEBERG_PREFIX):
         return True
-    # dotted catalog name with no path separator → table identifier
-    return "/" not in ref and "." in ref and iceberg_available(spark)
+    # bare dotted identifier (db.tbl) — but never a dotted FILENAME like
+    # 'data.parquet', which is a relative filesystem path
+    return (
+        _TABLE_IDENT.match(ref) is not None
+        and ref.rsplit(".", 1)[-1].lower() not in _FILE_EXTS
+        and iceberg_available(spark)
+    )
 
 
 def _strip(ref: str) -> str:
@@ -82,6 +93,22 @@ def write_table(
     spark = df.sparkSession
     if _is_iceberg_ref(ref, spark):
         name = _strip(ref)
+        if partition_by:
+            # Iceberg partitioning is a TABLE property, fixed at creation —
+            # it cannot be applied per-append.  Honor it only on a full
+            # replace; reject the silent-ignore combination otherwise.
+            if mode != "overwrite":
+                raise ValueError(
+                    "partition_by with an Iceberg append is not applicable: "
+                    "partitioning is set when the table is created "
+                    "(use mode='overwrite' to createOrReplace with the spec)"
+                )
+            from pyspark.sql.functions import col
+
+            df.writeTo(name).partitionedBy(
+                *[col(c) for c in partition_by]
+            ).createOrReplace()
+            return
         w = df.writeTo(name)
         if mode == "overwrite":
             w.overwritePartitions()
@@ -103,18 +130,30 @@ class ResultSink:
     root: str
 
     def _ref(self, name: str) -> str:
-        if self.root.startswith(ICEBERG_PREFIX) or "/" not in self.root:
+        # dotted table refs only for an EXPLICIT iceberg root; any other
+        # root is a filesystem directory (relative roots included)
+        if self.root.startswith(ICEBERG_PREFIX):
             return f"{self.root}.{name}"
         return f"{self.root.rstrip('/')}/{name}"
 
     def write(self, result, mode: str = "append") -> dict:
-        """result: :class:`evalidate_spark.engine.ValidationResult`."""
+        """result: :class:`evalidate_spark.engine.ValidationResult`.
+
+        The three outputs derive from one lazy validated plan — it is
+        persisted across the writes so the corpus is scanned and validated
+        ONCE, not three times, and metrics cannot diverge from the written
+        violations (same pitfall fixed in checkpoint.py)."""
         refs = {
             "violations": self._ref("violations"),
             "verdicts": self._ref("verdicts"),
             "metrics": self._ref("metrics"),
         }
-        write_table(result.violations, refs["violations"], mode)
-        write_table(result.verdicts, refs["verdicts"], mode)
-        write_table(result.metrics(), refs["metrics"], mode)
+        ann = result.annotated
+        ann.persist()
+        try:
+            write_table(result.violations, refs["violations"], mode)
+            write_table(result.verdicts, refs["verdicts"], mode)
+            write_table(result.metrics(), refs["metrics"], mode)
+        finally:
+            ann.unpersist()
         return refs

@@ -232,7 +232,14 @@ def validate_values(
 ) -> ValidationResult:
     """Validate a COLUMN of bare values against keyless rule(s) — one fused
     projection, same :class:`ValidationResult` surface as ``validate``.
-    Violations carry ``key_path = 'none'`` (the reference key atom)."""
+    Violations carry ``key_path = 'none'`` (the reference key atom).
+
+    With MULTIPLE top-level rules every rule's validators and converter-
+    fail conditions contribute violations (each rule sees the ORIGINAL
+    value, like the reference's ``rules/3`` mapping each rule over the same
+    data), but the converted OUTPUT is the last rule's — the proplist
+    ``dict(pairs)`` overwrite the oracle applies to duplicate ``none`` keys
+    (asserted engine ≡ oracle in tests)."""
     nodes = normalize_rules(rules)
     col = F.col("`%s`" % value_col)
     dt = df.schema[value_col].dataType

@@ -98,6 +98,28 @@ class TestCodecs:
         assert small.shape == (2, 3, 3)
         assert (small[0, 0] == px[0, 0]).all()
 
+    def test_decode_media_never_crashes_non_strict(self):
+        # unsupported variants / mislabeled / corrupt payloads fall back to
+        # the flagged stub instead of failing the whole stage
+        from evalidate_spark.functions import codecs, multimodal
+
+        wav = codecs.encode_wav(np.zeros(100, dtype=np.int16), 4000)
+        cases = [
+            ("image", b"BM\x01trunc"),          # corrupt BMP
+            ("image", wav),                      # mislabeled modality
+            ("audio", b"RIFF\x00\x00\x00\x00WAVEjunk"),  # corrupt WAV
+            ("video", b"BM-but-video"),          # video never real-decodes
+        ]
+        for kind, payload in cases:
+            d = multimodal.decode_media(kind, payload)
+            assert d["decoded"] is False, (kind, payload)
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_media(kind, payload, strict=True)
+        # video stub always yields an int duration (frame sampling relies
+        # on it even when the payload happens to start with 'BM')
+        d = multimodal.decode_media("video", b"BM-but-video")
+        assert isinstance(d["duration_ms"], int)
+
     def test_decode_media_real_vs_strict(self):
         from evalidate_spark.functions import codecs, multimodal
 

@@ -237,6 +237,16 @@ class TestDedup:
         want = {x: min(members) for members in comp.values() for x in members}
         assert got == want
 
+    def test_duplicate_clusters_nonconvergence_raises(self, spark):
+        # a 30-hop chain exceeds max_iter=5 → raise, never silently split
+        chain = [(i, i + 1) for i in range(30)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.duplicate_clusters(pairs, max_iter=5)
+        got = {r["id"]: r["cluster_id"] for r in
+               dedup.duplicate_clusters(pairs, max_iter=40).collect()}
+        assert set(got.values()) == {0} and len(got) == 31
+
     def test_apply_dedup_clusters_keeps_canonical(self, spark):
         df = docs_df(spark, DOCS)
         pairs = spark.createDataFrame(

@@ -29,6 +29,17 @@ class TestSources:
         with pytest.raises(ValueError, match="Iceberg runtime"):
             sources.read_table(spark, p, snapshot_id=123)
 
+    def test_dotted_filenames_are_paths(self, spark, tmp_path):
+        # 'data.parquet' is a filesystem path, never an Iceberg identifier
+        from evalidate_spark.sources import _is_iceberg_ref
+
+        for ref in ("data.parquet", "out/x.parquet", "dir/db.tbl", "a.b.csv"):
+            assert not _is_iceberg_ref(ref, spark), ref
+        assert _is_iceberg_ref("iceberg:db.tbl", spark)
+        p = str(tmp_path / "data.parquet")
+        spark.range(4).write.parquet(p)
+        assert sources.read_table(spark, p).count() == 4
+
     def test_result_sink_layout(self, spark, tmp_path):
         root = str(tmp_path / "out")
         df = spark.createDataFrame(

@@ -98,6 +98,21 @@ class TestSingleValue:
                 exp_msg = expect["message"] if isinstance(expect, dict) else expect
                 assert res[1]["message"] == exp_msg
 
+    def test_multi_rule_output_matches_oracle(self, spark):
+        # multiple keyless rules: every rule's checks fire, output is the
+        # LAST rule's conversion (proplist dict-overwrite on the none key,
+        # same as the oracle)
+        rules = [
+            Rule(validators=[Size(1, 10)], converter="to_int"),
+            Rule(validators=[Type("binary")]),
+        ]
+        assert validate_value(spark, rules, "7") == O.validate_and_convert(rules, "7")[None]
+        res = validate_value(spark, rules, "way-too-long-value", mode="soft")
+        expect = O.first_error(rules, "way-too-long-value")
+        assert res[1]["message"] == (
+            expect["message"] if isinstance(expect, dict) else expect
+        )
+
     def test_column_of_values(self, spark):
         df = spark.createDataFrame(
             [(1, "Abc"), (2, "x"), (3, None)], "i int, value string"
