@@ -34,6 +34,7 @@ from evalidate_spark import (
 )
 from evalidate_spark.functions import dedup, multimodal, similarity, text
 from evalidate_spark.operators.table_checks import (
+    drift_categorical,
     drift_df,
     histogram_df,
     profile,
@@ -468,6 +469,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probes, k=3)
 
 
+def q_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (PSI + total-variation over category frequencies):
+    baseline = even-user events, top-3 categories + __other__ rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return drift_categorical(
+        ev, ev.filter(F.col("user_id") % 2 == 0), ["event_type"], top_k=3
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -534,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "drift_events": q_drift_events,
+        "drift_event_types": q_drift_event_types,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "media_features": q_media_features,
@@ -822,6 +833,39 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= 3
 """,
     "drift_events": "%s UNION ALL %s" % (_drift_col_sql("value"), _drift_col_sql("user_id")),
+    "drift_event_types": """
+WITH bf AS (
+  SELECT event_type AS cat, count(*) AS c FROM events
+  WHERE user_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1
+), top AS (
+  SELECT cat FROM (
+    SELECT cat, row_number() OVER (ORDER BY c DESC, cat ASC) AS rk FROM bf)
+  WHERE rk <= 3
+), cf AS (
+  SELECT event_type AS cat, count(*) AS c FROM events
+  WHERE event_type IS NOT NULL GROUP BY 1
+), pb0 AS (
+  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__other__' END AS cat,
+         sum(c) AS c
+  FROM bf GROUP BY 1
+), pb AS (
+  SELECT cat, round(c / cast(sum(c) OVER () AS double), 9) AS pb FROM pb0
+), pc0 AS (
+  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__other__' END AS cat,
+         sum(c) AS c
+  FROM cf GROUP BY 1
+), pc AS (
+  SELECT cat, round(c / cast(sum(c) OVER () AS double), 9) AS pc FROM pc0
+), j AS (
+  SELECT coalesce(pb.pb, 0.0) AS pb, coalesce(pc.pc, 0.0) AS pc
+  FROM pb FULL OUTER JOIN pc USING (cat)
+)
+SELECT 'event_type' AS column,
+  cast(floor(sum((greatest(pc,1e-6) - greatest(pb,1e-6))
+                 * ln(greatest(pc,1e-6) / greatest(pb,1e-6))) * 10000) AS bigint) AS psi_bp,
+  cast(floor(0.5 * sum(abs(pb - pc)) * 10000) AS bigint) AS tvd_bp
+FROM j
+""",
 }
 
 

@@ -236,6 +236,89 @@ def drift_df(
     return result
 
 
+def drift_categorical(
+    current: DataFrame,
+    baseline: DataFrame,
+    columns: Sequence[str],
+    top_k: int = 100,
+    bp_round: int = 9,
+) -> DataFrame:
+    """PSI + total-variation drift over CATEGORY frequencies — the
+    categorical sibling of :func:`drift_df`.  Returns
+    ``(column, psi_bp, tvd_bp)`` in integer basis points.
+
+    Categories are the BASELINE's *top_k* by count (count-desc, value-asc
+    tiebreak — deterministic); everything else, including categories the
+    baseline never saw, rolls into ``__other__`` so the comparison space is
+    fixed and bounded regardless of cardinality.  Plan per column: one
+    groupBy per dataset (≤ #distinct categories rows, map-side combined), a
+    ≤-cats window for the top-k, a broadcast join of the tiny category
+    list, and a 1-row final agg — no driver-side data, safe at any
+    cardinality."""
+    eps = 1e-6
+    outs: List[DataFrame] = []
+    for col in columns:
+        c = F.col("`%s`" % col).cast("string")
+
+        def freq(df: DataFrame) -> DataFrame:
+            return (
+                df.filter(c.isNotNull())
+                .groupBy(c.alias("cat"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+
+        bf = freq(baseline)
+        w = Window.partitionBy().orderBy(F.col("__c").desc(), F.col("cat").asc())
+        top = (
+            bf.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_k)
+            .select("cat", F.lit(True).alias("__keep"))
+        )
+
+        def bucketed(df: DataFrame, name: str) -> DataFrame:
+            fr = freq(df).join(F.broadcast(top), "cat", "left")
+            rolled = (
+                fr.select(
+                    F.when(F.col("__keep"), F.col("cat"))
+                    .otherwise(F.lit("__other__"))
+                    .alias("cat"),
+                    "__c",
+                )
+                .groupBy("cat")
+                .agg(F.sum("__c").alias("__c"))
+            )
+            total = F.sum("__c").over(Window.partitionBy())
+            return rolled.select(
+                "cat", F.round(F.col("__c") / total, bp_round).alias(name)
+            )
+
+        j = (
+            bucketed(baseline, "pb")
+            .join(bucketed(current, "pc"), "cat", "full_outer")
+            .select(
+                F.coalesce("pb", F.lit(0.0)).alias("pb"),
+                F.coalesce("pc", F.lit(0.0)).alias("pc"),
+            )
+        )
+        term = (
+            (F.greatest(F.col("pc"), F.lit(eps)) - F.greatest(F.col("pb"), F.lit(eps)))
+            * F.log(F.greatest(F.col("pc"), F.lit(eps)) / F.greatest(F.col("pb"), F.lit(eps)))
+        )
+        outs.append(
+            j.agg(
+                F.lit(col).alias("column"),
+                F.floor(F.sum(term) * 10_000).cast("long").alias("psi_bp"),
+                F.floor(
+                    0.5 * F.sum(F.abs(F.col("pb") - F.col("pc"))) * 10_000
+                ).cast("long").alias("tvd_bp"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result
+
+
 def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[float]:
     """Equi-width histogram as relative frequencies — one distributed agg."""
     c = F.col("`%s`" % col).cast("double")

@@ -146,3 +146,22 @@ def test_media_referential_roundtrip(spark):
         dangling.filter(F.expr("cast(substring(media_ref, 3) as int)") <= max_ok).count()
         == 0
     )
+
+
+def test_drift_categorical_detects_shift(spark):
+    from evalidate_spark.operators.table_checks import drift_categorical
+
+    base = spark.range(4000).selectExpr(
+        "element_at(array('a','b','c','d'), cast(id % 4 as int) + 1) AS cat"
+    )
+    same = spark.range(4000).selectExpr(
+        "element_at(array('a','b','c','d'), cast(id % 4 as int) + 1) AS cat"
+    )
+    # shifted: 'a' dominates, 'd' vanishes, new category 'e' appears
+    shifted = spark.range(4000).selectExpr(
+        "element_at(array('a','a','a','e'), cast(id % 4 as int) + 1) AS cat"
+    )
+    stable = drift_categorical(same, base, ["cat"], top_k=3).collect()[0]
+    moved = drift_categorical(shifted, base, ["cat"], top_k=3).collect()[0]
+    assert stable["psi_bp"] == 0 and stable["tvd_bp"] == 0
+    assert moved["psi_bp"] > 2500 and moved["tvd_bp"] > 2000
