@@ -417,6 +417,12 @@ def q_lang_marker_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_marker_counts(d).drop("text")
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams (occurrences desc, ngram-asc tiebreak) — the
+    corpus-aggregation face of the text stack."""
+    return text.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup groups keyed on the first-5-token prefix fingerprint
     (the corpus has no full-text dups; the prefix key exercises the same
@@ -530,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "lang_marker_counts": q_lang_marker_counts,
+        "top_ngrams": q_top_ngrams,
         "validate_part": q_validate_part,
         "nation_region_rollup": q_nation_region_rollup,
         "zipped_rulesets": q_zipped_rulesets,
@@ -798,6 +805,23 @@ FROM documents WHERE length(text) < 50
     "exact_dup_groups": """
 SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs
 FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    "top_ngrams": """
+WITH sh AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(string_split(text,' '))-1, 1)),
+    i -> array_to_string(string_split(text,' ')[i:i+1],' ')) AS grams
+  FROM documents
+), occ AS (
+  SELECT g AS ngram, count(*) AS occurrences
+  FROM sh, unnest(sh.grams) AS t(g) WHERE g <> '' GROUP BY 1
+), nd AS (
+  SELECT g AS ngram, count(*) AS n_docs
+  FROM (SELECT doc_id, unnest(list_distinct(grams)) AS g FROM sh)
+  WHERE g <> '' GROUP BY 1
+)
+SELECT ngram, n_docs, occurrences FROM occ JOIN nd USING (ngram)
+ORDER BY occurrences DESC, ngram ASC LIMIT 20
 """,
     "dup_clusters": """
 WITH RECURSIVE pairs AS (

@@ -126,6 +126,37 @@ def lang_id(
     return m.withColumn("lang_guess", guess)
 
 
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-k token n-grams → ``(ngram, n_docs, occurrences)``,
+    ordered by occurrences desc with an ngram-asc tiebreak (deterministic
+    across engines).
+
+    The one legitimate ``explode`` in the text stack: this is a corpus
+    AGGREGATION, not a per-row annotation, so rows must fan out to group.
+    Scale: the shuffle carries (ngram, partial count) after map-side
+    combine — bounded by distinct n-grams per partition, not corpus size —
+    and the final top-k is a TakeOrdered (no global sort).  Feeding
+    ``distinct`` shingles per doc for ``n_docs`` rides the same explode."""
+    c = F.col("`%s`" % text_col)
+    sh = shingles(c, n)
+    exploded = df.select(F.explode(sh).alias("ngram")).filter(F.col("ngram") != "")
+    occ = exploded.groupBy("ngram").agg(F.count(F.lit(1)).alias("occurrences"))
+    per_doc = (
+        df.select(F.explode(F.array_distinct(sh)).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        occ.join(per_doc, "ngram")
+        .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+        .select("ngram", "n_docs", "occurrences")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalised, lowercased text (content-defined identity for

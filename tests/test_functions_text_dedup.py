@@ -261,3 +261,25 @@ class TestDedup:
         df = docs_df(spark, DOCS)
         cand = dedup.minhash_candidates(df, num_hashes=32, bands=16).collect()
         assert cand and all(not r["truncated"] for r in cand)
+
+
+def test_top_ngrams_python_oracle(spark):
+    rows = [
+        ("a", "the cat sat"),
+        ("b", "the cat ran"),
+        ("c", "the cat sat the cat sat"),
+        ("d", "solo"),
+    ]
+    df = docs_df(spark, rows)
+    got = [tuple(r) for r in text.top_ngrams(df, n=2, k=5).collect()]
+
+    from collections import Counter
+
+    occ, nd = Counter(), Counter()
+    for _, t in rows:
+        toks = t.split()
+        grams = [" ".join(toks[i:i + 2]) for i in range(max(len(toks) - 1, 1))]
+        occ.update(grams)
+        nd.update(set(grams))
+    want = sorted(occ, key=lambda g: (-occ[g], g))[:5]
+    assert got == [(g, nd[g], occ[g]) for g in want]
