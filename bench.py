@@ -98,12 +98,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        """Two runs, report the min — the first run pays one-off codegen
-        compilation + parquet footer reads; steady-state throughput is what
-        scales to the cluster."""
+    def timed(name, fn, runs=2):
+        """min of *runs* — the first run pays one-off codegen compilation +
+        parquet footer reads, and this VM's run-to-run noise is 2-5×;
+        steady-state throughput is what scales to the cluster."""
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -128,7 +128,7 @@ def main() -> None:
     # dominates the quotient, understating the engine; the 2M-doc run
     # amortizes it and matches the scaling bench's working set.
     big = spans_input(spark, 2_000_000)
-    timed("validate_spans_2m", lambda: _force(q_validate_spans(spark, big)))
+    timed("validate_spans_2m", lambda: _force(q_validate_spans(spark, big)), runs=3)
 
     def q_verdict_scan_2m():
         from evalidate_spark.fastpath import verdict_scan
@@ -136,7 +136,7 @@ def main() -> None:
 
         return _force(verdict_scan(big, span_rules()))
 
-    timed("verdict_scan_2m", q_verdict_scan_2m)
+    timed("verdict_scan_2m", q_verdict_scan_2m, runs=3)
     timed("span_structure_full", lambda: _force(q_span_structure_full(spark, docs)))
 
     # production profile path: HLL approx-distinct (the driver-gate query
