@@ -268,10 +268,12 @@ def drift_categorical(
             )
 
         bf = freq(baseline)
-        w = Window.partitionBy().orderBy(F.col("__c").desc(), F.col("cat").asc())
+        # top-k via orderBy+limit → TakeOrdered (tree-reduced across
+        # partitions); an unpartitioned row_number window would funnel
+        # every distinct category through ONE task at high cardinality
         top = (
-            bf.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= top_k)
+            bf.orderBy(F.col("__c").desc(), F.col("cat").asc())
+            .limit(top_k)
             .select("cat", F.lit(True).alias("__keep"))
         )
 
