@@ -135,24 +135,32 @@ def top_ngrams(
 
     The one legitimate ``explode`` in the text stack: this is a corpus
     AGGREGATION, not a per-row annotation, so rows must fan out to group.
-    Scale: the shuffle carries (ngram, partial count) after map-side
-    combine — bounded by distinct n-grams per partition, not corpus size —
-    and the final top-k is a TakeOrdered (no global sort).  Feeding
-    ``distinct`` shingles per doc for ``n_docs`` rides the same explode."""
+    Scale shape: pass 1 counts occurrences (shuffle of map-side-combined
+    (ngram, partial count) rows, bounded by distinct n-grams per partition)
+    and takes the top-k via TakeOrdered — no global sort; pass 2 computes
+    exact document frequency for ONLY those k n-grams by broadcast-
+    filtering the per-doc distinct explode BEFORE its aggregate, so the
+    second shuffle carries ≤ k groups instead of the full vocabulary.
+    (Valid because ordering uses occurrences only, and every top n-gram
+    necessarily appears in pass 2's input.)"""
     c = F.col("`%s`" % text_col)
     sh = shingles(c, n)
-    exploded = df.select(F.explode(sh).alias("ngram")).filter(F.col("ngram") != "")
-    occ = exploded.groupBy("ngram").agg(F.count(F.lit(1)).alias("occurrences"))
+    occ = (
+        df.select(F.explode(sh).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    top = occ.orderBy(F.col("occurrences").desc(), F.col("ngram").asc()).limit(k)
     per_doc = (
         df.select(F.explode(F.array_distinct(sh)).alias("ngram"))
-        .filter(F.col("ngram") != "")
+        .join(F.broadcast(top.select("ngram")), "ngram")
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return (
-        occ.join(per_doc, "ngram")
+        top.join(per_doc, "ngram")
         .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
-        .limit(k)
         .select("ngram", "n_docs", "occurrences")
     )
 

@@ -174,6 +174,8 @@ def drift_df(
     plans are unioned into one job."""
     import math  # noqa: F401  (documenting the ln used below)
 
+    if not columns:
+        raise ValueError("drift_df needs at least one column")
     eps = 1e-6
     outs: List[DataFrame] = []
     for col in columns:
@@ -251,10 +253,12 @@ def drift_categorical(
     tiebreak — deterministic); everything else, including categories the
     baseline never saw, rolls into ``__other__`` so the comparison space is
     fixed and bounded regardless of cardinality.  Plan per column: one
-    groupBy per dataset (≤ #distinct categories rows, map-side combined), a
-    ≤-cats window for the top-k, a broadcast join of the tiny category
-    list, and a 1-row final agg — no driver-side data, safe at any
-    cardinality."""
+    groupBy per dataset (≤ #distinct categories rows, map-side combined),
+    top-k via orderBy+limit (TakeOrdered, tree-reduced — never a
+    single-task window), a broadcast join of the tiny category list, and a
+    1-row final agg — no driver-side data, safe at any cardinality."""
+    if not columns:
+        raise ValueError("drift_categorical needs at least one column")
     eps = 1e-6
     outs: List[DataFrame] = []
     for col in columns:
