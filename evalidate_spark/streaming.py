@@ -56,11 +56,41 @@ def windowed_verdicts(
     ts_col: str,
     window: str = "1 minute",
     watermark: str = "5 minutes",
+    fast: bool = True,
     **opts: Any,
 ) -> DataFrame:
     """Event-time windowed pass/fail roll-up (the streaming analogue of the
     per-partition verdicts): one watermarked window aggregate, update/append
-    mode per Spark's watermark rules — late rows beyond *watermark* drop."""
+    mode per Spark's watermark rules — late rows beyond *watermark* drop.
+
+    ``fast`` (default) compiles the predicate-only boolean
+    (:mod:`evalidate_spark.fastpath`) instead of the full violations array —
+    the verdict needs only pass/fail, so message/struct construction is
+    skipped entirely (same equivalence-tested compile as batch
+    ``verdict_scan``).  Falls back to the rich compile for specs with
+    custom pandas-UDF validators."""
+    if fast:
+        from .fastpath import _has_custom, compile_fail_predicate
+        from .spec import normalize_rules
+
+        if not any(_has_custom(n) for n in normalize_rules(rules)):
+            failp = compile_fail_predicate(
+                rules, stream_df.schema, Options(**opts) if opts else None
+            )
+            ok_fast = (~F.coalesce(failp, F.lit(False))).cast("int")
+            return (
+                stream_df.withWatermark(ts_col, watermark)
+                .groupBy(F.window(F.col(ts_col), window).alias("window"))
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(ok_fast).alias("passed"),
+                    (F.count(F.lit(1)) - F.sum(ok_fast)).alias("failed"),
+                )
+                .withColumn(
+                    "verdict",
+                    F.when(F.col("failed") == 0, F.lit("pass")).otherwise(F.lit("fail")),
+                )
+            )
     ann = annotate_stream(stream_df, rules, **opts)
     ok = (F.size(F.col(VIOLATIONS_COL)) == 0).cast("int")
     return (

@@ -77,6 +77,17 @@ class TestStreaming:
         assert len(rows) == 6
         assert all(r["verdict"] == ("pass" if r["failed"] == 0 else "fail") for r in rows)
         assert any(r["failed"] > 0 for r in rows)
+        # the rich (fast=False) compile must agree window-for-window
+        wv_rich = streaming.windowed_verdicts(
+            _stream(spark, docs_dir), RULES, ts_col="ts", window="10 minutes",
+            fast=False,
+        )
+        _run_to_memory(wv_rich, "wv_rich_out", mode="complete")
+        key = lambda rs: {
+            (r["window"]["start"], r["window"]["end"]): (r["rows"], r["passed"], r["failed"])
+            for r in rs
+        }
+        assert key(spark.table("wv_rich_out").collect()) == key(rows)
 
     def test_dedup_stream_bounded_state(self, spark, tmp_path):
         path = str(tmp_path / "dups_in")
