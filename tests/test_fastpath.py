@@ -89,6 +89,28 @@ class TestFastPath:
         assert "text" not in schema and "media_ref" not in schema
         assert "kind" in schema and "offset" in schema
 
+    def test_annotated_plan_is_shuffle_free(self, spark, tmp_path):
+        # the rich validation pass is ONE fused projection: scan → project,
+        # zero exchanges — the property that makes it scale linearly
+        path = str(tmp_path / "docs_plan")
+        gen_documents(spark, 300, partitions=2).write.parquet(path)
+        docs = spark.read.parquet(path)
+        ann = validate(docs, span_rules(), id_cols=["doc_id"]).annotated
+        plan = ann._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_verdict_scan_single_exchange(self, spark, tmp_path):
+        # verdict roll-up: scan → fused boolean → partial agg → ONE
+        # exchange of ≤ #partitions rows → final agg
+        path = str(tmp_path / "docs_plan2")
+        gen_documents(spark, 300, partitions=2).write.parquet(path)
+        docs = spark.read.parquet(path)
+        plan = (
+            verdict_scan(docs, span_rules())
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
     def test_converter_failures_in_predicate(self, spark):
         # rows failing ONLY through conversion must still fail the predicate
         df = spark.createDataFrame(
