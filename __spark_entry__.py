@@ -484,6 +484,21 @@ def q_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via random-hyperplane LSH, with an
+    EXACT oracle: the corpus is unioned with an id-shifted copy of itself,
+    so the true ≥0.999-cosine pair set is precisely the injected duplicates
+    (random Gaussian vectors never reach 0.999 by chance), and identical
+    vectors always share every sign bucket — LSH recall is provably 1.0 on
+    this construction, making the approximate path hash-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    pairs = dedup.embedding_near_dups(
+        emb.union(dup), threshold=0.999, planes=8
+    )
+    return pairs.select("id_a", "id_b", "cosine")
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -550,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "drift_events": q_drift_events,
         "drift_event_types": q_drift_event_types,
         "minhash_pairs": q_minhash_pairs,
@@ -855,6 +871,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
+""",
+    "embedding_near_dups": """
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(cast(a.embedding AS double[]),
+                               cast(b.embedding AS double[])), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(cast(a.embedding AS double[]),
+                             cast(b.embedding AS double[])) >= 0.999
 """,
     "drift_events": "%s UNION ALL %s" % (_drift_col_sql("value"), _drift_col_sql("user_id")),
     "drift_event_types": """
