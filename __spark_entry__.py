@@ -484,6 +484,20 @@ def q_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the similarity scale path) made hash-checkable: probing
+    every cell (nprobe = n_centroids) is exactly brute force — same
+    rounding, same id tiebreak — so the brute-force SQL oracles the IVF
+    machinery (assignment, probe-cell routing, per-query top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, probes, k=3, n_centroids=8, nprobe=8, sample_n=1_000_000
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via random-hyperplane LSH, with an
     EXACT oracle: the corpus is unioned with an id-shifted copy of itself,
@@ -565,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "drift_events": q_drift_events,
         "drift_event_types": q_drift_event_types,
@@ -886,6 +901,7 @@ WHERE list_cosine_similarity(cast(a.embedding AS double[]),
                              cast(b.embedding AS double[])) >= 0.999
 """,
     "drift_events": "%s UNION ALL %s" % (_drift_col_sql("value"), _drift_col_sql("user_id")),
+
     "drift_event_types": """
 WITH bf AS (
   SELECT event_type AS cat, count(*) AS c FROM events
@@ -920,6 +936,9 @@ SELECT 'event_type' AS column,
 FROM j
 """,
 }
+
+
+ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force
 
 
 def oracle_sql() -> dict[str, str]:
