@@ -121,6 +121,28 @@ def write_table(
     writer.parquet(ref)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table (``bucketBy`` + ``saveAsTable``) — the
+    co-located-join layout: two tables bucketed by the same key with the
+    same bucket count join WITHOUT any exchange (Spark matches bucket
+    spec to the join key; with ``sort`` the sort-merge join also skips the
+    sort).  This is the pre-shuffle you pay ONCE at ingest so every
+    subsequent referential / enrichment join on the key is shuffle-free —
+    the right trade at 10^12 rows where the fact table is joined
+    repeatedly.  (Iceberg's ``bucket(N, key)`` hidden partitioning plays
+    the same role through the seam above.)"""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 @dataclass
 class ResultSink:
     """Writes a ValidationResult's three outputs as tables under one root

@@ -55,6 +55,34 @@ class TestSources:
         assert met and met[0]["violations"] == 1
 
 
+class TestBucketedJoin:
+    def test_cobucketed_join_is_shuffle_free(self, spark):
+        from pyspark.sql import functions as F
+
+        spark.sql("DROP TABLE IF EXISTS bt_fact")
+        spark.sql("DROP TABLE IF EXISTS bt_dim")
+        fact = spark.range(5000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(500).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        sources.write_bucketed(fact, "bt_fact", "k", 8)
+        sources.write_bucketed(dim, "bt_dim", "k", 8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("bt_fact").join(spark.table("bt_dim"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # co-bucketed layout: the join runs with ZERO exchanges
+            assert "Exchange" not in plan, plan
+            assert j.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bt_fact")
+            spark.sql("DROP TABLE IF EXISTS bt_dim")
+
+
 class TestIvfPartitioned:
     def test_pruned_probe_matches_unpartitioned(self, spark, tmp_path):
         rng = np.random.default_rng(3)
