@@ -475,6 +475,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probes, k=3)
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the events stream —
+    the windowed-operator family: per-user lag + running session count,
+    rolled up to per-session bounds on exact microseconds.  The session
+    timezone is pinned to UTC so the NTZ wall-clock matches DuckDB's
+    epoch_us regardless of harness configuration."""
+    from evalidate_spark.operators.sessions import session_bounds
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return session_bounds(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (PSI + total-variation over category frequencies):
     baseline = even-user events, top-3 categories + __other__ rollup."""
@@ -583,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "drift_events": q_drift_events,
         "drift_event_types": q_drift_event_types,
+        "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "media_features": q_media_features,
@@ -937,6 +950,24 @@ FROM j
 """,
 }
 
+
+ORACLE["sessions"] = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+             > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events WHERE user_id IS NOT NULL
+), t AS (
+  SELECT user_id, tus,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_ix
+  FROM s
+)
+SELECT user_id, session_ix, count(*) AS n_events,
+  min(tus) AS t_start_us, max(tus) AS t_end_us
+FROM t GROUP BY 1, 2
+"""
 
 ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force
 

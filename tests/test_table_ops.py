@@ -165,3 +165,27 @@ def test_drift_categorical_detects_shift(spark):
     moved = drift_categorical(shifted, base, ["cat"], top_k=3).collect()[0]
     assert stable["psi_bp"] == 0 and stable["tvd_bp"] == 0
     assert moved["psi_bp"] > 2500 and moved["tvd_bp"] > 2000
+
+
+def test_sessionize_gap_semantics(spark):
+    from evalidate_spark.operators.sessions import session_bounds, sessionize
+
+    rows = [
+        (1, "2026-01-01 10:00:00"),
+        (1, "2026-01-01 10:10:00"),   # same session (10 min)
+        (1, "2026-01-01 11:00:00"),   # new session (50 min gap)
+        (2, "2026-01-01 10:00:00"),   # separate user
+        (None, "2026-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+        "user_id", "cast(ts_s as timestamp) ts"
+    )
+    s = {(r["user_id"], r["ts"].hour, r["ts"].minute): r["session_ix"]
+         for r in sessionize(df, gap_minutes=30).collect()}
+    assert s[(1, 10, 0)] == 1 and s[(1, 10, 10)] == 1
+    assert s[(1, 11, 0)] == 2  # 50-min gap starts a new session
+    assert s[(2, 10, 0)] == 1
+    assert s[(None, 10, 0)] is None
+    b = {(r["user_id"], r["session_ix"]): r["n_events"]
+         for r in session_bounds(df, gap_minutes=30).collect()}
+    assert b == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
