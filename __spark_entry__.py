@@ -478,12 +478,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) over the events stream —
     the windowed-operator family: per-user lag + running session count,
-    rolled up to per-session bounds on exact microseconds.  The session
-    timezone is pinned to UTC so the NTZ wall-clock matches DuckDB's
-    epoch_us regardless of harness configuration."""
+    rolled up to per-session bounds on exact microseconds (timezone-free
+    NTZ arithmetic — no session conf involved)."""
     from evalidate_spark.operators.sessions import session_bounds
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return session_bounds(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
@@ -519,8 +517,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     this construction, making the approximate path hash-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
     dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    # explicit max_bucket enforces the construction's precondition (recall
+    # 1.0 needs no bucket truncated); with 8 planes → 256 buckets, the cap
+    # comfortably exceeds any bucket's load at the gate SFs
     pairs = dedup.embedding_near_dups(
-        emb.union(dup), threshold=0.999, planes=8
+        emb.union(dup), threshold=0.999, planes=8, max_bucket=8192
     )
     return pairs.select("id_a", "id_b", "cosine")
 

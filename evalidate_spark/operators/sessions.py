@@ -25,14 +25,17 @@ from pyspark.sql import types as T
 
 def _micros(df: DataFrame, ts_col: str):
     """Exact epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ columns.
-    NTZ casts through TIMESTAMP using the session timezone — callers that
-    need cross-engine parity should pin ``spark.sql.session.timeZone`` to
-    UTC (NTZ wall-clock ≡ UTC is also what DuckDB's epoch_us assumes)."""
-    t = F.col("`%s`" % ts_col)
+    NTZ uses ``timestampdiff(MICROSECOND, epoch, ts)`` — pure wall-clock
+    arithmetic, INDEPENDENT of the session timezone (NTZ wall-clock ≡ UTC,
+    which is also what DuckDB's ``epoch_us`` assumes), so no session conf
+    needs pinning for cross-engine parity."""
     dt = df.schema[ts_col].dataType
     if isinstance(dt, T.TimestampNTZType):
-        t = t.cast("timestamp")
-    return F.unix_micros(t)
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `%s`)"
+            % ts_col
+        )
+    return F.unix_micros(F.col("`%s`" % ts_col))
 
 
 def sessionize(

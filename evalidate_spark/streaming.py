@@ -69,32 +69,25 @@ def windowed_verdicts(
     skipped entirely (same equivalence-tested compile as batch
     ``verdict_scan``).  Falls back to the rich compile for specs with
     custom pandas-UDF validators."""
+    src: DataFrame
+    ok: F.Column  # type: ignore[name-defined]
+    use_fast = False
     if fast:
         from .fastpath import _has_custom, compile_fail_predicate
         from .spec import normalize_rules
 
-        if not any(_has_custom(n) for n in normalize_rules(rules)):
-            failp = compile_fail_predicate(
-                rules, stream_df.schema, Options(**opts) if opts else None
-            )
-            ok_fast = (~F.coalesce(failp, F.lit(False))).cast("int")
-            return (
-                stream_df.withWatermark(ts_col, watermark)
-                .groupBy(F.window(F.col(ts_col), window).alias("window"))
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum(ok_fast).alias("passed"),
-                    (F.count(F.lit(1)) - F.sum(ok_fast)).alias("failed"),
-                )
-                .withColumn(
-                    "verdict",
-                    F.when(F.col("failed") == 0, F.lit("pass")).otherwise(F.lit("fail")),
-                )
-            )
-    ann = annotate_stream(stream_df, rules, **opts)
-    ok = (F.size(F.col(VIOLATIONS_COL)) == 0).cast("int")
+        use_fast = not any(_has_custom(n) for n in normalize_rules(rules))
+    if use_fast:
+        failp = compile_fail_predicate(
+            rules, stream_df.schema, Options(**opts) if opts else None
+        )
+        src = stream_df
+        ok = (~F.coalesce(failp, F.lit(False))).cast("int")
+    else:
+        src = annotate_stream(stream_df, rules, **opts)
+        ok = (F.size(F.col(VIOLATIONS_COL)) == 0).cast("int")
     return (
-        ann.withWatermark(ts_col, watermark)
+        src.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("window"))
         .agg(
             F.count(F.lit(1)).alias("rows"),
