@@ -8,12 +8,15 @@ beyond-the-reference operator families a 100 TB corpus pipeline needs:
 * :mod:`evalidate_spark.functions.similarity` — brute-force cosine top-k
   baseline + LSH-bucketed ANN scale path over embedding columns
 * :mod:`evalidate_spark.functions.multimodal` — binary media payload
-  plumbing (schema, Arrow-batched decode/feature UDFs; decode itself is a
-  deterministic stub — codec libraries are not available in this sandbox)
+  plumbing (schema, Arrow-batched decode/feature UDFs; decode is REAL for
+  uncompressed BMP/WAV via :mod:`.codecs`, stubbed for compressed formats
+  — codec libraries are not available in this sandbox)
+* :mod:`evalidate_spark.functions.codecs`     — zero-dependency BMP/WAV
+  encode/decode + nearest-neighbour resample
 
 Everything is built from JVM-side ``pyspark.sql.functions`` expressions
 unless Python is genuinely required, in which case Arrow-batched pandas
 UDFs are used (never per-row Python).
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import codecs, dedup, multimodal, similarity, text  # noqa: F401

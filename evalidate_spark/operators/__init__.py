@@ -2,9 +2,10 @@
 reference's element-local checks — SURVEY.md §2.8).
 
 * :mod:`.table_checks` — column stats profile, uniqueness, referential
-  integrity, distribution drift (PSI/KS)
+  integrity, distribution drift (numeric PSI/KS + categorical PSI/TVD)
 * :mod:`.spans` — span-sequence structural validation on the interleaved
   text+media documents table (explode-free HOFs)
+* :mod:`.sessions` — gap-based event sessionization (windowed)
 """
 
 from .table_checks import (
@@ -12,5 +13,7 @@ from .table_checks import (
     uniqueness_violations,
     referential_violations,
     drift,
+    drift_categorical,
 )
 from .spans import span_rules, span_structure_violations
+from .sessions import session_bounds, sessionize
