@@ -962,11 +962,12 @@ WITH s AS (
   FROM events WHERE user_id IS NOT NULL
 ), t AS (
   SELECT user_id, tus,
-    sum(ns) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_ix
+    cast(sum(ns) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING)
+         AS bigint) AS session_ix
   FROM s
 )
-SELECT user_id, session_ix, count(*) AS n_events,
-  min(tus) AS t_start_us, max(tus) AS t_end_us
+SELECT user_id, session_ix, cast(count(*) AS bigint) AS n_events,
+  cast(min(tus) AS bigint) AS t_start_us, cast(max(tus) AS bigint) AS t_end_us
 FROM t GROUP BY 1, 2
 """
 

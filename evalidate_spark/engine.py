@@ -230,7 +230,8 @@ def validate_zipped(
                 "ruleset_dispatch",
                 F.lit(ruleset_id_col),
                 F.concat(
-                    F.lit("No rule-set for %s=" % ruleset_id_col), rid.cast("string")
+                    F.lit("No rule-set for %s=" % ruleset_id_col),
+                    F.coalesce(rid.cast("string"), F.lit("NULL")),
                 ),
                 None,
             ),

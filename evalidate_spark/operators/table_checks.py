@@ -281,8 +281,8 @@ def drift_categorical(
             .select("cat", F.lit(True).alias("__keep"))
         )
 
-        def bucketed(df: DataFrame, name: str) -> DataFrame:
-            fr = freq(df).join(F.broadcast(top), "cat", "left")
+        def bucketed(fr0: DataFrame, name: str) -> DataFrame:
+            fr = fr0.join(F.broadcast(top), "cat", "left")
             rolled = (
                 fr.select(
                     F.when(F.col("__keep"), F.col("cat"))
@@ -299,8 +299,10 @@ def drift_categorical(
             )
 
         j = (
-            bucketed(baseline, "pb")
-            .join(bucketed(current, "pc"), "cat", "full_outer")
+            # reuse bf for the baseline side — freq(baseline) is otherwise
+            # scanned+aggregated twice per column (once for top-k, once here)
+            bucketed(bf, "pb")
+            .join(bucketed(freq(current), "pc"), "cat", "full_outer")
             .select(
                 F.coalesce("pb", F.lit(0.0)).alias("pb"),
                 F.coalesce("pc", F.lit(0.0)).alias("pc"),

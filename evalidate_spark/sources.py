@@ -117,7 +117,13 @@ def write_table(
         return
     writer = df.write.mode(mode)
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # per-write override: Spark's default partitionOverwriteMode=static
+        # would drop ALL existing partitions on overwrite, not just the
+        # ones being rewritten — dynamic matches the incremental-rewrite
+        # contract in the docstring (and Iceberg's overwritePartitions)
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
     writer.parquet(ref)
 
 
