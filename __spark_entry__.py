@@ -533,6 +533,17 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_df(ev, ev.filter(F.col("user_id") % 2 == 0), ["value", "user_id"])
 
 
+def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH pipeline — signature → banding → bucket cap →
+    pair generation — with an md5-keyed hash family so every stage is
+    replayable in DuckDB (xxhash64 is not; md5 is in both engines).
+    Production keeps xxhash64 (`minhash_candidates`); this variant makes
+    the identical machinery (same `_bucket_pairs` tail) hash-checkable
+    end-to-end by the driver."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidates_md5(d, num_hashes=16, bands=8)
+
+
 # -------------------------------------------- rows-only (no SQL oracle)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (xxhash64 not available in DuckDB —
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": q_drift_events,
         "drift_event_types": q_drift_event_types,
         "sessions": q_sessions,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "media_features": q_media_features,
@@ -969,6 +981,43 @@ WITH s AS (
 SELECT user_id, session_ix, cast(count(*) AS bigint) AS n_events,
   cast(min(tus) AS bigint) AS t_start_us, cast(max(tus) AS bigint) AS t_end_us
 FROM t GROUP BY 1, 2
+"""
+
+ORACLE["minhash_pairs_md5"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(tk) - 2, 1)),
+    i -> array_to_string(tk[i:i+2], ' ')) AS sh
+  FROM toks
+), sig AS (
+  -- permutation i = min over shingles of the 16-hex md5 prefix; fixed-width
+  -- lowercase hex makes string-min == integer-min (same trick both engines)
+  SELECT doc_id, list_transform(
+    generate_series(0, 15),
+    i -> list_min(list_transform(sh,
+           s -> substr(md5(cast(i AS varchar) || ':' || s), 1, 16)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS h
+  FROM sig, generate_series(0, 7) t(band)
+), capped AS (
+  SELECT band, h, doc_id,
+    row_number() OVER (PARTITION BY band, h ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY band, h) AS gsz
+  FROM banded
+), kept AS (
+  SELECT * FROM capped WHERE gsz >= 2 AND rn <= 64
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gsz > 64 AS tr
+  FROM kept a JOIN kept b ON a.band = b.band AND a.h = b.h
+                         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cast(count(*) AS bigint) AS n_bands, max(tr) AS truncated
+FROM p GROUP BY 1, 2
 """
 
 ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force

@@ -231,6 +231,14 @@ def minhash_candidates(
     banded = sigs.select(
         "__id", F.explode(minhash_bands(F.col("__sig"), bands, rows)).alias("b")
     ).select(F.col("b.band").alias("band"), F.col("b.h").alias("h"), "__id")
+    return _bucket_pairs(banded, max_bucket)
+
+
+def _bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, h, __id) bucket rows → candidate pairs ``(id_a, id_b,
+    n_bands, truncated)``.  Shared tail of the LSH pipelines: cap each
+    bucket BEFORE the collect_list buffer exists, pair within buckets
+    (id_a < id_b by sorted order), count co-bucketed bands per pair."""
     capped = cap_per_group(banded, ["band", "h"], "__id", max_bucket)
     buckets = capped.groupBy("band", "h").agg(
         F.sort_array(F.collect_list("__id")).alias("ids"),
@@ -257,6 +265,74 @@ def minhash_candidates(
             F.max("__trunc").alias("truncated"),
         )
     )
+
+
+def minhash_signature_md5(
+    col: Column, num_hashes: int = 16, shingle_k: int = 3
+) -> Column:
+    """MinHash signature keyed by md5 (array<string> of 16-hex-char
+    prefixes): permutation *i* is ``min over shingles of
+    substr(md5(i || ':' || shingle), 1, 16)``.  Fixed-width lowercase hex
+    is order-isomorphic to the unsigned integer it encodes, so the string
+    minimum IS the hash minimum.
+
+    md5 exists in both Spark and DuckDB (xxhash64 does not in DuckDB), so
+    this variant makes the ENTIRE LSH pipeline — signature, banding,
+    bucketing, pair generation — replayable as an ANSI-SQL oracle.  Costlier
+    than :func:`minhash_signature` (md5 per shingle PER permutation instead
+    of one xxhash64 then cheap integer re-hashes): keep xxhash64 as the
+    production default and use this for cross-engine verification.
+
+    The shingle array is let-bound via a single-element-array ``transform``
+    so its expression tree appears once, not once per permutation."""
+    per = F.transform(
+        F.array(shingles(col, shingle_k)),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: F.substring(
+                        F.md5(F.concat_ws(":", i.cast("string"), s)), 1, 16
+                    ),
+                )
+            ),
+        ),
+    )
+    return F.flatten(per)
+
+
+def minhash_candidates_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """:func:`minhash_candidates` with the md5-keyed signature — the
+    cross-engine-verifiable LSH path.  Band hash = md5 of the '|'-joined
+    signature slice.  Rows with NULL text produce a NULL signature and are
+    dropped by the explode (mirror with ``WHERE text IS NOT NULL`` in SQL
+    oracles)."""
+    rows = num_hashes // bands
+    ids = F.col("`%s`" % id_col)
+    sig = minhash_signature_md5(F.col("`%s`" % text_col), num_hashes, shingle_k)
+    sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
+    per_band = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.concat_ws("|", F.slice(F.col("__sig"), b * rows + 1, rows))
+            ).alias("h"),
+        ),
+    )
+    banded = sigs.select("__id", F.explode(per_band).alias("b")).select(
+        F.col("b.band").alias("band"), F.col("b.h").alias("h"), "__id"
+    )
+    return _bucket_pairs(banded, max_bucket)
 
 
 def jaccard_pairs(

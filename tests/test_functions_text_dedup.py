@@ -310,3 +310,40 @@ def test_minhash_candidates_arrow_same_pairs(spark):
     a = key(dedup.minhash_candidates(df, num_hashes=32, bands=16).collect())
     b = key(dedup.minhash_candidates(df, num_hashes=32, bands=16, arrow=True).collect())
     assert a == b and a
+
+
+def test_minhash_md5_signature_matches_python_oracle(spark):
+    """md5-keyed signature ≡ pure-Python hashlib oracle (same shingling,
+    same '%d:%s' keying, 16-hex-prefix string min)."""
+    df = docs_df(spark, DOCS)
+    got = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select(
+            "doc_id", dedup.minhash_signature_md5(F.col("text"), 8, 3).alias("s")
+        ).collect()
+    }
+
+    def oracle(s, h=8, k=3):
+        t = s.split()
+        sh = [" ".join(t[i : i + k]) for i in range(max(len(t) - k + 1, 1))]
+        return [
+            min(
+                hashlib.md5(("%d:%s" % (i, x)).encode()).hexdigest()[:16]
+                for x in sh
+            )
+            for i in range(h)
+        ]
+
+    for did, text_ in DOCS:
+        assert got[did] == oracle(text_), did
+
+
+def test_minhash_candidates_md5_finds_dups(spark):
+    df = docs_df(spark, DOCS)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in dedup.minhash_candidates_md5(df, num_hashes=16, bands=8).collect()
+    }
+    # exact dup pair shares EVERY band; unrelated d3/d5 pair with nothing
+    assert pairs.get(("d1", "d4")) == 8
+    assert all("d3" not in p and "d5" not in p for p in pairs)
