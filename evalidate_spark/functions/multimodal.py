@@ -3,11 +3,11 @@
 ``mapInPandas`` UDFs.
 
 The Spark side is real and tested: schemas, batch iteration, partition
-sizing, UDF signatures.  The decode step is REAL for uncompressed
-containers — 24-bit BMP images and 16-bit PCM WAV audio decode with the
-zero-dependency codecs in :mod:`evalidate_spark.functions.codecs` — and a
-**clearly-marked stub** for compressed codecs (JPEG/PNG/MP4/…), which need
-external libraries this sandbox doesn't have: ``strict=True`` raises
+sizing, UDF signatures.  The decode step is REAL for PNG (stdlib zlib),
+24-bit BMP, and 16-bit PCM WAV payloads via the zero-dependency codecs in
+:mod:`evalidate_spark.functions.codecs` — and a **clearly-marked stub**
+for codecs with no stdlib decompressor (JPEG/MP4/…), which need external
+libraries this sandbox doesn't have: ``strict=True`` raises
 ``NotImplementedError`` for them, the default derives deterministic fake
 dimensions (flagged ``decoded = false`` in the feature rows) so pipelines
 stay testable end-to-end.  Swap :func:`decode_media`'s fallback for
@@ -57,7 +57,7 @@ FEATURE_SCHEMA = T.StructType(
 def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
     """Decode one payload to typed features.
 
-    Real paths (no external libraries): BMP → width/height; WAV →
+    Real paths (no external libraries): PNG and BMP → width/height; WAV →
     duration/sample-rate/RMS.  Anything else is a compressed codec this
     sandbox cannot decode: ``strict=True`` raises ``NotImplementedError``;
     otherwise deterministic pseudo-dimensions are derived from the payload
@@ -78,6 +78,13 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
     if kind == "image" and payload[:2] == b"BM":
         try:
             px = codecs.decode_bmp(payload)
+            out.update(width=int(px.shape[1]), height=int(px.shape[0]))
+            return out
+        except Exception:
+            pass
+    if kind == "image" and payload[: len(codecs.PNG_SIGNATURE)] == codecs.PNG_SIGNATURE:
+        try:
+            px = codecs.decode_png(payload)
             out.update(width=int(px.shape[1]), height=int(px.shape[0]))
             return out
         except Exception:
@@ -162,11 +169,12 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for BMP payloads: decode → nearest-neighbour
-    resample → re-encode, inside the Arrow batch loop (binary in, binary
-    out, no driver involvement).  Non-BMP payloads pass through unchanged
-    with ``meta['resize'] = 'skipped:<reason>'`` — at production scale the
-    same loop calls a real codec for JPEG/PNG."""
+    """REAL image resize for PNG and BMP payloads: decode →
+    nearest-neighbour resample → re-encode in the same container, inside
+    the Arrow batch loop (binary in, binary out, no driver involvement).
+    Other payloads pass through unchanged with
+    ``meta['resize'] = 'skipped:<reason>'`` — at production scale the same
+    loop calls a real codec for JPEG."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -174,14 +182,22 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             payloads, metas = [], []
             for kind, p, m in zip(pdf["media_kind"], pdf["payload"], pdf["meta"]):
                 meta = dict(m) if isinstance(m, dict) else {}
-                if kind == "image" and p is not None and bytes(p[:2]) == b"BM":
+                head = bytes(p[:8]) if p is not None else b""
+                if kind == "image" and head[:2] == b"BM":
                     px = codecs.decode_bmp(bytes(p))
                     out = codecs.encode_bmp(codecs.resize_nearest(px, width, height))
                     payloads.append(out)
                     meta["resize"] = f"{width}x{height}"
+                elif kind == "image" and head == codecs.PNG_SIGNATURE:
+                    px = codecs.decode_png(bytes(p))
+                    out = codecs.encode_png(codecs.resize_nearest(px, width, height))
+                    payloads.append(out)
+                    meta["resize"] = f"{width}x{height}"
                 else:
                     payloads.append(p)
-                    meta["resize"] = "skipped:not-bmp" if kind == "image" else "skipped:not-image"
+                    meta["resize"] = (
+                        "skipped:unknown-container" if kind == "image" else "skipped:not-image"
+                    )
                 metas.append(meta)
             out_pdf = pdf.copy()
             out_pdf["payload"] = payloads
@@ -249,11 +265,13 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads where a
-    library-free container exists: images are true 24-bit BMPs
-    (8–23 px noise squares), audio is true mono 16-bit PCM WAV (sine tones
-    1.0–3.0 s at 4 kHz), video stays an opaque pseudo-payload (every video
-    container is compressed).  Generated distributed (``mapInPandas`` over
-    ``spark.range`` — no driver-side loop), seeded per id."""
+    library-free container exists: images alternate between true PNGs
+    (zlib-deflated, the dominant real-world lossless format) and true
+    24-bit BMPs (8–23 px noise squares), audio is true mono 16-bit PCM WAV
+    (sine tones 1.0–3.0 s at 4 kHz), video stays an opaque pseudo-payload
+    (every video container is compressed).  Generated distributed
+    (``mapInPandas`` over ``spark.range`` — no driver-side loop), seeded
+    per id."""
     import numpy as np
     import pandas as pd
 
@@ -267,7 +285,8 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
                 if kind == "image":
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    payload = codecs.encode_bmp(px)
+                    enc = codecs.encode_png if (i // 3) % 2 == 0 else codecs.encode_bmp
+                    payload = enc(px)
                 elif kind == "audio":
                     rate = 4000
                     dur_s = 1.0 + (i % 5) * 0.5

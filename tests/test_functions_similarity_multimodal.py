@@ -82,6 +82,108 @@ class TestCodecs:
             out = codecs.decode_bmp(codecs.encode_bmp(px))
             assert out.shape == (h, w, 3) and (out == px).all()
 
+    def test_png_roundtrip(self):
+        from evalidate_spark.functions import codecs
+
+        rng = np.random.default_rng(2)
+        for h, w in [(1, 1), (5, 3), (16, 17), (7, 32)]:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data = codecs.encode_png(px)
+            assert data[:8] == codecs.PNG_SIGNATURE
+            out = codecs.decode_png(data)
+            assert out.shape == (h, w, 3) and (out == px).all()
+
+    def test_png_all_filter_types(self):
+        """Decode a hand-built PNG whose scanlines use every filter type
+        (0-4), checking the un-filter against the spec's filter direction
+        implemented independently here."""
+        import struct
+        import zlib
+
+        from evalidate_spark.functions import codecs
+
+        def filter_row(ftype, cur, prev, bpp):
+            out = np.empty_like(cur)
+            for i in range(len(cur)):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                x = int(cur[i])
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (x - pred) & 0xFF
+            return out
+
+        rng = np.random.default_rng(3)
+        h, w, bpp = 5, 4, 3
+        px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+        flat = px.reshape(h, w * bpp)
+        raw = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.uint8)
+        for r in range(h):
+            ftype = r % 5  # rows exercise None, Sub, Up, Average, Paeth
+            raw += bytes([ftype]) + filter_row(ftype, flat[r], prev, bpp).tobytes()
+            prev = flat[r]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            codecs.PNG_SIGNATURE
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        out = codecs.decode_png(data)
+        assert (out == px).all()
+
+    def test_png_gray_and_rgba(self):
+        import struct
+        import zlib
+
+        from evalidate_spark.functions import codecs
+
+        def build(color, bpp, body):
+            h, w = body.shape[0], body.shape[1]
+            raw = b"".join(b"\x00" + body[r].tobytes() for r in range(h))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+            return (
+                codecs.PNG_SIGNATURE
+                + codecs._png_chunk(b"IHDR", ihdr)
+                + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+                + codecs._png_chunk(b"IEND", b"")
+            )
+
+        gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+        out = codecs.decode_png(build(0, 1, gray))
+        assert out.shape == (3, 4, 3) and (out[:, :, 0] == gray[:, :, 0]).all()
+        assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 1] == out[:, :, 2]).all()
+
+        rng = np.random.default_rng(4)
+        rgba = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)
+        out = codecs.decode_png(build(6, 4, rgba))
+        assert out.shape == (2, 3, 3) and (out == rgba[:, :, :3]).all()
+
+    def test_png_corrupt_rejected(self):
+        import pytest as _pytest
+
+        from evalidate_spark.functions import codecs
+
+        good = codecs.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        bad = bytearray(good)
+        bad[20] ^= 0xFF  # flip a bit inside IHDR → CRC mismatch
+        with _pytest.raises(ValueError, match="CRC"):
+            codecs.decode_png(bytes(bad))
+        with _pytest.raises(ValueError, match="not a PNG"):
+            codecs.decode_png(b"\x89PNX" + good[4:])
+
     def test_wav_roundtrip(self):
         from evalidate_spark.functions import codecs
 
@@ -157,13 +259,22 @@ class TestMultimodal:
 
         media = multimodal.synth_media(spark, n=12)
         out = multimodal.resize_images(media, 10, 7).collect()
+        containers = set()
         for r in out:
             if r["media_kind"] == "image":
-                px = codecs.decode_bmp(bytes(r["payload"]))
+                p = bytes(r["payload"])
+                if p[:2] == b"BM":
+                    px = codecs.decode_bmp(p)
+                    containers.add("bmp")
+                else:
+                    px = codecs.decode_png(p)
+                    containers.add("png")
                 assert px.shape == (7, 10, 3)
                 assert r["meta"]["resize"] == "10x7"
             else:
                 assert r["meta"]["resize"].startswith("skipped")
+        # synth alternates containers; the resize keeps each in its own
+        assert containers == {"bmp", "png"}
 
     def test_extract_features(self, spark):
         media = multimodal.synth_media(spark, n=30)
