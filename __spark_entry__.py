@@ -395,6 +395,39 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed, literal BPE training corpus: the driver's oracle SQL must embed
+# the SAME vocabulary as the Spark query, and oracle_sql() has no sf_dir —
+# so the driver query learns from this pinned corpus (the general
+# learn-from-any-DataFrame path is exercised in pytest instead).
+_BPE_TRAIN = (
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "spark table scan filter join group agg window sort merge batch stream",
+    "data value part row column line customer order query hash fast slow",
+    "a small big table the part data window the row a window data a scan",
+    "stream batch group order count sum value key agg row scan slow fast",
+)
+
+
+def _bpe_fixed_vocab():
+    from collections import Counter
+
+    from evalidate_spark.functions.bpe import learn_bpe, vocab_from_merges
+
+    wc = Counter(w for s in _BPE_TRAIN for w in s.split())
+    return vocab_from_merges(wc, learn_bpe(wc, 60))
+
+
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL vocab-merge tokenization: BPE merges learned (driver-side,
+    deterministic) from the pinned corpus above, applied Arrow-batched via
+    greedy longest-match — oracled by a DuckDB recursive CTE over the same
+    literal vocabulary."""
+    from evalidate_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bpe.token_counts_bpe(d, _bpe_fixed_vocab())
+
+
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics as integer basis points (exact cross-engine compare)."""
     m = text.quality_metrics(_t(spark, sf_dir, "documents"))
@@ -587,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lib_validators": q_lib_validators,
         "converters": q_converters,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "quality_documents": q_quality_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "lang_marker_counts": q_lang_marker_counts,
@@ -983,6 +1017,42 @@ SELECT user_id, session_ix, cast(count(*) AS bigint) AS n_events,
   cast(min(tus) AS bigint) AS t_start_us, cast(max(tus) AS bigint) AS t_end_us
 FROM t GROUP BY 1, 2
 """
+
+def _bpe_oracle_sql() -> str:
+    """Recursive-CTE twin of greedy longest-match BPE counting: per word,
+    advance by the longest literal-vocab piece matching at the cursor
+    (else one character), counting steps.  The vocabulary literal is
+    generated from the SAME pinned corpus the Spark query learns from."""
+    vals = ", ".join(
+        "('%s', %d)" % (p.replace("'", "''"), len(p)) for p in _bpe_fixed_vocab()
+    )
+    return f"""
+WITH RECURSIVE vocab(piece, plen) AS (
+  SELECT * FROM (VALUES {vals}) v(piece, plen)
+), w0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT doc_id, w FROM w0 WHERE w <> ''
+), steps AS (
+  SELECT doc_id, w, 1 AS pos, 0 AS n FROM words
+  UNION ALL
+  SELECT doc_id, w,
+    pos + coalesce((SELECT max(plen) FROM vocab v
+                    WHERE substr(w, pos, v.plen) = v.piece), 1),
+    n + 1
+  FROM steps WHERE pos <= len(w)
+), sums AS (
+  SELECT doc_id, cast(sum(n) AS int) AS n_tokens_bpe
+  FROM steps WHERE pos = len(w) + 1 GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_tokens_bpe, 0) AS n_tokens_bpe
+FROM documents d LEFT JOIN sums s USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
+
+
+ORACLE["token_counts_bpe"] = _bpe_oracle_sql()
 
 ORACLE["minhash_pairs_md5"] = """
 WITH toks AS (

@@ -35,10 +35,16 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
-# A BPE-ish token estimate: word-pieces of up to 4 chars.  Counting
-# ceil(len(word)/4) per word approximates sub-word tokenisers without a
-# vocab; exact enough for budget/quality gating at corpus scale.
-def token_count_bpe(col: Column, piece_len: int = 4) -> Column:
+# Without a vocab: a BPE-ish token estimate — word-pieces of up to 4
+# chars, counting ceil(len(word)/4) per word (pure Column expression, zero
+# Python).  With ``vocab`` (e.g. from functions.bpe.learn_bpe_vocab): REAL
+# vocab-merge tokenization, greedy longest-match over the learned pieces,
+# Arrow-batched.
+def token_count_bpe(col: Column, piece_len: int = 4, vocab=None) -> Column:
+    if vocab is not None:
+        from .bpe import token_count_bpe_vocab
+
+        return token_count_bpe_vocab(col, vocab)
     return F.aggregate(
         tokens(col),
         F.lit(0),

@@ -347,3 +347,73 @@ def test_minhash_candidates_md5_finds_dups(spark):
     # exact dup pair shares EVERY band; unrelated d3/d5 pair with nothing
     assert pairs.get(("d1", "d4")) == 8
     assert all("d3" not in p and "d5" not in p for p in pairs)
+
+
+class TestBPE:
+    def test_learn_bpe_hand_checked(self):
+        from evalidate_spark.functions.bpe import learn_bpe
+
+        # 'ab' is the most frequent pair (weight 5); then 'abc' (weight 3)
+        merges = learn_bpe({"abc": 3, "abd": 2}, num_merges=2)
+        assert merges == [("a", "b"), ("ab", "c")]
+
+    def test_learn_bpe_tie_breaks_lexicographically(self):
+        from evalidate_spark.functions.bpe import learn_bpe
+
+        # pairs (x,y) and (y,z) both weight 1 → smallest pair wins
+        assert learn_bpe({"xy": 1, "yz": 1}, num_merges=1) == [("x", "y")]
+
+    def test_encode_greedy_reference(self):
+        from evalidate_spark.functions.bpe import encode_greedy
+
+        vocab = frozenset({"a", "b", "c", "ab", "abc"})
+        assert encode_greedy("abcab", vocab, 3) == ["abc", "ab"]
+        assert encode_greedy("zzz", vocab, 3) == ["z", "z", "z"]  # OOV chars
+        assert encode_greedy("ababc", vocab, 3) == ["ab", "abc"]
+
+    def test_token_count_vocab_udf_matches_reference(self, spark):
+        from evalidate_spark.functions.bpe import encode_greedy, token_counts_bpe
+
+        vocab = ["t", "h", "e", "q", "u", "i", "c", "k", "th", "the", "qu", "ck"]
+        rows = [("d1", "the quick the"), ("d2", ""), ("d3", None), ("d4", "zzz the")]
+        df = docs_df(spark, rows)
+        got = {
+            r["doc_id"]: r["n_tokens_bpe"]
+            for r in token_counts_bpe(df, vocab).collect()
+        }
+        vs, ml = frozenset(vocab), 3
+        for did, t in rows:
+            want = None if t is None else sum(
+                len(encode_greedy(w, vs, ml)) for w in t.split()
+            )
+            assert got[did] == want, (did, got[did], want)
+
+    def test_learn_apply_end_to_end_monotone(self, spark):
+        """Learning from the real documents table: more merges → fewer or
+        equal tokens; counts bounded by [n_words, n_chars]."""
+        from evalidate_spark.functions import bpe
+
+        d = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("text").isNotNull())
+            .limit(50)
+            .cache()
+        )
+        wc = [(r["w"], r["n"]) for r in bpe.word_counts(d).collect()]
+        v_small = bpe.vocab_from_merges(wc, bpe.learn_bpe(wc, 5))
+        v_big = bpe.vocab_from_merges(wc, bpe.learn_bpe(wc, 100))
+        small = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.token_counts_bpe(d, v_small).collect()}
+        big = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.token_counts_bpe(d, v_big).collect()}
+        bounds = {
+            r["doc_id"]: (r["nw"], r["nc"])
+            for r in d.select(
+                "doc_id",
+                F.size(F.split("text", r"\s+")).alias("nw"),
+                F.length(F.regexp_replace("text", r"\s+", "")).alias("nc"),
+            ).collect()
+        }
+        assert small and set(small) == set(big)
+        for k in small:
+            nw, nc = bounds[k]
+            assert big[k] <= small[k] <= nc
+            assert big[k] >= nw  # at least one piece per word
