@@ -506,8 +506,10 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 30,
     on_nonconverged: str = "raise",
+    checkpoint_every: int = 2,
+    stats: dict = None,
 ) -> DataFrame:
     """Connected components over duplicate pairs → ``(id, cluster_id)``
     with ``cluster_id`` = the component's minimum id (deterministic
@@ -515,53 +517,80 @@ def duplicate_clusters(
 
     The last stage of the dedup pipeline: LSH gives candidate *pairs*;
     keeping one doc per transitive duplicate *group* needs the components.
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min label among itself and its neighbours (one join + one
-    groupBy per round), converging in O(component diameter) rounds; near-
-    dup components are shallow (template families), so a handful of rounds
-    suffices and ``max_iter`` bounds adversarial chains.  Each round
-    ``localCheckpoint``s the label table: without it the loop's lineage
-    doubles per iteration and the final plan is exponential.  All joins are
-    id↔id hash joins; nothing is ever collected to the driver.
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    rewires every node's strictly-larger neighbours (large-star) then its
+    smaller neighbours (small-star) to the neighbourhood minimum.  Rounds
+    needed are logarithmic in component size (O(log² n) proven, ~log₂ n
+    observed), NOT linear in diameter like naive min-label propagation —
+    a 10k-node chain converges in ~10 alternating rounds instead of 10k.
+    Each round is two groupBys + two joins on ids; nothing is collected to
+    the driver.  The edge set is ``localCheckpoint``-ed every
+    *checkpoint_every* rounds — enough to stop the iterative plan growing
+    unboundedly, without writing block storage every single round.
 
-    If labels have not converged after *max_iter* rounds (a component of
-    diameter > max_iter) the result would silently SPLIT real components —
+    If the edge set has not reached a fixpoint after *max_iter* rounds the
+    result could silently SPLIT real components —
     ``on_nonconverged='raise'`` (default) raises instead; pass
     ``'ignore'`` to accept the partial merge."""
-    e = pairs.select(
-        F.col("`%s`" % id_a).alias("src"), F.col("`%s`" % id_b).alias("dst")
-    )
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    a, b = F.col("`%s`" % id_a), F.col("`%s`" % id_b)
+    nodes = (
+        pairs.select(a.alias("id")).union(pairs.select(b.alias("id"))).distinct()
+    ).localCheckpoint(eager=True)
+    e = (
+        pairs.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
     ).localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iter):
-        neigh = sym.join(labels, sym["dst"] == labels["id"]).select(
-            sym["src"].alias("id"), F.col("label")
+    n_edges = e.count()
+    for i in range(max_iter):
+        # large-star: every neighbour v > u re-points to min(N(u) ∪ {u})
+        sym = e.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+            e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
         )
-        new = (
-            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        m = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        m = m.select("a", F.least("mb", F.col("a")).alias("m"))
+        big = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("m").alias("lo"), F.col("b").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        labels = new
-        if changed == 0:
+        # small-star on the (hi → lo) orientation: every smaller neighbour
+        # and the centre re-point to the smallest neighbour
+        m2 = big.groupBy("hi").agg(F.min("lo").alias("m"))
+        s1 = (
+            big.join(m2, "hi")
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+        )
+        s2 = m2.select(F.col("m").alias("lo"), F.col("hi").alias("hi"))
+        new_e = (
+            s1.union(s2).filter(F.col("lo") != F.col("hi")).distinct()
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_e = new_e.localCheckpoint(eager=True)
+        # fixpoint test: same cardinality and new ⊆ old ⇒ equal sets
+        new_count = new_e.count()
+        if new_count == n_edges and new_e.exceptAll(e).limit(1).count() == 0:
             converged = True
+            e = new_e
+            if stats is not None:
+                stats["rounds"] = i + 1
             break
+        e, n_edges = new_e, new_count
     if not converged and on_nonconverged != "ignore":
         raise RuntimeError(
-            "duplicate_clusters did not converge within max_iter=%d rounds "
-            "(a component has diameter > max_iter); raise max_iter or pass "
-            "on_nonconverged='ignore' to accept split components" % max_iter
+            "duplicate_clusters did not converge within max_iter=%d rounds; "
+            "raise max_iter or pass on_nonconverged='ignore' to accept "
+            "split components" % max_iter
         )
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    # at the fixpoint every edge is (component-min → member)
+    leaf = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("cluster_id"))
+    return nodes.join(leaf, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
 
 
 def apply_dedup_clusters(

@@ -238,14 +238,37 @@ class TestDedup:
         assert got == want
 
     def test_duplicate_clusters_nonconvergence_raises(self, spark):
-        # a 30-hop chain exceeds max_iter=5 → raise, never silently split
+        # a 30-hop chain needs ~log2(30) alternating star rounds; one round
+        # cannot reach the fixpoint → raise, never silently split
         chain = [(i, i + 1) for i in range(30)]
         pairs = spark.createDataFrame(chain, "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="did not converge"):
-            dedup.duplicate_clusters(pairs, max_iter=5)
+            dedup.duplicate_clusters(pairs, max_iter=1)
         got = {r["id"]: r["cluster_id"] for r in
                dedup.duplicate_clusters(pairs, max_iter=40).collect()}
         assert set(got.values()) == {0} and len(got) == 31
+
+    def test_duplicate_clusters_path_graph_log_rounds(self, spark):
+        """Worst-case diameter: a 10k-node path converges in O(log n)
+        alternating large-star/small-star rounds (observed ~log2 n + 2),
+        not O(diameter) like min-label propagation."""
+        import math
+
+        n = 10_000
+        chain = spark.range(0, n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+        st = {}
+        res = dedup.duplicate_clusters(chain, max_iter=30, stats=st)
+        assert st["rounds"] <= 2 * math.ceil(math.log2(n))
+        agg = res.groupBy("cluster_id").count().collect()
+        assert len(agg) == 1 and agg[0]["cluster_id"] == 0 and agg[0]["count"] == n
+
+    def test_duplicate_clusters_self_pairs_and_singletons(self, spark):
+        # self-pairs keep the node but create no component
+        pairs = spark.createDataFrame(
+            [(5, 5), (1, 2)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got == {5: 5, 1: 1, 2: 1}
 
     def test_apply_dedup_clusters_keeps_canonical(self, spark):
         df = docs_df(spark, DOCS)
