@@ -10,14 +10,22 @@ exact MICROSECONDS (``unix_micros``) so results are bit-identical across
 engines regardless of fractional-second timestamps.
 
 Scale: one window keyed by (user) — Spark partitions the window by the
-user hash, so parallelism is #users, never a global sort; a pathological
-single-user stream is the one skew case (mitigate upstream by splitting
-that user by day before sessionizing).  The roll-up reuses the same
-shuffle partitioning (groupBy on a superset of the window key adds no
-exchange).
+user hash, so parallelism is #users, never a global sort; the roll-up
+reuses the same shuffle partitioning (groupBy on a superset of the window
+key adds no exchange).  A pathological single-user stream is the one skew
+case: ``session_bounds(split_hours=…)`` pre-splits every user's events
+into time buckets, sessionizes within each (user, bucket) — parallelism
+becomes #user-buckets, so no task ever sorts one user's whole history —
+then stitches sessions across bucket boundaries exactly (a per-user
+window over the TINY bucket-summary table assigns each bucket a global
+session offset and a merge flag for a first-session that continues the
+previous bucket's last session).  The stitched result is identical to the
+unsplit path (equivalence-tested).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
@@ -64,10 +72,20 @@ def session_bounds(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    split_hours: Optional[int] = None,
 ) -> DataFrame:
     """Per-session roll-up: ``(user, session_ix, n_events, t_start_us,
     t_end_us)`` — the window stage's partitioning is reused by the groupBy
-    (same leading key), so the plan has exactly one exchange."""
+    (same leading key), so the plan has exactly one exchange.
+
+    ``split_hours`` opts into the skew-relief path: events are bucketed by
+    ``floor(t / split_hours)`` per user BEFORE the window, so a single hot
+    user parallelises across its time buckets instead of serialising one
+    straggler task; cross-bucket sessions are stitched exactly (same
+    output, equivalence-tested).  Costs two extra small exchanges — pay it
+    when one key owns a pathological share of events."""
+    if split_hours is not None:
+        return _session_bounds_split(df, user_col, ts_col, gap_minutes, split_hours)
     u = F.col("`%s`" % user_col)
     nn = df.filter(u.isNotNull())
     tus = _micros(nn, ts_col)
@@ -78,5 +96,87 @@ def session_bounds(
             F.count(F.lit(1)).alias("n_events"),
             F.min(tus).alias("t_start_us"),
             F.max(tus).alias("t_end_us"),
+        )
+    )
+
+
+def _session_bounds_split(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int,
+    split_hours: int,
+) -> DataFrame:
+    """Skew-relief sessionization: window per (user, time-bucket), then an
+    exact cross-boundary stitch.
+
+    Let bucket b's local sessions be 1..n_b, ``tf_b``/``tl_b`` its
+    first/last event time, and ``m_b`` = 1 iff the bucket's first session
+    continues the previous non-empty bucket's last session
+    (``tf_b − tl_prev ≤ gap``).  With ``S_b = Σ_{b'≤b} (n_b' − m_b')``
+    (global sessions started through bucket b), local session (b, l) has
+    global index ``S_{b-1} + l − m_b`` — uniform in l, so the stitch is a
+    tiny per-user window over bucket summaries plus one hash join back.
+    Sessions spanning 3+ buckets chain naturally (every interior bucket
+    contributes n=1, m=1 → zero new sessions)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = split_hours * 3600 * 1_000_000
+    u = F.col("`%s`" % user_col)
+    nn = df.filter(u.isNotNull())
+    tus = _micros(nn, ts_col)
+    # floor of the double quotient is monotone in t, which is all the
+    # stitch needs (buckets time-ordered, boundaries deterministic)
+    ev = nn.select(
+        u.alias("__u"),
+        tus.alias("__t"),
+        F.floor(tus / F.lit(bucket_us)).cast("long").alias("__b"),
+    )
+    w = Window.partitionBy("__u", "__b").orderBy("__t")
+    prev = F.lag("__t").over(w)
+    new_s = (prev.isNull() | (F.col("__t") - prev > gap_us)).cast("long")
+    loc = ev.withColumn(
+        "__lix", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # local roll-up + bucket summary reuse the window's (user, bucket)
+    # partitioning — no extra exchange for either
+    locs = loc.groupBy("__u", "__b", "__lix").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__t").alias("t_start_us"),
+        F.max("__t").alias("t_end_us"),
+    )
+    summ = locs.groupBy("__u", "__b").agg(
+        F.max("__lix").alias("__nloc"),
+        F.min("t_start_us").alias("__tf"),
+        F.max("t_end_us").alias("__tl"),
+    )
+    wb = Window.partitionBy("__u").orderBy("__b")
+    prev_tl = F.lag("__tl").over(wb)
+    summ = summ.withColumn(
+        "__m",
+        (prev_tl.isNotNull() & (F.col("__tf") - prev_tl <= gap_us)).cast("long"),
+    )
+    summ = summ.withColumn(
+        "__S",
+        F.coalesce(
+            F.sum(F.col("__nloc") - F.col("__m")).over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    g = locs.join(summ.select("__u", "__b", "__m", "__S"), ["__u", "__b"])
+    return (
+        g.select(
+            F.col("__u").alias(user_col),
+            (F.col("__S") + F.col("__lix") - F.col("__m")).alias("session_ix"),
+            "n_events",
+            "t_start_us",
+            "t_end_us",
+        )
+        .groupBy(user_col, "session_ix")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("t_start_us").alias("t_start_us"),
+            F.max("t_end_us").alias("t_end_us"),
         )
     )

@@ -100,6 +100,41 @@ def windowed_verdicts(
     )
 
 
+def session_bounds_stream(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's NATIVE
+    ``session_window`` — the stateful-streaming twin of batch
+    :func:`evalidate_spark.operators.sessions.session_bounds`: same gap
+    semantics, emitting ``(user, n_events, t_start_us, t_end_us)`` per
+    session once the watermark closes it (append mode).  ``session_ix`` is
+    intentionally absent — a running per-user index needs total order over
+    the unbounded stream; join on bounds instead.  State is one open
+    session per active user, expired by the watermark — O(active users),
+    not O(stream)."""
+    from .operators.sessions import _micros
+
+    u = F.col("`%s`" % user_col)
+    nn = stream_df.filter(u.isNotNull()).withWatermark(ts_col, watermark)
+    tus = _micros(nn, ts_col)
+    return (
+        nn.groupBy(
+            u.alias(user_col),
+            F.session_window(F.col("`%s`" % ts_col), "%d minutes" % gap_minutes),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(tus).alias("t_start_us"),
+            F.max(tus).alias("t_end_us"),
+        )
+        .drop("session_window")
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     ts_col: str,

@@ -145,3 +145,61 @@ class TestStreaming:
         q2 = streaming.run_foreach_batch(_stream(spark, docs_dir), RULES, out, ckpt)
         q2.awaitTermination(120)
         assert spark.read.parquet(out + "/violations").count() == batch.violations.count()
+
+
+def test_session_bounds_stream_equals_batch(spark, tmp_path):
+    """Streaming session_window roll-up ≡ batch session_bounds on the same
+    files (bounds + event counts; session_ix is batch-only by design).
+
+    Append mode only emits a session once the watermark passes its end
+    (t_end + gap), so the trailing sessions stay in state when the first
+    availableNow run drains — that is CORRECT streaming semantics, not a
+    bug.  The test flushes them the way production would: append a
+    far-future sentinel event and restart from the same checkpoint, which
+    advances the watermark past every real session."""
+    from evalidate_spark.operators.sessions import session_bounds
+
+    path = str(tmp_path / "sess_in")
+    (
+        spark.range(300)
+        .selectExpr(
+            "cast(id % 7 as long) user_id",
+            # bursts: 3 events 5 min apart, then a 2h jump per burst group
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0, cast(id/21 as int)*120 + (id % 3)*5, 0) ts",
+        )
+        .repartition(4)
+        .write.parquet(path)
+    )
+    batch_df = spark.read.parquet(path)
+    want = {
+        (r["user_id"], r["n_events"], r["t_start_us"], r["t_end_us"])
+        for r in session_bounds(batch_df, gap_minutes=30).collect()
+    }
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def drain():
+        q = (
+            streaming.session_bounds_stream(
+                _stream(spark, path), gap_minutes=30, watermark="0 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    drain()
+    spark.range(1).selectExpr(
+        "cast(999 as long) user_id", "timestamp'2027-01-01 00:00:00' ts"
+    ).write.mode("append").parquet(path)
+    drain()
+    got = {
+        (r["user_id"], r["n_events"], r["t_start_us"], r["t_end_us"])
+        for r in spark.read.parquet(out).filter("user_id != 999").collect()
+    }
+    assert got == want and len(got) > 10

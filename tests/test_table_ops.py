@@ -189,3 +189,40 @@ def test_sessionize_gap_semantics(spark):
     b = {(r["user_id"], r["session_ix"]): r["n_events"]
          for r in session_bounds(df, gap_minutes=30).collect()}
     assert b == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_session_split_equivalence_and_skew(spark):
+    """split_hours skew relief returns EXACTLY the unsplit result — on the
+    real events table (24h buckets) and on a pathological stream where one
+    user owns 95% of events (1h buckets, forcing many cross-bucket
+    stitches, including sessions spanning 3+ buckets)."""
+    from evalidate_spark.operators.sessions import session_bounds
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(session_bounds(ev, gap_minutes=30)) == key(
+        session_bounds(ev, gap_minutes=30, split_hours=24)
+    )
+
+    # hot user: 950 events every 20 min (sessions chain across every 1h
+    # bucket boundary); 50 cold events on other users
+    hot = spark.range(950).selectExpr(
+        "1 AS user_id",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,id*20,0) AS ts",
+    )
+    cold = spark.range(50).selectExpr(
+        "10 + id AS user_id",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*7200) AS ts",
+    )
+    df = hot.union(cold)
+    unsplit = key(session_bounds(df, gap_minutes=30))
+    split = session_bounds(df, gap_minutes=30, split_hours=1)
+    assert key(split) == unsplit
+
+    # the first window must partition by (user, bucket), not user alone —
+    # that's what breaks the hot user across tasks
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    first_window = plan[plan.rindex("Window") :]  # innermost = last printed
+    assert re.search(r"windowspecdefinition\(__u.*__b", first_window), first_window
