@@ -226,3 +226,37 @@ def test_session_split_equivalence_and_skew(spark):
 
     first_window = plan[plan.rindex("Window") :]  # innermost = last printed
     assert re.search(r"windowspecdefinition\(__u.*__b", first_window), first_window
+
+
+def test_referential_antijoin_aqe_skew_split(spark):
+    """One dangling key at ~100x frequency: with broadcast off (the big-dim
+    path) the sort-merge anti-join must complete under AQE with the skewed
+    partition SPLIT across tasks — the final adaptive plan carries the
+    skew=true marker on the join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
+        # keep AQE from demoting the dim side to a broadcast join — the
+        # point is the sort-merge skew path
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one relation (a union would let Catalyst push the anti-join into
+        # the branches and constant-fold the hot key away from the SMJ)
+        fact = spark.range(101_000).selectExpr(
+            "case when id < 100000 then cast(-1 as long) else id - 100000 end AS ref",
+            "uuid() AS payload",
+        )
+        dim = spark.range(1_000).selectExpr("id AS dim_key")
+        out = referential_violations(fact, "ref", dim, "dim_key", broadcast_dim=False)
+        assert len(out.collect()) == 100_000  # hot rows dangle, cold rows don't
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan and "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
