@@ -518,6 +518,47 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_bounds(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) feature join — each event is joined to the
+    latest PRIOR day's per-user rollup (count + max value), the
+    leakage-proof join training pipelines need.  Implemented as ONE
+    union+window shuffle, never a non-equi join (operators/asof.py);
+    everything runs in epoch-micros bigints so the query is
+    timezone-free by construction."""
+    from evalidate_spark.operators.asof import asof_join
+    from evalidate_spark.operators.sessions import _micros
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", _micros(ev, "ts").alias("t_us"), "value"
+    )
+    feat = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id", F.floor(F.col("t_us") / F.lit(DAY)).alias("__d")
+        )
+        .agg(F.count(F.lit(1)).alias("n_prev"), F.max("value").alias("max_prev"))
+        .select(
+            "user_id",
+            ((F.col("__d") + 1) * F.lit(DAY)).alias("eff_us"),
+            "n_prev",
+            "max_prev",
+        )
+    )
+    out = asof_join(
+        e.drop("value"), feat, "user_id", "t_us", "eff_us", ["n_prev", "max_prev"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("__asof_ts").cast("bigint").alias("eff_us"),
+        F.col("n_prev").cast("bigint").alias("n_prev"),
+        "max_prev",
+    )
+
+
 def q_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (PSI + total-variation over category frequencies):
     baseline = even-user events, top-3 categories + __other__ rollup."""
@@ -643,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": q_drift_events,
         "drift_event_types": q_drift_event_types,
         "sessions": q_sessions,
+        "asof_features": q_asof_features,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
@@ -1016,6 +1058,24 @@ WITH s AS (
 SELECT user_id, session_ix, cast(count(*) AS bigint) AS n_events,
   cast(min(tus) AS bigint) AS t_start_us, cast(max(tus) AS bigint) AS t_end_us
 FROM t GROUP BY 1, 2
+"""
+
+ORACLE["asof_features"] = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events
+), daily AS (
+  SELECT user_id, cast(floor(t_us / 86400000000.0) AS bigint) AS d,
+         count(*) AS n_prev, max(value) AS max_prev
+  FROM e WHERE user_id IS NOT NULL GROUP BY 1, 2
+), feat AS (
+  SELECT user_id, (d + 1) * 86400000000 AS eff_us, n_prev, max_prev FROM daily
+)
+SELECT e.event_id, e.user_id, e.t_us,
+       f.eff_us AS eff_us,
+       cast(f.n_prev AS bigint) AS n_prev,
+       f.max_prev AS max_prev
+FROM e ASOF LEFT JOIN feat f
+  ON e.user_id = f.user_id AND e.t_us >= f.eff_us
 """
 
 def _bpe_oracle_sql() -> str:

@@ -6,6 +6,7 @@ reference's element-local checks — SURVEY.md §2.8).
 * :mod:`.spans` — span-sequence structural validation on the interleaved
   text+media documents table (explode-free HOFs)
 * :mod:`.sessions` — gap-based event sessionization (windowed)
+* :mod:`.asof` — point-in-time (as-of) feature join, union+window form
 """
 
 from .table_checks import (
@@ -17,3 +18,4 @@ from .table_checks import (
 )
 from .spans import span_rules, span_structure_violations
 from .sessions import session_bounds, sessionize
+from .asof import asof_join
