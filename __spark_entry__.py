@@ -116,6 +116,28 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
 
 
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quantile profile (audit mode) on integer-valued columns,
+    where linear interpolation at rank p*(n-1) is IEEE-exact and thus
+    hash-comparable across engines; float columns use the
+    percentile_approx scale path (sketch-bounded, not oracle-able)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = profile(
+        li,
+        columns=["l_quantity", "l_linenumber", "l_orderkey"],
+        approx_distinct=False,
+        quantiles=(0.25, 0.5, 0.75),
+        exact_quantiles=True,
+    )
+    return p.select(
+        "column",
+        "n_rows",
+        F.col("quantiles")[0].alias("q25"),
+        F.col("quantiles")[1].alias("q50"),
+        F.col("quantiles")[2].alias("q75"),
+    )
+
+
 def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return uniqueness_violations(ev, "user_id")
@@ -685,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_event_types": q_drift_event_types,
         "sessions": q_sessions,
         "asof_features": q_asof_features,
+        "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
@@ -1076,6 +1099,26 @@ SELECT e.event_id, e.user_id, e.t_us,
        f.max_prev AS max_prev
 FROM e ASOF LEFT JOIN feat f
   ON e.user_id = f.user_id AND e.t_us >= f.eff_us
+"""
+
+ORACLE["profile_quantiles"] = """
+SELECT 'l_quantity' AS "column", cast(count(*) AS bigint) AS n_rows,
+       quantile_cont(cast(l_quantity AS double), 0.25) AS q25,
+       quantile_cont(cast(l_quantity AS double), 0.5)  AS q50,
+       quantile_cont(cast(l_quantity AS double), 0.75) AS q75
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', cast(count(*) AS bigint),
+       quantile_cont(cast(l_linenumber AS double), 0.25),
+       quantile_cont(cast(l_linenumber AS double), 0.5),
+       quantile_cont(cast(l_linenumber AS double), 0.75)
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', cast(count(*) AS bigint),
+       quantile_cont(cast(l_orderkey AS double), 0.25),
+       quantile_cont(cast(l_orderkey AS double), 0.5),
+       quantile_cont(cast(l_orderkey AS double), 0.75)
+FROM lineitem
 """
 
 def _bpe_oracle_sql() -> str:

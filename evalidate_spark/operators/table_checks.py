@@ -35,12 +35,21 @@ def profile(
     columns: Optional[Sequence[str]] = None,
     approx_distinct: bool = True,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    exact_quantiles: bool = False,
 ) -> DataFrame:
     """Per-column stats in ONE aggregation pass.
 
     Returns one row per column: ``column, n_rows, n_nulls, n_distinct,
     min_repr, max_repr, quantiles(array<double> for numeric)``.
-    """
+
+    ``exact_quantiles`` swaps ``percentile_approx`` for Spark's exact
+    ``percentile`` (linear interpolation at rank ``p*(n-1)``) — the
+    oracle/audit mode, same role as ``approx_distinct=False``.  The scale
+    default stays approximate: exact percentile buffers each column's
+    values per partition, approx keeps a bounded sketch.  On
+    integer-valued columns the interpolated result is IEEE-exact (dyadic
+    products), so it cross-checks bit-for-bit against DuckDB's
+    ``quantile_cont``."""
     cols = list(columns) if columns else [f.name for f in df.schema.fields]
     numeric = {
         f.name
@@ -58,8 +67,12 @@ def profile(
         aggs.append(F.min(qc).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(qc).cast("string").alias(f"{c}__max"))
         if c in numeric and quantiles:
+            pfn = "percentile" if exact_quantiles else "percentile_approx"
             aggs.append(
-                F.percentile_approx(qc.cast("double"), list(quantiles)).alias(f"{c}__q")
+                F.expr(
+                    "%s(cast(`%s` as double), array(%s))"
+                    % (pfn, c, ",".join(repr(float(p)) for p in quantiles))
+                ).alias(f"{c}__q")
             )
     row = df.agg(*aggs)
     # unpivot driver-side expression (still lazy — one stack over 1 row)

@@ -260,3 +260,20 @@ def test_referential_antijoin_aqe_skew_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_profile_exact_quantiles_match_duckdb(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = {
+        r["column"]: r["quantiles"]
+        for r in profile(
+            df, ["l_quantity", "l_orderkey"], exact_quantiles=True
+        ).collect()
+    }
+    for col in ("l_quantity", "l_orderkey"):
+        exp = duckdb.sql(
+            f"""SELECT quantile_cont(cast({col} AS double), [0.25, 0.5, 0.75])
+                FROM '{SF}/lineitem.parquet'"""
+        ).fetchone()[0]
+        # integer-valued column: interpolation is IEEE-exact → bit equality
+        assert p[col] == list(exp)
