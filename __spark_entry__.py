@@ -478,6 +478,52 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
 
 
+def q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold Bernoulli sample (12.5%) — a pure
+    filter with NO shuffle and no RNG state: membership is defined by
+    md5(salt||id), so it's reproducible across runs, engines, and
+    partitionings, and samples nest across fractions."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_deterministic(d, 0.125).select("doc_id", "lang")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sample (40 docs/lang) by salted-hash rank
+    — the corpus-balancing selection op; one shuffle on the stratum."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_stratified(d, "lang", quota=40).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: concatenate docs per language shard
+    in doc_id order, cut every 512 tokens, roll up (n_docs, seq_tokens)
+    per sequence — window + groupBy sharing one shard shuffle."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(d, budget=512, shard_col="lang")
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: keep one representative (min doc_id) per
+    first-5-token prefix fingerprint, everything else drops — aggregate
+    then LEFT SEMI join so the doc payload never rides the shuffle."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    return dedup.distinct_by_fingerprint(d, key=key).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup groups keyed on the first-5-token prefix fingerprint
     (the corpus has no full-text dups; the prefix key exercises the same
@@ -697,6 +743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_childs": q_nested_childs,
         "password": q_password,
         "custom_validator": q_custom_validator,
+        "sampled_docs": q_sampled_docs,
+        "stratified_sample": q_stratified_sample,
+        "packed_sequences": q_packed_sequences,
+        "dedup_corpus": q_dedup_corpus,
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1099,6 +1149,48 @@ SELECT e.event_id, e.user_id, e.t_us,
        f.max_prev AS max_prev
 FROM e ASOF LEFT JOIN feat f
   ON e.user_id = f.user_id AND e.t_us >= f.eff_us
+"""
+
+ORACLE["sampled_docs"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('v1' || cast(doc_id AS varchar)), 1, 8) < '20000000'
+"""
+
+ORACLE["stratified_sample"] = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('v1' || cast(doc_id AS varchar)), 1, 8), doc_id
+         ) AS rn
+  FROM documents WHERE doc_id IS NOT NULL
+) WHERE rn <= 40
+"""
+
+ORACLE["packed_sequences"] = """
+WITH d AS (
+  SELECT lang AS shard, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n
+  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+), s AS (
+  SELECT shard,
+         cast(floor(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+              AS bigint) AS seq_ix,
+         n
+  FROM d
+)
+SELECT shard, seq_ix, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n) AS bigint) AS seq_tokens
+FROM s GROUP BY 1, 2
+"""
+
+ORACLE["dedup_corpus"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
+)
 """
 
 ORACLE["profile_quantiles"] = """

@@ -16,10 +16,13 @@ beyond-the-reference operator families a 100 TB corpus pipeline needs:
   libraries are not available in this sandbox)
 * :mod:`evalidate_spark.functions.codecs`     — zero-dependency PNG
   (stdlib zlib) + BMP + WAV encode/decode, nearest-neighbour resample
+* :mod:`evalidate_spark.functions.sampling`   — deterministic hash
+  sampling (stateless + stratified quotas) and token-budget sequence
+  packing
 
 Everything is built from JVM-side ``pyspark.sql.functions`` expressions
 unless Python is genuinely required, in which case Arrow-batched pandas
 UDFs are used (never per-row Python).
 """
 
-from . import bpe, codecs, dedup, multimodal, similarity, text  # noqa: F401
+from . import bpe, codecs, dedup, multimodal, sampling, similarity, text  # noqa: F401

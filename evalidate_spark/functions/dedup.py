@@ -53,12 +53,17 @@ def exact_duplicates(
 
 
 def distinct_by_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
 ) -> DataFrame:
     """Keep one representative (min id) per fingerprint — the dedup *apply*
     step.  Aggregate-then-semi-join keeps the payload out of the shuffle
-    when the doc row is wide."""
-    fp = fingerprint(F.col("`%s`" % text_col)).alias("__fp")
+    when the doc row is wide.  ``key`` overrides the dedup identity (e.g.
+    a prefix fingerprint, a simhash band) — default is the full
+    normalised-text :func:`~evalidate_spark.functions.text.fingerprint`."""
+    fp = (key if key is not None else fingerprint(F.col("`%s`" % text_col))).alias("__fp")
     ids = F.col("`%s`" % id_col)
     keep = (
         df.select(fp, ids.alias("__id"))
