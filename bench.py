@@ -173,6 +173,10 @@ def main() -> None:
         "ann_topk",
         "drift_events",
         "media_features",
+        "sessions",
+        "asof_features",
+        "packed_sequences",
+        "dedup_corpus",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 
