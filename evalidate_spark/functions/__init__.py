@@ -12,10 +12,12 @@ beyond-the-reference operator families a 100 TB corpus pipeline needs:
   baseline + LSH-bucketed ANN scale path over embedding columns
 * :mod:`evalidate_spark.functions.multimodal` — binary media payload
   plumbing (schema, Arrow-batched decode/feature UDFs; decode is REAL for
-  PNG/BMP/WAV via :mod:`.codecs`, stubbed for JPEG/video — codec
-  libraries are not available in this sandbox)
+  JPEG/PNG/BMP/WAV via :mod:`.codecs`/:mod:`.jpeg`, stubbed only for
+  video — no library-free container exists)
 * :mod:`evalidate_spark.functions.codecs`     — zero-dependency PNG
   (stdlib zlib) + BMP + WAV encode/decode, nearest-neighbour resample
+* :mod:`evalidate_spark.functions.jpeg`       — zero-dependency baseline
+  JPEG codec (numpy Huffman + DCT; 4:4:4/4:2:2/4:2:0, restart markers)
 * :mod:`evalidate_spark.functions.sampling`   — deterministic hash
   sampling (stateless + stratified quotas) and token-budget sequence
   packing
@@ -25,4 +27,4 @@ unless Python is genuinely required, in which case Arrow-batched pandas
 UDFs are used (never per-row Python).
 """
 
-from . import bpe, codecs, dedup, multimodal, sampling, similarity, text  # noqa: F401
+from . import bpe, codecs, dedup, jpeg, multimodal, sampling, similarity, text  # noqa: F401

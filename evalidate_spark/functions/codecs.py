@@ -1,12 +1,14 @@
 """Zero-dependency media codecs: PNG (stdlib zlib), 24-bit uncompressed
-BMP, and 16-bit PCM WAV, in pure ``struct`` + ``zlib`` + numpy.
+BMP, and 16-bit PCM WAV, in pure ``struct`` + ``zlib`` + numpy — plus
+baseline JPEG re-exported from :mod:`evalidate_spark.functions.jpeg`
+(pure numpy Huffman + DCT, T.81 spec).
 
-All three container formats are public and library-free here, which makes
-the multimodal pipeline's decode step REAL for the dominant real-world
-image format (PNG) plus uncompressed payloads in this sandbox (no
-PIL/soundfile/ffmpeg available): images decode to ``uint8 [H, W, 3]``
-arrays, audio to ``int16`` sample arrays.  Codecs with no stdlib
-decompressor (JPEG/MP4/…) still require external libraries and raise
+All four image/audio formats are public and library-free here, which
+makes the multimodal pipeline's decode step REAL for the dominant
+real-world image formats (JPEG lossy, PNG lossless) plus uncompressed
+payloads in this sandbox (no PIL/soundfile/ffmpeg available): images
+decode to ``uint8 [H, W, 3]`` arrays, audio to ``int16`` sample arrays.
+Video containers still require external libraries and raise
 ``NotImplementedError`` in :func:`evalidate_spark.functions.multimodal`'s
 strict mode.
 
@@ -31,6 +33,8 @@ import zlib
 from typing import Tuple
 
 import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec namespace)
 
 BMP_HEADER_SIZE = 14
 DIB_HEADER_SIZE = 40

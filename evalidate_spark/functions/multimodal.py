@@ -3,15 +3,16 @@
 ``mapInPandas`` UDFs.
 
 The Spark side is real and tested: schemas, batch iteration, partition
-sizing, UDF signatures.  The decode step is REAL for PNG (stdlib zlib),
-24-bit BMP, and 16-bit PCM WAV payloads via the zero-dependency codecs in
-:mod:`evalidate_spark.functions.codecs` — and a **clearly-marked stub**
-for codecs with no stdlib decompressor (JPEG/MP4/…), which need external
-libraries this sandbox doesn't have: ``strict=True`` raises
-``NotImplementedError`` for them, the default derives deterministic fake
-dimensions (flagged ``decoded = false`` in the feature rows) so pipelines
-stay testable end-to-end.  Swap :func:`decode_media`'s fallback for
-PIL/soundfile/pyav in production; nothing else changes.
+sizing, UDF signatures.  The decode step is REAL for every dominant image
+format — baseline JPEG (pure numpy Huffman+IDCT,
+:mod:`evalidate_spark.functions.jpeg`), PNG (stdlib zlib), 24-bit BMP —
+plus 16-bit PCM WAV audio, via the zero-dependency codecs in
+:mod:`evalidate_spark.functions.codecs`.  Video (and exotic variants:
+progressive JPEG, stereo WAV, …) remains a **clearly-marked stub**:
+``strict=True`` raises ``NotImplementedError``, the default derives
+deterministic fake dimensions (flagged ``decoded = false`` in the feature
+rows) so pipelines stay testable end-to-end.  Swap :func:`decode_media`'s
+fallback for pyav in production; nothing else changes.
 
 Scale notes: payload bytes never pass through the driver, never join, and
 never shuffle — feature extraction is a map-only stage.  Keep
@@ -57,11 +58,12 @@ FEATURE_SCHEMA = T.StructType(
 def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
     """Decode one payload to typed features.
 
-    Real paths (no external libraries): PNG and BMP → width/height; WAV →
-    duration/sample-rate/RMS.  Anything else is a compressed codec this
-    sandbox cannot decode: ``strict=True`` raises ``NotImplementedError``;
-    otherwise deterministic pseudo-dimensions are derived from the payload
-    hash and the row is flagged ``decoded: False``."""
+    Real paths (no external libraries): baseline JPEG, PNG, and BMP →
+    width/height; WAV → duration/sample-rate/RMS.  Anything else is a
+    codec this sandbox cannot decode (video, progressive JPEG, …):
+    ``strict=True`` raises ``NotImplementedError``; otherwise
+    deterministic pseudo-dimensions are derived from the payload hash and
+    the row is flagged ``decoded: False``."""
     import hashlib
     import math
 
@@ -85,6 +87,13 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
     if kind == "image" and payload[: len(codecs.PNG_SIGNATURE)] == codecs.PNG_SIGNATURE:
         try:
             px = codecs.decode_png(payload)
+            out.update(width=int(px.shape[1]), height=int(px.shape[0]))
+            return out
+        except Exception:
+            pass
+    if kind == "image" and payload[:3] == b"\xff\xd8\xff":
+        try:
+            px = codecs.decode_jpeg(payload)
             out.update(width=int(px.shape[1]), height=int(px.shape[0]))
             return out
         except Exception:
@@ -169,12 +178,11 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for PNG and BMP payloads: decode →
+    """REAL image resize for JPEG, PNG, and BMP payloads: decode →
     nearest-neighbour resample → re-encode in the same container, inside
     the Arrow batch loop (binary in, binary out, no driver involvement).
     Other payloads pass through unchanged with
-    ``meta['resize'] = 'skipped:<reason>'`` — at production scale the same
-    loop calls a real codec for JPEG."""
+    ``meta['resize'] = 'skipped:<reason>'``."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -191,6 +199,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif kind == "image" and head == codecs.PNG_SIGNATURE:
                     px = codecs.decode_png(bytes(p))
                     out = codecs.encode_png(codecs.resize_nearest(px, width, height))
+                    payloads.append(out)
+                    meta["resize"] = f"{width}x{height}"
+                elif kind == "image" and head[:3] == b"\xff\xd8\xff":
+                    px = codecs.decode_jpeg(bytes(p))
+                    out = codecs.encode_jpeg(
+                        codecs.resize_nearest(px, width, height), quality=85
+                    )
                     payloads.append(out)
                     meta["resize"] = f"{width}x{height}"
                 else:
@@ -265,8 +280,8 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads where a
-    library-free container exists: images alternate between true PNGs
-    (zlib-deflated, the dominant real-world lossless format) and true
+    library-free codec exists: images rotate through true baseline JPEGs
+    (the dominant lossy web format), true PNGs (zlib-deflated), and true
     24-bit BMPs (8–23 px noise squares), audio is true mono 16-bit PCM WAV
     (sine tones 1.0–3.0 s at 4 kHz), video stays an opaque pseudo-payload
     (every video container is compressed).  Generated distributed
@@ -285,8 +300,13 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
                 if kind == "image":
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    enc = codecs.encode_png if (i // 3) % 2 == 0 else codecs.encode_bmp
-                    payload = enc(px)
+                    variant = (i // 3) % 3
+                    if variant == 0:
+                        payload = codecs.encode_png(px)
+                    elif variant == 1:
+                        payload = codecs.encode_bmp(px)
+                    else:
+                        payload = codecs.encode_jpeg(px, quality=85)
                 elif kind == "audio":
                     rate = 4000
                     dur_s = 1.0 + (i % 5) * 0.5

@@ -93,6 +93,71 @@ class TestCodecs:
             out = codecs.decode_png(data)
             assert out.shape == (h, w, 3) and (out == px).all()
 
+    def test_jpeg_roundtrip_lossy_bounds(self):
+        """Baseline JPEG is lossy — roundtrip must preserve dims exactly
+        and content within quality-dependent error bounds, across 4:4:4,
+        4:2:0, odd dims, and restart markers."""
+        from evalidate_spark.functions import codecs
+
+        xx, yy = np.meshgrid(np.linspace(0, 255, 61), np.linspace(0, 255, 45))
+        img = np.stack([xx, yy, (xx + yy) / 2], axis=2).astype(np.uint8)
+        for sub in (False, True):
+            for ri in (0, 2):
+                data = codecs.encode_jpeg(
+                    img, quality=90, subsample=sub, restart_interval=ri
+                )
+                assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+                out = codecs.decode_jpeg(data)
+                assert out.shape == img.shape
+                rmse = float(
+                    np.sqrt(((out.astype(float) - img.astype(float)) ** 2).mean())
+                )
+                assert rmse < (6.0 if sub else 4.0), (sub, ri, rmse)
+        # 4:2:0 files are smaller than 4:4:4 at the same quality
+        assert len(codecs.encode_jpeg(img, 90, subsample=True)) < len(
+            codecs.encode_jpeg(img, 90)
+        )
+
+    def test_jpeg_grayscale_and_edge_dims(self):
+        from evalidate_spark.functions import codecs
+
+        g = np.tile(np.arange(24, dtype=np.uint8) * 10, (9, 1))
+        out = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=92))
+        assert out.shape == (9, 24, 3)
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+        # channels identical for grayscale input
+        assert (out[:, :, 0] == out[:, :, 1]).all()
+        # 1x1 image
+        one = np.full((1, 1, 3), 200, dtype=np.uint8)
+        o = codecs.decode_jpeg(codecs.encode_jpeg(one, quality=95))
+        assert o.shape == (1, 1, 3) and abs(int(o[0, 0, 0]) - 200) <= 6
+
+    def test_jpeg_quality_monotone_and_q100_noise(self):
+        from evalidate_spark.functions import codecs
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+        def rmse(q):
+            out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q))
+            return float(np.sqrt(((out.astype(float) - img.astype(float)) ** 2).mean()))
+
+        # q100 with qtab≈1 nearly roundtrips even pure noise (clamp path)
+        assert rmse(100) < 2.0
+        assert rmse(95) < rmse(40)
+
+    def test_jpeg_rejects_progressive_and_garbage(self):
+        from evalidate_spark.functions import codecs
+
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(b"\x89PNG not a jpeg")
+        # flip SOF0 to SOF2 (progressive): clear error, no crash
+        data = bytearray(codecs.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+        ix = bytes(data).find(b"\xff\xc0")
+        data[ix + 1] = 0xC2
+        with pytest.raises(ValueError, match="baseline"):
+            codecs.decode_jpeg(bytes(data))
+
     def test_png_all_filter_types(self):
         """Decode a hand-built PNG whose scanlines use every filter type
         (0-4), checking the un-filter against the spec's filter direction
@@ -266,6 +331,9 @@ class TestMultimodal:
                 if p[:2] == b"BM":
                     px = codecs.decode_bmp(p)
                     containers.add("bmp")
+                elif p[:3] == b"\xff\xd8\xff":
+                    px = codecs.decode_jpeg(p)
+                    containers.add("jpeg")
                 else:
                     px = codecs.decode_png(p)
                     containers.add("png")
@@ -273,8 +341,8 @@ class TestMultimodal:
                 assert r["meta"]["resize"] == "10x7"
             else:
                 assert r["meta"]["resize"].startswith("skipped")
-        # synth alternates containers; the resize keeps each in its own
-        assert containers == {"bmp", "png"}
+        # synth rotates containers; the resize keeps each in its own
+        assert containers == {"bmp", "png", "jpeg"}
 
     def test_extract_features(self, spark):
         media = multimodal.synth_media(spark, n=30)
