@@ -675,6 +675,24 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_df(ev, ev.filter(F.col("user_id") % 2 == 0), ["value", "user_id"])
 
 
+def q_drift_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bin) PSI/KS drift — bucket edges are the
+    baseline's own decile cut points (sketch-friendly; exact mode here so
+    DuckDB quantile_cont can replay them bit-for-bit on integer-valued
+    columns).  Current = drifted low-quantity slice, plus an
+    independent even-orderkey slice as a stability control."""
+    from evalidate_spark.operators.table_checks import drift_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    drifted = drift_quantile(
+        li.filter(F.col("l_quantity") <= 25), li, ["l_quantity"], exact=True
+    ).select(F.lit("drifted").alias("slice"), "column", "psi_bp", "ks_bp")
+    stable = drift_quantile(
+        li.filter(F.col("l_orderkey") % 2 == 0), li, ["l_quantity"], exact=True
+    ).select(F.lit("stable").alias("slice"), "column", "psi_bp", "ks_bp")
+    return drifted.unionAll(stable)
+
+
 def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL MinHash-LSH pipeline — signature → banding → bucket cap →
     pair generation — with an md5-keyed hash family so every stage is
@@ -754,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "drift_events": q_drift_events,
+        "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
         "sessions": q_sessions,
         "asof_features": q_asof_features,
@@ -1150,6 +1169,41 @@ SELECT e.event_id, e.user_id, e.t_us,
 FROM e ASOF LEFT JOIN feat f
   ON e.user_id = f.user_id AND e.t_us >= f.eff_us
 """
+
+def _driftq_slice_sql(label: str, pred: str) -> str:
+    """DuckDB twin of drift_quantile(exact=True) on l_quantity for one
+    current-slice predicate: decile cuts from the FULL table (baseline),
+    bucket = #cuts strictly below the value, identical PSI/KS ops."""
+    probs = ",".join(repr(k / 10) for k in range(1, 10))
+    hist = lambda pred_: f"""
+      SELECT bucket, cnt / cast(sum(cnt) OVER () AS double) AS p FROM (
+        SELECT len(list_filter(cu.qs, x -> cast(l_quantity AS double) > x)) AS bucket,
+               count(*) AS cnt
+        FROM lineitem, cuts cu WHERE ({pred_}) AND l_quantity IS NOT NULL GROUP BY 1)"""
+    return f"""
+SELECT '{label}' AS slice, 'l_quantity' AS column,
+  cast(floor(sum(psi_term) * 10000) AS bigint) AS psi_bp,
+  cast(floor(max(ks_gap) * 10000) AS bigint) AS ks_bp
+FROM (
+  SELECT
+    (greatest(pc,1e-6) - greatest(pb,1e-6)) * ln(greatest(pc,1e-6) / greatest(pb,1e-6)) AS psi_term,
+    abs(sum(pb) OVER (ORDER BY bucket) - sum(pc) OVER (ORDER BY bucket)) AS ks_gap
+  FROM (
+    SELECT g.bucket, coalesce(b.p, 0.0) AS pb, coalesce(c.p, 0.0) AS pc
+    FROM (SELECT unnest(generate_series(0, 9)) AS bucket) g
+    LEFT JOIN ({hist("true")}) b USING (bucket)
+    LEFT JOIN ({hist(pred)}) c USING (bucket)))"""
+
+
+ORACLE["drift_quantile"] = (
+    "WITH cuts AS (SELECT quantile_cont(cast(l_quantity AS double), [%s]) AS qs "
+    "FROM lineitem WHERE l_quantity IS NOT NULL) %s UNION ALL %s"
+    % (
+        ",".join(repr(k / 10) for k in range(1, 10)),
+        _driftq_slice_sql("drifted", "l_quantity <= 25"),
+        _driftq_slice_sql("stable", "l_orderkey % 2 = 0"),
+    )
+)
 
 ORACLE["sampled_docs"] = """
 SELECT doc_id, lang FROM documents

@@ -15,6 +15,7 @@ from .table_checks import (
     referential_violations,
     drift,
     drift_categorical,
+    drift_quantile,
 )
 from .spans import span_rules, span_structure_violations
 from .sessions import session_bounds, sessionize

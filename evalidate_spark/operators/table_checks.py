@@ -251,6 +251,92 @@ def drift_df(
     return result
 
 
+def drift_quantile(
+    current: DataFrame,
+    baseline: DataFrame,
+    columns: Sequence[str],
+    q: int = 10,
+    exact: bool = False,
+) -> DataFrame:
+    """PSI + KS drift on EQUI-DEPTH bins: bucket edges are the baseline's
+    own ``(q-1)`` quantile cut points, so every bin holds ~1/q of the
+    baseline mass — robust to outliers and long tails, which squash most
+    of an equi-width histogram (:func:`drift_df`) into one bucket.  This
+    is the quantile-sketch drift check of the north star: at scale the
+    cuts come from ``percentile_approx`` (a bounded-memory GK sketch, one
+    pass, mergeable across partitions — the same role a TDigest plays);
+    ``exact=True`` swaps in exact ``percentile`` for oracle/audit parity.
+
+    Returns ``(column, psi_bp, ks_bp)`` in integer basis points like
+    :func:`drift_df`.  Plan per column: one tiny cuts agg on the baseline
+    (broadcast, q-1 doubles), one groupBy per dataset over ≤ q buckets
+    (bucket = count of cuts below the value, an array-HOF — no join per
+    bin), a q-row join, 1-row final agg."""
+    if not columns:
+        raise ValueError("drift_quantile needs at least one column")
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    eps = 1e-6
+    probs = ",".join(repr(k / q) for k in range(1, q))
+    pfn = "percentile" if exact else "percentile_approx"
+    outs: List[DataFrame] = []
+    for col in columns:
+        c = F.col("`%s`" % col).cast("double")
+        cuts = baseline.filter(c.isNotNull()).agg(
+            F.expr("%s(cast(`%s` as double), array(%s))" % (pfn, col, probs)).alias(
+                "__cuts"
+            )
+        )
+
+        def bucketed(df: DataFrame, name: str) -> DataFrame:
+            # bucket = #cuts strictly below the value (ties stay low) —
+            # same op as DuckDB len(list_filter(cuts, x -> v > x))
+            b = F.size(F.filter(F.col("__cuts"), lambda x: c > x))
+            counts = (
+                df.filter(c.isNotNull())
+                .crossJoin(F.broadcast(cuts))
+                .groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            total = F.sum("__c").over(Window.partitionBy())
+            return counts.select("bucket", (F.col("__c") / total).alias(name))
+
+        bb = bucketed(baseline, "pb")
+        cu = bucketed(current, "pc")
+        grid = bb.sparkSession.range(q).select(F.col("id").cast("int").alias("bucket"))
+        j = (
+            grid.join(bb, "bucket", "left")
+            .join(cu, "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce("pb", F.lit(0.0)).alias("pb"),
+                F.coalesce("pc", F.lit(0.0)).alias("pc"),
+            )
+        )
+        w = Window.partitionBy().orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        term = (
+            (F.greatest(F.col("pc"), F.lit(eps)) - F.greatest(F.col("pb"), F.lit(eps)))
+            * F.log(F.greatest(F.col("pc"), F.lit(eps)) / F.greatest(F.col("pb"), F.lit(eps)))
+        )
+        scored = j.select(
+            term.alias("psi_term"),
+            F.abs(F.sum("pb").over(w) - F.sum("pc").over(w)).alias("ks_gap"),
+        )
+        outs.append(
+            scored.agg(
+                F.lit(col).alias("column"),
+                F.floor(F.sum("psi_term") * 10_000).cast("long").alias("psi_bp"),
+                F.floor(F.max("ks_gap") * 10_000).cast("long").alias("ks_bp"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result
+
+
 def drift_categorical(
     current: DataFrame,
     baseline: DataFrame,

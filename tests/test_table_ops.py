@@ -277,3 +277,31 @@ def test_profile_exact_quantiles_match_duckdb(spark):
         ).fetchone()[0]
         # integer-valued column: interpolation is IEEE-exact → bit equality
         assert p[col] == list(exp)
+
+
+def test_drift_quantile_robust_to_long_tail(spark):
+    """Equi-depth bins see a median shift that equi-width bins miss when a
+    long tail squashes the histogram into its first bucket."""
+    from evalidate_spark.operators.table_checks import drift_df, drift_quantile
+
+    # baseline: bulk in [0, 10) + 1% outliers around 1e6 (long tail)
+    base = spark.range(5000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 1000000.0 + id ELSE (id % 10) * 1.0 END AS v"
+    )
+    # current: bulk shifted to [5, 15), same tail
+    cur = spark.range(5000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 1000000.0 + id ELSE (id % 10) * 1.0 + 5 END AS v"
+    )
+    [eq_w] = drift_df(cur, base, ["v"]).collect()
+    [eq_d] = drift_quantile(cur, base, ["v"], exact=True).collect()
+    # the tail forces ~99% of both datasets into equi-width bucket 0 →
+    # near-zero signal; quantile bins spread the bulk and light up
+    assert eq_d["psi_bp"] > 10 * max(eq_w["psi_bp"], 1)
+    assert eq_d["ks_bp"] > 2000  # half the bulk moved
+
+    # no-drift control stays quiet
+    same = spark.range(5000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 1000000.0 + id ELSE (id % 10) * 1.0 END AS v"
+    )
+    [quiet] = drift_quantile(same, base, ["v"], exact=True).collect()
+    assert quiet["psi_bp"] == 0 and quiet["ks_bp"] == 0
