@@ -576,6 +576,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probes, k=3)
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8-quantised embeddings: per-vector symmetric scalar
+    quantisation (4-8× smaller working set), dequantise, exact cosine
+    top-3 — the storage/compute dial for trillion-vector corpora, with
+    the whole quantise→dequantise→score→rank path replayed in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = similarity.quantize_embeddings(emb)
+    deq = qd.select(
+        "vec_id",
+        similarity.dequantize(F.col("embedding_q"), F.col("emb_scale")).alias(
+            "embedding"
+        ),
+    )
+    probes = deq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(deq, probes, k=3)
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) over the events stream —
     the windowed-operator family: per-user lag + running session count,
@@ -775,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
         "sessions": q_sessions,
+        "quantized_topk": q_quantized_topk,
         "asof_features": q_asof_features,
         "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
@@ -1341,6 +1361,28 @@ FROM p GROUP BY 1, 2
 """
 
 ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force
+
+ORACLE["quantized_topk"] = """
+WITH s AS (
+  SELECT vec_id, cast(embedding AS double[]) AS e,
+         list_aggregate(list_transform(cast(embedding AS double[]),
+                                       x -> abs(x)), 'max') AS amax
+  FROM embeddings
+), dq AS (
+  SELECT vec_id,
+    list_transform(e, x ->
+      round(x / (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END))
+      * (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)) AS emb
+  FROM s
+), scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(c.emb, p.emb), 6) AS cosine
+  FROM dq c, dq p WHERE p.vec_id < 5)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -382,3 +382,42 @@ class TestMultimodal:
         out = multimodal.resize_stub(media, 224, 224).collect()
         assert all(r["meta"]["resize"] == "224x224" for r in out)
         assert all(r["meta"]["src"] == "synth" for r in out)
+
+
+class TestQuantization:
+    def test_quantize_roundtrip_error_and_recall(self, spark):
+        from evalidate_spark.functions import similarity
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qd = similarity.quantize_embeddings(emb)
+        row = qd.filter(F.col("vec_id") == 0).select("embedding", "embedding_q", "emb_scale").first()
+        import numpy as np
+
+        orig = np.array(row["embedding"], dtype=np.float64)
+        deq = np.array(row["embedding_q"], dtype=np.float64) * row["emb_scale"]
+        assert np.max(np.abs(orig)) > 0
+        # per-element error bounded by half a quantisation step
+        assert np.abs(deq - orig).max() <= row["emb_scale"] / 2 + 1e-12
+        assert max(abs(int(v)) for v in row["embedding_q"]) <= 127
+        # top-3 neighbours on dequantised vectors ≈ exact top-3 (high recall)
+        deq_df = qd.select(
+            "vec_id",
+            similarity.dequantize(F.col("embedding_q"), F.col("emb_scale")).alias("embedding"),
+        )
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, probes, k=3).collect()
+        }
+        qprobes = deq_df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(deq_df, qprobes, k=3).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, recall
