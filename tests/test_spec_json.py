@@ -105,6 +105,54 @@ class TestSubmitJob:
         assert second["rows"] == 100
         assert (tmp_path / "out" / "rules.json").exists()
 
+    def test_spark_submit_pyfiles(self, spark, tmp_path):
+        """The north rule's literal submission mode: ``spark-submit
+        --py-files <package.zip>`` with the job script OUTSIDE the repo,
+        so the package can only come from the shipped zip."""
+        import os
+        import shutil
+        import zipfile
+
+        zpath = tmp_path / "evalidate_spark.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk("/root/repo/evalidate_spark"):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, "/root/repo"))
+        script = tmp_path / "job.py"
+        shutil.copyfile("/root/repo/scripts/run_validation_job.py", script)
+
+        src = str(tmp_path / "sub_in")
+        spark.range(60).selectExpr(
+            "concat('d', id) doc_id",
+            "case when id % 7 = 0 then 'no' else 'valid text' end text",
+        ).repartition(2).write.parquet(src)
+        rules_file = tmp_path / "sub_rules.json"
+        rules_file.write_text(
+            rules_to_json([Rule(key="doc_id"), Rule(key="text", validators=[Size(5, 100)])])
+        )
+        out = str(tmp_path / "sub_out")
+        p = subprocess.run(
+            [
+                "/opt/spark/bin/spark-submit",
+                "--master", "local[2]",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(zpath),
+                str(script),
+                "--input", src, "--rules", str(rules_file), "--out", out,
+                "--files-per-unit", "2",
+            ],
+            capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
+        )
+        assert p.returncode == 0, (p.stdout[-1000:], p.stderr[-3000:])
+        summary = json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        assert summary["rows"] == 60
+        viols = spark.read.parquet(out + "/violations")
+        assert viols.filter("rule_id = 'rule:text'").count() == 9  # ids 0,7,...,56
+
 
 def test_map_childs_roundtrip(spark):
     from evalidate_spark.spec_json import rules_from_json, rules_to_json
