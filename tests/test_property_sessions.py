@@ -1,0 +1,84 @@
+"""Property-based equivalence: the split_hours skew-relief sessionization
+must EXACTLY reproduce the unsplit result for arbitrary event patterns —
+including events landing exactly on bucket boundaries, gaps exactly equal
+to the threshold, sessions spanning many buckets, and empty buckets.
+
+A pure-Python oracle recomputes the expected bounds independently, so a
+bug shared by both Spark paths can't hide."""
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from evalidate_spark.operators.sessions import session_bounds
+
+GAP_MIN = 30
+GAP_US = GAP_MIN * 60 * 1_000_000
+HOUR_US = 3_600_000_000
+
+# offsets in MINUTES over ~5 hours: dense enough to merge, sparse enough
+# to split, with exact-boundary values (0, 60, 90 = exactly gap*3...) likely
+EVENT = st.tuples(
+    st.integers(min_value=1, max_value=3),          # user
+    st.integers(min_value=0, max_value=300),        # minutes offset
+)
+
+
+def oracle(rows):
+    """events (user, minute) → {(user, session_ix, n, start_us, end_us)}"""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, m in rows:
+        by_user[u].append(m * 60_000_000 + BASE_US)
+    out = set()
+    for u, ts in by_user.items():
+        ts.sort()
+        six, n, start = 0, 0, None
+        prev = None
+        for t in ts:
+            if prev is None or t - prev > GAP_US:
+                if prev is not None:
+                    out.add((u, six, n, start, prev))
+                six += 1
+                n, start = 0, t
+            n += 1
+            prev = t
+        out.add((u, six, n, start, prev))
+    return out
+
+
+BASE_US = 1_767_225_600_000_000  # 2026-01-01 00:00:00 UTC in micros
+
+
+@pytest.fixture(scope="module")
+def spark_holder(spark):
+    return spark
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=st.lists(EVENT, min_size=1, max_size=40))
+def test_split_sessionization_equals_unsplit_and_oracle(spark_holder, rows):
+    spark = spark_holder
+    df = spark.createDataFrame(
+        [(u, m) for u, m in rows], "user_id long, m long"
+    ).selectExpr(
+        "user_id",
+        "timestamp_ntz'2026-01-01 00:00:00' + make_interval(0,0,0,0,0, m, 0) AS ts",
+    )
+    want = oracle(rows)
+    key = lambda d: {
+        (r["user_id"], r["session_ix"], r["n_events"], r["t_start_us"], r["t_end_us"])
+        for r in d.collect()
+    }
+    unsplit = key(session_bounds(df, gap_minutes=GAP_MIN))
+    assert unsplit == want
+    # 1h buckets: many boundary crossings at this density
+    assert key(session_bounds(df, gap_minutes=GAP_MIN, split_hours=1)) == want
+    # 2h buckets: different stitch pattern, same answer
+    assert key(session_bounds(df, gap_minutes=GAP_MIN, split_hours=2)) == want
