@@ -135,6 +135,99 @@ def session_bounds_stream(
     )
 
 
+def drift_stream(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    bins: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-event-time-window PSI/KS drift of a stream against a STATIC
+    baseline — the online twin of
+    :func:`evalidate_spark.operators.table_checks.drift_df` (same
+    equi-width buckets over baseline bounds, same eps/ln term, same
+    integer-basis-point output).
+
+    Streaming shape: the baseline reduces to ONE broadcast row (bounds +
+    per-bucket probabilities, computed batch-side once); the stream needs
+    exactly one stateful aggregation — per-window conditional sums, one
+    column per bucket — so PSI/KS become a stateless projection over that
+    row and append mode works with plain watermark semantics.  State is
+    O(open windows · bins), independent of stream length.
+
+    Emits ``(window_start, window_end, n, psi_bp, ks_bp)`` when the
+    watermark closes each window."""
+    eps = 1e-6
+    c = F.col("`%s`" % col).cast("double")
+    nn_b = baseline.filter(c.isNotNull())
+    bounds = nn_b.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((c - F.col("__lo")) / width).cast("int")),
+        )
+    )
+    base_row = (
+        nn_b.crossJoin(F.broadcast(bounds))
+        .groupBy()
+        .agg(
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+            F.count(F.lit(1)).alias("__bn"),
+            *[
+                F.sum((bucket == b).cast("long")).alias(f"__bc{b}")
+                for b in range(bins)
+            ],
+        )
+        .select(
+            "__lo",
+            "__hi",
+            *[
+                (F.col(f"__bc{b}") / F.col("__bn")).alias(f"__pb{b}")
+                for b in range(bins)
+            ],
+        )
+    )
+    st = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(c.isNotNull())
+        .crossJoin(F.broadcast(base_row))
+    )
+    agg = st.groupBy(F.window(F.col("`%s`" % ts_col), window)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum((bucket == b).cast("long")).alias(f"__c{b}") for b in range(bins)],
+        *[F.first(f"__pb{b}").alias(f"__pb{b}") for b in range(bins)],
+    )
+
+    def term(b: int):
+        pc = F.col(f"__c{b}") / F.col("n")
+        pb = F.col(f"__pb{b}")
+        gpc, gpb = F.greatest(pc, F.lit(eps)), F.greatest(pb, F.lit(eps))
+        return (gpc - gpb) * F.log(gpc / gpb)
+
+    psi = term(0)
+    for b in range(1, bins):
+        psi = psi + term(b)
+    cum_pb, cum_pc, ks = None, None, None
+    for b in range(bins):
+        pc = F.col(f"__c{b}") / F.col("n")
+        pb = F.col(f"__pb{b}")
+        cum_pb = pb if cum_pb is None else cum_pb + pb
+        cum_pc = pc if cum_pc is None else cum_pc + pc
+        gap = F.abs(cum_pb - cum_pc)
+        ks = gap if ks is None else F.greatest(ks, gap)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        F.floor(psi * 10_000).cast("long").alias("psi_bp"),
+        F.floor(ks * 10_000).cast("long").alias("ks_bp"),
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     ts_col: str,

@@ -203,3 +203,64 @@ def test_session_bounds_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(out).filter("user_id != 999").collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_drift_stream_matches_batch_drift(spark, tmp_path):
+    """Each emitted window's psi/ks equals batch drift_df(slice, baseline)
+    (±1 bp for float summation order) and a drifted window lights up."""
+    from evalidate_spark.operators.table_checks import drift_df
+
+    base_path = str(tmp_path / "drift_base")
+    spark.range(2000).selectExpr("cast(id % 10 AS double) AS v").write.parquet(base_path)
+    baseline = spark.read.parquet(base_path)
+
+    # 3 ten-minute windows: w0 matches baseline, w1 shifted, w2 matches
+    path = str(tmp_path / "drift_in")
+    spark.range(900).selectExpr(
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0, cast(id*2 as int)) ts",
+        """cast(CASE WHEN id >= 300 AND id < 600 THEN 5 + (id % 5)
+                     ELSE id % 10 END AS double) AS v""",
+    ).repartition(3).write.parquet(path)
+
+    st = streaming.drift_stream(
+        _stream(spark, path), baseline, "v", window="10 minutes", watermark="0 seconds"
+    )
+    out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "drift_ckpt")
+
+    def drain():
+        q = (
+            st.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # flush the last window past the watermark
+    spark.range(1).selectExpr(
+        "timestamp'2026-01-02 00:00:00' ts", "cast(1 as double) v"
+    ).write.mode("append").parquet(path)
+    drain()
+    rows = {
+        r["window_start"].minute: r
+        for r in spark.read.parquet(out).filter("n > 1").collect()
+    }
+    assert set(rows) == {0, 10, 20}
+    assert rows[0]["n"] == 300 and sum(r["n"] for r in rows.values()) == 900
+    # the shifted middle window must dominate
+    assert rows[10]["psi_bp"] > 5 * max(rows[0]["psi_bp"], rows[20]["psi_bp"], 1)
+    assert rows[10]["ks_bp"] > 2000
+    # window-for-window parity with the batch operator
+    batch = spark.read.parquet(path).filter("v is not null")
+    for minute, r in rows.items():
+        sl = batch.filter(
+            f"ts >= timestamp'2026-01-01 00:{minute:02d}:00' AND "
+            f"ts < timestamp'2026-01-01 00:{minute + 10:02d}:00'"
+        )
+        [b] = drift_df(sl, baseline, ["v"]).collect()
+        assert abs(b["psi_bp"] - r["psi_bp"]) <= 1, (minute, b, r)
+        assert abs(b["ks_bp"] - r["ks_bp"]) <= 1, (minute, b, r)
