@@ -524,6 +524,45 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval contamination screen: corpus docs sharing ≥2 distinct
+    3-token shingles with a ~1% benchmark slice.  Benchmark shingles
+    broadcast; the corpus never shuffles until the tiny pair count."""
+    from evalidate_spark.functions.dedup import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination(d, bench, min_shared=2)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: URL/email/phone detection counts + the redacted text
+    (byte-exact vs the SQL oracle), over documents with deterministically
+    injected PII (1 in 7 docs), plus the repeated-bigram quality signal."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" mail bob"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("@example.com see https://ex.io/a"),
+            F.col("doc_id").cast("string"),
+            F.lit(" call +4915512345678"),
+        ),
+    ).otherwise(F.col("text"))
+    t2 = d.select("doc_id", injected.alias("t"))
+    c = text.pii_counts(F.col("t"))
+    return t2.select(
+        "doc_id",
+        c.getField("n_url").alias("n_url"),
+        c.getField("n_email").alias("n_email"),
+        c.getField("n_phone").alias("n_phone"),
+        text.redact_pii(F.col("t")).alias("redacted"),
+        text.repetition_ratio_bp(F.col("t")).alias("rep_bp"),
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup groups keyed on the first-5-token prefix fingerprint
     (the corpus has no full-text dups; the prefix key exercises the same
@@ -784,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "packed_sequences": q_packed_sequences,
         "dedup_corpus": q_dedup_corpus,
+        "contamination": q_contamination,
+        "pii_redaction": q_pii_redaction,
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1224,6 +1265,45 @@ ORACLE["drift_quantile"] = (
         _driftq_slice_sql("stable", "l_orderkey % 2 = 0"),
     )
 )
+
+ORACLE["contamination"] = f"""
+WITH d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+b AS (SELECT doc_id AS bench_id, sh FROM d WHERE doc_id % 97 = 0)
+SELECT d.doc_id, b.bench_id,
+       cast(len(list_intersect(d.sh, b.sh)) AS bigint) AS n_shared
+FROM d, b
+WHERE d.doc_id != b.bench_id AND len(list_intersect(d.sh, b.sh)) >= 2
+"""
+
+ORACLE["pii_redaction"] = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' mail bob' || cast(doc_id % 5 AS varchar)
+              || '@example.com see https://ex.io/a' || cast(doc_id AS varchar)
+              || ' call +4915512345678'
+         ELSE text END AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, t,
+    list_transform(
+      generate_series(1, greatest(len(string_split(t, ' ')) - 1, 1)),
+      i -> array_to_string(string_split(t, ' ')[i:i+1], ' ')) AS bg
+  FROM t
+)
+SELECT doc_id,
+  cast(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS bigint) AS n_url,
+  cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS bigint) AS n_email,
+  cast(len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS bigint) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted,
+  cast(floor((1.0 - len(list_distinct(bg)) / cast(len(bg) AS double)) * 10000)
+       AS bigint) AS rep_bp
+FROM g
+"""
 
 ORACLE["sampled_docs"] = """
 SELECT doc_id, lang FROM documents

@@ -24,6 +24,8 @@ Scale design (10^12 docs):
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd  # module-level so pandas_udf type hints resolve
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -610,6 +612,45 @@ def apply_dedup_clusters(
     )
     ids = F.col("`%s`" % id_col)
     return df.join(non_canonical, on=ids == non_canonical["__drop"], how="left_anti")
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: Optional[str] = None,
+    shingle_k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train-vs-benchmark contamination check: pairs ``(doc_id, bench_id,
+    n_shared)`` where a corpus doc shares ≥ *min_shared* DISTINCT k-token
+    shingles with a benchmark/eval doc — the screen run before training so
+    eval sets aren't memorised.
+
+    Scale shape: the benchmark side is small by definition (an eval set),
+    so its exploded distinct shingles BROADCAST; the corpus side streams
+    through a map-side hash join — no corpus shuffle at all until the
+    (tiny) per-pair count aggregation.  Shingle lists are de-duplicated
+    per doc before exploding, so the pair count IS the distinct-shingle
+    overlap (≡ ``len(list_intersect(...))`` in the SQL oracle)."""
+    bench_id_col = bench_id_col or id_col
+    t = F.col("`%s`" % text_col)
+    d_sh = docs.select(
+        F.col("`%s`" % id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(t, shingle_k))).alias("__sh"),
+    )
+    b_sh = bench.select(
+        F.col("`%s`" % bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(t, shingle_k))).alias("__sh"),
+    )
+    return (
+        d_sh.join(F.broadcast(b_sh), "__sh")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 # ------------------------------------------------------------- embeddings

@@ -171,6 +171,54 @@ def top_ngrams(
     )
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB) — no lookarounds, no backrefs — so redaction is replayable
+# by the SQL oracle.  Order matters: URLs first (may contain '@'), then
+# emails, then phones.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct ``(n_url, n_email, n_phone)`` of PII matches in the text."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(
+                "n_%s" % name
+            )
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every URL, then email, then phone match with its
+    ``<TOKEN>`` — the standard scrub before training text leaves the
+    pipeline.  Pure ``regexp_replace`` chain (JVM codegen, no Python)."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def repetition_ratio_bp(col: Column, k: int = 2) -> Column:
+    """Repeated-k-gram ratio in integer basis points:
+    ``floor((1 - distinct_kgrams/kgrams) * 10000)`` — the boilerplate /
+    degenerate-repetition quality signal (0 = all shingles unique, 10000 →
+    one shingle repeated throughout).  Short docs (< k tokens) yield one
+    whole-text shingle → 0."""
+    sh = shingles(col, k)
+    total = F.size(sh)
+    uniq = F.size(F.array_distinct(sh))
+    return F.when(
+        total > 0,
+        F.floor((F.lit(1.0) - uniq / total) * 10_000).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalised, lowercased text (content-defined identity for

@@ -440,3 +440,75 @@ class TestBPE:
             nw, nc = bounds[k]
             assert big[k] <= small[k] <= nc
             assert big[k] >= nw  # at least one piece per word
+
+
+class TestHygiene:
+    def test_redact_and_counts(self, spark):
+        from evalidate_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [
+                ("a", "mail me at bob@x.io or visit https://ex.io/p?u=a@b.cd now"),
+                ("b", "call +4915512345678 or +123456789 plain text"),
+                ("c", "nothing here"),
+            ],
+            "id string, t string",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id", pii_counts(F.col("t")).alias("c"), redact_pii(F.col("t")).alias("r")
+            ).collect()
+        }
+        # the URL swallows its embedded a@b.cd; the standalone email remains
+        assert rows["a"]["c"]["n_url"] == 1 and rows["a"]["c"]["n_email"] == 2
+        assert rows["a"]["r"] == "mail me at <EMAIL> or visit <URL> now"
+        assert rows["b"]["c"]["n_phone"] == 2
+        assert rows["b"]["r"] == "call <PHONE> or <PHONE> plain text"
+        assert rows["c"]["r"] == "nothing here"
+
+    def test_repetition_ratio(self, spark):
+        from evalidate_spark.functions.text import repetition_ratio_bp
+
+        df = spark.createDataFrame(
+            [("uniq", "a b c d e"), ("rep", "x y x y x y x y"), ("one", "solo")],
+            "id string, t string",
+        )
+        got = {
+            r["id"]: r["bp"]
+            for r in df.select("id", repetition_ratio_bp(F.col("t")).alias("bp")).collect()
+        }
+        assert got["uniq"] == 0
+        # 7 bigrams, 2 distinct -> floor((1 - 2/7) * 10000) = 7142
+        assert got["rep"] == 7142
+        assert got["one"] == 0
+
+    def test_contamination_broadcast_no_corpus_shuffle(self, spark):
+        from evalidate_spark.functions.dedup import contamination
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over dogs"),
+                (2, "the quick brown fox sleeps all day"),
+                (3, "completely different words entirely here now"),
+                (10, "the quick brown fox jumps over dogs"),  # bench twin of 1
+            ],
+            "doc_id long, text string",
+        )
+        bench = docs.filter("doc_id = 10")
+        got = {
+            (r["doc_id"], r["bench_id"]): r["n_shared"]
+            for r in contamination(docs, bench, min_shared=2).collect()
+        }
+        assert got[(1, 10)] == 5  # identical text: all 5 trigrams shared
+        assert got[(2, 10)] == 2  # shared prefix trigrams
+        assert (3, 10) not in got
+        # plan: benchmark side broadcast, corpus side never hash-shuffled
+        # before the join (only the tiny pair-count agg exchanges)
+        plan = (
+            contamination(docs, bench, min_shared=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
