@@ -150,6 +150,22 @@ def q_referential_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     return bad.select("l_orderkey", "l_linenumber", "l_suppkey")
 
 
+def q_referential_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated referential check — the big-dimension scale path: a
+    Column-expression Bloom filter of the dim keys broadcasts instead of
+    the dim itself, definitely-absent rows skip the anti-join entirely,
+    and only the might-contain remainder shuffles.  EXACT by construction
+    (no false negatives), so it shares the plain referential oracle."""
+    from evalidate_spark.operators.table_checks import referential_violations_bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    bad = referential_violations_bloom(
+        li, "l_suppkey", dim, "s_suppkey", m_bits=1 << 16, k_hashes=5
+    )
+    return bad.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
 def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return histogram_df(ev, "value", bins=10)
@@ -798,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "uniqueness_events_user": q_uniqueness_events_user,
         "referential_lineitem_supplier": q_referential_lineitem_supplier,
+        "referential_bloom": q_referential_bloom,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -1441,6 +1458,9 @@ FROM p GROUP BY 1, 2
 """
 
 ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force
+
+# the bloom-gated path is exact, so it shares the plain referential oracle
+ORACLE["referential_bloom"] = ORACLE["referential_lineitem_supplier"]
 
 ORACLE["quantized_topk"] = """
 WITH s AS (

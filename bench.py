@@ -177,6 +177,10 @@ def main() -> None:
         "asof_features",
         "packed_sequences",
         "dedup_corpus",
+        "drift_quantile",
+        "quantized_topk",
+        "contamination",
+        "pii_redaction",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

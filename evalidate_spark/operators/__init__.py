@@ -16,6 +16,7 @@ from .table_checks import (
     drift,
     drift_categorical,
     drift_quantile,
+    referential_violations_bloom,
 )
 from .spans import span_rules, span_structure_violations
 from .sessions import session_bounds, sessionize

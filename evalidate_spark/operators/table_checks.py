@@ -145,6 +145,104 @@ def referential_violations(
     )
 
 
+def _bloom_positions(key, m_bits: int, k_hashes: int):
+    """k bit positions for *key*: md5-derived (15 hex chars → uniform in
+    [0, 2^60)) mod m.  Returns a k-element array Column."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", i.cast("string"), key.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m_bits),
+        ),
+    )
+
+
+def bloom_build(dim: DataFrame, key_col: str, m_bits: int, k_hashes: int) -> DataFrame:
+    """ONE-row DataFrame ``(__bloom: array<bigint>)`` — a Bloom filter of
+    *dim*'s keys as ``m_bits/64`` words, built entirely with Column
+    expressions (explode positions → per-word ``bit_or`` → assemble), no
+    driver-side filter object and no UDF."""
+    n_words = (m_bits + 63) // 64
+    kc = F.col("`%s`" % key_col)
+    pos = dim.filter(kc.isNotNull()).select(
+        F.explode(_bloom_positions(kc, m_bits, k_hashes)).alias("__p")
+    )
+    words = pos.select(
+        (F.col("__p") / 64).cast("int").alias("__w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("__p"), F.lit(64)).cast("int")
+        ).alias("__m"),
+    ).groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+        ).alias("__wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda wi: F.coalesce(
+                F.element_at(F.col("__wm"), wi.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom")
+    )
+
+
+def _bloom_contains(bloom, key, m_bits: int, k_hashes: int):
+    """True iff every position bit is set (no false negatives)."""
+    return F.forall(
+        _bloom_positions(key, m_bits, k_hashes),
+        lambda p: (
+            F.call_function(
+                "shiftright",
+                F.element_at(bloom, (p / 64).cast("int") + 1),
+                F.pmod(p, F.lit(64)).cast("int"),
+            ).bitwiseAND(F.lit(1))
+        )
+        == 1,
+    )
+
+
+def referential_violations_bloom(
+    fact: DataFrame,
+    ref_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """EXACT referential check for dimensions too big to broadcast in
+    full: a Bloom filter of the dim keys (``m_bits/8`` bytes, built
+    distributed) broadcasts instead, and rows whose ref is DEFINITELY
+    absent (any bit unset — Bloom has no false negatives) are emitted
+    without touching the join; only the might-contain remainder (true
+    members + the fp rate) pays the sort-merge anti-join shuffle.  With
+    mostly-clean data at 10^12 rows that shuffle carries ~fp·|fact| rows
+    instead of |fact|.
+
+    Size ``m_bits ≈ 10 × |dim|`` for ~1% fp (k=5 near-optimal there).
+    Output ≡ :func:`referential_violations` exactly — the fp rate costs
+    only join traffic, never correctness (property-tested + shared SQL
+    oracle)."""
+    rc = F.col("`%s`" % ref_col)
+    bf = bloom_build(dim.select(F.col("`%s`" % dim_key)), dim_key, m_bits, k_hashes)
+    nn = fact.filter(rc.isNotNull()).crossJoin(F.broadcast(bf))
+    mc = _bloom_contains(F.col("__bloom"), rc, m_bits, k_hashes)
+    definitely_absent = nn.filter(~mc).drop("__bloom")
+    maybe = nn.filter(mc).drop("__bloom")
+    residual = referential_violations(
+        maybe, ref_col, dim, dim_key, broadcast_dim=False
+    )
+    return definitely_absent.unionByName(residual)
+
+
 def histogram_df(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     """Equi-width histogram as a DataFrame ``(bucket, n)`` — fully
     distributed: one tiny agg for bounds (broadcast back as a 1-row cross

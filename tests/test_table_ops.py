@@ -305,3 +305,49 @@ def test_drift_quantile_robust_to_long_tail(spark):
     )
     [quiet] = drift_quantile(same, base, ["v"], exact=True).collect()
     assert quiet["psi_bp"] == 0 and quiet["ks_bp"] == 0
+
+
+def test_referential_bloom_exact_and_fast_path(spark):
+    """Bloom-gated referential equals the plain path exactly — at a sane
+    filter size AND at a pathologically tiny one (fp ≈ 1, everything falls
+    through to the join) — and with a sane size most dangling rows take
+    the join-free fast path."""
+    from evalidate_spark.operators.table_checks import (
+        bloom_build,
+        _bloom_contains,
+        referential_violations_bloom,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cust = spark.read.parquet(f"{SF}/supplier.parquet").filter(
+        F.col("s_suppkey") % 2 == 0
+    ).selectExpr("s_suppkey AS c_custkey")
+    plain = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in referential_violations(li, "l_suppkey", cust, "c_custkey").collect()
+    )
+    assert len(plain) > 100  # odd suppkeys dangle by construction
+    for m_bits in (1 << 16, 64):  # 64 bits with k=5: near-total fp rate
+        got = sorted(
+            (r["l_orderkey"], r["l_linenumber"])
+            for r in referential_violations_bloom(
+                li, "l_suppkey", cust, "c_custkey", m_bits=m_bits
+            ).collect()
+        )
+        assert got == plain, m_bits
+    # no false negatives ever: every real dim key must test positive
+    bf = bloom_build(cust.select("c_custkey"), "c_custkey", 1 << 16, 5)
+    hits = (
+        cust.crossJoin(F.broadcast(bf))
+        .filter(_bloom_contains(F.col("__bloom"), F.col("c_custkey"), 1 << 16, 5))
+        .count()
+    )
+    assert hits == cust.count()
+    # fast path live: with 150 keys in 64Ki bits, dangling refs (suppkeys
+    # far beyond custkeys) overwhelmingly skip the join
+    nn = li.filter(F.col("l_suppkey").isNotNull()).crossJoin(F.broadcast(bf))
+    absent = nn.filter(
+        ~_bloom_contains(F.col("__bloom"), F.col("l_suppkey"), 1 << 16, 5)
+    ).count()
+    dangling = len(plain)
+    assert absent > 0.95 * dangling, (absent, dangling)
