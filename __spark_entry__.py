@@ -534,7 +534,11 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    # NULL text → NULL key (≡ SQL md5(NULL)), never md5('') which would
+    # merge missing-text docs with genuinely empty ones
+    key = F.when(
+        F.col("text").isNotNull(), F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    )
     return dedup.distinct_by_fingerprint(d, key=key).select(
         "doc_id", "lang", "n_chars"
     )
@@ -585,7 +589,9 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-groupBy plan with real collisions)."""
     d = _t(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    key = F.when(
+        F.col("text").isNotNull(), F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    )
     return (
         d.select(key.alias("prefix_fp"))
         .groupBy("prefix_fp")

@@ -228,13 +228,16 @@ def minhash_candidates(
     """
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
+    tc = F.col("`%s`" % text_col)
     sig_fn = minhash_signature_arrow if arrow else minhash_signature
-    sig = sig_fn(F.col("`%s`" % text_col), num_hashes, shingle_k)
+    sig = sig_fn(tc, num_hashes, shingle_k)
     # Materialise the signature behind an analysis barrier before banding:
     # each band's element_at(sig, …) would otherwise inline a full copy of
     # the num_hashes-permutation expression tree (quadratic plan blow-up —
     # Catalyst's CollapseProject re-duplicates cheap-looking projections).
-    sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
+    # NULL-text rows are dropped up front: xxhash64 hashes a NULL slice to
+    # the seed constant, so without the filter NULL docs co-bucket.
+    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
     banded = sigs.select(
         "__id", F.explode(minhash_bands(F.col("__sig"), bands, rows)).alias("b")
     ).select(F.col("b.band").alias("band"), F.col("b.h").alias("h"), "__id")
@@ -320,13 +323,17 @@ def minhash_candidates_md5(
 ) -> DataFrame:
     """:func:`minhash_candidates` with the md5-keyed signature — the
     cross-engine-verifiable LSH path.  Band hash = md5 of the '|'-joined
-    signature slice.  Rows with NULL text produce a NULL signature and are
-    dropped by the explode (mirror with ``WHERE text IS NOT NULL`` in SQL
+    signature slice.  NULL-text rows are filtered out up front — a NULL
+    text must never produce candidates, and without the filter every
+    NULL-text doc would share the constant md5('') band hashes
+    (``concat_ws`` skips NULL elements) and be reported as a duplicate of
+    every other one (mirror with ``WHERE text IS NOT NULL`` in SQL
     oracles)."""
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
-    sig = minhash_signature_md5(F.col("`%s`" % text_col), num_hashes, shingle_k)
-    sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
+    tc = F.col("`%s`" % text_col)
+    sig = minhash_signature_md5(tc, num_hashes, shingle_k)
+    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
     per_band = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -462,8 +469,10 @@ def simhash_candidates(
     members BEFORE aggregation (first ids by order, deterministic);
     pairs from capped buckets carry ``truncated = true``."""
     ids = F.col("`%s`" % id_col)
-    sig = simhash64(F.col("`%s`" % text_col), shingle_k)
-    sigs = df.select(ids.alias("__id"), sig.alias("__sig"))
+    tc = F.col("`%s`" % text_col)
+    sig = simhash64(tc, shingle_k)
+    # NULL-text rows never produce candidates (same rationale as MinHash)
+    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
     chunks = sigs.select(
         "__id",
         "__sig",

@@ -216,25 +216,34 @@ def repetition_ratio_bp(col: Column, k: int = 2) -> Column:
     would inline three interpreted copies of the whole shingling tree —
     measured 20× slower at corpus scale."""
     sh = shingles(col, k)
-    return F.element_at(
-        F.transform(
-            F.array(sh),
-            lambda s: F.when(
-                F.size(s) > 0,
-                F.floor(
-                    (F.lit(1.0) - F.size(F.array_distinct(s)) / F.size(s)) * 10_000
-                ).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
+    # NULL text → NULL (like every sibling text op), not a perfect score
+    return F.when(
+        col.isNotNull(),
+        F.element_at(
+            F.transform(
+                F.array(sh),
+                lambda s: F.when(
+                    F.size(s) > 0,
+                    F.floor(
+                        (F.lit(1.0) - F.size(F.array_distinct(s)) / F.size(s)) * 10_000
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            1,
         ),
-        1,
     )
 
 
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalised, lowercased text (content-defined identity for
-    exact dedup and lineage; md5 chosen for cross-engine oracle parity)."""
-    return F.md5(F.concat_ws(" ", F.transform(tokens(col), F.lower)))
+    exact dedup and lineage; md5 chosen for cross-engine oracle parity).
+    NULL text → NULL fingerprint (never md5('') — that would merge
+    missing-text docs with genuinely empty ones, and SQL engines compute
+    md5(NULL) = NULL)."""
+    return F.when(
+        col.isNotNull(), F.md5(F.concat_ws(" ", F.transform(tokens(col), F.lower)))
+    )
 
 
 def rolling_hashes(col: Column, window: int = 8) -> Column:

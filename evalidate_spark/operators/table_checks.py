@@ -67,12 +67,9 @@ def profile(
         aggs.append(F.min(qc).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(qc).cast("string").alias(f"{c}__max"))
         if c in numeric and quantiles:
-            pfn = "percentile" if exact_quantiles else "percentile_approx"
+            pfn = F.percentile if exact_quantiles else F.percentile_approx
             aggs.append(
-                F.expr(
-                    "%s(cast(`%s` as double), array(%s))"
-                    % (pfn, c, ",".join(repr(float(p)) for p in quantiles))
-                ).alias(f"{c}__q")
+                pfn(qc.cast("double"), [float(p) for p in quantiles]).alias(f"{c}__q")
             )
     row = df.agg(*aggs)
     # unpivot driver-side expression (still lazy — one stack over 1 row)
@@ -375,16 +372,12 @@ def drift_quantile(
     if q < 2:
         raise ValueError("q must be >= 2")
     eps = 1e-6
-    probs = ",".join(repr(k / q) for k in range(1, q))
-    pfn = "percentile" if exact else "percentile_approx"
+    probs = [k / q for k in range(1, q)]
+    pfn = F.percentile if exact else F.percentile_approx
     outs: List[DataFrame] = []
     for col in columns:
         c = F.col("`%s`" % col).cast("double")
-        cuts = baseline.filter(c.isNotNull()).agg(
-            F.expr("%s(cast(`%s` as double), array(%s))" % (pfn, col, probs)).alias(
-                "__cuts"
-            )
-        )
+        cuts = baseline.filter(c.isNotNull()).agg(pfn(c, probs).alias("__cuts"))
 
         def bucketed(df: DataFrame, name: str) -> DataFrame:
             # bucket = #cuts strictly below the value (ties stay low) —

@@ -512,3 +512,48 @@ class TestHygiene:
             .toString()
         )
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestNullTextHandling:
+    """NULL text must never fabricate duplicate/quality signals (review
+    findings: NULL docs shared constant md5('')/seed band hashes and
+    scored rep_bp=0)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, None), (2, None), (3, ""), (4, "real text here body"),
+             (5, "real text here body")],
+            "doc_id long, text string",
+        )
+
+    def test_minhash_paths_drop_null_text(self, spark):
+        from evalidate_spark.functions import dedup
+
+        df = self._df(spark)
+        for pairs in (
+            dedup.minhash_candidates(df, num_hashes=16, bands=8),
+            dedup.minhash_candidates_md5(df),
+            dedup.simhash_candidates(df),
+        ):
+            got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+            assert got == {(4, 5)}, got
+
+    def test_fingerprint_null_vs_empty_distinct(self, spark):
+        from evalidate_spark.functions import dedup
+        from evalidate_spark.functions.text import fingerprint
+
+        df = self._df(spark)
+        fps = {r["doc_id"]: r["fp"] for r in df.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+        assert fps[1] is None and fps[3] is not None  # NULL ≠ md5('')
+        kept = sorted(r["doc_id"] for r in
+                      dedup.distinct_by_fingerprint(df).select("doc_id").collect())
+        # one NULL-text representative, the empty doc, one of the dup pair
+        assert kept == [1, 3, 4]
+
+    def test_repetition_ratio_null_propagates(self, spark):
+        from evalidate_spark.functions.text import repetition_ratio_bp
+
+        got = {r["doc_id"]: r["bp"] for r in self._df(spark).select(
+            "doc_id", repetition_ratio_bp(F.col("text")).alias("bp")).collect()}
+        assert got[1] is None and got[3] == 0 and got[4] == 0
