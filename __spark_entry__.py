@@ -583,6 +583,36 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (64-token windows, stride 48 →
+    16-token overlap) — RAG/pretraining prep; sequence/slice exprs + one
+    explode, no UDF, no shuffle."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 docs by unique-token ratio (id tiebreak) — the
+    group-wise selection step after quality scoring; one window shuffle."""
+    from pyspark.sql import Window
+
+    m = text.quality_metrics(_t(spark, sf_dir, "documents"))
+    ranked = m.filter(F.col("doc_id").isNotNull()).select(
+        "lang",
+        "doc_id",
+        F.floor(F.col("uniq_token_ratio") * 10_000).cast("long").alias("uniq_bp"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("uniq_bp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "doc_id", "uniq_bp", "rank")
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup groups keyed on the first-5-token prefix fingerprint
     (the corpus has no full-text dups; the prefix key exercises the same
@@ -848,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
+        "chunked_docs": q_chunked_docs,
+        "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1326,6 +1358,39 @@ SELECT doc_id,
   cast(floor((1.0 - len(list_distinct(bg)) / cast(len(bg) AS double)) * 10000)
        AS bigint) AS rep_bp
 FROM g
+"""
+
+ORACLE["chunked_docs"] = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT * FROM d WHERE len(tk) > 0
+), ix AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0,
+           greatest(cast(ceil((len(tk) - 64) / 48.0) AS bigint), 0))) AS chunk_ix
+  FROM nz
+)
+SELECT doc_id, chunk_ix,
+  cast(len(tk[chunk_ix * 48 + 1 : chunk_ix * 48 + 64]) AS bigint) AS n_tokens,
+  array_to_string(tk[chunk_ix * 48 + 1 : chunk_ix * 48 + 64], ' ') AS chunk
+FROM ix
+"""
+
+ORACLE["quality_topk"] = """
+WITH q AS (
+  SELECT lang, doc_id,
+    cast(floor((len(list_distinct(string_split(text, ' ')))
+                / cast(len(string_split(text, ' ')) AS double)) * 10000)
+         AS bigint) AS uniq_bp
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT lang, doc_id, uniq_bp, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY uniq_bp DESC, doc_id) AS rank
+  FROM q)
+WHERE rank <= 10
 """
 
 ORACLE["sampled_docs"] = """

@@ -171,6 +171,53 @@ def top_ngrams(
     )
 
 
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 0,
+):
+    """Split each doc into token-window chunks — the RAG/pretraining prep
+    step: ``(doc_id, chunk_ix, n_tokens, chunk)``.  ``stride`` <
+    ``chunk_tokens`` gives overlapping windows (0 → disjoint).  Windows
+    start at ``i·stride``; generation stops with the first window that
+    reaches the last token, so every token is covered and the tail chunk
+    is shorter only when ``n - chunk_tokens`` isn't a stride multiple.
+    Pure
+    sequence/slice Column exprs + one explode — no UDF, no shuffle;
+    NULL/empty docs yield no chunks."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    stride = stride or chunk_tokens
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("stride must be in (0, chunk_tokens]")
+    ids = F.col("`%s`" % id_col)
+    toks = tokens(F.col("`%s`" % text_col))
+    base = df.filter(F.col("`%s`" % text_col).isNotNull()).select(
+        ids.alias("doc_id"), toks.alias("__tk")
+    ).filter(F.size("__tk") > 0)
+    n = F.size(F.col("__tk"))
+    last_ix = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("long"), F.lit(0)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), last_ix),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_ix"),
+            F.slice(F.col("__tk"), (i * stride + 1).cast("int"), chunk_tokens).alias(
+                "__c"
+            ),
+        ),
+    )
+    return base.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_ix").alias("chunk_ix"),
+        F.size("c.__c").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("c.__c")).alias("chunk"),
+    )
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB) — no lookarounds, no backrefs — so redaction is replayable
 # by the SQL oracle.  Order matters: URLs first (may contain '@'), then

@@ -557,3 +557,52 @@ class TestNullTextHandling:
         got = {r["doc_id"]: r["bp"] for r in self._df(spark).select(
             "doc_id", repetition_ratio_bp(F.col("text")).alias("bp")).collect()}
         assert got[1] is None and got[3] == 0 and got[4] == 0
+
+
+class TestChunking:
+    def test_chunk_semantics(self, spark):
+        from evalidate_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+             (2, "a b"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["chunk_ix"]): (r["n_tokens"], r["chunk"])
+            for r in chunk_documents(df, chunk_tokens=3, stride=2).collect()
+        }
+        # starts 0,2,4 — generation stops with the first window reaching
+        # the last token, so every token is covered with no extra tail
+        assert got[(1, 0)] == (3, "t0 t1 t2")
+        assert got[(1, 1)] == (3, "t2 t3 t4")
+        assert got[(1, 2)] == (3, "t4 t5 t6")
+        assert (1, 3) not in got
+        assert got[(2, 0)] == (2, "a b")
+        # when (n - chunk) isn't a stride multiple the tail chunk is short
+        short = {
+            r["chunk_ix"]: (r["n_tokens"], r["chunk"])
+            for r in chunk_documents(
+                spark.createDataFrame(
+                    [(9, "t0 t1 t2 t3 t4 t5 t6 t7")], "doc_id long, text string"
+                ),
+                chunk_tokens=3,
+                stride=2,
+            ).collect()
+        }
+        assert short[3] == (2, "t6 t7")
+        assert not any(d in (3, 4) for d, _ in got)  # empty/NULL: no chunks
+        # disjoint default covers every token exactly once
+        dis = chunk_documents(df.filter("doc_id = 1"), chunk_tokens=3).collect()
+        assert sorted(r["chunk_ix"] for r in dis) == [0, 1, 2]
+        assert sum(r["n_tokens"] for r in dis) == 7
+
+    def test_chunk_validation(self, spark):
+        import pytest as _pytest
+        from evalidate_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=5)
