@@ -181,6 +181,9 @@ def main() -> None:
         "quantized_topk",
         "contamination",
         "pii_redaction",
+        "chunked_docs",
+        "quality_topk",
+        "referential_bloom",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -143,22 +143,13 @@ def referential_violations(
 
 
 def _bloom_positions(key, m_bits: int, k_hashes: int):
-    """k bit positions for *key*: md5-derived (15 hex chars → uniform in
-    [0, 2^60)) mod m.  Returns a k-element array Column."""
+    """k bit positions for *key*: seeded xxhash64 mod m (pure JVM integer
+    hashing — the filter never needs cross-engine replay, the RESULT is
+    oracle-checked, so the cheap hash wins).  Returns a k-element array
+    Column."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k_hashes - 1)),
-        lambda i: F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", i.cast("string"), key.cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(m_bits),
-        ),
+        lambda i: F.pmod(F.xxhash64(i, key), F.lit(m_bits)),
     )
 
 
@@ -220,9 +211,16 @@ def referential_violations_bloom(
     distributed) broadcasts instead, and rows whose ref is DEFINITELY
     absent (any bit unset — Bloom has no false negatives) are emitted
     without touching the join; only the might-contain remainder (true
-    members + the fp rate) pays the sort-merge anti-join shuffle.  With
-    mostly-clean data at 10^12 rows that shuffle carries ~fp·|fact| rows
-    instead of |fact|.
+    members + the fp rate of absentees) pays the sort-merge anti-join
+    shuffle.
+
+    Cost model — be honest about when this wins: a Bloom can prove
+    ABSENCE, never membership, so member rows always reach the exact
+    join.  The saving is proportional to the dangling fraction: auditing
+    a fact against a restrictive/older catalog (many refs absent) skips
+    the shuffle for nearly all violations, while a mostly-clean fact
+    gains nothing over plain sort-merge — use
+    :func:`referential_violations` (or a broadcastable dim) there.
 
     Size ``m_bits ≈ 10 × |dim|`` for ~1% fp (k=5 near-optimal there).
     Output ≡ :func:`referential_violations` exactly — the fp rate costs
