@@ -597,11 +597,24 @@ def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-wise selection step after quality scoring; one window shuffle."""
     from pyspark.sql import Window
 
-    m = text.quality_metrics(_t(spark, sf_dir, "documents"))
-    ranked = m.filter(F.col("doc_id").isNotNull()).select(
-        "lang",
-        "doc_id",
-        F.floor(F.col("uniq_token_ratio") * 10_000).cast("long").alias("uniq_bp"),
+    d = _t(spark, sf_dir, "documents")
+    # uniq ratio computed directly (the full quality_metrics projection
+    # would also pay BPE/stopword/punct work this query never reads);
+    # token array let-bound so the split tree appears once
+    uniq_bp = F.element_at(
+        F.transform(
+            F.array(text.tokens(F.col("text"))),
+            lambda tk: F.when(
+                F.size(tk) > 0,
+                F.floor(
+                    F.size(F.array_distinct(tk)) / F.size(tk) * 10_000
+                ).cast("long"),
+            ),
+        ),
+        1,
+    )
+    ranked = d.filter(F.col("doc_id").isNotNull()).select(
+        "lang", "doc_id", uniq_bp.alias("uniq_bp")
     )
     w = Window.partitionBy("lang").orderBy(
         F.col("uniq_bp").desc(), F.col("doc_id").asc()
@@ -624,6 +637,7 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select(key.alias("prefix_fp"))
+        .filter(F.col("prefix_fp").isNotNull())  # NULL texts are not dups
         .groupBy("prefix_fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
@@ -1058,21 +1072,36 @@ SELECT doc_id, n_chars AS n_int, lower(text) AS lower_join,
 FROM documents
 """,
     "token_counts": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk
+  FROM documents
+)
 SELECT doc_id,
-  len(string_split(text,' ')) AS n_tokens,
-  cast(list_sum(list_transform(string_split(text,' '), t -> ceil(length(t)/4.0))) AS bigint) AS n_tokens_bpe
-FROM documents
+  len(tk) AS n_tokens,
+  cast(coalesce(list_sum(list_transform(tk, t -> ceil(length(t)/4.0))), 0) AS bigint) AS n_tokens_bpe
+FROM tok WHERE tk IS NOT NULL
+UNION ALL
+SELECT doc_id, NULL, NULL FROM tok WHERE tk IS NULL
 """,
     "quality_documents": """
-SELECT doc_id, length(text) AS n_chars_q, len(string_split(text,' ')) AS n_tokens,
-  cast(floor((len(list_filter(string_split(text,' '),
-        t -> lower(t) IN (%s))) / cast(len(string_split(text,' ')) AS double)) * 10000) AS bigint) AS stop_bp,
-  cast(floor((len(list_distinct(string_split(text,' '))) / cast(len(string_split(text,' ')) AS double)) * 10000) AS bigint) AS uniq_bp
-FROM documents
+WITH tok AS (
+  SELECT doc_id, length(text) AS n_chars_q,
+         list_filter(string_split(text,' '), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, n_chars_q, len(tk) AS n_tokens,
+  CASE WHEN len(tk) > 0 THEN cast(floor((len(list_filter(tk,
+        t -> lower(t) IN (%s))) / cast(len(tk) AS double)) * 10000) AS bigint) END AS stop_bp,
+  CASE WHEN len(tk) > 0 THEN cast(floor((len(list_distinct(tk))
+        / cast(len(tk) AS double)) * 10000) AS bigint) END AS uniq_bp
+FROM tok
 """ % _STOPWORDS_SQL,
     "fingerprint_documents": """
 SELECT doc_id,
-  md5(array_to_string(list_transform(string_split(text,' '), t -> lower(t)), ' ')) AS fp
+  CASE WHEN text IS NULL THEN NULL
+       ELSE md5(coalesce(array_to_string(list_transform(
+              list_filter(string_split(text,' '), x -> x <> ''),
+              t -> lower(t)), ' '), '')) END AS fp
 FROM documents
 """,
     "lang_marker_counts": """
@@ -1146,7 +1175,7 @@ FROM documents WHERE length(text) < 50
 """,
     "exact_dup_groups": """
 SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1
 """,
     "top_ngrams": """
 WITH sh AS (
@@ -1339,12 +1368,15 @@ WITH t AS (
               || ' call +4915512345678'
          ELSE text END AS t
   FROM documents
-), g AS (
-  SELECT doc_id, t,
-    list_transform(
-      generate_series(1, greatest(len(string_split(t, ' ')) - 1, 1)),
-      i -> array_to_string(string_split(t, ' ')[i:i+1], ' ')) AS bg
+), tok AS (
+  SELECT doc_id, t, list_filter(string_split(t, ' '), x -> x <> '') AS tk
   FROM t
+), g AS (
+  SELECT doc_id, t, tk,
+    list_transform(
+      generate_series(1, greatest(len(tk) - 1, 1)),
+      i -> array_to_string(tk[i:i+1], ' ')) AS bg
+  FROM tok
 )
 SELECT doc_id,
   cast(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS bigint) AS n_url,
@@ -1355,8 +1387,10 @@ SELECT doc_id,
       regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
     '\\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted,
-  cast(floor((1.0 - len(list_distinct(bg)) / cast(len(bg) AS double)) * 10000)
-       AS bigint) AS rep_bp
+  CASE WHEN t IS NULL THEN NULL
+       WHEN len(tk) = 0 THEN 0
+       ELSE cast(floor((1.0 - len(list_distinct(bg)) / cast(len(bg) AS double))
+                       * 10000) AS bigint) END AS rep_bp
 FROM g
 """
 
@@ -1379,12 +1413,15 @@ FROM ix
 """
 
 ORACLE["quality_topk"] = """
-WITH q AS (
-  SELECT lang, doc_id,
-    cast(floor((len(list_distinct(string_split(text, ' ')))
-                / cast(len(string_split(text, ' ')) AS double)) * 10000)
-         AS bigint) AS uniq_bp
+WITH tok AS (
+  SELECT lang, doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
   FROM documents WHERE doc_id IS NOT NULL
+), q AS (
+  SELECT lang, doc_id,
+    CASE WHEN len(tk) > 0
+         THEN cast(floor((len(list_distinct(tk)) / cast(len(tk) AS double))
+                         * 10000) AS bigint) END AS uniq_bp
+  FROM tok
 )
 SELECT lang, doc_id, uniq_bp, rank FROM (
   SELECT *, row_number() OVER (
@@ -1429,8 +1466,9 @@ FROM s GROUP BY 1, 2
 
 ORACLE["dedup_corpus"] = """
 SELECT doc_id, lang, n_chars FROM documents
-WHERE doc_id IN (
-  SELECT min(doc_id) FROM documents
+WHERE text IS NULL
+   OR doc_id IN (
+  SELECT min(doc_id) FROM documents WHERE text IS NOT NULL
   GROUP BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
 )
 """

@@ -45,7 +45,10 @@ def exact_duplicates(
     fingerprint with millions of copies never materialises one giant array
     in an executor buffer), with ``truncated`` flagging capped groups."""
     fp = fingerprint(F.col("`%s`" % text_col))
-    keyed = df.select(fp.alias("fingerprint"), F.col("`%s`" % id_col).alias("__id"))
+    # NULL fingerprints (NULL text) are not duplicates of each other
+    keyed = df.select(
+        fp.alias("fingerprint"), F.col("`%s`" % id_col).alias("__id")
+    ).filter(F.col("fingerprint").isNotNull())
     capped = cap_per_group(keyed, ["fingerprint"], "__id", max_ids)
     return capped.groupBy("fingerprint").agg(
         F.max("__gsz").alias("n_docs"),
@@ -64,16 +67,23 @@ def distinct_by_fingerprint(
     step.  Aggregate-then-semi-join keeps the payload out of the shuffle
     when the doc row is wide.  ``key`` overrides the dedup identity (e.g.
     a prefix fingerprint, a simhash band) — default is the full
-    normalised-text :func:`~evalidate_spark.functions.text.fingerprint`."""
-    fp = (key if key is not None else fingerprint(F.col("`%s`" % text_col))).alias("__fp")
+    normalised-text :func:`~evalidate_spark.functions.text.fingerprint`.
+
+    NULL-key rows (e.g. NULL text) PASS THROUGH untouched: a missing
+    identity is a presence problem, not evidence two docs are copies —
+    grouping NULL keys would silently delete all-but-one of them."""
+    kexpr = key if key is not None else fingerprint(F.col("`%s`" % text_col))
     ids = F.col("`%s`" % id_col)
     keep = (
-        df.select(fp, ids.alias("__id"))
+        df.select(kexpr.alias("__fp"), ids.alias("__id"))
+        .filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min("__id").alias("__keep"))
         .select(F.col("__keep").alias("__id"))
     )
-    return df.join(keep, on=ids == keep["__id"], how="left_semi")
+    return df.filter(kexpr.isNull()).unionByName(
+        df.filter(kexpr.isNotNull()).join(keep, on=ids == keep["__id"], how="left_semi")
+    )
 
 
 # ---------------------------------------------------------------- MinHash
@@ -645,11 +655,13 @@ def contamination(
     overlap (≡ ``len(list_intersect(...))`` in the SQL oracle)."""
     bench_id_col = bench_id_col or id_col
     t = F.col("`%s`" % text_col)
-    d_sh = docs.select(
+    # NULL-text rows never contaminate (mirrors the SQL oracle, where a
+    # NULL shingle list intersects to NULL and drops out)
+    d_sh = docs.filter(t.isNotNull()).select(
         F.col("`%s`" % id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(t, shingle_k))).alias("__sh"),
     )
-    b_sh = bench.select(
+    b_sh = bench.filter(t.isNotNull()).select(
         F.col("`%s`" % bench_id_col).alias("bench_id"),
         F.explode(F.array_distinct(shingles(t, shingle_k))).alias("__sh"),
     )

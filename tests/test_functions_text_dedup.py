@@ -548,8 +548,13 @@ class TestNullTextHandling:
         assert fps[1] is None and fps[3] is not None  # NULL ≠ md5('')
         kept = sorted(r["doc_id"] for r in
                       dedup.distinct_by_fingerprint(df).select("doc_id").collect())
-        # one NULL-text representative, the empty doc, one of the dup pair
-        assert kept == [1, 3, 4]
+        # BOTH NULL-text docs pass through (a missing identity is a
+        # presence problem, not duplication), the empty doc survives,
+        # and the genuine dup pair collapses to its min id
+        assert kept == [1, 2, 3, 4]
+        # and NULL-text docs never form an exact-dup group either
+        groups = dedup.exact_duplicates(df).collect()
+        assert all(r["fingerprint"] is not None for r in groups)
 
     def test_repetition_ratio_null_propagates(self, spark):
         from evalidate_spark.functions.text import repetition_ratio_bp
