@@ -166,6 +166,51 @@ def q_referential_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("l_orderkey", "l_linenumber", "l_suppkey")
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value) — the
+    multi-dimensional data-skipping layout: range-partitioning by this
+    key co-locates rows that are close in BOTH dimensions, so parquet
+    min/max stats prune scans filtered on either column.  Pure shift/or
+    codegen exprs; the full bit-interleave is replayed in DuckDB."""
+    from evalidate_spark.sources import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    aggs = []
+    for c in ("user_id", "value"):
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias("__lo_%s" % c), F.max(v).alias("__hi_%s" % c)]
+    bounds = ev.agg(*aggs)
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", zorder_key(["user_id", "value"], bounds, bits=8).alias("zkey")
+    )
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """DuckDB twin of zorder_key over events (user_id, value)."""
+    size = 1 << bits
+    cells = []
+    for j, c in enumerate(("user_id", "value")):
+        span = f"(CASE WHEN b.__hi{j} > b.__lo{j} THEN b.__hi{j} - b.__lo{j} ELSE 1.0 END)"
+        cells.append(
+            f"least({size - 1}, greatest(0, cast(floor((cast({c} AS double) - b.__lo{j})"
+            f" / {span} * {size}) AS bigint)))"
+        )
+    terms = []
+    for b in range(bits):
+        for j in range(2):
+            terms.append(f"(((c{j} >> {b}) & 1) << {b * 2 + j})")
+    return f"""
+WITH b AS (
+  SELECT min(cast(user_id AS double)) AS __lo0, max(cast(user_id AS double)) AS __hi0,
+         min(cast(value AS double)) AS __lo1, max(cast(value AS double)) AS __hi1
+  FROM events
+), c AS (
+  SELECT event_id, {cells[0]} AS c0, {cells[1]} AS c1 FROM events, b
+)
+SELECT event_id, {" | ".join(terms)} AS zkey FROM c
+"""
+
+
 def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return histogram_df(ev, "value", bins=10)
@@ -865,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_events_user": q_uniqueness_events_user,
         "referential_lineitem_supplier": q_referential_lineitem_supplier,
         "referential_bloom": q_referential_bloom,
+        "zorder_events": q_zorder_events,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -1570,6 +1616,8 @@ ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force
 
 # the bloom-gated path is exact, so it shares the plain referential oracle
 ORACLE["referential_bloom"] = ORACLE["referential_lineitem_supplier"]
+
+ORACLE["zorder_events"] = _zorder_sql(bits=8)
 
 ORACLE["quantized_topk"] = """
 WITH s AS (

@@ -26,7 +26,7 @@ import re
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 ICEBERG_PREFIX = "iceberg:"
 
@@ -147,6 +147,73 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def zorder_key(columns, bounds_row, bits: int = 16):
+    """Z-order (Morton) key Column over *columns*: each value is
+    min-max-normalised to ``[0, 2^bits)`` using the ``__lo_<c>``/
+    ``__hi_<c>`` fields of *bounds_row* (a crossJoin-broadcast 1-row
+    bounds DataFrame — see :func:`write_zordered`), then the bit strings
+    are interleaved.  Rows close in EVERY dimension get numerically close
+    keys, so range-partitioning by the key clusters multi-dimensional
+    neighbourhoods into the same files — parquet min/max stats then prune
+    scans filtered on ANY of the dimensions, not just a leading sort key.
+    Pure integer shift/or expressions (whole-stage codegen); NULL in any
+    dimension → NULL key (sorts first — a dedicated NULL file region)."""
+    cells = []
+    for c in columns:
+        v = F.col("`%s`" % c).cast("double")
+        lo, hi = F.col("__lo_%s" % c), F.col("__hi_%s" % c)
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        cells.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((v - lo) / span * (1 << bits)).cast("long"),
+                ),
+            )
+        )
+    key = F.lit(0).cast("long")
+    n = len(columns)
+    for b in range(bits):
+        for j, cell in enumerate(cells):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * n + j
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    columns,
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """Write *df* as parquet clustered by the Z-order of *columns* —
+    multi-dimensional data-skipping layout: one tiny bounds agg
+    (broadcast), the key projection, ``repartitionByRange`` on the key
+    (one range shuffle — the once-at-ingest cost), key dropped before
+    write.  Filters on any clustered column then prune files via parquet
+    min/max stats instead of scanning everything."""
+    aggs = []
+    for c in columns:
+        v = F.col("`%s`" % c).cast("double")
+        aggs += [F.min(v).alias("__lo_%s" % c), F.max(v).alias("__hi_%s" % c)]
+    bounds = df.agg(*aggs)
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__zkey", zorder_key(columns, bounds, bits)
+    )
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__lo_{c}" for c in columns], *[f"__hi_{c}" for c in columns])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 @dataclass

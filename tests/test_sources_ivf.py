@@ -134,3 +134,51 @@ class TestIvfPartitioned:
         # each probe finds itself first (it's in the corpus, shifted ~0)
         firsts = {r["query_id"]: r["neighbor_id"] for r in got.collect() if r["rank"] == 1}
         assert firsts == {0: 0, 1: 1, 2: 2}
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """After write_zordered on (x, y), each output file covers a small
+    bounding box in BOTH dimensions — the property parquet min/max
+    pruning needs.  Compared against the unclustered layout, the mean
+    per-file box area must shrink by an order of magnitude."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from evalidate_spark.sources import write_zordered
+
+    # uniform 2-D grid, shuffled layout
+    df = spark.range(40_000).selectExpr(
+        "cast(id % 200 as double) AS x",
+        "cast(cast(id / 200 as int) % 200 as double) AS y",
+    ).repartition(16)
+
+    def mean_box_area(path):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        assert len(files) > 4
+        areas = []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
+                )
+                .collect()[0]
+            )
+            if r[4] > 0:
+                areas.append((r[1] - r[0] + 1) * (r[3] - r[2] + 1))
+        return sum(areas) / len(areas)
+
+    naive = str(tmp_path / "naive")
+    df.write.mode("overwrite").parquet(naive)
+    z = str(tmp_path / "zorder")
+    write_zordered(df, z, ["x", "y"], bits=8, num_files=64)
+
+    # same data back
+    assert spark.read.parquet(z).count() == 40_000
+    assert sorted(spark.read.parquet(z).columns) == ["x", "y"]
+    naive_area = mean_box_area(naive)
+    z_area = mean_box_area(z)
+    assert z_area < naive_area / 20, (naive_area, z_area)
