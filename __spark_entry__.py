@@ -1224,11 +1224,14 @@ SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count
 FROM documents WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1
 """,
     "top_ngrams": """
-WITH sh AS (
-  SELECT doc_id, list_transform(
-    generate_series(1, greatest(len(string_split(text,' '))-1, 1)),
-    i -> array_to_string(string_split(text,' ')[i:i+1],' ')) AS grams
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk
   FROM documents
+), sh AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(tk)-1, 1)),
+    i -> array_to_string(tk[i:i+1],' ')) AS grams
+  FROM tok
 ), occ AS (
   SELECT g AS ngram, count(*) AS occurrences
   FROM sh, unnest(sh.grams) AS t(g) WHERE g <> '' GROUP BY 1
@@ -1331,7 +1334,7 @@ WITH s AS (
           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
              > 30 * 60 * 1000000
          THEN 1 ELSE 0 END AS ns
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), t AS (
   SELECT user_id, tus,
     cast(sum(ns) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING)
@@ -1359,6 +1362,11 @@ SELECT e.event_id, e.user_id, e.t_us,
        f.max_prev AS max_prev
 FROM e ASOF LEFT JOIN feat f
   ON e.user_id = f.user_id AND e.t_us >= f.eff_us
+WHERE e.t_us IS NOT NULL
+UNION ALL
+-- NULL-ts left rows pass through unmatched (engine contract); DuckDB's
+-- ASOF would otherwise match them against the latest snapshot
+SELECT event_id, user_id, t_us, NULL, NULL, NULL FROM e WHERE t_us IS NULL
 """
 
 def _driftq_slice_sql(label: str, pred: str) -> str:
@@ -1568,7 +1576,7 @@ WITH RECURSIVE vocab(piece, plen) AS (
   FROM steps WHERE pos = len(w) + 1 GROUP BY 1
 )
 SELECT d.doc_id, coalesce(s.n_tokens_bpe, 0) AS n_tokens_bpe
-FROM documents d LEFT JOIN sums s USING (doc_id)
+FROM documents d LEFT JOIN sums s ON d.doc_id IS NOT DISTINCT FROM s.doc_id
 WHERE d.text IS NOT NULL
 """
 

@@ -53,18 +53,22 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Append ``session_ix`` (1-based per user) to every event.  NULL-user
-    rows pass through with a NULL ``session_ix`` (they are presence
-    violations, not activity)."""
+    and NULL-timestamp rows pass through with a NULL ``session_ix`` (a
+    missing user is a presence violation; a missing timestamp has no
+    place on the timeline) — and a NULL-ts row never perturbs the
+    numbering of the real events around it."""
     u = F.col("`%s`" % user_col)
     tus = _micros(df, ts_col)
-    w = Window.partitionBy(u).orderBy(tus)
+    w = Window.partitionBy(u).orderBy(tus)  # NULL ts sort first (masked)
     prev = F.lag(tus).over(w)
-    new_session = (
-        prev.isNull() | (tus - prev > gap_minutes * 60 * 1_000_000)
-    ).cast("long")
+    new_session = F.when(tus.isNull(), F.lit(0)).otherwise(
+        (prev.isNull() | (tus - prev > gap_minutes * 60 * 1_000_000)).cast("long")
+    )
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     ix = F.sum(new_session).over(running)
-    return df.withColumn("session_ix", F.when(u.isNotNull(), ix))
+    return df.withColumn(
+        "session_ix", F.when(u.isNotNull() & tus.isNotNull(), ix)
+    )
 
 
 def session_bounds(
@@ -87,7 +91,9 @@ def session_bounds(
     if split_hours is not None:
         return _session_bounds_split(df, user_col, ts_col, gap_minutes, split_hours)
     u = F.col("`%s`" % user_col)
-    nn = df.filter(u.isNotNull())
+    # NULL user → presence violation; NULL ts → no place on the
+    # timeline: neither is sessionizable
+    nn = df.filter(u.isNotNull() & F.col("`%s`" % ts_col).isNotNull())
     tus = _micros(nn, ts_col)
     s = sessionize(nn, user_col, ts_col, gap_minutes)
     return (
@@ -122,7 +128,9 @@ def _session_bounds_split(
     gap_us = gap_minutes * 60 * 1_000_000
     bucket_us = split_hours * 3600 * 1_000_000
     u = F.col("`%s`" % user_col)
-    nn = df.filter(u.isNotNull())
+    # NULL user → presence violation; NULL ts → no place on the
+    # timeline: neither is sessionizable
+    nn = df.filter(u.isNotNull() & F.col("`%s`" % ts_col).isNotNull())
     tus = _micros(nn, ts_col)
     # floor of the double quotient is monotone in t, which is all the
     # stitch needs (buckets time-ordered, boundaries deterministic)

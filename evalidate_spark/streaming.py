@@ -119,7 +119,9 @@ def session_bounds_stream(
     from .operators.sessions import _micros
 
     u = F.col("`%s`" % user_col)
-    nn = stream_df.filter(u.isNotNull()).withWatermark(ts_col, watermark)
+    nn = stream_df.filter(
+        u.isNotNull() & F.col("`%s`" % ts_col).isNotNull()
+    ).withWatermark(ts_col, watermark)
     tus = _micros(nn, ts_col)
     return (
         nn.groupBy(

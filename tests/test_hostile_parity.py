@@ -29,6 +29,18 @@ QUERIES = [
     "sampled_docs",
     "stratified_sample",
     "packed_sequences",
+    "minhash_pairs_md5",
+    "top_ngrams",
+    "lang_marker_counts",
+    "token_counts_bpe",
+    "jaccard_pairs",
+    "zorder_events",
+    "sessions",
+    "asof_features",
+    "histogram_events_value",
+    "uniqueness_events_user",
+    "drift_events",
+    "drift_event_types",
 ]
 
 
@@ -74,16 +86,40 @@ def hostile_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(os.path.join(tmp, "documents.parquet"))
     )
+    ev = [
+        (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),
+        (2, "2026-01-01 10:05:00", 1, "view", None, None),  # NULL value
+        (3, "2026-01-01 11:00:00", 1, "buy", 2.5, None),
+        (4, "2026-01-01 10:00:00", None, "view", 3.0, None),  # NULL user
+        (5, None, 2, "view", 4.0, None),  # NULL ts
+        (6, "2026-01-01 10:30:00", 2, None, 0.0, None),  # NULL type
+        (None, "2026-01-01 12:00:00", 3, "view", -1.0, None),  # NULL id
+    ]
+    (
+        spark.createDataFrame(
+            ev,
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .selectExpr(
+            "event_id", "cast(ts_s as timestamp) ts", "user_id", "event_type",
+            "value", "props",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "events.parquet"))
+    )
     return tmp
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_hostile_corpus_oracle_parity(spark, hostile_dir, name):
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM '%s/documents.parquet/*.parquet'"
-        % hostile_dir
-    )
+    for t in ("documents", "events"):
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'"
+            % (t, hostile_dir, t)
+        )
     sdf = entry.queries()[name](spark, hostile_dir)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     ores = con.execute(entry.oracle_sql()[name]).fetchall()
