@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .compiler import Options, compile_spec
 from .engine import FIRST_ERROR_COL, VIOLATIONS_COL, validate
@@ -97,6 +97,53 @@ def windowed_verdicts(
         .withColumn(
             "verdict", F.when(F.col("failed") == 0, F.lit("pass")).otherwise(F.lit("fail"))
         )
+    )
+
+
+def asof_join_stream(
+    stream_df: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols=None,
+) -> DataFrame:
+    """Stream-static point-in-time join — the streaming twin of batch
+    :func:`evalidate_spark.operators.asof.asof_join` for a STATIC feature
+    table: each stream row picks up the latest right snapshot at or
+    before its timestamp.
+
+    The batch operator's union+window form doesn't stream (a global
+    per-key window over an unbounded stream), so the static side is
+    reshaped once into VALIDITY INTERVALS — each snapshot carries
+    ``[right_ts, next snapshot's right_ts)`` via one ``lead`` window —
+    and the join becomes a stateless stream-static range join
+    (broadcastable right, append-mode safe, no state store at all).
+    Unmatched rows keep NULL features; NULL keys/timestamps pass through
+    unmatched (same contract as batch, equivalence-tested)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    k = F.col("`%s`" % on)
+    rt = F.col("`%s`" % right_ts)
+    w = Window.partitionBy(k).orderBy(rt)
+    intervals = (
+        right.filter(k.isNotNull() & rt.isNotNull())
+        .withColumn("__valid_to", F.lead(rt).over(w))
+        .select(
+            k.alias("__rk"),
+            rt.alias("__asof_ts"),
+            "__valid_to",
+            *[F.col("`%s`" % c) for c in value_cols],
+        )
+    )
+    lt = F.col("`%s`" % left_ts)
+    cond = (
+        (F.col("`%s`" % on) == F.col("__rk"))
+        & (lt >= F.col("__asof_ts"))
+        & (F.col("__valid_to").isNull() | (lt < F.col("__valid_to")))
+    )
+    return stream_df.join(F.broadcast(intervals), cond, "left").drop(
+        "__rk", "__valid_to"
     )
 
 

@@ -264,3 +264,37 @@ def test_drift_stream_matches_batch_drift(spark, tmp_path):
         [b] = drift_df(sl, baseline, ["v"]).collect()
         assert abs(b["psi_bp"] - r["psi_bp"]) <= 1, (minute, b, r)
         assert abs(b["ks_bp"] - r["ks_bp"]) <= 1, (minute, b, r)
+
+
+def test_asof_join_stream_equals_batch(spark, tmp_path):
+    """Stream-static interval as-of join ≡ batch asof_join on the same
+    files — including unmatched rows, NULL users, and NULL timestamps."""
+    from evalidate_spark.operators.asof import asof_join
+
+    path = str(tmp_path / "asof_in")
+    spark.range(200).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 50 = 49 THEN cast(NULL AS long) ELSE id % 5 END AS user_id",
+        "CASE WHEN id % 60 = 59 THEN cast(NULL AS timestamp) ELSE "
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0, cast(id as int), 0) END AS ts",
+    ).repartition(4).write.parquet(path)
+    feat = spark.range(15).selectExpr(
+        "id % 5 AS user_id",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0, cast(id/5 as int), 0, 0) AS eff_ts",
+        "id AS fval",
+    )
+    left = spark.read.parquet(path)
+    want = sorted(
+        (r["event_id"], r["__asof_ts"], r["fval"])
+        for r in asof_join(left, feat, "user_id", "ts", "eff_ts", ["fval"]).collect()
+    )
+    st = streaming.asof_join_stream(
+        _stream(spark, path), feat, "user_id", "ts", "eff_ts", ["fval"]
+    )
+    _run_to_memory(st, "asof_out")
+    got = sorted(
+        (r["event_id"], r["__asof_ts"], r["fval"])
+        for r in spark.table("asof_out").collect()
+    )
+    assert got == want and len(got) == 200
+    assert sum(1 for _, _, v in got if v is not None) > 100  # real matches
