@@ -166,6 +166,22 @@ def q_referential_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("l_orderkey", "l_linenumber", "l_suppkey")
 
 
+def q_uniqueness_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite natural-key uniqueness: (user_id, event_type) pairs seen
+    more than once — the multi-column face of the uniqueness check."""
+    ev = _t(spark, sf_dir, "events")
+    return uniqueness_violations(ev, ["user_id", "event_type"])
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers on the events value column (exact quartiles
+    for the oracle; the production default is the GK sketch)."""
+    from evalidate_spark.operators.table_checks import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return iqr_outliers(ev, "value", k=1.5, exact=True).select("event_id", "value")
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, value) — the
     multi-dimensional data-skipping layout: range-partitioning by this
@@ -911,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_lineitem_supplier": q_referential_lineitem_supplier,
         "referential_bloom": q_referential_bloom,
         "zorder_events": q_zorder_events,
+        "uniqueness_composite": q_uniqueness_composite,
+        "iqr_outliers": q_iqr_outliers,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -1626,6 +1644,25 @@ ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force
 ORACLE["referential_bloom"] = ORACLE["referential_lineitem_supplier"]
 
 ORACLE["zorder_events"] = _zorder_sql(bits=8)
+
+ORACLE["uniqueness_composite"] = """
+SELECT user_id, event_type, cast(count(*) AS bigint) AS dup_count
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+ORACLE["iqr_outliers"] = """
+WITH q AS (
+  SELECT quantile_cont(cast(value AS double), 0.25) AS q1,
+         quantile_cont(cast(value AS double), 0.75) AS q3
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, value FROM events, q
+WHERE value IS NOT NULL
+  AND (cast(value AS double) < q.q1 - (q.q3 - q.q1) * 1.5
+       OR cast(value AS double) > q.q3 + (q.q3 - q.q1) * 1.5)
+"""
 
 ORACLE["quantized_topk"] = """
 WITH s AS (

@@ -87,37 +87,50 @@ def profile(
 
 
 def uniqueness_violations(
-    df: DataFrame, key: str, salt_buckets: Optional[int] = None
+    df: DataFrame, key, salt_buckets: Optional[int] = None
 ) -> DataFrame:
-    """Keys appearing more than once → ``(key, dup_count)``.
+    """Keys appearing more than once → ``(key..., dup_count)``.  ``key``
+    is one column name or a sequence (composite/natural keys — e.g.
+    ``(user_id, ts)``).
 
-    NULL keys are excluded (missing ≠ duplicate; they're presence
-    violations).  With ``salt_buckets`` the count is a two-level aggregate
+    A NULL in any key component excludes the row (missing ≠ duplicate;
+    they're presence violations).  With ``salt_buckets`` the count is a
+    two-level aggregate
     (key+salt partial → key final) for pathological key skew; plain
     groupBy+count already map-side combines, so salting is only needed when
     a single key dominates entire partitions downstream.
     """
-    kc = F.col("`%s`" % key)
-    nn = df.filter(kc.isNotNull())
+    keys = [key] if isinstance(key, str) else list(key)
+    kcs = [F.col("`%s`" % k) for k in keys]
+    # a NULL in ANY key component is a presence problem, not a duplicate
+    nn = df
+    for kc in kcs:
+        nn = nn.filter(kc.isNotNull())
     if salt_buckets:
-        counts = _salted_partial(nn, key, kc, salt_buckets).groupBy(key).agg(
-            F.sum("__c").alias("dup_count")
+        counts = (
+            _salted_partial(nn, keys, kcs, salt_buckets)
+            .groupBy(*keys)
+            .agg(F.sum("__c").alias("dup_count"))
         )
     else:
-        counts = nn.groupBy(kc.alias(key)).agg(F.count(F.lit(1)).alias("dup_count"))
+        counts = nn.groupBy(*[kc.alias(k) for k, kc in zip(keys, kcs)]).agg(
+            F.count(F.lit(1)).alias("dup_count")
+        )
     return counts.filter(F.col("dup_count") > 1)
 
 
-def _salted_partial(nn: DataFrame, key: str, kc, salt_buckets: int) -> DataFrame:
+def _salted_partial(nn: DataFrame, keys, kcs, salt_buckets: int) -> DataFrame:
     """Partial stage of the salted uniqueness aggregate: one group per
     (key, salt).  The salt MUST be independent of the key — derived from
     ``spark_partition_id()`` — so a hot key's rows land in up to
     *salt_buckets* distinct partial groups that hash to different reducers;
     a key-derived salt (e.g. crc32(key) % B) is constant per key and
     degenerates the two-level aggregate back to a plain groupBy."""
+    if isinstance(keys, str):  # pre-composite-key call shape
+        keys, kcs = [keys], [kcs]
     return (
         nn.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
-        .groupBy(kc.alias(key), "__salt")
+        .groupBy(*[kc.alias(k) for k, kc in zip(keys, kcs)], "__salt")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
 
@@ -342,6 +355,39 @@ def drift_df(
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+def iqr_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 1.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Rows whose *col* falls outside the Tukey fence
+    ``[q1 − k·IQR, q3 + k·IQR]`` — the robust distributional outlier flag
+    (median-based, so a heavy tail doesn't widen its own fence the way a
+    stddev rule's would).  NULL values are never outliers (presence
+    checks own them).
+
+    Plan: ONE tiny quartile agg (``percentile_approx`` GK sketch by
+    default, exact ``percentile`` for audit/oracle runs) broadcast to a
+    stateless filter — no shuffle of the data itself, so at 10^12 rows
+    this costs a scan plus a 1-row broadcast."""
+    c = F.col("`%s`" % col).cast("double")
+    pfn = F.percentile if exact else F.percentile_approx
+    q = df.filter(c.isNotNull()).agg(
+        pfn(c, [0.25, 0.75]).alias("__q")
+    ).select(
+        F.col("__q")[0].alias("__q1"), F.col("__q")[1].alias("__q3")
+    )
+    lo = F.col("__q1") - (F.col("__q3") - F.col("__q1")) * k
+    hi = F.col("__q3") + (F.col("__q3") - F.col("__q1")) * k
+    return (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(q))
+        .filter((c < lo) | (c > hi))
+        .drop("__q1", "__q3")
+    )
 
 
 def drift_quantile(

@@ -41,6 +41,8 @@ QUERIES = [
     "uniqueness_events_user",
     "drift_events",
     "drift_event_types",
+    "uniqueness_composite",
+    "iqr_outliers",
 ]
 
 

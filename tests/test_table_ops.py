@@ -351,3 +351,26 @@ def test_referential_bloom_exact_and_fast_path(spark):
     ).count()
     dangling = len(plain)
     assert absent > 0.95 * dangling, (absent, dangling)
+
+
+def test_composite_uniqueness_and_iqr(spark):
+    from evalidate_spark.operators.table_checks import iqr_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (None, "a"), (3, None)],
+        "u long, t string",
+    )
+    got = {(r["u"], r["t"]): r["dup_count"]
+           for r in uniqueness_violations(df, ["u", "t"]).collect()}
+    assert got == {(1, "a"): 2}  # NULL components never count
+    # salted composite agrees
+    got_s = {(r["u"], r["t"]): r["dup_count"]
+             for r in uniqueness_violations(df, ["u", "t"], salt_buckets=4).collect()}
+    assert got_s == got
+
+    # IQR: bulk 0..99 uniform, two planted extremes
+    vals = spark.range(100).selectExpr("cast(id AS double) AS v").union(
+        spark.createDataFrame([(1e6,), (-1e6,), (None,)], "v double")
+    )
+    out = sorted(r["v"] for r in iqr_outliers(vals, "v", exact=True).collect())
+    assert out == [-1e6, 1e6]
