@@ -904,11 +904,11 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over the deterministic
-    synthetic media table.  Decode is REAL for PNG + BMP images and PCM
-    WAV audio (zero-dependency codecs, stdlib zlib for PNG); only
-    compressed video stays stubbed (flagged ``decoded = false``).  No SQL
-    oracle (payload generation isn't SQL-expressible); features are
-    recomputed independently in pytest."""
+    synthetic media table.  Decode is REAL for every image format in the
+    table — baseline JPEG (pure-numpy T.81 codec), PNG (stdlib zlib),
+    BMP — plus PCM WAV audio; only video stays stubbed (flagged
+    ``decoded = false``).  No SQL oracle (payload decode isn't
+    SQL-expressible); codecs are verified independently in pytest."""
     return multimodal.extract_features(multimodal.synth_media(spark, 200))
 
 
