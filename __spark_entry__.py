@@ -33,6 +33,7 @@ from evalidate_spark import (
     validate_zipped,
 )
 from evalidate_spark.functions import dedup, multimodal, similarity, text
+from evalidate_spark import lib as _lib
 from evalidate_spark.operators.table_checks import (
     drift_categorical,
     drift_df,
@@ -1036,6 +1037,22 @@ WITH v AS (
               THEN 'Value is not valid. Value''s limit is less than minimum allowed: 60'
               ELSE 'Value is not valid. Value''s limit is more than maximum allowed: 400' END
   FROM documents WHERE n_chars < 60 OR n_chars > 400
+  -- presence: NULL ≡ missing key (reference semantics) → required violation
+  UNION ALL
+  SELECT doc_id, 1, 'rule:doc_id', 'doc_id', 'Key ''doc_id'' is required'
+  FROM documents WHERE doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, 2, 'rule:text', 'text', 'Key ''text'' is required'
+  FROM documents WHERE text IS NULL
+  UNION ALL
+  SELECT doc_id, 3, 'rule:lang', 'lang', 'Key ''lang'' is required'
+  FROM documents WHERE lang IS NULL
+  UNION ALL
+  SELECT doc_id, 4, 'rule:source', 'source', 'Key ''source'' is required'
+  FROM documents WHERE source IS NULL
+  UNION ALL
+  SELECT doc_id, 5, 'rule:n_chars', 'n_chars', 'Key ''n_chars'' is required'
+  FROM documents WHERE n_chars IS NULL
 )
 SELECT * FROM v
 """,
@@ -1049,8 +1066,10 @@ WHERE length(text) BETWEEN 50 AND 500
 """,
     "optional_default": """
 SELECT doc_id,
-       CASE WHEN doc_id % 10 = 0 THEN 'unknown' ELSE lang END AS maybe_lang
+       CASE WHEN doc_id % 10 = 0 OR lang IS NULL THEN 'unknown'
+            ELSE lang END AS maybe_lang
 FROM documents
+WHERE doc_id IS NOT NULL  -- required-violating rows are not clean
 """,
     "profile_lineitem": """
 SELECT 'l_orderkey' AS column, count(*) AS n_rows,
@@ -1113,20 +1132,43 @@ SELECT doc_id, 2 AS rule_seq, 'rule_or' AS rule_id,
     || lang || '"\\>\\>'' is not valid. Value is not in allowed list [<<"en">>,<<"es">>]' AS message
 FROM documents
 WHERE lang NOT IN ('en','es') AND NOT regexp_matches(lang, '^(de|fr)$')
+UNION ALL
+-- NULL lang: both alternatives fail with the same required message,
+-- which dedupes to a single clause before the ' or ' join
+SELECT doc_id, 2, 'rule_or', 'Key ''lang'' is required'
+FROM documents WHERE lang IS NULL
+UNION ALL
+SELECT doc_id, 1, 'rule:doc_id', 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
 """,
     "lib_validators": """
+WITH em AS (
+  SELECT doc_id,
+         CASE WHEN doc_id %% 3 = 0 THEN source || '@example.com'
+              ELSE source END AS email
+  FROM documents
+)
 SELECT doc_id, 'rule:email' AS rule_id, 'Value is not valid' AS message
-FROM documents WHERE doc_id % 3 <> 0
+FROM em WHERE email IS NOT NULL AND NOT regexp_matches(email, '%(email_re)s')
+UNION ALL
+SELECT doc_id, 'rule:email', 'Key ''email'' is required'
+FROM em WHERE email IS NULL
 UNION ALL
 SELECT doc_id, 'rule:uid', 'Value is not valid'
-FROM documents WHERE doc_id % 4 <> 0
+FROM documents WHERE doc_id %% 4 <> 0 OR doc_id IS NULL
 UNION ALL
 SELECT doc_id, 'rule:count_str',
   CASE WHEN n_chars < 60
        THEN 'Value is not valid. Value''s limit is less than minimum allowed: 60'
        ELSE 'Value is not valid. Value''s limit is more than maximum allowed: 400' END
 FROM documents WHERE n_chars < 60 OR n_chars > 400
-""",
+UNION ALL
+SELECT doc_id, 'rule:count_str', 'Key ''count_str'' is required'
+FROM documents WHERE n_chars IS NULL
+UNION ALL
+SELECT doc_id, 'rule:doc_id', 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
+""" % {"email_re": _lib.EMAIL_RE},
     "converters": """
 SELECT doc_id, n_chars AS n_int, lower(text) AS lower_join,
   array_to_string(
@@ -1134,6 +1176,7 @@ SELECT doc_id, n_chars AS n_int, lower(text) AS lower_join,
                 (x, i) -> list_position(string_split(text,' '), x) = i),
     ' ') AS uniq_join
 FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
 """,
     "token_counts": """
 WITH tok AS (
@@ -1213,15 +1256,26 @@ SELECT doc_id, 'none' AS key_path,
        THEN 'Value is not valid. Value''s byte_size is less than minimum allowed: 50'
        ELSE 'Value is not valid. Value''s byte_size is more than maximum allowed: 400' END AS message
 FROM documents WHERE length(text) < 50 OR length(text) > 400
+UNION ALL
+-- bare NULL value ≡ undefined: generic invalid (values.py NULL probe)
+SELECT doc_id, 'none', 'Value is not valid'
+FROM documents WHERE text IS NULL
 """,
     "rule_and_on_error": """
 SELECT doc_id, 'rule_and' AS rule_id, 'lang/n_chars combo is invalid' AS message
 FROM documents
 WHERE lang NOT IN ('en','es','de','fr') OR n_chars < 60 OR n_chars > 400
+   OR lang IS NULL OR n_chars IS NULL  -- missing member key fails the AND
+UNION ALL
+SELECT doc_id, 'rule:doc_id', 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
 """,
     "deprecated_keys": """
 SELECT doc_id, 'Key ''legacy'' is deprecated' AS message
-FROM documents WHERE doc_id % 5 = 0
+FROM documents WHERE doc_id % 5 = 0 AND source IS NOT NULL
+UNION ALL
+SELECT doc_id, 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
 """,
     "nested_childs": """
 SELECT doc_id, 'k.nk' AS key_path, 'Key ''k.nk'' is required' AS message

@@ -43,6 +43,16 @@ QUERIES = [
     "drift_event_types",
     "uniqueness_composite",
     "iqr_outliers",
+    # validation-engine surface (oracles model full NULL presence semantics)
+    "validate_documents",
+    "clean_documents",
+    "optional_default",
+    "deprecated_keys",
+    "rule_or",
+    "rule_and_on_error",
+    "lib_validators",
+    "converters",
+    "bare_values",
 ]
 
 
@@ -75,10 +85,10 @@ def hostile_dir(spark, tmp_path_factory):
         (3, "", "es", "src3", 0),
         (4, "a  b   c", "en", "src4", 8),
         (5, "x y z x y z", "es", "src5", 11),
-        (6, "x y z x y z", "es", "src6", 11),
-        (7, "the the the the", "en", "src7", 15),
+        (6, "x y z x y z", "zz", "bad!", 11),   # bad lang + regex-fail src
+        (7, "the the the the", None, "src7", None),  # NULL lang + n_chars
         (None, "orphan text row here", "de", "src8", 20),
-        (8, "solo", "de", "src9", 4),
+        (8, "solo", "de", None, 4),             # NULL source
     ]
     (
         spark.createDataFrame(
