@@ -1249,6 +1249,16 @@ SELECT doc_id, 'rule:text',
        THEN 'Value is not valid. Value''s byte_size is less than minimum allowed: 50'
        ELSE 'Value is not valid. Value''s byte_size is more than maximum allowed: 400' END
 FROM documents WHERE doc_id % 2 = 1 AND (length(text) < 50 OR length(text) > 400)
+UNION ALL
+SELECT doc_id, 'rule:lang', 'Key ''lang'' is required'
+FROM documents WHERE doc_id % 2 = 0 AND lang IS NULL
+UNION ALL
+SELECT doc_id, 'rule:text', 'Key ''text'' is required'
+FROM documents WHERE doc_id % 2 = 1 AND text IS NULL
+UNION ALL
+-- NULL ruleset id: dispatch config-error (engine.py validate_zipped)
+SELECT doc_id, 'ruleset_dispatch', 'No rule-set for rsid=NULL'
+FROM documents WHERE doc_id IS NULL
 """,
     "bare_values": """
 SELECT doc_id, 'none' AS key_path,
@@ -1280,16 +1290,37 @@ FROM documents WHERE doc_id IS NULL
     "nested_childs": """
 SELECT doc_id, 'k.nk' AS key_path, 'Key ''k.nk'' is required' AS message
 FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'k.tag', 'Key ''k.tag'' is required'
+FROM documents WHERE lang IS NULL
+UNION ALL
+SELECT doc_id, 'k.nk', 'Key ''k.nk'' is required'
+FROM documents WHERE doc_id % 7 <> 0 AND source IS NULL
+UNION ALL
+SELECT doc_id, 'k.nk', 'Key ''k.nk'' is required'
+FROM documents WHERE doc_id IS NULL
+UNION ALL
+SELECT doc_id, 'doc_id', 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
 """,
     "password": """
 SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'Password length must be at least 9 characters'
        ELSE 'Password must contain at least one uppercase, one lowercase, one special symbol and one numeric symbol' END AS message
 FROM documents WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT doc_id, 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
 """,
     "custom_validator": """
 SELECT doc_id, 'too short for corpus' AS message
 FROM documents WHERE length(text) < 50
+UNION ALL
+SELECT doc_id, 'Key ''text'' is required'
+FROM documents WHERE text IS NULL
+UNION ALL
+SELECT doc_id, 'Key ''doc_id'' is required'
+FROM documents WHERE doc_id IS NULL
 """,
     "exact_dup_groups": """
 SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs

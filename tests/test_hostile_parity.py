@@ -53,6 +53,10 @@ QUERIES = [
     "lib_validators",
     "converters",
     "bare_values",
+    "zipped_rulesets",
+    "nested_childs",
+    "password",
+    "custom_validator",
 ]
 
 
