@@ -37,6 +37,18 @@ EVENTS = [
 ]
 
 
+LINEITEM = [
+    # (l_orderkey, l_linenumber, l_suppkey, l_quantity, l_returnflag, l_shipdate_s)
+    (1, 1, 2, 10.0, "N", "2026-01-05"),
+    (1, 2, 4, 20.0, "R", "2026-01-06"),
+    (2, 1, 3, None, "A", None),          # NULL quantity + shipdate
+    (2, 2, None, 30.0, None, "2026-01-07"),  # NULL suppkey + returnflag
+    (None, 1, 6, 40.0, "N", "2026-01-08"),   # NULL orderkey
+    (3, None, 99, 50.0, "R", "2026-01-09"),  # NULL linenumber, dangling supp
+]
+SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
+
+
 def main() -> None:
     spark = get_spark(cores=4, shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,8 +64,19 @@ def main() -> None:
         "event_id", "cast(ts_s as timestamp) ts", "user_id", "event_type",
         "value", "props",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    spark.createDataFrame(
+        LINEITEM,
+        "l_orderkey long, l_linenumber int, l_suppkey long, l_quantity double, "
+        "l_returnflag string, l_shipdate_s string",
+    ).selectExpr(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_returnflag",
+        "cast(l_shipdate_s as date) l_shipdate",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "lineitem.parquet"))
+    spark.createDataFrame(SUPPLIER, "s_suppkey long, s_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "supplier.parquet"))
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "lineitem", "supplier"):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'" % (t, tmp, t)
         )

@@ -1,12 +1,14 @@
-"""Adversarial oracle-parity gate: every text-facing driver query must
-hash-match its DuckDB oracle on a HOSTILE documents corpus — NULL texts
-(two of them), an empty text, multi-space text, duplicate texts, a
-degenerate single-token doc, and a NULL doc_id.
+"""Adversarial oracle-parity gate: 44 driver queries — the whole oracled
+surface over documents/events/lineitem/supplier — must hash-match their
+DuckDB oracles on HOSTILE tables: NULL texts/ids/timestamps/users/keys/
+measures, empty and multi-space texts, duplicate texts, invalid enum and
+regex values.
 
 The shipped testdata contains none of these, so the standard correctness
-gate can't see NULL/whitespace contract divergences (two review rounds
-found five of them).  This test replays the driver's compare (sorted
-columns, canonicalised rows, sha256) on the synthetic corpus."""
+gate can't see NULL/whitespace contract divergences (review rounds found
+a dozen before this gate existed).  This test replays the driver's
+compare (sorted columns, canonicalised rows, sha256) on the synthetic
+corpus; use scripts/hostile_probe.py to diff a failing query row-wise."""
 
 import hashlib
 import os
@@ -57,6 +59,12 @@ QUERIES = [
     "nested_childs",
     "password",
     "custom_validator",
+    # lineitem/supplier surface (NULL keys, measures, dates)
+    "profile_lineitem",
+    "profile_quantiles",
+    "drift_quantile",
+    "referential_lineitem_supplier",
+    "referential_bloom",
 ]
 
 
@@ -125,13 +133,44 @@ def hostile_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(os.path.join(tmp, "events.parquet"))
     )
+    li = [
+        (1, 1, 2, 10.0, "N", "2026-01-05"),
+        (1, 2, 4, 20.0, "R", "2026-01-06"),
+        (2, 1, 3, None, "A", None),
+        (2, 2, None, 30.0, None, "2026-01-07"),
+        (None, 1, 6, 40.0, "N", "2026-01-08"),
+        (3, None, 99, 50.0, "R", "2026-01-09"),
+    ]
+    (
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_linenumber int, l_suppkey long, "
+            "l_quantity double, l_returnflag string, l_shipdate_s string",
+        )
+        .selectExpr(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+            "l_returnflag", "cast(l_shipdate_s as date) l_shipdate",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "lineitem.parquet"))
+    )
+    (
+        spark.createDataFrame(
+            [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")],
+            "s_suppkey long, s_name string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "supplier.parquet"))
+    )
     return tmp
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_hostile_corpus_oracle_parity(spark, hostile_dir, name):
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "lineitem", "supplier"):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'"
             % (t, hostile_dir, t)
