@@ -189,16 +189,12 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     key co-locates rows that are close in BOTH dimensions, so parquet
     min/max stats prune scans filtered on either column.  Pure shift/or
     codegen exprs; the full bit-interleave is replayed in DuckDB."""
-    from evalidate_spark.sources import zorder_key
+    from evalidate_spark.sources import zorder_bounds, zorder_key
 
     ev = _t(spark, sf_dir, "events")
-    aggs = []
-    for c in ("user_id", "value"):
-        v = F.col(c).cast("double")
-        aggs += [F.min(v).alias("__lo_%s" % c), F.max(v).alias("__hi_%s" % c)]
-    bounds = ev.agg(*aggs)
+    bounds = zorder_bounds(ev, ["user_id", "value"])
     return ev.crossJoin(F.broadcast(bounds)).select(
-        "event_id", zorder_key(["user_id", "value"], bounds, bits=8).alias("zkey")
+        "event_id", zorder_key(["user_id", "value"], bits=8).alias("zkey")
     )
 
 
@@ -222,9 +218,14 @@ WITH b AS (
          min(cast(value AS double)) AS __lo1, max(cast(value AS double)) AS __hi1
   FROM events
 ), c AS (
-  SELECT event_id, {cells[0]} AS c0, {cells[1]} AS c1 FROM events, b
+  SELECT event_id,
+         (user_id IS NULL OR value IS NULL) AS has_null,
+         {cells[0]} AS c0, {cells[1]} AS c1
+  FROM events, b
 )
-SELECT event_id, {" | ".join(terms)} AS zkey FROM c
+SELECT event_id,
+       CASE WHEN has_null THEN NULL ELSE {" | ".join(terms)} END AS zkey
+FROM c
 """
 
 

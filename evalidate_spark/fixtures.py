@@ -112,3 +112,80 @@ def gen_events_shifted(spark: SparkSession, n: int = 10_000, shift: float = 3.0)
     return spark.range(0, n).select(
         (F.pmod(_h(i), F.lit(1000)) / 100.0 + shift).alias("value")
     )
+
+
+# ----------------------------------------------------- hostile corpus
+# Adversarial twins of the testdata tables: every NULL/empty/multi-space/
+# duplicate/invalid-value shape the shipped parquet never contains.  The
+# SINGLE source of truth for tests/test_hostile_parity.py (the pinned
+# oracle-parity gate) and scripts/hostile_probe.py (its row-diff aid) —
+# keep them in lockstep by construction.
+
+HOSTILE_DOCS = [
+    (1, None, "en", "src1", 0),
+    (2, None, "en", "src2", 0),
+    (3, "", "es", "src3", 0),
+    (4, "a  b   c", "en", "src4", 8),
+    (5, "x y z x y z", "es", "src5", 11),
+    (6, "x y z x y z", "zz", "bad!", 11),   # bad lang + regex-fail source
+    (7, "the the the the", None, "src7", None),  # NULL lang + n_chars
+    (None, "orphan text row here", "de", "src8", 20),  # NULL doc_id
+    (8, "solo", "de", None, 4),             # NULL source
+]
+HOSTILE_EVENTS = [
+    (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),
+    (2, "2026-01-01 10:05:00", 1, "view", None, None),  # NULL value
+    (3, "2026-01-01 11:00:00", 1, "buy", 2.5, None),
+    (4, "2026-01-01 10:00:00", None, "view", 3.0, None),  # NULL user
+    (5, None, 2, "view", 4.0, None),  # NULL ts
+    (6, "2026-01-01 10:30:00", 2, None, 0.0, None),  # NULL type
+    (None, "2026-01-01 12:00:00", 3, "view", -1.0, None),  # NULL id
+]
+HOSTILE_LINEITEM = [
+    (1, 1, 2, 10.0, "N", "2026-01-05"),
+    (1, 2, 4, 20.0, "R", "2026-01-06"),
+    (2, 1, 3, None, "A", None),  # NULL quantity + shipdate
+    (2, 2, None, 30.0, None, "2026-01-07"),  # NULL suppkey + returnflag
+    (None, 1, 6, 40.0, "N", "2026-01-08"),  # NULL orderkey
+    (3, None, 99, 50.0, "R", "2026-01-09"),  # NULL linenumber, dangling
+]
+HOSTILE_SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
+
+
+def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
+    """Write the hostile documents/events/lineitem/supplier tables as
+    single-file parquet under *out_dir* (testdata layout) and return it."""
+    import os
+
+    spark.createDataFrame(
+        HOSTILE_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_EVENTS,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts_s as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_LINEITEM,
+        "l_orderkey long, l_linenumber int, l_suppkey long, l_quantity double, "
+        "l_returnflag string, l_shipdate_s string",
+    ).selectExpr(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_returnflag",
+        "cast(l_shipdate_s as date) l_shipdate",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_SUPPLIER, "s_suppkey long, s_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "supplier.parquet")
+    )
+    return out_dir

@@ -149,18 +149,41 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def zorder_key(columns, bounds_row, bits: int = 16):
+def zorder_bounds(df: DataFrame, columns):
+    """1-row bounds DataFrame ``(__lo_<c>, __hi_<c>, …)`` for
+    :func:`zorder_key` — crossJoin-broadcast it onto the data first."""
+    aggs = []
+    for c in columns:
+        v = F.col("`%s`" % c).cast("double")
+        aggs += [F.min(v).alias("__lo_%s" % c), F.max(v).alias("__hi_%s" % c)]
+    return df.agg(*aggs)
+
+
+def zorder_key(columns, bits: int = 16):
     """Z-order (Morton) key Column over *columns*: each value is
-    min-max-normalised to ``[0, 2^bits)`` using the ``__lo_<c>``/
-    ``__hi_<c>`` fields of *bounds_row* (a crossJoin-broadcast 1-row
-    bounds DataFrame — see :func:`write_zordered`), then the bit strings
-    are interleaved.  Rows close in EVERY dimension get numerically close
-    keys, so range-partitioning by the key clusters multi-dimensional
-    neighbourhoods into the same files — parquet min/max stats then prune
-    scans filtered on ANY of the dimensions, not just a leading sort key.
-    Pure integer shift/or expressions (whole-stage codegen); NULL in any
-    dimension → NULL key (sorts first — a dedicated NULL file region)."""
+    min-max-normalised to ``[0, 2^bits)`` using ``__lo_<c>``/``__hi_<c>``
+    columns (crossJoin-broadcast :func:`zorder_bounds` output first), then
+    the bit strings are interleaved.  Rows close in EVERY dimension get
+    numerically close keys, so range-partitioning by the key clusters
+    multi-dimensional neighbourhoods into the same files — parquet
+    min/max stats then prune scans filtered on ANY of the dimensions, not
+    just a leading sort key.  Pure integer shift/or expressions
+    (whole-stage codegen); NULL in any dimension → NULL key (sorts first
+    — a dedicated NULL file region).  ``bits × len(columns)`` must fit
+    the 63 value bits of a signed long: beyond that, shifts would hit the
+    sign bit (negative keys range-partitioning FIRST) or wrap mod 64
+    (bits of different columns silently colliding)."""
+    n = len(columns)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        raise ValueError(
+            "bits * len(columns) = %d exceeds the 63 usable bits of a signed "
+            "long key - lower bits (e.g. bits=%d for %d columns)"
+            % (bits * n, 63 // n, n)
+        )
     cells = []
+    not_null = None
     for c in columns:
         v = F.col("`%s`" % c).cast("double")
         lo, hi = F.col("__lo_%s" % c), F.col("__hi_%s" % c)
@@ -174,8 +197,9 @@ def zorder_key(columns, bounds_row, bits: int = 16):
                 ),
             )
         )
+        nn = v.isNotNull()
+        not_null = nn if not_null is None else (not_null & nn)
     key = F.lit(0).cast("long")
-    n = len(columns)
     for b in range(bits):
         for j, cell in enumerate(cells):
             key = key.bitwiseOR(
@@ -183,7 +207,9 @@ def zorder_key(columns, bounds_row, bits: int = 16):
                     F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * n + j
                 )
             )
-    return key
+    # least/greatest SKIP nulls, so a NULL dimension would otherwise be
+    # silently folded into cell 0 — mask to honour the NULL-key contract
+    return F.when(not_null, key)
 
 
 def write_zordered(
@@ -199,13 +225,9 @@ def write_zordered(
     (one range shuffle — the once-at-ingest cost), key dropped before
     write.  Filters on any clustered column then prune files via parquet
     min/max stats instead of scanning everything."""
-    aggs = []
-    for c in columns:
-        v = F.col("`%s`" % c).cast("double")
-        aggs += [F.min(v).alias("__lo_%s" % c), F.max(v).alias("__hi_%s" % c)]
-    bounds = df.agg(*aggs)
+    bounds = zorder_bounds(df, columns)
     keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__zkey", zorder_key(columns, bounds, bits)
+        "__zkey", zorder_key(columns, bits)
     )
     (
         keyed.repartitionByRange(num_files, "__zkey")

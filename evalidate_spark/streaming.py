@@ -123,6 +123,9 @@ def asof_join_stream(
     unmatched (same contract as batch, equivalence-tested)."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(value_cols) & set(stream_df.columns)
+    if clash:  # same guard as batch asof_join
+        raise ValueError("value_cols collide with left columns: %s" % sorted(clash))
     k = F.col("`%s`" % on)
     rt = F.col("`%s`" % right_ts)
     w = Window.partitionBy(k).orderBy(rt)

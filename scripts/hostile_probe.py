@@ -1,80 +1,45 @@
-"""Ad-hoc hostile-corpus oracle diff: build the adversarial documents +
-events tables in a temp dir, then for each query name on the CLI print
-OK or the row-level Spark↔DuckDB diff.  Development aid for extending
-oracles to full NULL semantics (tests/test_hostile_parity.py is the
-pinned gate).  Usage: python scripts/hostile_probe.py q1 [q2 ...]"""
+"""Row-level diff aid for tests/test_hostile_parity.py failures: build
+the SAME hostile tables (shared fixture in evalidate_spark.fixtures) and
+print, per query named on the CLI, OK or the canonicalised row multiset
+diff between the Spark query and its DuckDB oracle — identical
+column-sorted %.6g canonicalisation to the gate, so a probe OK implies
+a gate pass.  Usage: python scripts/hostile_probe.py q1 [q2 ...]"""
 
 import os
 import sys
 import tempfile
+from collections import Counter
 
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as e  # noqa: E402
+from evalidate_spark.fixtures import write_hostile_tables  # noqa: E402
 from evalidate_spark.session import get_spark  # noqa: E402
 
-DOCS = [
-    (1, None, "en", "src1", 0),
-    (2, None, "en", "src2", 0),
-    (3, "", "es", "src3", 0),
-    (4, "a  b   c", "en", "src4", 8),
-    (5, "x y z x y z", "es", "src5", 11),
-    (6, "x y z x y z", "zz", "bad!", 11),
-    (7, "the the the the", None, "src7", None),
-    (None, "orphan text row here", "de", "src8", 20),
-    (8, "solo", "de", None, 4),
-]
-EVENTS = [
-    (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),
-    (2, "2026-01-01 10:05:00", 1, "view", None, None),
-    (3, "2026-01-01 11:00:00", 1, "buy", 2.5, None),
-    (4, "2026-01-01 10:00:00", None, "view", 3.0, None),
-    (5, None, 2, "view", 4.0, None),
-    (6, "2026-01-01 10:30:00", 2, None, 0.0, None),
-    (None, "2026-01-01 12:00:00", 3, "view", -1.0, None),
-]
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "%.6g" % v
+    return str(v)
 
 
-LINEITEM = [
-    # (l_orderkey, l_linenumber, l_suppkey, l_quantity, l_returnflag, l_shipdate_s)
-    (1, 1, 2, 10.0, "N", "2026-01-05"),
-    (1, 2, 4, 20.0, "R", "2026-01-06"),
-    (2, 1, 3, None, "A", None),          # NULL quantity + shipdate
-    (2, 2, None, 30.0, None, "2026-01-07"),  # NULL suppkey + returnflag
-    (None, 1, 6, 40.0, "N", "2026-01-08"),   # NULL orderkey
-    (3, None, 99, 50.0, "R", "2026-01-09"),  # NULL linenumber, dangling supp
-]
-SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
+def _lines(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(
+        "|".join("%s=%s" % (cols[i], _canon(r[i])) for i in order) for r in rows
+    )
 
 
 def main() -> None:
     spark = get_spark(cores=4, shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = tempfile.mkdtemp()
-    spark.createDataFrame(
-        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
-    spark.createDataFrame(
-        EVENTS,
-        "event_id long, ts_s string, user_id long, event_type string, "
-        "value double, props string",
-    ).selectExpr(
-        "event_id", "cast(ts_s as timestamp) ts", "user_id", "event_type",
-        "value", "props",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
-    spark.createDataFrame(
-        LINEITEM,
-        "l_orderkey long, l_linenumber int, l_suppkey long, l_quantity double, "
-        "l_returnflag string, l_shipdate_s string",
-    ).selectExpr(
-        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_returnflag",
-        "cast(l_shipdate_s as date) l_shipdate",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "lineitem.parquet"))
-    spark.createDataFrame(SUPPLIER, "s_suppkey long, s_name string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "supplier.parquet"))
+    tmp = write_hostile_tables(spark, tempfile.mkdtemp())
     con = duckdb.connect()
     for t in ("documents", "events", "lineitem", "supplier"):
         con.execute(
@@ -83,20 +48,17 @@ def main() -> None:
     qs, osql = e.queries(), e.oracle_sql()
     for name in sys.argv[1:]:
         sdf = qs[name](spark, tmp)
-        s = sorted(tuple(str(v) for v in r) for r in sdf.collect())
-        o = sorted(
-            tuple(str(v) for v in r) for r in con.execute(osql[name]).fetchall()
-        )
+        s = _lines(sdf.columns, [tuple(r) for r in sdf.collect()])
+        ores = con.execute(osql[name]).fetchall()
+        o = _lines([d[0] for d in con.description], ores)
         if s == o:
-            print(name, "OK (%d rows)" % len(s))
+            print(name, "OK (%d rows)" % sum(s.values()))
             continue
-        print("==", name, sdf.columns)
-        for a in s:
-            if a not in o:
-                print(" spark-only :", a)
-        for b in o:
-            if b not in s:
-                print(" oracle-only:", b)
+        print("==", name)
+        for ln, cnt in (s - o).items():
+            print(" spark-only  x%d:" % cnt, ln)
+        for ln, cnt in (o - s).items():
+            print(" oracle-only x%d:" % cnt, ln)
 
 
 if __name__ == "__main__":

@@ -90,81 +90,9 @@ def _vhash(cols, rows):
 
 @pytest.fixture(scope="module")
 def hostile_dir(spark, tmp_path_factory):
-    tmp = str(tmp_path_factory.mktemp("hostile"))
-    rows = [
-        (1, None, "en", "src1", 0),
-        (2, None, "en", "src2", 0),
-        (3, "", "es", "src3", 0),
-        (4, "a  b   c", "en", "src4", 8),
-        (5, "x y z x y z", "es", "src5", 11),
-        (6, "x y z x y z", "zz", "bad!", 11),   # bad lang + regex-fail src
-        (7, "the the the the", None, "src7", None),  # NULL lang + n_chars
-        (None, "orphan text row here", "de", "src8", 20),
-        (8, "solo", "de", None, 4),             # NULL source
-    ]
-    (
-        spark.createDataFrame(
-            rows, "doc_id long, text string, lang string, source string, n_chars long"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "documents.parquet"))
-    )
-    ev = [
-        (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),
-        (2, "2026-01-01 10:05:00", 1, "view", None, None),  # NULL value
-        (3, "2026-01-01 11:00:00", 1, "buy", 2.5, None),
-        (4, "2026-01-01 10:00:00", None, "view", 3.0, None),  # NULL user
-        (5, None, 2, "view", 4.0, None),  # NULL ts
-        (6, "2026-01-01 10:30:00", 2, None, 0.0, None),  # NULL type
-        (None, "2026-01-01 12:00:00", 3, "view", -1.0, None),  # NULL id
-    ]
-    (
-        spark.createDataFrame(
-            ev,
-            "event_id long, ts_s string, user_id long, event_type string, "
-            "value double, props string",
-        )
-        .selectExpr(
-            "event_id", "cast(ts_s as timestamp) ts", "user_id", "event_type",
-            "value", "props",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "events.parquet"))
-    )
-    li = [
-        (1, 1, 2, 10.0, "N", "2026-01-05"),
-        (1, 2, 4, 20.0, "R", "2026-01-06"),
-        (2, 1, 3, None, "A", None),
-        (2, 2, None, 30.0, None, "2026-01-07"),
-        (None, 1, 6, 40.0, "N", "2026-01-08"),
-        (3, None, 99, 50.0, "R", "2026-01-09"),
-    ]
-    (
-        spark.createDataFrame(
-            li,
-            "l_orderkey long, l_linenumber int, l_suppkey long, "
-            "l_quantity double, l_returnflag string, l_shipdate_s string",
-        )
-        .selectExpr(
-            "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
-            "l_returnflag", "cast(l_shipdate_s as date) l_shipdate",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "lineitem.parquet"))
-    )
-    (
-        spark.createDataFrame(
-            [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")],
-            "s_suppkey long, s_name string",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "supplier.parquet"))
-    )
-    return tmp
+    from evalidate_spark.fixtures import write_hostile_tables
+
+    return write_hostile_tables(spark, str(tmp_path_factory.mktemp("hostile")))
 
 
 @pytest.mark.parametrize("name", QUERIES)
