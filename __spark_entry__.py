@@ -589,6 +589,62 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(d, budget=512, shard_col="lang")
 
 
+def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: the highest-unique-token-ratio docs
+    whose running token total stays within 10k tokens — a distributed
+    two-pass prefix sum (range shuffle + broadcast slice offsets), never
+    a single-task global window."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    # let-bound single evaluation of the token array (score + count read
+    # the same split tree; see quality_topk for the same pattern)
+    s = F.element_at(
+        F.transform(
+            F.array(text.tokens(F.col("text"))),
+            lambda tk: F.when(
+                F.size(tk) > 0,
+                F.struct(
+                    F.size(tk).cast("long").alias("n_tokens"),
+                    F.floor(F.size(F.array_distinct(tk)) / F.size(tk) * 10_000)
+                    .cast("long")
+                    .alias("uniq_bp"),
+                ),
+            ),
+        ),
+        1,
+    )
+    scored = d.withColumn("__s", s).select(
+        "doc_id",
+        F.col("__s").getField("uniq_bp").alias("uniq_bp"),
+        F.col("__s").getField("n_tokens").alias("n_tokens"),
+    )
+    return sampling.select_until_budget(
+        scored, budget=10_000, score_col="uniq_bp", count_col="n_tokens",
+        num_ranges=16,
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/holdout split (25% holdout): duplicate clusters
+    from the same chain pairs as dup_clusters, every cluster member gets
+    the split of its canonical representative via md5 hex threshold."""
+    from evalidate_spark.functions import dedup, sampling
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 10 < 3)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    cl = dedup.duplicate_clusters(pairs)
+    return sampling.split_by_cluster(
+        d.select("doc_id"), cl, holdout_fraction=0.25
+    ).select("doc_id", "cluster", "split")
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup APPLY step: keep one representative (min doc_id) per
     first-5-token prefix fingerprint, everything else drops — aggregate
@@ -955,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs": q_sampled_docs,
         "stratified_sample": q_stratified_sample,
         "packed_sequences": q_packed_sequences,
+        "budget_selection": q_budget_selection,
+        "leakage_split": q_leakage_split,
         "dedup_corpus": q_dedup_corpus,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
@@ -1620,6 +1678,50 @@ WITH d AS (
 SELECT shard, seq_ix, cast(count(*) AS bigint) AS n_docs,
        cast(sum(n) AS bigint) AS seq_tokens
 FROM s GROUP BY 1, 2
+"""
+
+ORACLE["budget_selection"] = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL
+), q AS (
+  SELECT doc_id, cast(len(tk) AS bigint) AS n_tokens,
+    cast(floor((len(list_distinct(tk)) / cast(len(tk) AS double)) * 10000)
+         AS bigint) AS uniq_bp
+  FROM tok WHERE len(tk) > 0
+), c AS (
+  SELECT doc_id, uniq_bp, n_tokens,
+    cast(sum(n_tokens) OVER (ORDER BY uniq_bp DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+         AS cum_tokens
+  FROM q
+)
+SELECT doc_id, uniq_bp, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+"""
+
+ORACLE["leakage_split"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+), clusters AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+  coalesce(c.cluster_id, d.doc_id) AS cluster,
+  CASE WHEN substr(md5('split-v1'
+            || cast(coalesce(c.cluster_id, d.doc_id) AS varchar)), 1, 8)
+            < '40000000'
+       THEN 'holdout' ELSE 'train' END AS split
+FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+WHERE d.doc_id IS NOT NULL
 """
 
 ORACLE["dedup_corpus"] = """

@@ -184,6 +184,8 @@ def main() -> None:
         "chunked_docs",
         "quality_topk",
         "referential_bloom",
+        "budget_selection",
+        "leakage_split",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -21,6 +21,13 @@ these are north-rule pipeline additions.)
   every ``budget`` tokens; a doc belongs to the sequence where it STARTS
   (docs may cross boundaries, as in standard LM data loaders).  One
   window + one roll-up on the same shard key = one shuffle.
+* :func:`select_until_budget` — "best docs until N tokens": global
+  score-ordered prefix under a token budget, computed as a distributed
+  two-pass prefix sum (range shuffle + broadcast slice offsets) instead
+  of a single-task global window.
+* :func:`split_by_cluster` — leakage-free train/holdout split: the split
+  is hashed from the duplicate-cluster representative, so near-dups of
+  training docs can never leak into holdout.
 """
 
 from __future__ import annotations
@@ -131,4 +138,107 @@ def pack_sequences(
     return packed.groupBy("shard", "seq_ix").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__n").alias("seq_tokens"),
+    )
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    count_col: str,
+    id_col: str = "doc_id",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Token-budget corpus selection: keep the best-scoring docs (score
+    desc, id-asc tiebreak) whose RUNNING token total stays within
+    *budget* — "take the highest-quality N-token slice of the corpus",
+    the selection step between quality scoring and training.  Returns the
+    selected rows with an extra ``cum_tokens`` column (the inclusive
+    running total at that row).
+
+    The naive plan — ``sum(count) OVER (ORDER BY score DESC)`` — funnels
+    the ENTIRE corpus through one task (an unpartitioned window).  This
+    is the distributed two-pass prefix sum instead: range-repartition on
+    the sort key (*num_ranges* contiguous score slices), per-slice
+    running sums via a window PARTITIONED by slice, then one tiny
+    ≤ *num_ranges*-row aggregate of slice totals whose exclusive prefix
+    sums are broadcast back as per-slice offsets.  Cost: the range
+    exchange (reused by the totals agg) plus the window's hash exchange
+    on the slice id — both over *df*'s rows, so at extreme scale pass a
+    SLIM projection (id, score, count) and join payloads back on id
+    afterwards (the selected set is budget-bounded).  Range boundaries
+    come from Spark's sampling and may vary run-to-run — the selected
+    SET does not, because a global prefix sum is identical for every
+    contiguous split of a total order.
+
+    ``(score, id)`` must be a total order (unique ids); rows with NULL
+    id/score/count are excluded by contract (not orderable/billable)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    ids = F.col("`%s`" % id_col)
+    sc = F.col("`%s`" % score_col)
+    n = F.col("`%s`" % count_col).cast("long")
+    base = df.filter(ids.isNotNull() & sc.isNotNull() & n.isNotNull())
+    ranged = base.repartitionByRange(num_ranges, sc.desc(), ids.asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(sc.desc(), ids.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(n).alias("__t"))
+    # exclusive prefix over ≤ num_ranges rows — bounded, never data-sized
+    ow = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(ow), F.lit(0)).alias("__off")
+    )
+    return (
+        ranged.withColumn("__run", F.sum(n).over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("cum_tokens", F.col("__off") + F.col("__run"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__pid", "__run", "__off")
+    )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    holdout_fraction: float = 0.125,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-free train/holdout assignment: every doc in the same
+    duplicate cluster lands in the SAME split, so near-duplicates of
+    training docs can never contaminate the holdout set.  *clusters* is
+    ``(id, cluster_id)`` as produced by
+    :func:`~evalidate_spark.functions.dedup.duplicate_clusters`; docs
+    absent from it are singletons (their own cluster).  Returns *df*'s
+    rows (NULL ids excluded — unhashable) with ``cluster`` and ``split``
+    (``'holdout'`` / ``'train'``) columns added.
+
+    The split is hash-derived (md5 hex-prefix threshold, the
+    :func:`sample_deterministic` scheme), keyed on the cluster's CANONICAL
+    id — reproducible across runs/engines and stable under re-clustering
+    as long as the component minimum is unchanged.  Plan: one id-keyed
+    equi-join (the clusters side only holds docs that HAVE duplicates, so
+    AQE usually broadcasts it) + pure hash exprs."""
+    if not (0.0 <= holdout_fraction <= 1.0):
+        raise ValueError("holdout_fraction must be in [0, 1]")
+    ids = F.col("`%s`" % id_col)
+    lab = clusters.select(
+        F.col("id").alias("__lab_id"), F.col("cluster_id").alias("__lab_cluster")
+    )
+    j = df.filter(ids.isNotNull()).join(lab, ids == F.col("__lab_id"), "left")
+    cluster = F.coalesce(F.col("__lab_cluster"), ids)
+    b = int(holdout_fraction * (1 << 32))
+    bound = "g" if b >= (1 << 32) else "%08x" % b
+    split = F.when(
+        _bucket_hash(cluster, salt) < F.lit(bound), F.lit("holdout")
+    ).otherwise(F.lit("train"))
+    return (
+        j.withColumn("cluster", cluster)
+        .withColumn("split", split)
+        .drop("__lab_id", "__lab_cluster")
     )

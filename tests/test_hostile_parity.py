@@ -1,4 +1,4 @@
-"""Adversarial oracle-parity gate: 44 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: 46 driver queries — the whole oracled
 surface over documents/events/lineitem/supplier — must hash-match their
 DuckDB oracles on HOSTILE tables: NULL texts/ids/timestamps/users/keys/
 measures, empty and multi-space texts, duplicate texts, invalid enum and
@@ -31,6 +31,8 @@ QUERIES = [
     "sampled_docs",
     "stratified_sample",
     "packed_sequences",
+    "budget_selection",
+    "leakage_split",
     "minhash_pairs_md5",
     "top_ngrams",
     "lang_marker_counts",

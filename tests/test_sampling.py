@@ -133,3 +133,123 @@ def test_pack_sequences_matches_duckdb_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_select_until_budget_semantics(spark):
+    # scores force order 4,2,3,1 (desc, id tiebreak on the 30s);
+    # counts 5,5,5,5 with budget 12 → first two selected (5, 10), third
+    # would reach 15 > 12.  NULL id/score/count rows are excluded.
+    rows = [
+        (1, 10.0, 5), (2, 30.0, 5), (3, 30.0, 5), (4, 40.0, 5),
+        (None, 99.0, 5), (5, None, 5), (6, 50.0, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in sampling.select_until_budget(
+            df, budget=12, score_col="score", count_col="n", num_ranges=3
+        ).collect()
+    }
+    assert got == {4: 5, 2: 10}
+    # inclusive boundary: budget 15 admits exactly the third doc
+    got15 = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in sampling.select_until_budget(
+            df, budget=15, score_col="score", count_col="n", num_ranges=3
+        ).collect()
+    }
+    assert got15 == {4: 5, 2: 10, 3: 15}
+    with pytest.raises(ValueError):
+        sampling.select_until_budget(df, 0, score_col="score", count_col="n")
+
+
+def test_select_until_budget_partition_invariant_and_oracle(spark):
+    # the selected set must not depend on num_ranges or input layout,
+    # and must equal the single-order SQL window replayed in DuckDB
+    docs = _docs(spark).selectExpr(
+        "doc_id",
+        "size(filter(split(text, ' '), t -> t != '')) AS n_tokens",
+        "n_chars AS score",
+    ).where("doc_id IS NOT NULL AND n_tokens > 0")
+    budget = 3000
+    base = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in sampling.select_until_budget(
+            docs, budget, score_col="score", count_col="n_tokens", num_ranges=8
+        ).collect()
+    )
+    for variant in (
+        sampling.select_until_budget(
+            docs.repartition(17), budget, score_col="score",
+            count_col="n_tokens", num_ranges=1,
+        ),
+        sampling.select_until_budget(
+            docs, budget, score_col="score", count_col="n_tokens",
+            num_ranges=200,  # more ranges than rows → empty slices
+        ),
+    ):
+        assert sorted((r["doc_id"], r["cum_tokens"]) for r in variant.collect()) == base
+    want = sorted(
+        (r[0], r[1])
+        for r in duckdb.sql(
+            f"""WITH q AS (
+              SELECT doc_id, n_chars AS score,
+                     len(list_filter(string_split(text,' '), t -> t <> '')) AS n
+              FROM '{SF}/documents.parquet'
+              WHERE doc_id IS NOT NULL
+            ), c AS (
+              SELECT doc_id, sum(n) OVER (ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM q WHERE n > 0
+            ) SELECT doc_id, cast(cum AS bigint) FROM c WHERE cum <= {budget}"""
+        ).fetchall()
+    )
+    assert base == want and 0 < len(base) < docs.count()
+
+
+def test_split_by_cluster_semantics(spark):
+    from evalidate_spark.functions import dedup
+
+    # chain 1-2-3 is one cluster; 10 and 11 singletons; NULL id dropped
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (None,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    cl = dedup.duplicate_clusters(pairs)
+    out = sampling.split_by_cluster(docs, cl, holdout_fraction=0.5).collect()
+    by_id = {r["doc_id"]: (r["cluster"], r["split"]) for r in out}
+    assert len(by_id) == 5  # NULL id excluded
+    # cluster members share cluster AND split
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[1][0] == 1
+    # singletons are their own cluster
+    assert by_id[10][0] == 10 and by_id[11][0] == 11
+    assert all(s in ("train", "holdout") for _, s in by_id.values())
+    # boundary fractions pin every cluster to one side
+    all_h = sampling.split_by_cluster(docs, cl, holdout_fraction=1.0)
+    assert {r["split"] for r in all_h.collect()} == {"holdout"}
+    all_t = sampling.split_by_cluster(docs, cl, holdout_fraction=0.0)
+    assert {r["split"] for r in all_t.collect()} == {"train"}
+    with pytest.raises(ValueError):
+        sampling.split_by_cluster(docs, cl, holdout_fraction=1.5)
+
+
+def test_split_by_cluster_no_leakage_on_corpus(spark):
+    from evalidate_spark.functions import dedup
+
+    ids = _docs(spark).select("doc_id").where("doc_id IS NOT NULL")
+    pairs = ids.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b").where(
+        "id_a % 10 < 3"
+    ).join(ids.selectExpr("doc_id AS id_b"), "id_b")
+    cl = dedup.duplicate_clusters(pairs)
+    out = sampling.split_by_cluster(ids, cl, holdout_fraction=0.25)
+    # no cluster straddles the split, and both splits are non-empty
+    straddle = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert straddle == 0
+    frac = out.where("split = 'holdout'").count() / out.count()
+    assert 0.10 < frac < 0.40
