@@ -589,6 +589,15 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(d, budget=512, shard_col="lang")
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per doc (mean NLL in integer milli-nats,
+    add-0.1 smoothing, self-trained on the corpus) — the perplexity-style
+    quality filter; per-term integer flooring makes the float path
+    summation-order-free and DuckDB-replayable."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lm_scores(d)
+
+
 def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: the highest-unique-token-ratio docs
     whose running token total stays within 10k tokens — a distributed
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "budget_selection": q_budget_selection,
         "leakage_split": q_leakage_split,
+        "lm_scores": q_lm_scores,
         "dedup_corpus": q_dedup_corpus,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
@@ -1678,6 +1688,30 @@ WITH d AS (
 SELECT shard, seq_ix, cast(count(*) AS bigint) AS n_docs,
        cast(sum(n) AS bigint) AS seq_tokens
 FROM s GROUP BY 1, 2
+"""
+
+ORACLE["lm_scores"] = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), pr AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) >= 2
+), cb AS (
+  SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2
+), cp AS (
+  SELECT w1, count(*) AS cp FROM pr GROUP BY 1
+), vv AS (
+  SELECT count(DISTINCT w2) AS v FROM pr
+), s AS (
+  SELECT pr.doc_id,
+    cast(floor(-ln((cb.cb + 0.1) / (cp.cp + 0.1 * vv.v)) * 1000) AS bigint) AS m
+  FROM pr JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+       cast(floor(sum(m) / cast(count(*) AS double)) AS bigint) AS nll_milli
+FROM s GROUP BY doc_id
 """
 
 ORACLE["budget_selection"] = """

@@ -186,6 +186,7 @@ def main() -> None:
         "referential_bloom",
         "budget_selection",
         "leakage_split",
+        "lm_scores",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -308,3 +308,67 @@ def shingles(col: Column, k: int = 3) -> Column:
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-doc bigram language-model fluency score — the perplexity-style
+    quality filter of a training-data pipeline: gibberish, boilerplate,
+    and mid-sentence truncations surface as high negative log-likelihood
+    under a model trained on the corpus itself.  Returns
+    ``(id, n_bigrams, nll_milli)`` where ``nll_milli`` is the mean
+    per-bigram negative log-likelihood in MILLI-NATS, floored to an
+    integer.  Each per-bigram term is floored to integer milli-nats
+    BEFORE summing, so the aggregate is an integer sum — independent of
+    float summation order and exactly replayable by any SQL engine.
+
+    Model: add-alpha smoothed conditionals over the corpus's own bigrams,
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (c_prefix(w1) + alpha * V)`` with
+    ``c_prefix(w1)`` the count of w1 as a bigram PREFIX (so the
+    conditionals sum to ≤ 1 over the seen vocabulary) and ``V`` the
+    distinct-successor vocabulary size.
+
+    Scale shape: one explode of token pairs feeding three aggregates
+    (bigram counts, prefix counts, and a 1-row V that is crossJoin-
+    broadcast), then two equi-joins back onto the pairs and a per-doc
+    roll-up.  All counts are map-side combined; the joins are on token
+    keys, where stopword prefixes are hot — AQE's skew-join split is the
+    intended mitigation, as in the referential check.  Docs with NULL
+    id/text or fewer than 2 tokens have no bigrams and are absent from
+    the output by contract."""
+    ids = F.col("`%s`" % id_col)
+    tc = F.col("`%s`" % text_col)
+    tk = tokens(tc)
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("w1"),
+            F.element_at(tk, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    pairs = (
+        df.filter(ids.isNotNull() & tc.isNotNull() & (F.size(tk) >= 2))
+        .select(ids.alias("__id"), F.explode(pairs_arr).alias("p"))
+        .select("__id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    cp = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__cp"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("__v"))
+    lp = F.log(
+        (F.col("__cb") + F.lit(float(alpha)))
+        / (F.col("__cp") + F.lit(float(alpha)) * F.col("__v"))
+    )
+    scored = (
+        pairs.join(cb, ["w1", "w2"])  # inner: self-scored pairs always exist
+        .join(cp, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", F.floor(-lp * 1000).cast("long").alias("__m"))
+    )
+    return scored.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.floor(F.sum("__m") / F.count(F.lit(1))).cast("long").alias("nll_milli"),
+    )

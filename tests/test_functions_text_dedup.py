@@ -611,3 +611,51 @@ class TestChunking:
             chunk_documents(df, chunk_tokens=0)
         with _pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+class TestLmScores:
+    def test_matches_pure_python_model(self, spark):
+        import math
+        from collections import Counter
+
+        docs = [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the dog sat on the cat"),
+            (4, "solo"),          # < 2 tokens → no score
+            (5, None),            # NULL text → no score
+            (None, "the cat sat"),  # NULL id → no score
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["nll_milli"])
+            for r in text.lm_scores(df, alpha=0.1).collect()
+        }
+        # pure-Python twin: prefix-count conditionals, add-0.1 smoothing,
+        # per-term integer milli-nat floor, floored integer mean
+        pairs = {}
+        for i, t in docs:
+            tk = (t or "").split()
+            if i is None or t is None or len(tk) < 2:
+                continue
+            pairs[i] = list(zip(tk, tk[1:]))
+        cb = Counter(p for ps in pairs.values() for p in ps)
+        cp = Counter(p[0] for ps in pairs.values() for p in ps)
+        v = len({p[1] for ps in pairs.values() for p in ps})
+        want = {}
+        for i, ps in pairs.items():
+            ms = [
+                math.floor(-math.log((cb[p] + 0.1) / (cp[p[0]] + 0.1 * v)) * 1000)
+                for p in ps
+            ]
+            want[i] = (len(ms), math.floor(sum(ms) / len(ms)))
+        assert got == want and set(got) == {1, 2, 3}
+        # docs 1 and 2 are symmetric (both end in a singleton bigram with
+        # the same counts everywhere) → provably identical scores
+        assert got[1] == got[2]
+
+    def test_deterministic_across_layouts(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, text.lm_scores(df).collect()))
+        b = sorted(map(tuple, text.lm_scores(df.repartition(13)).collect()))
+        assert a == b and len(a) > 400

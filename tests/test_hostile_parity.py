@@ -1,4 +1,4 @@
-"""Adversarial oracle-parity gate: 46 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: 47 driver queries — the whole oracled
 surface over documents/events/lineitem/supplier — must hash-match their
 DuckDB oracles on HOSTILE tables: NULL texts/ids/timestamps/users/keys/
 measures, empty and multi-space texts, duplicate texts, invalid enum and
@@ -33,6 +33,7 @@ QUERIES = [
     "packed_sequences",
     "budget_selection",
     "leakage_split",
+    "lm_scores",
     "minhash_pairs_md5",
     "top_ngrams",
     "lang_marker_counts",
