@@ -152,6 +152,29 @@ HOSTILE_LINEITEM = [
 HOSTILE_SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
 
 
+def canon_value(v) -> str:
+    """The driver-compare canonical form of one cell (NULL marker, SQL
+    booleans, ``%.6g`` floats).  SINGLE source of truth for
+    tests/test_hostile_parity.py (hashes these lines) and
+    scripts/hostile_probe.py (diffs them) — a probe OK implies a gate
+    pass only while both use exactly this function."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "%.6g" % v
+    return str(v)
+
+
+def canon_lines(cols, rows) -> list:
+    """Canonicalised row lines in the driver-compare format: cells joined
+    by ``|`` in COLUMN-NAME-SORTED order (unsorted rows — sort or
+    multiset-compare at the call site)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return ["|".join(canon_value(r[i]) for i in order) for r in rows]
+
+
 def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
     """Write the hostile documents/events/lineitem/supplier tables as
     single-file parquet under *out_dir* (testdata layout) and return it."""

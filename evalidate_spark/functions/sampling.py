@@ -163,24 +163,34 @@ def select_until_budget(
     running sums via a window PARTITIONED by slice, then one tiny
     ≤ *num_ranges*-row aggregate of slice totals whose exclusive prefix
     sums are broadcast back as per-slice offsets.  Cost: the range
-    exchange (reused by the totals agg) plus the window's hash exchange
-    on the slice id — both over *df*'s rows, so at extreme scale pass a
-    SLIM projection (id, score, count) and join payloads back on id
-    afterwards (the selected set is budget-bounded).  Range boundaries
-    come from Spark's sampling and may vary run-to-run — the selected
-    SET does not, because a global prefix sum is identical for every
-    contiguous split of a total order.
+    exchange plus the window's hash exchange on the slice id — both over
+    *df*'s rows, so at extreme scale pass a SLIM projection (id, score,
+    count) and join payloads back on id afterwards (the selected set is
+    budget-bounded).  Range boundaries come from Spark's sampling and may
+    vary run-to-run — the selected SET does not, because a global prefix
+    sum is identical for every contiguous split of a total order.
+
+    The totals branch and the window branch must see the SAME slice
+    boundaries, so the ranged slim triple is ``localCheckpoint``-ed
+    (lazy): the range shuffle provably runs once even if exchange reuse
+    is disabled or a refactor breaks canonical-plan equality between the
+    branches — without it, two independently sampled range shuffles
+    could pick different boundaries and silently mis-add offsets.
 
     ``(score, id)`` must be a total order (unique ids); rows with NULL
     id/score/count are excluded by contract (not orderable/billable)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if num_ranges <= 0:
+        raise ValueError("num_ranges must be positive")
     ids = F.col("`%s`" % id_col)
     sc = F.col("`%s`" % score_col)
     n = F.col("`%s`" % count_col).cast("long")
     base = df.filter(ids.isNotNull() & sc.isNotNull() & n.isNotNull())
-    ranged = base.repartitionByRange(num_ranges, sc.desc(), ids.asc()).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        base.repartitionByRange(num_ranges, sc.desc(), ids.asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy("__pid")

@@ -332,10 +332,11 @@ def lm_scores(
     conditionals sum to ≤ 1 over the seen vocabulary) and ``V`` the
     distinct-successor vocabulary size.
 
-    Scale shape: one explode of token pairs feeding three aggregates
-    (bigram counts, prefix counts, and a 1-row V that is crossJoin-
-    broadcast), then two equi-joins back onto the pairs and a per-doc
-    roll-up.  All counts are map-side combined; the joins are on token
+    Scale shape: the corpus-wide tokenize+explode runs exactly TWICE —
+    once to build the bigram-count table, once as the scoring probe; the
+    prefix counts and the 1-row vocabulary size are derived from the
+    (small) bigram-count table, never by re-exploding the corpus.  All
+    counts are map-side combined; the two scoring joins are on token
     keys, where stopword prefixes are hot — AQE's skew-join split is the
     intended mitigation, as in the referential check.  Docs with NULL
     id/text or fewer than 2 tokens have no bigrams and are absent from
@@ -356,8 +357,11 @@ def lm_scores(
         .select("__id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
-    cp = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__cp"))
-    vocab = pairs.agg(F.countDistinct("w2").alias("__v"))
+    # prefix counts and vocab size roll up from the distinct-bigram table
+    # (sum of successor counts / distinct successors) — no second corpus
+    # explode for either
+    cp = cb.groupBy("w1").agg(F.sum("__cb").alias("__cp"))
+    vocab = cb.agg(F.countDistinct("w2").alias("__v"))
     lp = F.log(
         (F.col("__cb") + F.lit(float(alpha)))
         / (F.col("__cp") + F.lit(float(alpha)) * F.col("__v"))

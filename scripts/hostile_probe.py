@@ -19,21 +19,10 @@ from evalidate_spark.fixtures import write_hostile_tables  # noqa: E402
 from evalidate_spark.session import get_spark  # noqa: E402
 
 
-def _canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        return "%.6g" % v
-    return str(v)
-
-
 def _lines(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(
-        "|".join("%s=%s" % (cols[i], _canon(r[i])) for i in order) for r in rows
-    )
+    from evalidate_spark.fixtures import canon_lines
+
+    return Counter(canon_lines(cols, rows))
 
 
 def main() -> None:
@@ -54,7 +43,7 @@ def main() -> None:
         if s == o:
             print(name, "OK (%d rows)" % sum(s.values()))
             continue
-        print("==", name)
+        print("==", name, "cols(sorted):", sorted(sdf.columns))
         for ln, cnt in (s - o).items():
             print(" spark-only  x%d:" % cnt, ln)
         for ln, cnt in (o - s).items():

@@ -71,21 +71,12 @@ QUERIES = [
 ]
 
 
-def _canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        return "%.6g" % v
-    return str(v)
-
-
 def _vhash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+    # canonicalisation shared with scripts/hostile_probe.py by construction
+    from evalidate_spark.fixtures import canon_lines
+
     h = hashlib.sha256()
-    for ln in lines:
+    for ln in sorted(canon_lines(cols, rows)):
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()
