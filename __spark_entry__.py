@@ -828,6 +828,18 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(deq, probes, k=3)
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filter: the 5 vectors per label FARTHEST
+    from their own label's mean centroid (lowest cosine — mislabeled /
+    off-topic / corrupted samples).  One map-side-combined centroid
+    aggregate (O(labels·dim) state), broadcast back, pure-Column cosine,
+    one window rank per label; ranked on the 6-dp-rounded cosine with an
+    id tiebreak for cross-engine stability.  Testdata embeddings are
+    dim-64 (the oracle replays the elementwise mean at that width)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(emb, dim=64, k=5)
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) over the events stream —
     the windowed-operator family: per-user lag + running session count,
@@ -1039,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_event_types": q_drift_event_types,
         "sessions": q_sessions,
         "quantized_topk": q_quantized_topk,
+        "centroid_outliers": q_centroid_outliers,
         "asof_features": q_asof_features,
         "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
@@ -1906,6 +1919,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
+"""
+
+ORACLE["centroid_outliers"] = """
+WITH e AS (
+  SELECT vec_id, label, cast(embedding AS double[]) AS emb
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+), pos AS (
+  SELECT label, ord, avg(emb[ord]) AS m
+  FROM e, range(1, 65) t(ord)
+  GROUP BY label, ord
+), cent AS (
+  SELECT label, list(m ORDER BY ord) AS centroid FROM pos GROUP BY label
+), scored AS (
+  SELECT e.label AS grp, e.vec_id AS id,
+    round(list_cosine_similarity(e.emb, c.centroid), 6) AS cosine
+  FROM e JOIN cent c USING (label)
+)
+SELECT grp AS "group", id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY cosine ASC, id ASC) AS rank
+  FROM scored) r
+WHERE rank <= 5
 """
 
 

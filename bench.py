@@ -179,6 +179,7 @@ def main() -> None:
         "dedup_corpus",
         "drift_quantile",
         "quantized_topk",
+        "centroid_outliers",
         "contamination",
         "pii_redaction",
         "chunked_docs",

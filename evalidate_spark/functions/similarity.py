@@ -428,3 +428,73 @@ def ivf_probe_cells(
         F.col("`%s`" % vec_col).alias("__pv"),
         F.transform(top, lambda s: s["ix"]).alias("cells"),
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group elementwise-mean centroid → ``(group, centroid
+    array<double>, n_members)``.  ONE map-side-combined aggregate of
+    *dim* ``avg()`` columns — no explode, no shuffle beyond the group
+    key, aggregation state O(groups · dim).  Rows with NULL group or
+    vector are excluded; vectors shorter than *dim* contribute NULL (≡
+    skipped) to the missing positions, matching SQL ``avg`` semantics."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    g = F.col("`%s`" % group_col)
+    v = F.col("`%s`" % vec_col)
+    return (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("__group"))
+        .agg(
+            F.array(
+                # try_element_at: NULL (not an ANSI error) past the end of a
+                # short vector, so ragged rows degrade instead of failing the job
+                *[F.avg(F.try_element_at(v, F.lit(i + 1)).cast("double")) for i in range(dim)]
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic outlier detection: the *k* vectors per group FARTHEST
+    from their own group's centroid → ``(group, id, cosine, rank)`` —
+    the embedding-space quality filter of a multimodal pipeline
+    (mislabeled / off-topic / corrupted samples score low cosine to
+    their cluster mean).
+
+    Rank orders on the 6-dp-ROUNDED cosine with an id tiebreak (the
+    ann_topk pattern), so the ordering is stable across engines despite
+    float formatting.  Plan: one centroid aggregate (tiny — O(groups)
+    rows) broadcast back onto the table, pure Column cosine, one window
+    rank per group key.  NULL id/group/vector rows are excluded."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    g = F.col("`%s`" % group_col)
+    v = F.col("`%s`" % vec_col)
+    ids = F.col("`%s`" % id_col)
+    cents = group_centroids(df, dim, group_col, vec_col)
+    scored = (
+        df.filter(g.isNotNull() & v.isNotNull() & ids.isNotNull())
+        .join(F.broadcast(cents), g == F.col("__group"))
+        .select(
+            g.alias("group"),
+            ids.alias("id"),
+            F.round(cosine(v, F.col("centroid")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("group").orderBy(F.col("cosine").asc(), F.col("id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -421,3 +421,73 @@ class TestQuantization:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, recall
+
+
+class TestCentroidOutliers:
+    def test_planted_outliers_found(self, spark):
+        # two tight clusters along axes e0/e1 plus one inverted vector per
+        # group — the inverted vector is the unambiguous farthest-from-centroid
+        rng = np.random.default_rng(3)
+        rows = []
+        for g in (0, 1):
+            base = np.zeros(4)
+            base[g] = 1.0
+            for i in range(9):
+                v = base + 0.05 * rng.standard_normal(4)
+                rows.append((g * 100 + i, g, [float(x) for x in v]))
+            rows.append((g * 100 + 99, g, [float(-x) for x in base]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        got = similarity.centroid_outliers(df, dim=4, k=1).collect()
+        assert {(r["group"], r["id"]) for r in got} == {(0, 99), (1, 199)}
+        assert all(r["rank"] == 1 for r in got)
+
+    def test_full_ranking_matches_numpy(self, spark):
+        corpus, vecs = embed_df(spark, n=30, d=6, seed=13)
+        df = corpus.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+        got = similarity.centroid_outliers(df, dim=6, k=30).collect()
+        for g in range(3):
+            ids = [i for i in range(30) if i % 3 == g]
+            cent = vecs[ids].mean(axis=0)
+            cos = {
+                i: round(
+                    float(
+                        vecs[i] @ cent / (np.linalg.norm(vecs[i]) * np.linalg.norm(cent))
+                    ),
+                    6,
+                )
+                for i in ids
+            }
+            want = sorted(ids, key=lambda i: (cos[i], i))
+            rows = sorted((r for r in got if r["group"] == g), key=lambda r: r["rank"])
+            assert [r["id"] for r in rows] == want
+            for r in rows:
+                assert r["cosine"] == pytest.approx(cos[r["id"]], abs=1e-6)
+
+    def test_null_rows_excluded_and_short_vectors_degrade(self, spark):
+        rows = [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.1]),
+            (3, 0, None),          # NULL vector: excluded everywhere
+            (None, 0, [9.0, 9.0]), # NULL id: excluded from ranking
+            (4, None, [5.0, 5.0]), # NULL group: excluded everywhere
+            (5, 1, [1.0]),         # shorter than dim: missing dims -> NULL avg
+            (6, 1, [2.0, 4.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        cents = {
+            r["__group"]: (r["centroid"], r["n_members"])
+            for r in similarity.group_centroids(df, dim=2, group_col="label").collect()
+        }
+        # NULL-id row still shapes the centroid: mean of (1,1,9) / (0,0.1,9)
+        assert cents[0][0] == [pytest.approx(11 / 3), pytest.approx(9.1 / 3)]
+        assert cents[0][1] == 3
+        # group 1: position 2 averages only the one full vector (NULL skipped)
+        assert cents[1][0] == [pytest.approx(1.5), pytest.approx(4.0)]
+        ranked = similarity.centroid_outliers(df, dim=2, k=10, group_col="label").collect()
+        ranked_ids = {r["id"] for r in ranked}
+        assert ranked_ids == {1, 2, 5, 6}
+        assert all(r["group"] is not None for r in ranked)
