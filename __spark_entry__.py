@@ -927,7 +927,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.0 needs no bucket truncated); with 8 planes → 256 buckets, the cap
     # comfortably exceeds any bucket's load at the gate SFs
     pairs = dedup.embedding_near_dups(
-        emb.union(dup), threshold=0.999, planes=8, max_bucket=8192
+        emb.union(dup), threshold=0.999, planes=8, max_bucket=8192, dim=64
     )
     return pairs.select("id_a", "id_b", "cosine")
 
@@ -1064,6 +1064,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ALLOWED_REPR = '[<<"en">>,<<"es">>,<<"de">>,<<"fr">>]'
 
 _STOPWORDS_SQL = "'the','and','of','to','a','in','is','that','it','for','on','with','as','this'"
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``similarity.cosine``: explicit sqrt(dot)·sqrt(dot)
+    denominator with the SAME zero/NULL-norm → 0.0 contract (DuckDB's
+    ``list_cosine_similarity`` NaNs on zero vectors instead)."""
+    na = f"sqrt(list_dot_product({a},{a}))"
+    nb = f"sqrt(list_dot_product({b},{b}))"
+    return (
+        f"(CASE WHEN {na} * {nb} > 0 "
+        f"THEN list_dot_product({a},{b}) / ({na} * {nb}) ELSE 0.0 END)"
+    )
+
 
 _SHINGLES_SQL = """list_distinct(list_transform(
     generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
@@ -1451,28 +1463,31 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 WHERE a.doc_id % 50 = 0
 """,
-    "ann_topk": """
-WITH scored AS (
+    "ann_topk": f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding AS double[]) AS emb FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), scored AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-    round(list_cosine_similarity(cast(c.embedding AS double[]), cast(p.embedding AS double[])), 6) AS cosine
-  FROM embeddings c, embeddings p WHERE p.vec_id < 5)
+    round({_cos_sql('c.emb', 'p.emb')}, 6) AS cosine
+  FROM e c, e p WHERE p.vec_id < 5 AND len(c.emb) = len(p.emb))
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
 """,
-    "embedding_near_dups": """
+    "embedding_near_dups": f"""
 WITH v AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, cast(embedding AS double[]) AS emb FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
   UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings
+  SELECT vec_id + 100000, cast(embedding AS double[]) AS emb FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_cosine_similarity(cast(a.embedding AS double[]),
-                               cast(b.embedding AS double[])), 6) AS cosine
+  round({_cos_sql('a.emb', 'b.emb')}, 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(cast(a.embedding AS double[]),
-                             cast(b.embedding AS double[])) >= 0.999
+WHERE {_cos_sql('a.emb', 'b.emb')} >= 0.999
 """,
     "drift_events": "%s UNION ALL %s" % (_drift_col_sql("value"), _drift_col_sql("user_id")),
 
@@ -1899,12 +1914,12 @@ WHERE value IS NOT NULL
        OR cast(value AS double) > q.q3 + (q.q3 - q.q1) * 1.5)
 """
 
-ORACLE["quantized_topk"] = """
+ORACLE["quantized_topk"] = f"""
 WITH s AS (
   SELECT vec_id, cast(embedding AS double[]) AS e,
          list_aggregate(list_transform(cast(embedding AS double[]),
                                        x -> abs(x)), 'max') AS amax
-  FROM embeddings
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ), dq AS (
   SELECT vec_id,
     list_transform(e, x ->
@@ -1913,19 +1928,19 @@ WITH s AS (
   FROM s
 ), scored AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-    round(list_cosine_similarity(c.emb, p.emb), 6) AS cosine
-  FROM dq c, dq p WHERE p.vec_id < 5)
+    round({_cos_sql('c.emb', 'p.emb')}, 6) AS cosine
+  FROM dq c, dq p WHERE p.vec_id < 5 AND len(c.emb) = len(p.emb))
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
 """
 
-ORACLE["centroid_outliers"] = """
+ORACLE["centroid_outliers"] = f"""
 WITH e AS (
   SELECT vec_id, label, cast(embedding AS double[]) AS emb
   FROM embeddings
-  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
 ), pos AS (
   SELECT label, ord, avg(emb[ord]) AS m
   FROM e, range(1, 65) t(ord)
@@ -1934,8 +1949,9 @@ WITH e AS (
   SELECT label, list(m ORDER BY ord) AS centroid FROM pos GROUP BY label
 ), scored AS (
   SELECT e.label AS grp, e.vec_id AS id,
-    round(list_cosine_similarity(e.emb, c.centroid), 6) AS cosine
+    round({_cos_sql('e.emb', 'c.centroid')}, 6) AS cosine
   FROM e JOIN cent c USING (label)
+  WHERE e.vec_id IS NOT NULL AND len(e.emb) = 64
 )
 SELECT grp AS "group", id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY grp ORDER BY cosine ASC, id ASC) AS rank

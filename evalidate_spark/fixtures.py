@@ -152,6 +152,42 @@ HOSTILE_LINEITEM = [
 HOSTILE_SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
 
 
+def _noise(i: int, j: int) -> float:
+    """Deterministic pseudo-noise in [-0.2, 0.2) — pure integer mix, no
+    numpy/random import, identical on every platform."""
+    x = (i * 2654435761 + j * 40503 + 12345) % 2**32
+    x = ((x ^ (x >> 16)) * 2246822519) % 2**32
+    return ((x % 4001) - 2000) / 10000.0
+
+
+def _hostile_embeddings():
+    # 40 clusterable vectors: unit direction e_label + noise (labels 0-3)
+    rows = [
+        (
+            i,
+            [(1.0 if j == i % 4 else 0.0) + _noise(i, j) for j in range(64)],
+            i % 4,
+        )
+        for i in range(40)
+    ]
+    dup = list(rows[7][1])
+    rows += [
+        (100, None, 0),                     # NULL vector: excluded everywhere
+        (101, [0.0] * 64, 1),               # zero vector: scores 0.0 by contract
+        (107, [0.0] * 64, 1),               # zero-zero pair is 0.0, NOT 1.0
+        (102, [0.5, 0.25, -0.5], 2),        # short: centroid prefix only, unrankable
+        (103, [0.1] * 65, 3),               # long: first-dim prefix in centroids
+        (None, [1.0] + [0.0] * 63, 0),      # NULL id: shapes centroids, never ranked
+        (104, [0.0] * 32 + [1.0] + [0.0] * 31, None),  # NULL label
+        (105, dup, 3),                      # exact duplicates of id 7 —
+        (106, dup, 0),                      #   near-dup recall stays provable
+    ]
+    return rows
+
+
+HOSTILE_EMBEDDINGS = _hostile_embeddings()
+
+
 def canon_value(v) -> str:
     """The driver-compare canonical form of one cell (NULL marker, SQL
     booleans, ``%.6g`` floats).  SINGLE source of truth for
@@ -176,7 +212,7 @@ def canon_lines(cols, rows) -> list:
 
 
 def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
-    """Write the hostile documents/events/lineitem/supplier tables as
+    """Write the hostile documents/events/lineitem/supplier/embeddings tables as
     single-file parquet under *out_dir* (testdata layout) and return it."""
     import os
 
@@ -210,5 +246,10 @@ def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
         HOSTILE_SUPPLIER, "s_suppkey long, s_name string"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "supplier.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
     )
     return out_dir

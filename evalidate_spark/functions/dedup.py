@@ -683,11 +683,15 @@ def embedding_near_dups(
     planes: int = 16,
     seed: int = 42,
     max_bucket: int = 256,
+    dim=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: LSH (random-hyperplane sign
     buckets) → exact cosine within buckets → pairs ≥ *threshold*.
-    Delegates to :func:`similarity.lsh_bucket_pairs`."""
+    Delegates to :func:`similarity.lsh_bucket_pairs` (see its NULL/ragged
+    contract; pass *dim* for an order-independent length filter)."""
     from .similarity import lsh_bucket_pairs
 
-    pairs = lsh_bucket_pairs(df, vec_col, id_col, planes=planes, seed=seed, max_bucket=max_bucket)
+    pairs = lsh_bucket_pairs(
+        df, vec_col, id_col, planes=planes, seed=seed, max_bucket=max_bucket, dim=dim
+    )
     return pairs.filter(F.col("cosine") >= threshold)

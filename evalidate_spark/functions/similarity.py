@@ -133,14 +133,24 @@ def cosine_topk(
     ONLY exchange in the plan is the final per-query window over
     ≤ k·partitions rows per query — a window over the full scored set would
     instead hash-exchange every |corpus|·|probes| scored row first.
+
+    NULL contract: corpus rows with NULL id or vector and probes with NULL
+    query id or vector are EXCLUDED (unanswerable, not fabricated-zero);
+    a corpus/probe pair of different vector lengths is excluded too (the
+    cosine is undefined, and a ragged corpus should be caught by a
+    validation rule upstream).  A zero vector is valid and scores 0.0.
     """
-    c = corpus.select(
+    c = corpus.filter(
+        F.col("`%s`" % id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+    ).select(
         F.col("`%s`" % id_col).alias("neighbor_id"), F.col("`%s`" % vec_col).alias("__cv")
     )
-    p = probes.select(
+    p = probes.filter(
+        F.col("`%s`" % probe_id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+    ).select(
         F.col("`%s`" % probe_id_col).alias("query_id"), F.col("`%s`" % vec_col).alias("__pv")
     )
-    scored = c.join(F.broadcast(p)).select(
+    scored = c.join(F.broadcast(p), F.size("__cv") == F.size("__pv")).select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("__cv"), F.col("__pv")), 6).alias("cosine"),
@@ -176,6 +186,7 @@ def lsh_bucket_pairs(
     planes: int = 16,
     seed: int = 42,
     max_bucket: int = 256,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """All-pairs candidate generation via random-hyperplane LSH: bucket =
     sign bits of *planes* fixed random projections (deterministic seed),
@@ -186,13 +197,27 @@ def lsh_bucket_pairs(
     doubles — tiny); bucketing is one shuffle on the bucket key.  Buckets
     are capped at *max_bucket* members BEFORE aggregation (the first
     *max_bucket* ids, deterministic); pairs from a capped bucket carry
-    ``truncated = true`` so callers see the recall loss explicitly."""
+    ``truncated = true`` so callers see the recall loss explicitly.
+
+    NULL contract: rows with NULL id or vector are excluded, as are
+    vectors whose length differs from *dim* (defaults to the first
+    non-null vector's length — pass it explicitly for a deterministic,
+    order-independent contract)."""
     import numpy as np
 
-    first = df.select(F.size(F.col("`%s`" % vec_col)).alias("d")).first()
-    if first is None:
-        raise ValueError("empty corpus")
-    dim = first["d"]
+    if dim is None:
+        first = (
+            df.filter(F.col("`%s`" % vec_col).isNotNull())
+            .select(F.size(F.col("`%s`" % vec_col)).alias("d"))
+            .first()
+        )
+        if first is None:
+            raise ValueError("empty corpus")
+        dim = first["d"]
+    df = df.filter(
+        F.col("`%s`" % id_col).isNotNull()
+        & (F.size(F.col("`%s`" % vec_col)) == dim)  # size(NULL) is NULL → dropped
+    )
     rng = np.random.default_rng(seed)
     planes_m = rng.standard_normal((planes, dim))
 
@@ -250,16 +275,24 @@ def _kmeans_centroids(
     over the whole corpus, not ``limit`` (the first partitions of a sorted
     or source-clustered corpus are a biased slice that would skew the IVF
     cells).  ``count()`` over parquet is metadata-only; the corpus itself
-    is never collected."""
+    is never collected.  NULL vectors are excluded; ragged sample vectors
+    are dropped in favour of the sample's most common length (the fit must
+    see a rectangular matrix — full-length handling is the scorers' job)."""
+    import collections
+
     import numpy as np
 
-    vdf = df.select(F.col("`%s`" % vec_col).alias("v"))
+    vdf = df.select(F.col("`%s`" % vec_col).alias("v")).filter(F.col("v").isNotNull())
     total = vdf.count()
     if total > sample_n:
         frac = min(1.0, 1.2 * sample_n / total)  # slight over-draw, then trim
         vdf = vdf.sample(fraction=frac, seed=seed)
     rows = vdf.limit(sample_n).collect()
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if not rows:
+        raise ValueError("no non-null vectors to fit centroids on")
+    lens = collections.Counter(len(r["v"]) for r in rows)
+    d = lens.most_common(1)[0][0]
+    x = np.array([r["v"] for r in rows if len(r["v"]) == d], dtype=np.float64)
     n = len(x)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(n, size=min(n_centroids, n), replace=False)]
@@ -313,8 +346,17 @@ def ivf_topk(
 
     At production scale the assigned corpus is written partitioned by
     ``cell`` so a probe touches nprobe/n_centroids of the data (partition
-    pruning); here the cell filter happens in the join condition."""
+    pruning); here the cell filter happens in the join condition.
+
+    Same NULL/length contract as :func:`cosine_topk` (full-probe IVF must
+    reproduce brute force exactly, excluded rows included)."""
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_n, iters, seed)
+    corpus = corpus.filter(
+        F.col("`%s`" % id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+    )
+    probes = probes.filter(
+        F.col("`%s`" % probe_id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+    )
     assigned = ivf_assign(corpus, centroids, vec_col).select(
         F.col("`%s`" % id_col).alias("neighbor_id"),
         F.col("`%s`" % vec_col).alias("__cv"),
@@ -322,7 +364,9 @@ def ivf_topk(
     )
     probe_cells = ivf_probe_cells(probes, centroids, nprobe, vec_col, probe_id_col)
     scored = assigned.join(
-        F.broadcast(probe_cells), F.array_contains(probe_cells["cells"], assigned["cell"])
+        F.broadcast(probe_cells),
+        F.array_contains(probe_cells["cells"], assigned["cell"])
+        & (F.size(assigned["__cv"]) == F.size(probe_cells["__pv"])),
     ).select(
         "query_id",
         "neighbor_id",
@@ -379,7 +423,10 @@ def ivf_topk_partitioned(
     The union of all probes' cells (a tiny driver-side set — probes are a
     probe *set*) becomes a partition-pruning filter, so only the probed
     cells' files are scanned; scoring then joins each probe to its own
-    cells only, exactly like :func:`ivf_topk`."""
+    cells only, exactly like :func:`ivf_topk` (same NULL/length contract)."""
+    probes = probes.filter(
+        F.col("`%s`" % probe_id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+    )
     probe_cells = ivf_probe_cells(probes, centroids, nprobe, vec_col, probe_id_col)
     cells = sorted(
         {int(c) for r in probe_cells.select("cells").collect() for c in r["cells"]}
@@ -387,10 +434,13 @@ def ivf_topk_partitioned(
     assigned = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(cells))  # → PartitionFilters on the scan
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
         .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "cell")
     )
     scored = assigned.join(
-        F.broadcast(probe_cells), F.array_contains(probe_cells["cells"], assigned["cell"])
+        F.broadcast(probe_cells),
+        F.array_contains(probe_cells["cells"], assigned["cell"])
+        & (F.size(assigned["__cv"]) == F.size(probe_cells["__pv"])),
     ).select(
         "query_id",
         "neighbor_id",
@@ -478,7 +528,10 @@ def centroid_outliers(
     ann_topk pattern), so the ordering is stable across engines despite
     float formatting.  Plan: one centroid aggregate (tiny — O(groups)
     rows) broadcast back onto the table, pure Column cosine, one window
-    rank per group key.  NULL id/group/vector rows are excluded."""
+    rank per group key.  NULL id/group/vector rows are excluded; vectors
+    whose length differs from *dim* shape the centroid (prefix positions
+    only, per :func:`group_centroids`) but are NOT rankable — their cosine
+    against a *dim*-length centroid is undefined."""
     if k <= 0:
         raise ValueError("k must be positive")
     g = F.col("`%s`" % group_col)
@@ -486,7 +539,7 @@ def centroid_outliers(
     ids = F.col("`%s`" % id_col)
     cents = group_centroids(df, dim, group_col, vec_col)
     scored = (
-        df.filter(g.isNotNull() & v.isNotNull() & ids.isNotNull())
+        df.filter(g.isNotNull() & ids.isNotNull() & (F.size(v) == dim))
         .join(F.broadcast(cents), g == F.col("__group"))
         .select(
             g.alias("group"),

@@ -1,8 +1,9 @@
-"""Adversarial oracle-parity gate: 47 driver queries — the whole oracled
-surface over documents/events/lineitem/supplier — must hash-match their
-DuckDB oracles on HOSTILE tables: NULL texts/ids/timestamps/users/keys/
-measures, empty and multi-space texts, duplicate texts, invalid enum and
-regex values.
+"""Adversarial oracle-parity gate: 52 driver queries — the whole oracled
+surface over documents/events/lineitem/supplier/embeddings — must
+hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
+timestamps/users/keys/measures/labels/vectors, empty and multi-space
+texts, duplicate texts and vectors, zero/short/long vectors, invalid
+enum and regex values.
 
 The shipped testdata contains none of these, so the standard correctness
 gate can't see NULL/whitespace contract divergences (review rounds found
@@ -62,6 +63,12 @@ QUERIES = [
     "nested_childs",
     "password",
     "custom_validator",
+    # embeddings surface (NULL ids/labels/vectors, zero/short/long vectors)
+    "ann_topk",
+    "ivf_topk",
+    "quantized_topk",
+    "centroid_outliers",
+    "embedding_near_dups",
     # lineitem/supplier surface (NULL keys, measures, dates)
     "profile_lineitem",
     "profile_quantiles",
@@ -92,7 +99,7 @@ def hostile_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", QUERIES)
 def test_hostile_corpus_oracle_parity(spark, hostile_dir, name):
     con = duckdb.connect()
-    for t in ("documents", "events", "lineitem", "supplier"):
+    for t in ("documents", "events", "lineitem", "supplier", "embeddings"):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'"
             % (t, hostile_dir, t)
