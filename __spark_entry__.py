@@ -683,6 +683,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(d, bench, min_shared=2)
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal with ``delim=' '`` (corpus-driven
+    stopword pruning): segments in ≥50% of docs are dropped, the rest of
+    each text is reconstructed in order.  The shipped corpus's core vocab
+    all exceeds the threshold, so this heavily exercises the
+    cleaned-to-empty reconstruction path (vs NULL for missing text)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.remove_frequent_segments(d, delim=" ", min_doc_frac=0.5)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: URL/email/phone detection counts + the redacted text
     (byte-exact vs the SQL oracle), over documents with deterministically
@@ -1038,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
+        "boilerplate_removal": q_boilerplate_removal,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -1934,6 +1945,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
+"""
+
+ORACLE["boilerplate_removal"] = """
+WITH d AS (SELECT doc_id, text FROM documents),
+tot AS (SELECT count(*) AS n FROM d WHERE text IS NOT NULL),
+freq AS (
+  SELECT seg FROM (
+    SELECT unnest(list_distinct(string_split(text, ' '))) AS seg
+    FROM d WHERE text IS NOT NULL) u
+  GROUP BY seg
+  HAVING count(*) >= ceil(0.5 * (SELECT n FROM tot))
+), fl AS (SELECT coalesce(list(seg), []) AS segs FROM freq)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NOT NULL THEN
+    coalesce(array_to_string(
+      list_filter(string_split(d.text, ' '), t -> NOT list_contains(fl.segs, t)),
+      ' '), '')
+  END AS clean_text,
+  cast(len(string_split(d.text, ' ')) -
+       len(list_filter(string_split(d.text, ' '),
+                       t -> NOT list_contains(fl.segs, t))) AS int) AS n_removed
+FROM d, fl
 """
 
 ORACLE["centroid_outliers"] = f"""

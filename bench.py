@@ -182,6 +182,7 @@ def main() -> None:
         "centroid_outliers",
         "contamination",
         "pii_redaction",
+        "boilerplate_removal",
         "chunked_docs",
         "quality_topk",
         "referential_bloom",

@@ -281,6 +281,89 @@ def repetition_ratio_bp(col: Column, k: int = 2) -> Column:
     )
 
 
+def frequent_segments(
+    df: DataFrame,
+    delim: str = "\n",
+    min_doc_frac: float = 0.5,
+    text_col: str = "text",
+    max_frequent: int = 10_000,
+) -> list:
+    """The corpus boilerplate dictionary: distinct segments (text split on
+    *delim*) occurring in ≥ ``ceil(min_doc_frac · n_docs)`` documents,
+    as a sorted Python list.
+
+    One map-side-combined groupBy over per-doc-distinct segments; the
+    result is small BY DEFINITION (a segment must appear in a large
+    fraction of all documents), so collecting it is bounded — and if the
+    threshold is set so low the dictionary exceeds *max_frequent*, this
+    RAISES rather than silently truncating (a capped dictionary would
+    silently rewrite the corpus wrong)."""
+    import math
+    import re
+
+    text = F.col("`%s`" % text_col)
+    docs = df.filter(text.isNotNull())
+    n_docs = docs.count()
+    if n_docs == 0:
+        return []
+    thresh = math.ceil(min_doc_frac * n_docs)
+    seg = F.explode(F.array_distinct(F.split(text, re.escape(delim)))).alias("seg")
+    freq = (
+        docs.select(seg)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= thresh)
+    )
+    rows = freq.select("seg").limit(max_frequent + 1).collect()
+    if len(rows) > max_frequent:
+        raise ValueError(
+            "boilerplate dictionary exceeds max_frequent=%d — raise min_doc_frac "
+            "or max_frequent" % max_frequent
+        )
+    return sorted(r["seg"] for r in rows)
+
+
+def remove_frequent_segments(
+    df: DataFrame,
+    delim: str = "\n",
+    min_doc_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_frequent: int = 10_000,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/Gopher line-dedup
+    pattern): drop every segment that appears in ≥ *min_doc_frac* of the
+    corpus — navigation chrome, cookie banners, license headers with
+    ``delim='\\n'``; corpus-driven stopword pruning with ``delim=' '`` —
+    returning ``(doc_id, clean_text, n_removed)``.
+
+    Split is on the LITERAL delimiter (empty segments between consecutive
+    delimiters are preserved), so when nothing is removed ``clean_text``
+    reconstructs the original byte-for-byte.  NULL text → NULL clean_text
+    and NULL n_removed (missing ≠ cleaned-to-empty).
+
+    Scale shape: the dictionary pass is one small aggregate (see
+    :func:`frequent_segments` for the bound); the corpus pass compiles the
+    dictionary into a literal array and is ONE shuffle-free projection —
+    pure Column HOFs, membership test per segment, no join, no explode of
+    the corpus."""
+    import re
+
+    text = F.col("`%s`" % text_col)
+    segs = frequent_segments(df, delim, min_doc_frac, text_col, max_frequent)
+    parts = F.split(text, re.escape(delim))
+    if segs:
+        lit = F.array(*[F.lit(s) for s in segs])
+        kept = F.filter(parts, lambda t: ~F.array_contains(lit, t))
+    else:
+        kept = parts  # empty dictionary: exact identity reconstruction
+    return df.select(
+        F.col("`%s`" % id_col).alias("doc_id"),
+        F.when(text.isNotNull(), F.array_join(kept, delim)).alias("clean_text"),
+        (F.size(parts) - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalised, lowercased text (content-defined identity for

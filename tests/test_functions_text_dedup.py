@@ -659,3 +659,53 @@ class TestLmScores:
         a = sorted(map(tuple, text.lm_scores(df).collect()))
         b = sorted(map(tuple, text.lm_scores(df.repartition(13)).collect()))
         assert a == b and len(a) > 400
+
+
+class TestBoilerplateRemoval:
+    def _corpus(self, spark):
+        cookie = "ACCEPT COOKIES TO CONTINUE"
+        footer = "(c) example.com all rights reserved"
+        rows = [
+            (1, f"{cookie}\nunique one\n\n{footer}"),
+            (2, f"{cookie}\nunique two\n{footer}"),
+            (3, f"{cookie}\nunique three\n{footer}"),
+            (4, f"unique four\n{footer}"),
+            (5, "all original text\nno chrome here"),
+            (6, None),
+            (7, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string"), cookie, footer
+
+    def test_boilerplate_lines_removed_rest_reconstructed(self, spark):
+        from evalidate_spark.functions import text as T
+
+        df, cookie, footer = self._corpus(spark)
+        # 6 non-null docs, frac 0.5 -> threshold 3: cookie (3 docs) and
+        # footer (4 docs) are boilerplate; nothing else reaches 3
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in T.remove_frequent_segments(df, delim="\n", min_doc_frac=0.5).collect()
+        }
+        assert got[1] == ("unique one\n", 2)  # empty line preserved, order kept
+        assert got[2] == ("unique two", 2)
+        assert got[4] == ("unique four", 1)
+        # untouched doc reconstructs byte-for-byte
+        assert got[5] == ("all original text\nno chrome here", 0)
+        assert got[6] == (None, None)  # missing != cleaned-to-empty
+        assert got[7] == ("", 0)
+
+    def test_threshold_boundary_and_sorted_dictionary(self, spark):
+        from evalidate_spark.functions import text as T
+
+        df, cookie, footer = self._corpus(spark)
+        # threshold ceil(0.6*6)=4: footer (4 docs) in, cookie (3 docs) out
+        assert T.frequent_segments(df, "\n", 0.6) == [footer]
+        segs = T.frequent_segments(df, "\n", 0.5)
+        assert segs == sorted(segs) and set(segs) == {cookie, footer}
+
+    def test_max_frequent_overflow_raises(self, spark):
+        from evalidate_spark.functions import text as T
+
+        df, _, _ = self._corpus(spark)
+        with pytest.raises(ValueError, match="max_frequent"):
+            T.remove_frequent_segments(df, delim="\n", min_doc_frac=0.01, max_frequent=1)

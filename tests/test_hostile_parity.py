@@ -24,6 +24,7 @@ QUERIES = [
     "exact_dup_groups",
     "contamination",
     "pii_redaction",
+    "boilerplate_removal",
     "quality_topk",
     "quality_documents",
     "chunked_docs",
