@@ -1498,7 +1498,7 @@ WITH v AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_cos_sql('a.emb', 'b.emb')}, 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_cos_sql('a.emb', 'b.emb')} >= 0.999
+WHERE round({_cos_sql('a.emb', 'b.emb')}, 6) >= 0.999
 """,
     "drift_events": "%s UNION ALL %s" % (_drift_col_sql("value"), _drift_col_sql("user_id")),
 
@@ -1975,7 +1975,7 @@ WITH e AS (
   FROM embeddings
   WHERE label IS NOT NULL AND embedding IS NOT NULL
 ), pos AS (
-  SELECT label, ord, avg(emb[ord]) AS m
+  SELECT label, ord, round(avg(emb[ord]), 6) AS m
   FROM e, range(1, 65) t(ord)
   GROUP BY label, ord
 ), cent AS (

@@ -683,7 +683,7 @@ def embedding_near_dups(
     planes: int = 16,
     seed: int = 42,
     max_bucket: int = 256,
-    dim=None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: LSH (random-hyperplane sign
     buckets) → exact cosine within buckets → pairs ≥ *threshold*.

@@ -491,7 +491,14 @@ def group_centroids(
     *dim* ``avg()`` columns — no explode, no shuffle beyond the group
     key, aggregation state O(groups · dim).  Rows with NULL group or
     vector are excluded; vectors shorter than *dim* contribute NULL (≡
-    skipped) to the missing positions, matching SQL ``avg`` semantics."""
+    skipped) to the missing positions, matching SQL ``avg`` semantics.
+
+    Each mean is ROUNDED to 6 dp: ``avg`` partial sums merge in
+    partition/fetch order, so the raw double is not layout-deterministic —
+    pinning the centroid to a 1e-6 grid makes everything downstream
+    (cosine, rank, gate hash) order-independent up to a ~1e-13/5e-7
+    boundary residue, the same stance as the engine's other rounded
+    aggregates."""
     if dim <= 0:
         raise ValueError("dim must be positive")
     g = F.col("`%s`" % group_col)
@@ -503,7 +510,10 @@ def group_centroids(
             F.array(
                 # try_element_at: NULL (not an ANSI error) past the end of a
                 # short vector, so ragged rows degrade instead of failing the job
-                *[F.avg(F.try_element_at(v, F.lit(i + 1)).cast("double")) for i in range(dim)]
+                *[
+                    F.round(F.avg(F.try_element_at(v, F.lit(i + 1)).cast("double")), 6)
+                    for i in range(dim)
+                ]
             ).alias("centroid"),
             F.count(F.lit(1)).alias("n_members"),
         )

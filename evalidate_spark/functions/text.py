@@ -353,14 +353,18 @@ def remove_frequent_segments(
     segs = frequent_segments(df, delim, min_doc_frac, text_col, max_frequent)
     parts = F.split(text, re.escape(delim))
     if segs:
-        lit = F.array(*[F.lit(s) for s in segs])
+        lit = F.lit(segs)  # ONE array-literal node, not 10k Literal children
         kept = F.filter(parts, lambda t: ~F.array_contains(lit, t))
     else:
         kept = parts  # empty dictionary: exact identity reconstruction
     return df.select(
         F.col("`%s`" % id_col).alias("doc_id"),
         F.when(text.isNotNull(), F.array_join(kept, delim)).alias("clean_text"),
-        (F.size(parts) - F.size(kept)).cast("int").alias("n_removed"),
+        # explicit NULL guard: with ANSI off, size(NULL) is -1, which would
+        # silently turn the documented NULL n_removed into 0
+        F.when(text.isNotNull(), (F.size(parts) - F.size(kept)).cast("int")).alias(
+            "n_removed"
+        ),
     )
 
 

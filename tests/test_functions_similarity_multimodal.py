@@ -449,7 +449,7 @@ class TestCentroidOutliers:
         got = similarity.centroid_outliers(df, dim=6, k=30).collect()
         for g in range(3):
             ids = [i for i in range(30) if i % 3 == g]
-            cent = vecs[ids].mean(axis=0)
+            cent = np.round(vecs[ids].mean(axis=0), 6)  # the operator's 6-dp grid
             cos = {
                 i: round(
                     float(
@@ -492,3 +492,18 @@ class TestCentroidOutliers:
         # id 5 (short vector) shapes its group centroid but is NOT rankable
         assert ranked_ids == {1, 2, 6}
         assert all(r["group"] is not None for r in ranked)
+
+    def test_layout_invariance(self, spark):
+        # centroid means are aggregates: the 6-dp centroid grid must make
+        # ranks identical whatever the partition layout
+        corpus, _ = embed_df(spark, n=60, d=8, seed=21)
+        df = corpus.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+        key = lambda rows: sorted(
+            (r["group"], r["id"], r["cosine"], r["rank"]) for r in rows
+        )
+        base = key(similarity.centroid_outliers(df, dim=8, k=60).collect())
+        for parts in (1, 7):
+            got = key(
+                similarity.centroid_outliers(df.repartition(parts), dim=8, k=60).collect()
+            )
+            assert got == base
