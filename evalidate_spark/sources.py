@@ -127,6 +127,81 @@ def write_table(
     writer.parquet(ref)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+):
+    """Schema-enforced JSONL ingestion — the raw-crawl entry path of a
+    training-data pipeline — returning ``(clean_df, corrupt_df)``.
+
+    *schema* (StructType or DDL string) is REQUIRED: schema inference is a
+    second full scan of the corpus at 100 TB.  ``mode`` is Spark's reader
+    mode — PERMISSIVE (default) captures each malformed line verbatim in
+    *corrupt_col* and parses what it can (a type-mismatched field NULLs
+    that field, keeps the rest, and still flags the row); DROPMALFORMED
+    silently drops; FAILFAST raises on first error.
+
+    ``clean_df`` carries exactly the schema's columns, malformed rows
+    excluded.  ``corrupt_df`` carries the partially-parsed columns PLUS
+    the raw line — deliberately, because Spark disallows queries over raw
+    JSON that reference ONLY the internal corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN): keep at least
+    one data column in any projection of it, as
+    :func:`jsonl_violations` does.  Blank lines are skipped by the reader.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError("mode must be PERMISSIVE | DROPMALFORMED | FAILFAST")
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    raw = (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    data_cols = [f.name for f in schema.fields]
+    clean = raw.filter(F.col(corrupt_col).isNull()).select(*data_cols)
+    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        *data_cols, F.col(corrupt_col).alias("raw_record")
+    )
+    return clean, corrupt
+
+
+def jsonl_violations(corrupt_df: DataFrame, id_col: Optional[str] = None) -> DataFrame:
+    """Reshape :func:`read_jsonl`'s corrupt rows into the engine's typed
+    violation schema ``(doc_id, rule_seq, rule_id, key_path, span_index,
+    message, value_repr)`` so source-level parse failures flow through the
+    same sinks/verdicts as rule violations.
+
+    ``doc_id`` comes from the partially-parsed *id_col* when given (a
+    type-mismatch row usually still parses its id); ``value_repr`` is the
+    raw line under the engine's message contract — ``<``/``>`` escaped and
+    cut at 128 chars (``/root/reference/src/evv.erl:233-234``,
+    ``include/ev_errors.hrl:17-22``)."""
+    from .compiler import c_maybe_cut, c_unscriptize
+
+    did = (
+        F.col("`%s`" % id_col).cast("string")
+        if id_col
+        else F.lit(None).cast("string")
+    )
+    return corrupt_df.select(
+        did.alias("doc_id"),
+        F.lit(0).alias("rule_seq"),
+        F.lit("source:jsonl").alias("rule_id"),
+        F.lit("none").alias("key_path"),
+        F.lit(None).cast("int").alias("span_index"),
+        F.lit("Malformed JSON record").alias("message"),
+        c_maybe_cut(c_unscriptize(F.col("raw_record"))).alias("value_repr"),
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

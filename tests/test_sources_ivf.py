@@ -182,3 +182,61 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     naive_area = mean_box_area(naive)
     z_area = mean_box_area(z)
     assert z_area < naive_area / 20, (naive_area, z_area)
+
+
+class TestJsonlSource:
+    def _write(self, tmp_path, lines):
+        p = str(tmp_path / "in.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(lines))
+        return p
+
+    def test_permissive_split_and_violations(self, spark, tmp_path):
+        from evalidate_spark import sources
+
+        long_bad = '{"doc_id":"long","text":"' + "x" * 200
+        lines = [
+            '{"doc_id":"a","text":"hello","n":1}',
+            '{"doc_id":"b","text":"world","n":"notanint"}',  # type mismatch
+            '{broken <json>',                                  # malformed
+            '{"doc_id":"d","text":null,"n":3}',                # valid with null field
+            '',                                                # blank: skipped
+            long_bad,                                          # >128 chars, malformed
+        ]
+        clean, corrupt = sources.read_jsonl(
+            spark, self._write(tmp_path, lines),
+            "doc_id string, text string, n bigint",
+        )
+        got = {r["doc_id"]: (r["text"], r["n"]) for r in clean.collect()}
+        assert got == {"a": ("hello", 1), "d": (None, 3)}
+        craw = {r["raw_record"]: r["doc_id"] for r in corrupt.collect()}
+        # type-mismatch row keeps its partially-parsed id; malformed rows don't
+        assert craw[lines[1]] == "b"
+        assert craw["{broken <json>"] is None
+        assert craw[long_bad] is None  # unterminated string: nothing parses
+
+        v = {r["value_repr"]: r for r in sources.jsonl_violations(corrupt, id_col="doc_id").collect()}
+        # unscriptize then 128-cut, the engine's exact message contract
+        assert r"{broken \<json\>" in v
+        row = v[r"{broken \<json\>"]
+        assert (row["rule_id"], row["message"], row["doc_id"]) == (
+            "source:jsonl", "Malformed JSON record", None
+        )
+        cut = [k for k in v if k.endswith("...")]
+        assert len(cut) == 1 and len(cut[0]) == 131  # 128 + '...'
+
+    def test_failfast_and_dropmalformed(self, spark, tmp_path):
+        from evalidate_spark import sources
+        from py4j.protocol import Py4JJavaError
+
+        p = self._write(
+            tmp_path, ['{"doc_id":"a","text":"t","n":1}', "{nope"]
+        )
+        ddl = "doc_id string, text string, n bigint"
+        clean, _ = sources.read_jsonl(spark, p, ddl, mode="DROPMALFORMED")
+        assert [r["doc_id"] for r in clean.collect()] == ["a"]
+        clean, _ = sources.read_jsonl(spark, p, ddl, mode="FAILFAST")
+        with pytest.raises(Exception):
+            clean.collect()
+        with pytest.raises(ValueError, match="mode"):
+            sources.read_jsonl(spark, p, ddl, mode="WHATEVER")
