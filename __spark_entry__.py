@@ -683,6 +683,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(d, bench, min_shared=2)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus health report (tall integer metrics; exact-distinct
+    audit mode so DuckDB can replay the fingerprint count)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.corpus_report(d, exact_distinct=True)
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal with ``delim=' '`` (corpus-driven
     stopword pruning): segments in ≥50% of docs are dropped, the rest of
@@ -1049,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
         "boilerplate_removal": q_boilerplate_removal,
+        "corpus_report": q_corpus_report,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -1945,6 +1953,52 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
+"""
+
+ORACLE["corpus_report"] = """
+WITH p AS (
+  SELECT text,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE md5(coalesce(array_to_string(list_transform(
+                list_filter(string_split(text,' '), x -> x <> ''),
+                t -> lower(t)), ' '), '')) END AS fp,
+    CASE WHEN text IS NOT NULL
+         THEN len(list_filter(string_split(text,' '), x -> x <> '')) END AS ntok,
+    length(text) AS nch,
+    (len(regexp_extract_all(text, 'https?://[^\\s]+'))
+     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(text, '\\+[0-9]{7,15}'))) > 0 AS pii,
+    CASE WHEN text IS NULL THEN NULL
+         WHEN len(list_filter(string_split(text,' '), x -> x <> '')) = 0 THEN 0
+         ELSE cast(floor((1.0 - len(list_distinct(bg)) / cast(len(bg) AS double))
+                         * 10000) AS bigint) END AS rep
+  FROM (
+    SELECT text,
+      list_transform(
+        generate_series(1, greatest(len(tk) - 1, 1)),
+        i -> array_to_string(tk[i:i+1], ' ')) AS bg
+    FROM (SELECT text,
+            list_filter(string_split(text,' '), x -> x <> '') AS tk
+          FROM documents))
+), a AS (
+  SELECT count(*) AS docs_total,
+    count(CASE WHEN text IS NULL THEN 1 END) AS docs_null_text,
+    count(CASE WHEN text = '' THEN 1 END) AS docs_empty_text,
+    count(DISTINCT fp) AS docs_distinct_fingerprint,
+    coalesce(sum(ntok), 0) AS tokens_total,
+    coalesce(sum(nch), 0) AS chars_total,
+    count(CASE WHEN pii THEN 1 END) AS docs_with_pii,
+    coalesce(sum(rep), 0) AS rep_bp_total
+  FROM p
+)
+SELECT 'docs_total' AS metric, cast(docs_total AS bigint) AS value FROM a
+UNION ALL SELECT 'docs_null_text', cast(docs_null_text AS bigint) FROM a
+UNION ALL SELECT 'docs_empty_text', cast(docs_empty_text AS bigint) FROM a
+UNION ALL SELECT 'docs_distinct_fingerprint', cast(docs_distinct_fingerprint AS bigint) FROM a
+UNION ALL SELECT 'tokens_total', cast(tokens_total AS bigint) FROM a
+UNION ALL SELECT 'chars_total', cast(chars_total AS bigint) FROM a
+UNION ALL SELECT 'docs_with_pii', cast(docs_with_pii AS bigint) FROM a
+UNION ALL SELECT 'rep_bp_total', cast(rep_bp_total AS bigint) FROM a
 """
 
 ORACLE["boilerplate_removal"] = """

@@ -183,6 +183,7 @@ def main() -> None:
         "contamination",
         "pii_redaction",
         "boilerplate_removal",
+        "corpus_report",
         "chunked_docs",
         "quality_topk",
         "referential_bloom",

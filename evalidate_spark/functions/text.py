@@ -281,6 +281,62 @@ def repetition_ratio_bp(col: Column, k: int = 2) -> Column:
     )
 
 
+REPORT_METRICS = (
+    "docs_total",
+    "docs_null_text",
+    "docs_empty_text",
+    "docs_distinct_fingerprint",
+    "tokens_total",
+    "chars_total",
+    "docs_with_pii",
+    "rep_bp_total",
+)
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", exact_distinct: bool = False
+) -> DataFrame:
+    """One-stop corpus health summary as a tall ``(metric, value)`` table
+    of INTEGER metrics (floats are hash-fragile across engines): totals,
+    NULL/empty text counts, distinct-fingerprint count (dedup headroom),
+    token/char volume, PII-bearing docs, summed repetition basis points.
+
+    ONE projection computes every per-doc signal, ONE hash aggregate
+    folds them (map-side combined, 1-row result, then a stack to tall
+    shape — no data shuffle beyond the aggregate).  Distinct fingerprints
+    default to ``approx_count_distinct`` (HLL, mergeable at any scale);
+    ``exact_distinct=True`` is the audit/oracle mode, same stance as
+    :func:`~evalidate_spark.operators.table_checks.profile`."""
+    c = F.col("`%s`" % text_col)
+    pii = pii_counts(c)
+    proj = df.select(
+        c.alias("__t"),
+        fingerprint(c).alias("__fp"),
+        F.when(c.isNotNull(), F.size(tokens(c))).alias("__ntok"),
+        F.length(c).alias("__nch"),
+        ((pii["n_url"] + pii["n_email"] + pii["n_phone"]) > 0).alias("__pii"),
+        repetition_ratio_bp(c).alias("__rep"),
+    )
+    dcount = (F.count_distinct if exact_distinct else F.approx_count_distinct)(
+        F.col("__fp")
+    )
+    row = proj.agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.count(F.when(F.col("__t").isNull(), 1)).alias("docs_null_text"),
+        F.count(F.when(F.col("__t") == "", 1)).alias("docs_empty_text"),
+        dcount.alias("docs_distinct_fingerprint"),
+        F.coalesce(F.sum("__ntok"), F.lit(0)).alias("tokens_total"),
+        F.coalesce(F.sum("__nch"), F.lit(0)).alias("chars_total"),
+        F.count(F.when(F.col("__pii"), 1)).alias("docs_with_pii"),
+        F.coalesce(F.sum("__rep"), F.lit(0)).alias("rep_bp_total"),
+    )
+    stack = "stack(%d, %s) as (metric, value)" % (
+        len(REPORT_METRICS),
+        ", ".join("'%s', cast(%s as bigint)" % (m, m) for m in REPORT_METRICS),
+    )
+    return row.select(F.expr(stack))
+
+
 def frequent_segments(
     df: DataFrame,
     delim: str = "\n",

@@ -709,3 +709,32 @@ class TestBoilerplateRemoval:
         df, _, _ = self._corpus(spark)
         with pytest.raises(ValueError, match="max_frequent"):
             T.remove_frequent_segments(df, delim="\n", min_doc_frac=0.01, max_frequent=1)
+
+
+class TestCorpusReport:
+    def test_metrics_against_python(self, spark):
+        from evalidate_spark.functions import text as T
+
+        rows = [
+            (1, "hello world hello"),
+            (2, "hello world hello"),          # exact dup of 1
+            (3, None),
+            (4, ""),
+            (5, "mail me a@b.co now"),
+            (6, "x x x x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["metric"]: r["value"] for r in T.corpus_report(df, exact_distinct=True).collect()}
+        assert got["docs_total"] == 6
+        assert got["docs_null_text"] == 1
+        assert got["docs_empty_text"] == 1
+        # fingerprints: dup pair collapses; '' counts as its own fingerprint
+        assert got["docs_distinct_fingerprint"] == 4
+        assert got["tokens_total"] == 3 + 3 + 0 + 4 + 4
+        assert got["chars_total"] == 17 + 17 + 0 + 18 + 7
+        assert got["docs_with_pii"] == 1
+        # rep_bp: doc6 bigrams ('x x' x3) -> 1 distinct of 3 -> floor(2/3*1e4)
+        assert got["rep_bp_total"] == 0 + 0 + 0 + 0 + 6666
+        # HLL mode returns the same schema and plausible counts
+        approx = {r["metric"]: r["value"] for r in T.corpus_report(df).collect()}
+        assert set(approx) == set(got) and approx["docs_total"] == 6
