@@ -683,6 +683,42 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(d, bench, min_shared=2)
 
 
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap: keep the 20 longest docs per source
+    (n_chars desc, doc_id tiebreak) so no single crawled site dominates
+    the training mix."""
+    from evalidate_spark.functions.sampling import cap_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_key(d, "source", cap=20, order_col="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: odd doc_ids arrive as today's batch
+    and dedup within themselves AND against the fingerprint index of the
+    already-ingested corpus (even doc_ids) — the corpus payload is never
+    rescanned, only its index.  Prefix-fingerprint key (the corpus has no
+    full-text dups; same collision construction as `exact_dup_groups`)."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    key = F.when(
+        F.col("text").isNotNull(), F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    )
+    index = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(key.alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    unique, delta = dedup.incremental_dedup(batch, index, key=key)
+    return unique.select("doc_id")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-stop corpus health report (tall integer metrics; exact-distinct
     audit mode so DuckDB can replay the fingerprint count)."""
@@ -1057,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "boilerplate_removal": q_boilerplate_removal,
         "corpus_report": q_corpus_report,
+        "domain_caps": q_domain_caps,
+        "incremental_dedup": q_incremental_dedup,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -1953,6 +1991,36 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= 3
+"""
+
+ORACLE["domain_caps"] = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+  FROM documents WHERE doc_id IS NOT NULL)
+WHERE rn <= 20
+"""
+
+ORACLE["incremental_dedup"] = """
+WITH fp AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NOT NULL THEN
+      md5(coalesce(array_to_string(
+        list_filter(string_split(text,' '), x -> x <> '')[1:5], ' '), ''))
+    END AS fp
+  FROM documents
+), idx AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0 AND fp IS NOT NULL
+), batch AS (
+  SELECT * FROM fp WHERE doc_id % 2 = 1
+), keep AS (
+  SELECT fp, min(doc_id) AS keep_id FROM batch WHERE fp IS NOT NULL GROUP BY fp
+)
+SELECT b.doc_id FROM batch b JOIN keep k ON b.doc_id = k.keep_id
+WHERE b.fp NOT IN (SELECT fp FROM idx)
+UNION ALL
+SELECT doc_id FROM batch WHERE fp IS NULL
 """
 
 ORACLE["corpus_report"] = """

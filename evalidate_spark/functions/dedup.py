@@ -86,6 +86,49 @@ def distinct_by_fingerprint(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+):
+    """Dedup an incoming batch against an EXISTING corpus fingerprint
+    index — the incremental-ingestion shape: the corpus is never
+    rescanned, only its (tiny relative to payloads) ``fp`` index is.
+    Returns ``(unique_df, index_delta_df)``:
+
+    * ``unique_df`` — batch rows that survive BOTH within-batch dedup
+      (min-id representative per fingerprint, via
+      :func:`distinct_by_fingerprint`) and the anti-join against
+      *index_df* (``fp: string`` — pass None for a first batch).
+      NULL-text rows pass through (same contract as
+      :func:`distinct_by_fingerprint`).
+    * ``index_delta_df`` — the surviving fingerprints; append it to the
+      index table to ingest the next batch.
+
+    Plan shape: one fp aggregate on the batch, one LEFT ANTI join on
+    ``fp`` against the index (hash-partitioned on the join key; AQE
+    broadcasts it when the index is small).  The batch payload joins
+    AFTER the id-level dedup, so wide doc rows never shuffle on fp.
+    ``key`` overrides the dedup identity (same contract as
+    :func:`distinct_by_fingerprint`)."""
+    from .text import fingerprint as _fp
+
+    fp = key if key is not None else _fp(F.col("`%s`" % text_col))
+    survivors = distinct_by_fingerprint(new_df, text_col, id_col, key=key)
+    if index_df is not None:
+        with_fp = survivors.withColumn("__fp", fp)
+        keyed = with_fp.filter(F.col("__fp").isNotNull()).join(
+            index_df.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+        )
+        survivors = with_fp.filter(F.col("__fp").isNull()).unionByName(keyed).drop("__fp")
+    delta = (
+        survivors.select(fp.alias("fp")).filter(F.col("fp").isNotNull()).distinct()
+    )
+    return survivors, delta
+
+
 # ---------------------------------------------------------------- MinHash
 def minhash_signature_arrow(
     col: Column, num_hashes: int = 64, shingle_k: int = 3

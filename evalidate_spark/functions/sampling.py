@@ -92,6 +92,39 @@ def sample_stratified(
     )
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_col: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best *cap* rows per key, ranked on *order_col* (desc by
+    default) with an id tiebreak — the C4-style per-domain cap that stops
+    one crawled site from dominating the training mix.  One window rank
+    per key partition (the sort spills; nothing else is stateful), same
+    skew profile as any per-key window — pre-split pathological keys
+    upstream if one domain is >1 partition of data.
+
+    NULL ids are excluded (no deterministic tiebreak without an id);
+    NULL keys form their own group — a real corpus slice, same stance as
+    :func:`sample_stratified`.  NULL ``order_col`` values rank LAST
+    regardless of direction (an unknown score never beats a known one)."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    ids = F.col("`%s`" % id_col)
+    oc = F.col("`%s`" % order_col)
+    order = oc.desc_nulls_last() if descending else oc.asc_nulls_last()
+    w = Window.partitionBy(F.col("`%s`" % key_col)).orderBy(order, ids.asc())
+    return (
+        df.filter(ids.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

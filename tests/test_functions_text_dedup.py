@@ -738,3 +738,37 @@ class TestCorpusReport:
         # HLL mode returns the same schema and plausible counts
         approx = {r["metric"]: r["value"] for r in T.corpus_report(df).collect()}
         assert set(approx) == set(got) and approx["docs_total"] == 6
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_index_and_first_batch(self, spark):
+        from evalidate_spark.functions import dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "old news today"), (2, "evergreen content")],
+            "doc_id long, text string",
+        )
+        # day-0 ingestion: no index yet
+        u0, idx0 = dedup.incremental_dedup(corpus, None)
+        assert {r["doc_id"] for r in u0.collect()} == {1, 2}
+        assert idx0.count() == 2
+
+        batch = spark.createDataFrame(
+            [
+                (10, "old news today"),      # hits the index -> dropped
+                (11, "fresh take"),
+                (12, "fresh take"),          # within-batch dup of 11
+                (13, None),                  # NULL text passes through
+            ],
+            "doc_id long, text string",
+        )
+        u1, idx1 = dedup.incremental_dedup(batch, idx0)
+        assert {r["doc_id"] for r in u1.collect()} == {11, 13}
+        # delta holds only the surviving fingerprints (no NULLs)
+        assert idx1.count() == 1
+        # appending the delta ingests the NEXT batch correctly
+        nxt = spark.createDataFrame(
+            [(20, "fresh take"), (21, "brand new")], "doc_id long, text string"
+        )
+        u2, _ = dedup.incremental_dedup(nxt, idx0.unionByName(idx1))
+        assert {r["doc_id"] for r in u2.collect()} == {21}

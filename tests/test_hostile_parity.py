@@ -33,6 +33,8 @@ QUERIES = [
     "token_counts",
     "sampled_docs",
     "stratified_sample",
+    "domain_caps",
+    "incremental_dedup",
     "packed_sequences",
     "budget_selection",
     "leakage_split",

@@ -253,3 +253,29 @@ def test_split_by_cluster_no_leakage_on_corpus(spark):
     assert straddle == 0
     frac = out.where("split = 'holdout'").count() / out.count()
     assert 0.10 < frac < 0.40
+
+
+class TestCapPerKey:
+    def test_cap_order_nulls_and_key_groups(self, spark):
+        from evalidate_spark.functions.sampling import cap_per_key
+
+        rows = [
+            (1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0), (4, "a", None),
+            (5, "b", 5.0),
+            (6, None, 7.0), (7, None, 9.0),   # NULL key = its own group
+            (None, "a", 99.0),                 # NULL id excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+        got = {
+            (r["source"], r["doc_id"])
+            for r in cap_per_key(df, "source", 2, "score").collect()
+        }
+        # a: best two by score desc; NULL score ranks last; NULL id gone
+        assert got == {("a", 2), ("a", 3), ("b", 5), (None, 7), (None, 6)}
+        asc = {
+            (r["source"], r["doc_id"])
+            for r in cap_per_key(df, "source", 2, "score", descending=False).collect()
+        }
+        assert asc == {("a", 1), ("a", 3), ("b", 5), (None, 6), (None, 7)}
+        with pytest.raises(ValueError):
+            cap_per_key(df, "source", 0, "score")
