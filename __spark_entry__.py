@@ -719,6 +719,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique.select("doc_id")
 
 
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flatten the per-source mix at alpha=0.5: kept counts
+    ∝ sqrt(|source|), smallest source kept whole, hash-rank selection
+    (quota math is sqrt-only so DuckDB replays it bit-for-bit)."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.rebalance_mixture(d, "source", alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-stop corpus health report (tall integer metrics; exact-distinct
     audit mode so DuckDB can replay the fingerprint count)."""
@@ -1095,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "domain_caps": q_domain_caps,
         "incremental_dedup": q_incremental_dedup,
+        "mixture_rebalance": q_mixture_rebalance,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2021,6 +2034,26 @@ SELECT b.doc_id FROM batch b JOIN keep k ON b.doc_id = k.keep_id
 WHERE b.fp NOT IN (SELECT fp FROM idx)
 UNION ALL
 SELECT doc_id FROM batch WHERE fp IS NULL
+"""
+
+ORACLE["mixture_rebalance"] = """
+WITH c AS (
+  SELECT source, count(*) AS c FROM documents
+  WHERE doc_id IS NOT NULL GROUP BY source
+), q AS (
+  SELECT source, CAST(floor(sqrt(c * (SELECT min(c) FROM c))) AS BIGINT) AS quota
+  FROM c
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('mix-v1' || cast(doc_id AS varchar)), 1, 8), doc_id
+         ) AS rn
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT r.doc_id, r.source FROM r
+JOIN q ON r.source IS NOT DISTINCT FROM q.source
+WHERE r.rn <= q.quota
 """
 
 ORACLE["corpus_report"] = """

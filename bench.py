@@ -190,6 +190,9 @@ def main() -> None:
         "budget_selection",
         "leakage_split",
         "lm_scores",
+        "domain_caps",
+        "incremental_dedup",
+        "mixture_rebalance",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

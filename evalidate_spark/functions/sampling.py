@@ -16,6 +16,9 @@ these are north-rule pipeline additions.)
   per language"): rank by hash within each stratum, keep the quota.  One
   shuffle on the stratum key; quota rows per stratum are what survive, so
   skewed strata cost sort time, not memory (row_number is streaming).
+* :func:`rebalance_mixture` — temperature-flatten a crawl-skewed mix:
+  per-group quotas ∝ |group|^alpha, smallest group kept whole, selection
+  by hash rank.  One data shuffle; quotas broadcast.
 * :func:`pack_sequences` — pretraining-style sequence packing: documents
   are concatenated in deterministic order within a shard and chunked
   every ``budget`` tokens; a doc belongs to the sequence where it STARTS
@@ -122,6 +125,63 @@ def cap_per_key(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
+    )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    key_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-rebalance the corpus mix: downsample each ``key_col``
+    group (source/domain/language) so kept counts are ∝ |group|^alpha —
+    the standard multiplicative flattening of a crawl-skewed training mix
+    (alpha=1 keeps the natural mix, alpha→0 approaches uniform).  Pure
+    downsampling: the quota is scaled so the SMALLEST group is kept whole
+    (quota_k = floor(|k|^alpha · |min|^(1-alpha)), i.e. t = |min|^(1-alpha)),
+    never upsampled.
+
+    Selection within a group is exact-quota by salted-hash rank with id
+    tiebreak (the :func:`sample_stratified` machinery), so the output is
+    deterministic across runs, partitionings, and cluster sizes, and an
+    external SQL engine can replay it.  alpha=0.5 and alpha=1.0 are
+    bit-replayable cross-engine (sqrt is IEEE-correctly-rounded; pow for
+    other alphas may differ by 1 ulp between libm and the JVM on quota
+    boundaries).
+
+    Plan: one count aggregate per key (tiny), one ≤#keys-row min, quotas
+    broadcast back, one window rank on the key — a single data shuffle.
+    Dominant keys make big window partitions (the sort spills, state is
+    O(1)); that dominance is exactly what this operator removes, so
+    downstream stages see the flattened sizes.  NULL ids are excluded;
+    NULL keys form their own group (same stance as
+    :func:`sample_stratified`)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    ids = F.col("`%s`" % id_col)
+    key = F.col("`%s`" % key_col)
+    base = df.filter(ids.isNotNull())
+    counts = base.groupBy(key.alias("__k")).agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    c, cm = F.col("__c"), F.col("__cmin")
+    if alpha == 1.0:
+        quota = c
+    elif alpha == 0.5:
+        quota = F.floor(F.sqrt(c * cm))
+    else:
+        quota = F.floor(F.pow(c, F.lit(alpha)) * F.pow(cm, F.lit(1.0 - alpha)))
+    quotas = counts.crossJoin(F.broadcast(cmin)).select(
+        "__k", quota.cast("long").alias("__quota")
+    )
+    h = _bucket_hash(ids, salt)
+    w = Window.partitionBy(key).orderBy(h, ids)
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), key.eqNullSafe(F.col("__k")))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__k", "__quota")
     )
 
 

@@ -35,6 +35,7 @@ QUERIES = [
     "stratified_sample",
     "domain_caps",
     "incremental_dedup",
+    "mixture_rebalance",
     "packed_sequences",
     "budget_selection",
     "leakage_split",

@@ -255,6 +255,35 @@ def test_split_by_cluster_no_leakage_on_corpus(spark):
     assert 0.10 < frac < 0.40
 
 
+class TestRebalanceMixture:
+    def test_quota_math_nulls_and_determinism(self, spark):
+        from evalidate_spark.functions.sampling import rebalance_mixture
+
+        # groups of 8 / 2 / 4 docs (+ NULL-key group of 2, NULL id dropped)
+        rows = (
+            [(i, "big") for i in range(8)]
+            + [(20, "tiny"), (21, "tiny")]
+            + [(30 + i, "mid") for i in range(4)]
+            + [(40, None), (41, None), (None, "big")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = rebalance_mixture(df, "source", alpha=0.5)
+        got = {}
+        for r in out.collect():
+            got[r["source"]] = got.get(r["source"], 0) + 1
+        # cmin=2: quotas floor(sqrt(c*2)) -> big 4, tiny 2, mid 2, NULL 2
+        assert got == {"big": 4, "tiny": 2, "mid": 2, None: 2}
+        # deterministic: same rows on a different layout
+        again = rebalance_mixture(df.repartition(7), "source", alpha=0.5)
+        assert {tuple(r) for r in again.collect()} == {
+            tuple(r) for r in out.collect()
+        }
+        # alpha=1 keeps the natural mix (minus NULL ids)
+        assert rebalance_mixture(df, "source", alpha=1.0).count() == 16
+        with pytest.raises(ValueError):
+            rebalance_mixture(df, "source", alpha=0.0)
+
+
 class TestCapPerKey:
     def test_cap_order_nulls_and_key_groups(self, spark):
         from evalidate_spark.functions.sampling import cap_per_key
