@@ -146,38 +146,106 @@ def read_jsonl(
 
     ``clean_df`` carries exactly the schema's columns, malformed rows
     excluded.  ``corrupt_df`` carries the partially-parsed columns PLUS
-    the raw line — deliberately, because Spark disallows queries over raw
-    JSON that reference ONLY the internal corrupt column
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN): keep at least
-    one data column in any projection of it, as
-    :func:`jsonl_violations` does.  Blank lines are skipped by the reader.
-    """
+    the raw line in ``raw_record``.  Corruption is detected by a
+    full-schema expression parse, so it is stable under any downstream
+    projection (see :func:`_read_malformed_capture` for why the native
+    reader is not).  Blank lines are skipped."""
+    return _read_malformed_capture(spark, path, schema, "json", mode, corrupt_col)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """Schema-enforced CSV/TSV ingestion with malformed-row capture —
+    same contract as :func:`read_jsonl` (``(clean_df, corrupt_df)``,
+    PERMISSIVE keeps the raw line in ``raw_record``).  Extra reader
+    options pass through (``sep='\\t'``, ``quote``, ``nullValue``, ...;
+    ``header``/``multiLine`` are rejected — per-line parse).  CSV marks a
+    row corrupt on type mismatch or token-count mismatch vs the FULL
+    schema, independent of what downstream queries project."""
+    return _read_malformed_capture(
+        spark, path, schema, "csv", mode, corrupt_col, **options
+    )
+
+
+def _read_malformed_capture(
+    spark, path, schema, fmt, mode, corrupt_col, **options
+):
+    """Line-oriented ingestion with FAITHFUL malformed-row capture:
+    ``spark.read.text`` + ``from_json``/``from_csv`` expressions, NOT the
+    native json/csv readers.  The native readers re-detect corruption
+    against the REQUIRED (column-pruned) schema, so a downstream
+    projection of the corrupt side (e.g. ``select(id, raw_record)``)
+    silently re-parses with fewer columns and UN-corrupts rows — a
+    "c,solo" row that is corrupt under a 3-column schema parses fine when
+    pruned to ``doc_id`` and vanishes from the violation channel.  An
+    expression-level parse is over the whole line by construction, so
+    what is corrupt cannot depend on which columns a query touches.
+    Cost: the clean side loses parse-time column pruning (the same bytes
+    are scanned either way); callers that want a clean-only fast path and
+    accept pruned-schema corruption semantics can use the native reader
+    directly.
+
+    ``header``/``multiLine`` are rejected: a per-line parse has no
+    per-file first-line or cross-line context (strip headers upstream)."""
     from pyspark.sql import types as T
 
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
         raise ValueError("mode must be PERMISSIVE | DROPMALFORMED | FAILFAST")
-    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
-    raw = (
-        spark.read.schema(full)
-        .option("mode", mode)
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
-    )
+    for k in ("header", "multiLine"):
+        if str(options.get(k, "")).lower() == "true":
+            raise ValueError(
+                "%s is not supported by the malformed-capture reader "
+                "(per-line parse; strip headers / flatten records upstream)" % k
+            )
+    opts = {k: str(v) for k, v in options.items()}
     data_cols = [f.name for f in schema.fields]
-    clean = raw.filter(F.col(corrupt_col).isNull()).select(*data_cols)
-    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(
-        *data_cols, F.col(corrupt_col).alias("raw_record")
+    # blank lines are skipped, matching the native readers
+    lines = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+
+    def parse(target_schema, parse_opts):
+        if fmt == "json":
+            return F.from_json(F.col("value"), target_schema, parse_opts)
+        return F.from_csv(
+            F.col("value"), F.lit(target_schema.simpleString()), parse_opts
+        )
+
+    if mode == "FAILFAST":
+        parsed = lines.select(parse(schema, {**opts, "mode": "FAILFAST"}).alias("__p"))
+        clean = parsed.select(*["__p.`%s`" % c for c in data_cols])
+        empty = clean.filter(F.lit(False)).withColumn(
+            "raw_record", F.lit(None).cast("string")
+        )
+        return clean, empty
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
+    parse_opts = {**opts, "mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+    parsed = lines.select(
+        F.col("value").alias("__raw"), parse(full, parse_opts).alias("__p")
+    )
+    is_bad = F.col("__p.`%s`" % corrupt_col).isNotNull()
+    cols = [F.col("__p.`%s`" % c).alias(c) for c in data_cols]
+    clean = parsed.filter(~is_bad).select(*cols)
+    bad = F.lit(False) if mode == "DROPMALFORMED" else is_bad
+    corrupt = parsed.filter(bad).select(*cols, F.col("__raw").alias("raw_record"))
     return clean, corrupt
 
 
-def jsonl_violations(corrupt_df: DataFrame, id_col: Optional[str] = None) -> DataFrame:
-    """Reshape :func:`read_jsonl`'s corrupt rows into the engine's typed
-    violation schema ``(doc_id, rule_seq, rule_id, key_path, span_index,
-    message, value_repr)`` so source-level parse failures flow through the
-    same sinks/verdicts as rule violations.
+def jsonl_violations(
+    corrupt_df: DataFrame, id_col: Optional[str] = None, fmt: str = "jsonl"
+) -> DataFrame:
+    """Reshape :func:`read_jsonl`/:func:`read_csv` corrupt rows into the
+    engine's typed violation schema ``(doc_id, rule_seq, rule_id,
+    key_path, span_index, message, value_repr)`` so source-level parse
+    failures flow through the same sinks/verdicts as rule violations.
 
     ``doc_id`` comes from the partially-parsed *id_col* when given (a
     type-mismatch row usually still parses its id); ``value_repr`` is the
@@ -191,13 +259,14 @@ def jsonl_violations(corrupt_df: DataFrame, id_col: Optional[str] = None) -> Dat
         if id_col
         else F.lit(None).cast("string")
     )
+    label = {"jsonl": "JSON", "csv": "CSV"}.get(fmt, fmt.upper())
     return corrupt_df.select(
         did.alias("doc_id"),
         F.lit(0).alias("rule_seq"),
-        F.lit("source:jsonl").alias("rule_id"),
+        F.lit("source:%s" % fmt).alias("rule_id"),
         F.lit("none").alias("key_path"),
         F.lit(None).cast("int").alias("span_index"),
-        F.lit("Malformed JSON record").alias("message"),
+        F.lit("Malformed %s record" % label).alias("message"),
         c_maybe_cut(c_unscriptize(F.col("raw_record"))).alias("value_repr"),
     )
 

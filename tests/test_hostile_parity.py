@@ -1,4 +1,4 @@
-"""Adversarial oracle-parity gate: 54 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: 57 driver queries — the whole oracled
 surface over documents/events/lineitem/supplier/embeddings — must
 hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
 timestamps/users/keys/measures/labels/vectors, empty and multi-space

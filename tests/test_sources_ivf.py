@@ -185,8 +185,8 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
 
 
 class TestJsonlSource:
-    def _write(self, tmp_path, lines):
-        p = str(tmp_path / "in.jsonl")
+    def _write(self, tmp_path, lines, name="in.jsonl"):
+        p = str(tmp_path / name)
         with open(p, "w") as f:
             f.write("\n".join(lines))
         return p
@@ -224,6 +224,39 @@ class TestJsonlSource:
         )
         cut = [k for k in v if k.endswith("...")]
         assert len(cut) == 1 and len(cut[0]) == 131  # 128 + '...'
+
+    def test_csv_permissive_split_and_violations(self, spark, tmp_path):
+        from evalidate_spark import sources
+
+        lines = [
+            "a,hello,1",
+            "b,world,notanint",   # type mismatch -> corrupt, id kept
+            "c,solo",             # too few tokens -> corrupt
+            "d,,3",               # empty field parses as NULL
+        ]
+        clean, corrupt = sources.read_csv(
+            spark, self._write(tmp_path, lines),
+            "doc_id string, text string, n bigint",
+        )
+        got = {r["doc_id"]: (r["text"], r["n"]) for r in clean.collect()}
+        assert got == {"a": ("hello", 1), "d": (None, 3)}
+        craw = {r["raw_record"]: r["doc_id"] for r in corrupt.collect()}
+        assert craw == {"b,world,notanint": "b", "c,solo": "c"}
+
+        v = sources.jsonl_violations(corrupt, id_col="doc_id", fmt="csv")
+        rows = {r["doc_id"]: r for r in v.collect()}
+        assert rows["b"]["rule_id"] == "source:csv"
+        assert rows["b"]["message"] == "Malformed CSV record"
+        assert rows["c"]["value_repr"] == "c,solo"
+
+        # TSV via reader-option passthrough
+        tsv = self._write(tmp_path, ["x\tt1\t7", "y\tt2\t8"], name="in.tsv")
+        clean, corrupt = sources.read_csv(
+            spark, tsv, "doc_id string, text string, n bigint", sep="\t"
+        )
+        assert clean.count() == 2 and corrupt.count() == 0
+        with pytest.raises(ValueError, match="header"):
+            sources.read_csv(spark, tsv, "doc_id string", header="true")
 
     def test_failfast_and_dropmalformed(self, spark, tmp_path):
         from evalidate_spark import sources
