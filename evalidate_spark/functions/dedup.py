@@ -113,9 +113,7 @@ def incremental_dedup(
     AFTER the id-level dedup, so wide doc rows never shuffle on fp.
     ``key`` overrides the dedup identity (same contract as
     :func:`distinct_by_fingerprint`)."""
-    from .text import fingerprint as _fp
-
-    fp = key if key is not None else _fp(F.col("`%s`" % text_col))
+    fp = key if key is not None else fingerprint(F.col("`%s`" % text_col))
     survivors = distinct_by_fingerprint(new_df, text_col, id_col, key=key)
     if index_df is not None:
         with_fp = survivors.withColumn("__fp", fp)

@@ -171,7 +171,12 @@ def rebalance_mixture(
     elif alpha == 0.5:
         quota = F.floor(F.sqrt(c * cm))
     else:
-        quota = F.floor(F.pow(c, F.lit(alpha)) * F.pow(cm, F.lit(1.0 - alpha)))
+        # pow is not correctly rounded: c^alpha * cm^(1-alpha) for c == cm
+        # can come out at c - 1ulp and floor to c-1, silently dropping rows
+        # from every min-size group — clamp to the documented invariants
+        # (smallest group kept whole, never more than the group)
+        raw = F.floor(F.pow(c, F.lit(alpha)) * F.pow(cm, F.lit(1.0 - alpha)))
+        quota = F.least(c, F.greatest(raw, F.when(c == cm, c)))
     quotas = counts.crossJoin(F.broadcast(cmin)).select(
         "__k", quota.cast("long").alias("__quota")
     )

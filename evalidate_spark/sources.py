@@ -207,15 +207,23 @@ def _read_malformed_capture(
             )
     opts = {k: str(v) for k, v in options.items()}
     data_cols = [f.name for f in schema.fields]
-    # blank lines are skipped, matching the native readers
-    lines = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    # whitespace-only lines are skipped, matching the native readers
+    # (rlike, not trim: trim strips only spaces, and a tab-only line would
+    # otherwise parse to an all-NULL phantom clean row)
+    lines = spark.read.text(path).filter(~F.col("value").rlike(r"^\s*$"))
+
+    def ddl(target_schema):
+        # simpleString() doesn't backtick-quote field names, so non-plain
+        # identifiers ("doc id") would break from_csv's schema parse
+        return ", ".join(
+            "`%s` %s" % (f.name.replace("`", "``"), f.dataType.simpleString())
+            for f in target_schema.fields
+        )
 
     def parse(target_schema, parse_opts):
         if fmt == "json":
             return F.from_json(F.col("value"), target_schema, parse_opts)
-        return F.from_csv(
-            F.col("value"), F.lit(target_schema.simpleString()), parse_opts
-        )
+        return F.from_csv(F.col("value"), F.lit(ddl(target_schema)), parse_opts)
 
     if mode == "FAILFAST":
         parsed = lines.select(parse(schema, {**opts, "mode": "FAILFAST"}).alias("__p"))

@@ -283,6 +283,21 @@ class TestRebalanceMixture:
         with pytest.raises(ValueError):
             rebalance_mixture(df, "source", alpha=0.0)
 
+    def test_generic_alpha_keeps_min_group_whole(self, spark):
+        from evalidate_spark.functions.sampling import rebalance_mixture
+
+        # pow(4,0.3)*pow(4,0.7) = 4 - 1ulp floors to 3 without the clamp
+        rows = [(i, "big") for i in range(100)] + [
+            (200 + i, "small") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {}
+        for r in rebalance_mixture(df, "source", alpha=0.3).collect():
+            got[r["source"]] = got.get(r["source"], 0) + 1
+        assert got["small"] == 4
+        # quota never exceeds the group: floor(100^0.3 * 4^0.7) = 10
+        assert got["big"] == 10
+
 
 class TestCapPerKey:
     def test_cap_order_nulls_and_key_groups(self, spark):

@@ -258,6 +258,22 @@ class TestJsonlSource:
         with pytest.raises(ValueError, match="header"):
             sources.read_csv(spark, tsv, "doc_id string", header="true")
 
+        # non-plain identifiers survive the from_csv schema handoff
+        odd = self._write(tmp_path, ["a,1", "b,2"], name="odd.csv")
+        clean, _ = sources.read_csv(spark, odd, "`doc id` string, `n.v` bigint")
+        assert {tuple(r) for r in clean.collect()} == {("a", 1), ("b", 2)}
+
+    def test_whitespace_only_lines_skipped(self, spark, tmp_path):
+        from evalidate_spark import sources
+
+        p = self._write(
+            tmp_path, ['{"a":1}', "\t", "  ", '{"a":2}'], name="ws.jsonl"
+        )
+        clean, corrupt = sources.read_jsonl(spark, p, "a bigint")
+        # tab-only / space-only lines are skipped, never phantom NULL rows
+        assert sorted(r["a"] for r in clean.collect()) == [1, 2]
+        assert corrupt.count() == 0
+
     def test_failfast_and_dropmalformed(self, spark, tmp_path):
         from evalidate_spark import sources
         from py4j.protocol import Py4JJavaError
