@@ -719,6 +719,22 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique.select("doc_id")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit: old = docs with id%4 != 0, new = docs with
+    id%4 != 1 where every 5th doc's text gained a ' v2' suffix — yields
+    all four statuses (added/removed/changed/unchanged) from one table."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    edited = F.when(
+        F.col("text").isNotNull() & (F.col("doc_id") % 5 == 0),
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 4 != 1).withColumn("text", edited)
+    return dedup.corpus_diff(old, new)
+
+
 def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flatten the per-source mix at alpha=0.5: kept counts
     ∝ sqrt(|source|), smallest source kept whole, hash-rank selection
@@ -1108,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "incremental_dedup": q_incremental_dedup,
         "mixture_rebalance": q_mixture_rebalance,
+        "corpus_diff": q_corpus_diff,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2034,6 +2051,35 @@ SELECT b.doc_id FROM batch b JOIN keep k ON b.doc_id = k.keep_id
 WHERE b.fp NOT IN (SELECT fp FROM idx)
 UNION ALL
 SELECT doc_id FROM batch WHERE fp IS NULL
+"""
+
+ORACLE["corpus_diff"] = """
+WITH o AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE md5(coalesce(array_to_string(list_transform(
+                list_filter(string_split(text,' '), x -> x <> ''),
+                t -> lower(t)), ' '), '')) END AS fp
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 4 <> 0
+), n AS (
+  SELECT doc_id,
+    CASE WHEN et IS NULL THEN NULL
+         ELSE md5(coalesce(array_to_string(list_transform(
+                list_filter(string_split(et,' '), x -> x <> ''),
+                t -> lower(t)), ' '), '')) END AS fp
+  FROM (
+    SELECT doc_id,
+      CASE WHEN text IS NOT NULL AND doc_id % 5 = 0
+           THEN text || ' v2' ELSE text END AS et
+    FROM documents WHERE doc_id IS NOT NULL AND doc_id % 4 <> 1
+  )
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 ORACLE["mixture_rebalance"] = """

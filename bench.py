@@ -193,6 +193,7 @@ def main() -> None:
         "domain_caps",
         "incremental_dedup",
         "mixture_rebalance",
+        "corpus_diff",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

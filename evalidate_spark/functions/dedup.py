@@ -127,6 +127,48 @@ def incremental_dedup(
     return survivors, delta
 
 
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-doc ``status`` of
+    ``added`` (id only in *new_df*), ``removed`` (only in *old_df*),
+    ``changed`` (both, content fingerprint differs), ``unchanged`` — the
+    audit step of an incremental ingestion pipeline (what did this
+    release actually touch?).
+
+    Content identity is the same fingerprint as the dedup family
+    (``key`` overrides it); two NULL-text versions compare ``unchanged``
+    (null-safe fp equality), NULL↔text is a change.  NULL ids are
+    excluded (no identity to diff on).  Returns ``(id_col, status)``.
+
+    Plan: each side reduces to a slim ``(id, fp)`` projection before the
+    single FULL OUTER sort-merge join on the id — payloads never shuffle;
+    store both snapshots bucketed on the id (``sources.write_bucketed``)
+    and the join runs exchange-free."""
+    fp = key if key is not None else fingerprint(F.col("`%s`" % text_col))
+    ids = F.col("`%s`" % id_col)
+
+    def slim(df, side):
+        return df.filter(ids.isNotNull()).select(
+            ids.alias(id_col),
+            fp.alias("__%s_fp" % side),
+            F.lit(True).alias("__%s" % side),
+        )
+
+    j = slim(old_df, "old").join(slim(new_df, "new"), id_col, "full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp").eqNullSafe(F.col("__new_fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("`%s`" % id_col), status.alias("status"))
+
+
 # ---------------------------------------------------------------- MinHash
 def minhash_signature_arrow(
     col: Column, num_hashes: int = 64, shingle_k: int = 3

@@ -740,6 +740,43 @@ class TestCorpusReport:
         assert set(approx) == set(got) and approx["docs_total"] == 6
 
 
+class TestCorpusDiff:
+    def test_all_statuses_and_null_contracts(self, spark):
+        from evalidate_spark.functions import dedup
+
+        old = spark.createDataFrame(
+            [
+                (1, "same text"),
+                (2, "will change"),
+                (3, "going away"),
+                (4, None),          # NULL both sides -> unchanged
+                (5, "becomes null"),
+                (None, "no identity"),  # NULL id excluded
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "same  text"),  # whitespace-normalised: unchanged
+                (2, "has changed"),
+                (4, None),
+                (5, None),          # text -> NULL is a change
+                (6, "brand new"),
+                (None, "still no identity"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["status"] for r in dedup.corpus_diff(old, new).collect()}
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "unchanged",
+            5: "changed",
+            6: "added",
+        }
+
+
 class TestIncrementalDedup:
     def test_batch_vs_index_and_first_batch(self, spark):
         from evalidate_spark.functions import dedup
