@@ -719,6 +719,15 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique.select("doc_id")
 
 
+def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalisation (NFC + control strip + whitespace
+    collapse) — the pre-fingerprint cleaning pass, Arrow-batched."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff audit: old = docs with id%4 != 0, new = docs with
     id%4 != 1 where every 5th doc's text gained a ' v2' suffix — yields
@@ -1125,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "mixture_rebalance": q_mixture_rebalance,
         "corpus_diff": q_corpus_diff,
+        "normalized_docs": q_normalized_docs,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2051,6 +2061,17 @@ SELECT b.doc_id FROM batch b JOIN keep k ON b.doc_id = k.keep_id
 WHERE b.fp NOT IN (SELECT fp FROM idx)
 UNION ALL
 SELECT doc_id FROM batch WHERE fp IS NULL
+"""
+
+ORACLE["normalized_docs"] = r"""
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
+    regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+      '[ \t\r\n\x0B\x0C]+', ' ', 'g'),
+      '^ | $', '', 'g')
+  END AS norm_text
+FROM documents
 """
 
 ORACLE["corpus_diff"] = """

@@ -194,6 +194,7 @@ def main() -> None:
         "incremental_dedup",
         "mixture_rebalance",
         "corpus_diff",
+        "normalized_docs",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

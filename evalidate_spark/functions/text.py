@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # A small multilingual stopword/marker table for the heuristic language ID.
@@ -434,6 +436,42 @@ def fingerprint(col: Column) -> Column:
     return F.when(
         col.isNotNull(), F.md5(F.concat_ws(" ", F.transform(tokens(col), F.lower)))
     )
+
+
+def normalize_text(col: Column, form: str = "NFC") -> Column:
+    """Canonical corpus text normalisation, the step before any
+    fingerprint/dedup/tokenise pass: Unicode-normalise (*form*, NFC
+    default — composed forms, so visually-identical accents fingerprint
+    identically), strip non-whitespace C0/DEL control characters
+    (``[\\x00-\\x08\\x0E-\\x1F\\x7F]``), collapse whitespace runs
+    (``[ \\t\\r\\n\\x0b\\x0c]+`` — deliberately the explicit ASCII class,
+    NOT ``\\s``: NBSP & friends are content, and regex engines disagree
+    on Unicode ``\\s``) to single spaces, and trim.  NULL → NULL.
+
+    Unicode normalisation has no Spark built-in, so this is the sanctioned
+    slow path: an Arrow-batched pandas UDF (stdlib ``unicodedata``, no
+    per-row Python boundary).  DuckDB replays it as ``nfc_normalize`` +
+    the same two explicit regex classes — both engines implement the
+    same published Unicode algorithm."""
+    import re
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError("form must be NFC | NFD | NFKC | NFKD")
+    ctrl = re.compile(r"[\x00-\x08\x0E-\x1F\x7F]")
+    ws = re.compile(r"[ \t\r\n\x0b\x0c]+")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            v = unicodedata.normalize(form, v)
+            return ws.sub(" ", ctrl.sub("", v)).strip(" ")
+
+        return s.map(one)
+
+    return _norm(col)
 
 
 def rolling_hashes(col: Column, window: int = 8) -> Column:

@@ -740,6 +740,57 @@ class TestCorpusReport:
         assert set(approx) == set(got) and approx["docs_total"] == 6
 
 
+class TestNormalizeText:
+    def test_unicode_controls_whitespace_vs_duckdb(self, spark):
+        import duckdb
+
+        from evalidate_spark.functions.text import normalize_text
+
+        rows = [
+            (1, "Café  du   Marché"),   # decomposed -> NFC composed
+            (2, "tabs\tand\nnewlines\r\nhere"),
+            (3, "bell\x07and\x00nul stripped"),
+            (4, " nbsp is content "),      # NOT collapsed/trimmed
+            (5, "  lead trail  "),
+            (6, ""),
+            (7, None),
+            (8, "ligature ﬁne stays under NFC"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", normalize_text(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got[1] == "Café du Marché"
+        assert got[2] == "tabs and newlines here"
+        assert got[3] == "bellandnul stripped"
+        assert got[4] == " nbsp is content "  # NBSP is content: kept, not trimmed
+        assert got[5] == "lead trail" and got[6] == "" and got[7] is None
+
+        # DuckDB replays the whole op (the driver oracle's expression)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        oracle = {
+            d: n
+            for d, n in con.execute(r"""
+                SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE
+                  -- regex edge-trim, NOT trim(): DuckDB's trim also strips
+                  -- NBSP, which this op deliberately treats as content
+                  regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+                    '[ \t\r\n\x0B\x0C]+', ' ', 'g'),
+                    '^ | $', '', 'g') END
+                FROM t""").fetchall()
+        }
+        assert oracle == got
+
+        with pytest.raises(ValueError, match="form"):
+            normalize_text(F.col("text"), form="NFX")
+
+
 class TestCorpusDiff:
     def test_all_statuses_and_null_contracts(self, spark):
         from evalidate_spark.functions import dedup

@@ -1,4 +1,4 @@
-"""Adversarial oracle-parity gate: 58 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: 59 driver queries — the whole oracled
 surface over documents/events/lineitem/supplier/embeddings — must
 hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
 timestamps/users/keys/measures/labels/vectors, empty and multi-space
@@ -37,6 +37,7 @@ QUERIES = [
     "incremental_dedup",
     "mixture_rebalance",
     "corpus_diff",
+    "normalized_docs",
     "packed_sequences",
     "budget_selection",
     "leakage_split",
