@@ -279,6 +279,51 @@ def q_span_refs_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("doc_id", "media_ref")
 
 
+def q_span_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved render: the span sequence flattened back to linear text
+    (offset order, ``<media:REF>`` inline placeholders) — the
+    post-validation step a training pipeline feeds to tokenization.  Pure
+    per-row HOF map, no shuffle."""
+    from evalidate_spark.operators.spans import reconstruct_text
+
+    return reconstruct_text(_derived_spans(spark, sf_dir))
+
+
+def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-unit pass/fail + row metrics (north rule: "per-partition
+    pass/fail ... per-partition lineage + metrics rows") over a
+    deterministic unit key, so the manifest is reproducible across cluster
+    sizes; predicate-only compile, one tiny aggregate."""
+    from evalidate_spark.fastpath import keyed_verdicts
+
+    docs = _t(spark, sf_dir, "documents")
+    unit = (
+        F.when(F.col("doc_id").isNull(), F.lit(-1))
+        .otherwise(F.col("doc_id") % 8)
+        .cast("long")
+    )
+    return keyed_verdicts(docs, _doc_rules(), unit)
+
+
+def q_rule_firing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-coverage report: violations per rule_id + distinct offending
+    docs — the spec-lint signal (a rule that never fires is dead weight;
+    one that fires on every doc is probably miswritten)."""
+    docs = _t(spark, sf_dir, "documents")
+    v = validate(docs, _doc_rules(), id_cols=["doc_id"]).violations
+    return v.groupBy("rule_id").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def q_ngram_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated n-gram stats per doc (substring-dedup proxy,
+    Lee et al. 2022)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ngram_dup_stats(docs, k=3, min_docs=2)
+
+
 def q_rule_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rule_or branching: first passing alternative wins; on all-fail the
     member errors are deduped and joined with ' or ' in reverse trial order
@@ -1101,6 +1146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
+        "span_reconstruct": q_span_reconstruct,
+        "partition_verdicts": q_partition_verdicts,
+        "rule_firing_stats": q_rule_firing_stats,
+        "ngram_dup_spans": q_ngram_dup_spans,
         "rule_or": q_rule_or,
         "lib_validators": q_lib_validators,
         "converters": q_converters,
@@ -2212,6 +2261,86 @@ SELECT grp AS "group", id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY grp ORDER BY cosine ASC, id ASC) AS rank
   FROM scored) r
 WHERE rank <= 5
+"""
+
+
+ORACLE["span_reconstruct"] = """
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'meta' ELSE 'text' END AS kind,
+         text AS txt,
+         CASE WHEN doc_id % 13 = 0 THEN 'm-' || CAST(doc_id % 50 AS VARCHAR) END AS ref,
+         CAST(0 AS BIGINT) AS off, 0 AS ix
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'media', NULL, 'm-' || CAST(doc_id % 30 AS VARCHAR), n_chars, 1
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'text', substring(text, 1, 10), NULL,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars - 5 ELSE n_chars + 5 END, 2
+  FROM documents
+)
+SELECT doc_id,
+  string_agg(CASE WHEN kind = 'text' THEN coalesce(txt, '')
+                  WHEN kind = 'media' THEN '<media:' || coalesce(ref, '') || '>'
+                  ELSE '' END, '' ORDER BY off NULLS LAST, ix) AS rendered,
+  CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_spans,
+  CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media_spans
+FROM sp GROUP BY doc_id
+"""
+
+# per-unit verdict metrics: same fail condition as the validate_documents
+# oracle, folded to one row per deterministic unit
+ORACLE["partition_verdicts"] = """
+SELECT CASE WHEN doc_id IS NULL THEN -1 ELSE doc_id % 8 END AS unit_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL
+                      OR text IS NULL OR length(text) < 50 OR length(text) > 500
+                      OR lang IS NULL OR lang NOT IN ('en','es','de','fr')
+                      OR source IS NULL OR NOT regexp_matches(source, '^src[0-9]$')
+                      OR n_chars IS NULL OR n_chars < 60 OR n_chars > 400
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       CASE WHEN sum(CASE WHEN doc_id IS NULL
+                      OR text IS NULL OR length(text) < 50 OR length(text) > 500
+                      OR lang IS NULL OR lang NOT IN ('en','es','de','fr')
+                      OR source IS NULL OR NOT regexp_matches(source, '^src[0-9]$')
+                      OR n_chars IS NULL OR n_chars < 60 OR n_chars > 400
+                 THEN 1 ELSE 0 END) = 0
+            THEN 'pass' ELSE 'fail' END AS verdict
+FROM documents GROUP BY 1
+"""
+
+ORACLE["rule_firing_stats"] = f"""
+WITH viol AS ({ORACLE["validate_documents"]})
+SELECT rule_id, CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM viol GROUP BY rule_id
+"""
+
+ORACLE["ngram_dup_spans"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                generate_series(1, greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) - 2, 1)),
+                i -> array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[i:i+2], ' ')))
+         END AS sh
+  FROM documents
+), tot AS (
+  SELECT doc_id, CAST(sum(len(sh)) AS BIGINT) AS n_ngrams FROM base GROUP BY doc_id
+), ex AS (
+  SELECT doc_id, unnest(sh) AS ng FROM base
+), dup AS (
+  SELECT ng FROM ex GROUP BY ng HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM ex JOIN dup USING (ng) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+       CAST(CASE WHEN t.n_ngrams > 0
+                 THEN floor(coalesce(p.n_dup, 0) * 10000 / t.n_ngrams)
+                 ELSE 0 END AS BIGINT) AS dup_bp
+FROM tot t LEFT JOIN per_doc p USING (doc_id)
 """
 
 

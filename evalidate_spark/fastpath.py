@@ -394,3 +394,35 @@ def verdict_scan(df: DataFrame, rules: Any, **opts: Any) -> DataFrame:
             "verdict", F.when(F.col("failed") == 0, F.lit("pass")).otherwise(F.lit("fail"))
         )
     )
+
+
+def keyed_verdicts(
+    df: DataFrame, rules: Any, unit: Column, unit_name: str = "unit_id", **opts: Any
+) -> DataFrame:
+    """Pass/fail verdict + row metrics per *logical* unit — the
+    checkpoint-manifest lineage record (``checkpoint.py``) expressed as a
+    single query over any deterministic unit key (ingest shard, date
+    bucket, id range…).  Unlike :func:`verdict_scan`'s physical
+    ``spark_partition_id`` roll-up, a caller-supplied key makes the result
+    reproducible across cluster sizes — the property a resumable manifest
+    needs.
+
+    Returns ``(unit_name, n_rows, n_failed, verdict)``; same predicate-only
+    plan: pruned scan → one fused boolean → one tiny hash aggregate (the
+    shuffle moves #units rows, nothing else)."""
+    fail = compile_fail_predicate(rules, df.schema, Options(**opts) if opts else None)
+    return (
+        df.select(
+            unit.alias(unit_name),
+            F.coalesce(fail, F.lit(False)).cast("int").alias("__f"),
+        )
+        .groupBy(unit_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__f").cast("long").alias("n_failed"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_failed") == 0, F.lit("pass")).otherwise(F.lit("fail")),
+        )
+    )

@@ -295,6 +295,71 @@ REPORT_METRICS = (
 )
 
 
+def ngram_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document corpus-duplicated n-gram statistics — the scalable
+    Spark-native proxy for suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a k-token
+    shingle is *duplicated* when it occurs in ≥ ``min_docs`` documents
+    (per-doc multiplicity ignored via ``array_distinct``).
+
+    Returns ``(doc_id, n_ngrams, n_dup_ngrams, dup_bp)`` where ``dup_bp``
+    is the duplicated fraction in basis points.  Contracts: NULL text →
+    0 n-grams; NULL doc_id rows report ``n_dup_ngrams`` = 0 (NULL keys
+    never join back) and collapse into one output group, exactly like a
+    SQL GROUP BY.
+
+    Plan: distinct-shingle explode → map-side-combined count per shingle
+    (one shuffle), inner join of the exploded set against the ≥min_docs
+    shingle list (second shuffle; hot boilerplate shingles are bounded
+    because the per-doc side is already distinct), per-doc roll-up, and a
+    doc-keyed left join for the totals.  At PB scale the shingle count
+    table is the only global state and it shrinks with ``min_docs``;
+    pre-bucketing both sides by shingle hash removes the join shuffle."""
+    did, txt = F.col("`%s`" % id_col), F.col("`%s`" % text_col)
+    sh = F.when(txt.isNull(), F.array().cast("array<string>")).otherwise(
+        F.array_distinct(shingles(txt, k))
+    )
+    base = df.select(did.alias("doc_id"), sh.alias("__sh"))
+    totals = base.groupBy("doc_id").agg(
+        F.sum(F.size("__sh")).cast("long").alias("n_ngrams")
+    )
+    exploded = base.select("doc_id", F.explode("__sh").alias("__ng"))
+    dup_ngrams = (
+        exploded.groupBy("__ng")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__ng")
+    )
+    per_doc = (
+        exploded.join(dup_ngrams, "__ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_ngrams"))
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.floor(F.col("n_dup_ngrams") * 10_000 / F.col("n_ngrams")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
 def corpus_report(
     df: DataFrame, text_col: str = "text", exact_distinct: bool = False
 ) -> DataFrame:

@@ -136,6 +136,72 @@ def span_structure_violations(
     ).select("doc_id", "v.rule_id", "v.span_index", "v.message")
 
 
+def reconstruct_text(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Flatten the interleaved span sequence back into linear text — the
+    render step a training pipeline runs after validation: spans are
+    ordered by ``(offset NULLS LAST, original index)`` (a stable sort, so
+    equal offsets keep ingest order), text spans contribute their text,
+    media spans an inline ``<media:REF>`` placeholder, any other kind
+    renders empty (structural validation flags those separately).
+
+    Returns ``(doc_id, rendered, n_text_spans, n_media_spans)``.  A NULL
+    spans array renders NULL with zero counts.
+
+    Everything happens inside ONE fused projection per row: the sort is
+    ``array_sort`` with an explicit comparator, the render a
+    ``transform`` + ``concat_ws`` — no explode, no shuffle, no window, so
+    the job is a pure map at any corpus size.
+    """
+    spans = _spans(spans_col)
+    indexed = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["offset"].alias("off"),
+            i.alias("ix"),
+            s["kind"].alias("kind"),
+            s["text"].alias("txt"),
+            s["media_ref"].alias("ref"),
+        ),
+    )
+
+    def _cmp(a: Column, b: Column) -> Column:
+        ao, bo = a["off"], b["off"]
+        return (
+            F.when(ao.isNull() & bo.isNull(), a["ix"] - b["ix"])
+            .when(ao.isNull(), F.lit(1))
+            .when(bo.isNull(), F.lit(-1))
+            .when(ao < bo, F.lit(-1))
+            .when(ao > bo, F.lit(1))
+            .otherwise(a["ix"] - b["ix"])
+        ).cast("int")
+
+    pieces = F.transform(
+        F.array_sort(indexed, _cmp),
+        lambda s: F.when(s["kind"] == "text", F.coalesce(s["txt"], F.lit("")))
+        .when(
+            s["kind"] == "media",
+            F.concat(F.lit("<media:"), F.coalesce(s["ref"], F.lit("")), F.lit(">")),
+        )
+        .otherwise(F.lit("")),
+    )
+
+    def _kind_count(kind: str) -> Column:
+        return F.when(spans.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(spans, lambda s: s["kind"] == kind))
+        ).cast("long")
+
+    return docs.select(
+        F.col("`%s`" % doc_id).alias("doc_id"),
+        F.when(spans.isNotNull(), F.concat_ws("", pieces)).alias("rendered"),
+        _kind_count("text").alias("n_text_spans"),
+        _kind_count("media").alias("n_media_spans"),
+    )
+
+
 def media_refs(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """All (doc_id, media_ref) pairs — input to the referential anti-join.
     Filtered inside the array first so the explode multiplies only media
