@@ -1352,12 +1352,25 @@ SELECT doc_id, 'span:kind_allowed' AS rule_id, 0 AS span_index,
        'span kind is not one of text|media' AS message
 FROM documents WHERE doc_id % 17 = 0
 UNION ALL
+-- span0: 'meta' kind fails both arms; media_ref present on a text span;
+-- NULL text on a text span
 SELECT doc_id, 'span:kind_consistency', 0,
        'text/media_ref fields are inconsistent with span kind'
-FROM documents WHERE doc_id % 13 = 0 OR doc_id % 17 = 0
+FROM documents WHERE doc_id % 13 = 0 OR doc_id % 17 = 0 OR text IS NULL
 UNION ALL
+-- span1 (media): ref 'm-'||(doc_id%30) is NULL exactly when doc_id is
+SELECT doc_id, 'span:kind_consistency', 1,
+       'text/media_ref fields are inconsistent with span kind'
+FROM documents WHERE doc_id IS NULL
+UNION ALL
+-- span2 (text): substring of NULL text is NULL
+SELECT doc_id, 'span:kind_consistency', 2,
+       'text/media_ref fields are inconsistent with span kind'
+FROM documents WHERE text IS NULL
+UNION ALL
+-- NULL n_chars → NULL offsets → comparison never flags
 SELECT doc_id, 'span:offset_monotonic', 1, 'span offset decreases'
-FROM documents WHERE doc_id % 11 = 0
+FROM documents WHERE doc_id % 11 = 0 AND n_chars IS NOT NULL
 """,
     "span_refs_dangling": """
 SELECT doc_id, 'm-' || CAST(doc_id % 50 AS VARCHAR) AS media_ref
@@ -1471,8 +1484,30 @@ SELECT p_partkey, 4, 'rule:p_size',
 FROM part WHERE p_size < 5 OR p_size > 45
 UNION ALL
 SELECT p_partkey, 5, 'rule:p_retailprice',
-  'Value is not valid. Value''s limit is more than maximum allowed: 990'
-FROM part WHERE p_retailprice > 990
+  CASE WHEN p_retailprice < 900
+       THEN 'Value is not valid. Value''s limit is less than minimum allowed: 900'
+       ELSE 'Value is not valid. Value''s limit is more than maximum allowed: 990' END
+FROM part WHERE p_retailprice < 900 OR p_retailprice > 990
+UNION ALL
+SELECT p_partkey, 2, 'rule:p_brand',
+  'Value ''' || p_brand || ''' is not valid. Validation with regexp ''^Brand#[0-9]+$'' failed'
+FROM part WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]+$')
+-- presence: NULL ≡ missing key → required violation (default presence)
+UNION ALL
+SELECT p_partkey, 1, 'rule:p_partkey', 'Key ''p_partkey'' is required'
+FROM part WHERE p_partkey IS NULL
+UNION ALL
+SELECT p_partkey, 2, 'rule:p_brand', 'Key ''p_brand'' is required'
+FROM part WHERE p_brand IS NULL
+UNION ALL
+SELECT p_partkey, 3, 'rule:p_type', 'Key ''p_type'' is required'
+FROM part WHERE p_type IS NULL
+UNION ALL
+SELECT p_partkey, 4, 'rule:p_size', 'Key ''p_size'' is required'
+FROM part WHERE p_size IS NULL
+UNION ALL
+SELECT p_partkey, 5, 'rule:p_retailprice', 'Key ''p_retailprice'' is required'
+FROM part WHERE p_retailprice IS NULL
 """,
     "nation_region_rollup": """
 SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation

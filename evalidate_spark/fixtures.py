@@ -150,6 +150,37 @@ HOSTILE_LINEITEM = [
     (3, None, 99, 50.0, "R", "2026-01-09"),  # NULL linenumber, dangling
 ]
 HOSTILE_SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
+# part: one row per validate_part branch — regexp fail, allowed fail, both
+# size bounds, both price bounds, and a NULL per rule (presence=required)
+HOSTILE_PART = [
+    (1, "n1", "Brand#12", "ECONOMY", 10, 950.0),
+    (2, "n2", "brandX", "ECONOMY", 10, 950.0),  # regexp fail
+    (3, "n3", "Brand#5", "FANCY", 10, 950.0),  # allowed fail
+    (4, "n4", "Brand#5", "SMALL", 3, 950.0),  # size < min
+    (5, "n5", "Brand#5", "SMALL", 99, 950.0),  # size > max
+    (6, "n6", "Brand#5", "SMALL", 10, 100.0),  # price < min
+    (7, "n7", "Brand#5", "SMALL", 10, 2000.0),  # price > max
+    (8, "n8", None, "SMALL", 10, 950.0),
+    (9, "n9", "Brand#5", None, 10, 950.0),
+    (10, "n10", "Brand#5", "SMALL", None, 950.0),
+    (11, "n11", "Brand#5", "SMALL", 10, None),
+    (None, "n12", "Brand#5", "SMALL", 10, 950.0),
+]
+HOSTILE_NATION = [
+    (1, "alpha", 1),
+    (2, "beta", 1),
+    (3, None, 2),  # NULL name → min() skips in both engines
+    (4, "gamma", None),  # NULL regionkey never inner-joins
+    (None, "delta", 3),  # NULL nationkey (unused by the rollup)
+    (5, "eps", 9),  # dangling regionkey
+]
+HOSTILE_REGION = [
+    (1, "r-one"),
+    (2, None),  # NULL group key survives GROUP BY on both engines
+    (3, "r-three"),
+    (None, "r-null"),  # NULL key never joins
+    (4, "r-empty"),  # region with no nations
+]
 
 
 def _noise(i: int, j: int) -> float:
@@ -251,5 +282,22 @@ def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
         HOSTILE_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_PART,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_NATION, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "nation.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_REGION, "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "region.parquet")
     )
     return out_dir

@@ -322,9 +322,11 @@ def ngram_dup_stats(
     table is the only global state and it shrinks with ``min_docs``;
     pre-bucketing both sides by shingle hash removes the join shuffle."""
     did, txt = F.col("`%s`" % id_col), F.col("`%s`" % text_col)
-    sh = F.when(txt.isNull(), F.array().cast("array<string>")).otherwise(
-        F.array_distinct(shingles(txt, k))
-    )
+    # zero-token text (NULL / empty / whitespace-only) → no shingles; the
+    # whole-text fallback shingle is only for 1..k-1-token docs
+    sh = F.when(
+        txt.isNull() | (F.size(tokens(txt)) == 0), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(shingles(txt, k)))
     base = df.select(did.alias("doc_id"), sh.alias("__sh"))
     totals = base.groupBy("doc_id").agg(
         F.sum(F.size("__sh")).cast("long").alias("n_ngrams")

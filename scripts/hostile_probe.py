@@ -30,7 +30,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = write_hostile_tables(spark, tempfile.mkdtemp())
     con = duckdb.connect()
-    for t in ("documents", "events", "lineitem", "supplier", "embeddings"):
+    for t in ("documents", "events", "lineitem", "supplier", "embeddings",
+              "part", "nation", "region"):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'" % (t, tmp, t)
         )

@@ -1,5 +1,6 @@
-"""Adversarial oracle-parity gate: 59 driver queries — the whole oracled
-surface over documents/events/lineitem/supplier/embeddings — must
+"""Adversarial oracle-parity gate: 68 driver queries — the whole oracled
+surface over documents/events/lineitem/supplier/embeddings/part/nation/
+region — must
 hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
 timestamps/users/keys/measures/labels/vectors, empty and multi-space
 texts, duplicate texts and vectors, zero/short/long vectors, invalid
@@ -82,6 +83,18 @@ QUERIES = [
     "drift_quantile",
     "referential_lineitem_supplier",
     "referential_bloom",
+    # spans surface (NULL text/id/n_chars flow through the derived spans)
+    "span_structure",
+    "span_refs_dangling",
+    "span_reconstruct",
+    # lineage / coverage roll-ups
+    "partition_verdicts",
+    "rule_firing_stats",
+    "ngram_dup_spans",
+    "dup_clusters",
+    # part/nation/region surface (NULL per rule branch; NULL join keys)
+    "validate_part",
+    "nation_region_rollup",
 ]
 
 
@@ -106,7 +119,10 @@ def hostile_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", QUERIES)
 def test_hostile_corpus_oracle_parity(spark, hostile_dir, name):
     con = duckdb.connect()
-    for t in ("documents", "events", "lineitem", "supplier", "embeddings"):
+    for t in (
+        "documents", "events", "lineitem", "supplier", "embeddings",
+        "part", "nation", "region",
+    ):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'"
             % (t, hostile_dir, t)
