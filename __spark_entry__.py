@@ -773,6 +773,29 @@ def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically synthesized crawl URLs
+    (scheme/host case, www., default ports, fragments, tracking params,
+    param order, trailing slash — every fold exercised); the oracle states
+    the expected canonical in CLOSED FORM, independent of the regex
+    pipeline."""
+    from evalidate_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    k = (i % 7).cast("string")
+    url = (
+        F.when(i % 4 == 0, F.concat(F.lit("HTTP://WWW.Site"), k,
+               F.lit(".COM:80/a/b/?utm_source=x&z=1&a=2#frag")))
+        .when(i % 4 == 1, F.concat(F.lit("https://sub.site"), k, F.lit(".com:443/p"),
+              i.cast("string"), F.lit("/")))
+        .when(i % 4 == 2, F.concat(F.lit("https://site"), k,
+              F.lit(".com/path?b=2&a=1&fbclid=abc")))
+        .otherwise(F.concat(F.lit("not a url "), i.cast("string")))
+    )
+    return web.canonical_urls(docs.select("doc_id", url.alias("url")))
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff audit: old = docs with id%4 != 0, new = docs with
     id%4 != 1 where every 5th doc's text gained a ' v2' suffix — yields
@@ -1183,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "mixture_rebalance": q_mixture_rebalance,
         "corpus_diff": q_corpus_diff,
+        "canonical_urls": q_canonical_urls,
         "normalized_docs": q_normalized_docs,
         "chunked_docs": q_chunked_docs,
         "quality_topk": q_quality_topk,
@@ -2298,6 +2322,25 @@ SELECT grp AS "group", id, cosine, rank FROM (
 WHERE rank <= 5
 """
 
+
+# closed-form expected canonicals (independent of the regex pipeline):
+# %4=0  HTTP://WWW.SiteK.COM:80/a/b/?utm_source=x&z=1&a=2#frag
+#       → http://siteK.com/a/b?a=2&z=1
+# %4=1  https://sub.siteK.com:443/pI/        → https://sub.siteK.com/pI
+# %4=2  https://siteK.com/path?b=2&a=1&fbclid=abc → ...?a=1&b=2
+# %4=3  not a URL → NULLs, is_web false; NULL doc_id → NULL url → all NULL
+ORACLE["canonical_urls"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/b?a=2&z=1'
+       WHEN doc_id % 4 = 1 THEN 'https://sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 4 = 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/path?a=1&b=2'
+  END AS url_canon,
+  CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+       WHEN doc_id % 4 = 1 THEN 'sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+  END AS domain,
+  CASE WHEN doc_id IS NULL THEN NULL ELSE doc_id % 4 <> 3 END AS is_web
+FROM documents
+"""
 
 ORACLE["span_reconstruct"] = """
 WITH sp AS (

@@ -195,6 +195,9 @@ def main() -> None:
         "mixture_rebalance",
         "corpus_diff",
         "normalized_docs",
+        "span_reconstruct",
+        "partition_verdicts",
+        "ngram_dup_spans",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

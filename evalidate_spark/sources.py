@@ -301,6 +301,35 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_cols=None,
+) -> None:
+    """Bounded training shards: every output parquet file holds at most
+    ``rows_per_shard`` rows (``maxRecordsPerFile`` — the writer rolls
+    files, so a skewed partition can't produce a 50 GB shard that stalls
+    one loader worker).  With ``order_cols`` the data is range-partitioned
+    and sorted so shard N's key range precedes shard N+1's — a
+    deterministic, resumable layout (loaders seek by shard index; re-runs
+    produce the same shard boundaries for the same input).
+
+    This is a per-write option, not a session conf, so concurrent writers
+    with different shard sizes don't interfere."""
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    out = df
+    if order_cols:
+        out = df.repartitionByRange(*[F.col("`%s`" % c) for c in order_cols])
+        out = out.sortWithinPartitions(*[F.col("`%s`" % c) for c in order_cols])
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+
+
 def zorder_bounds(df: DataFrame, columns):
     """1-row bounds DataFrame ``(__lo_<c>, __hi_<c>, …)`` for
     :func:`zorder_key` — crossJoin-broadcast it onto the data first."""

@@ -1,4 +1,4 @@
-"""Adversarial oracle-parity gate: 68 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: 69 driver queries — the whole oracled
 surface over documents/events/lineitem/supplier/embeddings/part/nation/
 region — must
 hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
@@ -91,6 +91,7 @@ QUERIES = [
     "partition_verdicts",
     "rule_firing_stats",
     "ngram_dup_spans",
+    "canonical_urls",
     "dup_clusters",
     # part/nation/region surface (NULL per rule branch; NULL join keys)
     "validate_part",

@@ -141,3 +141,32 @@ def test_ngram_dup_stats_marks_cross_doc_ngrams(spark):
     assert (out[3].n_ngrams, out[3].n_dup_ngrams) == (1, 0)
     assert (out[4].n_ngrams, out[4].n_dup_ngrams, out[4].dup_bp) == (0, 0, 0)
     assert (out[None].n_ngrams, out[None].n_dup_ngrams) == (2, 0)
+
+
+class TestPlanShape:
+    def test_reconstruct_is_pure_map(self, spark, tmp_path):
+        from evalidate_spark.fixtures import gen_documents
+
+        path = str(tmp_path / "docs_recon")
+        gen_documents(spark, 200, partitions=2).write.parquet(path)
+        docs = spark.read.parquet(path)
+        plan = (
+            reconstruct_text(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # flatten/render must not shuffle, window, or explode
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan
+
+    def test_keyed_verdicts_single_exchange(self, spark, tmp_path):
+        path = str(tmp_path / "docs_kv")
+        spark.range(300).selectExpr(
+            "id as doc_id", "cast(id as string) lang", "id % 20 as n"
+        ).repartition(4).write.parquet(path)
+        docs = spark.read.parquet(path)
+        out = keyed_verdicts(docs, DOC_RULES, (F.col("doc_id") % 8).cast("long"))
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # partial agg map-side → ONE exchange of ≤8×partitions rows
+        assert final.count("Exchange hashpartitioning") == 1, final
