@@ -308,7 +308,9 @@ def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rule_firing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-coverage report: violations per rule_id + distinct offending
     docs — the spec-lint signal (a rule that never fires is dead weight;
-    one that fires on every doc is probably miswritten)."""
+    one that fires on every doc is probably miswritten).  ``n_docs``
+    follows SQL COUNT(DISTINCT) semantics: NULL-id rows contribute to
+    ``n_violations`` but not ``n_docs`` (identical in both engines)."""
     docs = _t(spark, sf_dir, "documents")
     v = validate(docs, _doc_rules(), id_cols=["doc_id"]).violations
     return v.groupBy("rule_id").agg(
@@ -783,13 +785,16 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
-    k = (i % 7).cast("string")
+    # pmod keeps the case selector in [0,3] for negative ids, matching the
+    # oracle's ((doc_id % 4) + 4) % 4
+    m = F.pmod(i, 4)
+    k = F.pmod(i, 7).cast("string")
     url = (
-        F.when(i % 4 == 0, F.concat(F.lit("HTTP://WWW.Site"), k,
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.Site"), k,
                F.lit(".COM:80/a/b/?utm_source=x&z=1&a=2#frag")))
-        .when(i % 4 == 1, F.concat(F.lit("https://sub.site"), k, F.lit(".com:443/p"),
+        .when(m == 1, F.concat(F.lit("https://sub.site"), k, F.lit(".com:443/p"),
               i.cast("string"), F.lit("/")))
-        .when(i % 4 == 2, F.concat(F.lit("https://site"), k,
+        .when(m == 2, F.concat(F.lit("https://site"), k,
               F.lit(".com/path?b=2&a=1&fbclid=abc")))
         .otherwise(F.concat(F.lit("not a url "), i.cast("string")))
     )
@@ -2330,16 +2335,22 @@ WHERE rank <= 5
 # %4=2  https://siteK.com/path?b=2&a=1&fbclid=abc → ...?a=1&b=2
 # %4=3  not a URL → NULLs, is_web false; NULL doc_id → NULL url → all NULL
 ORACLE["canonical_urls"] = """
+WITH q AS (
+  SELECT doc_id,
+         ((doc_id % 4) + 4) % 4 AS m,
+         CAST(((doc_id % 7) + 7) % 7 AS VARCHAR) AS k
+  FROM documents
+)
 SELECT doc_id,
-  CASE WHEN doc_id % 4 = 0 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/b?a=2&z=1'
-       WHEN doc_id % 4 = 1 THEN 'https://sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
-       WHEN doc_id % 4 = 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/path?a=1&b=2'
+  CASE WHEN m = 0 THEN 'http://site' || k || '.com/a/b?a=2&z=1'
+       WHEN m = 1 THEN 'https://sub.site' || k || '.com/p' || CAST(doc_id AS VARCHAR)
+       WHEN m = 2 THEN 'https://site' || k || '.com/path?a=1&b=2'
   END AS url_canon,
-  CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
-       WHEN doc_id % 4 = 1 THEN 'sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+  CASE WHEN m = 0 OR m = 2 THEN 'site' || k || '.com'
+       WHEN m = 1 THEN 'sub.site' || k || '.com'
   END AS domain,
-  CASE WHEN doc_id IS NULL THEN NULL ELSE doc_id % 4 <> 3 END AS is_web
-FROM documents
+  CASE WHEN doc_id IS NULL THEN NULL ELSE m <> 3 END AS is_web
+FROM q
 """
 
 ORACLE["span_reconstruct"] = """

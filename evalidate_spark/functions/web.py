@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# query parameters that never identify the resource (analytics trackers)
-TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)($|=)"
+# query parameters that never identify the resource (analytics trackers);
+# (?i) because sites emit tracker names in any case — valid in Java regex
+# and RE2 alike
+TRACKING_PARAM_RE = r"(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)($|=)"
 
 _SCHEME_RE = r"^(https?)://"
 
@@ -30,6 +32,18 @@ def _base(url: Column) -> Column:
     return F.regexp_replace(F.trim(url), r"#.*$", "")
 
 
+def _host(base: Column) -> Column:
+    """Lowercased host with userinfo stripped and ``www.`` folded — the
+    single definition shared by :func:`canonicalize_url` and
+    :func:`url_domain` (keep punycode/IPv6 handling, if ever added, here)."""
+    rest = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    hostport = F.element_at(F.split(authority, "@"), -1)
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an http(s) URL (see module docstring for the
     exact folds).  NULL or non-http(s) input → NULL."""
@@ -37,19 +51,16 @@ def canonicalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    # userinfo (user:pass@) is dropped; host lowercased; www. folded
     hostport = F.element_at(F.split(authority, "@"), -1)
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
-    )
+    host = _host(base)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
-    # one trailing slash folds; bare "/" folds to ""
-    path = F.regexp_replace(path, r"/$", "")
+    # ALL trailing slashes fold (idempotent: '/p//'≡'/p/'≡'/p'; '/' → "")
+    path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(base, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
@@ -72,12 +83,7 @@ def url_domain(url: Column) -> Column:
     """Lowercased host with ``www.`` folded — the ``domain_caps`` /
     blocklist join key.  NULL for non-http(s) input."""
     base = _base(url)
-    rest = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.element_at(F.split(F.regexp_extract(rest, r"^([^/?]*)", 1), "@"), -1)
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
-    )
-    return F.when(_is_web(base), host)
+    return F.when(_is_web(base), _host(base))
 
 
 def canonical_urls(

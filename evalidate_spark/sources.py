@@ -311,9 +311,14 @@ def write_training_shards(
     ``rows_per_shard`` rows (``maxRecordsPerFile`` — the writer rolls
     files, so a skewed partition can't produce a 50 GB shard that stalls
     one loader worker).  With ``order_cols`` the data is range-partitioned
-    and sorted so shard N's key range precedes shard N+1's — a
-    deterministic, resumable layout (loaders seek by shard index; re-runs
-    produce the same shard boundaries for the same input).
+    and sorted so shard N's key range precedes shard N+1's — a globally
+    ordered layout loaders can seek by shard index.  Note the range
+    BOUNDARIES are sampled per run (Spark's RangePartitioner seeds its
+    reservoir from the RDD id), so two sessions may split the same input
+    at different keys: the ordering contract holds per run, byte-identical
+    re-sharding does not.  For cross-run-stable boundaries, pre-bucket by
+    an explicit key range (e.g. ``write_bucketed`` or a computed shard
+    column) instead.
 
     This is a per-write option, not a session conf, so concurrent writers
     with different shard sizes don't interfere."""

@@ -23,6 +23,9 @@ CASES = [
     ("https://a.com/p?utm_campaign=c&gclid=1", "https://a.com/p", "a.com"),
     # utm prefix must not swallow ordinary params
     ("https://a.com/p?utmost=1", "https://a.com/p?utmost=1", "a.com"),
+    # uppercase trackers fold too; repeated trailing slashes are idempotent
+    ("https://a.com/x?UTM_SOURCE=feed&b=1", "https://a.com/x?b=1", "a.com"),
+    ("https://a.com/p//", "https://a.com/p", "a.com"),
     ("ftp://files.com/x", None, None),
     ("not a url", None, None),
     (None, None, None),
@@ -37,8 +40,8 @@ def test_canonicalize_url_folds(spark):
         assert got[i].url_canon == canon, (raw, got[i].url_canon)
         assert got[i].domain == domain, (raw, got[i].domain)
     assert got[0].is_web is True
-    assert got[8].is_web is False
-    assert got[9].is_web is None  # NULL url → NULL verdict
+    assert got[len(CASES) - 2].is_web is False  # "not a url"
+    assert got[len(CASES) - 1].is_web is None  # NULL url → NULL verdict
 
 
 def test_canonical_collision_is_dedup_key(spark):
