@@ -252,7 +252,10 @@ def minhash_signature_arrow(
         # caller-supplied null array maps to NULL like the expression fold
         return pd.Series(out)
 
-    hs_col = F.transform(shingles(col, shingle_k), lambda s: F.xxhash64(s))
+    # udf_safe: the expression feeds the pandas UDF below (see shingles())
+    hs_col = F.transform(
+        shingles(col, shingle_k, udf_safe=True), lambda s: F.xxhash64(s)
+    )
     return sig(hs_col)
 
 
@@ -513,7 +516,10 @@ def simhash64_arrow(col: Column, shingle_k: int = 2) -> Column:
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    hs = F.transform(shingles(col, shingle_k), lambda s: F.xxhash64(s))
+    # udf_safe: the expression feeds the pandas UDF above (see shingles())
+    hs = F.transform(
+        shingles(col, shingle_k, udf_safe=True), lambda s: F.xxhash64(s)
+    )
     return vote(hs)
 
 

@@ -549,13 +549,49 @@ def rolling_hashes(col: Column, window: int = 8) -> Column:
     )
 
 
-def shingles(col: Column, k: int = 3) -> Column:
+def shingles(col: Column, k: int = 3, udf_safe: bool = False) -> Column:
     """k-token shingles (array<string>); docs shorter than k tokens yield a
-    single shingle of the whole text."""
+    single shingle of the whole text.
+
+    Two evaluation shapes, bit-identical outputs (pinned by the Arrow ≡
+    expression tests):
+
+    * default — token array LET-BOUND via a 1-element ``transform`` whose
+      inner lambda captures it.  A per-index lambda that references
+      ``tokens()`` directly would re-run the split+filter once PER SHINGLE
+      (HOFs are interpreted, not codegen'd): O(tokens²) per doc, measured
+      ~5× slower on every corpus query built on this.
+    * ``udf_safe=True`` — k shifted slices folded with ``zip_with``
+      (capture-free single-level lambdas; ``tokens()`` evaluated k+2
+      times per ROW, still linear).  Required when the result feeds a
+      pandas UDF: ``ExtractPythonUDFs`` cannot extract a UDF whose input
+      tree contains a lambda capturing an outer lambda's variable and
+      Spark dies with INTERNAL_ERROR "Cannot evaluate expression" — the
+      Arrow MinHash/SimHash variants hit exactly that."""
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    if udf_safe:
+        m = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+        zipped = F.slice(toks, 1, m)
+        for j in range(2, k + 1):
+            part = F.slice(toks, j, m)
+            zipped = F.zip_with(
+                zipped, part,
+                lambda a, b: F.when(b.isNull(), a).otherwise(F.concat_ws(" ", a, b)),
+            )
+        # short/NULL/empty docs: one whole-text shingle ("" when no tokens)
+        return F.when(
+            F.size(toks) >= k, zipped
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ),
+        1,
+    )
 
 
 def lm_scores(
@@ -592,12 +628,20 @@ def lm_scores(
     ids = F.col("`%s`" % id_col)
     tc = F.col("`%s`" % text_col)
     tk = tokens(tc)
-    pairs_arr = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 1),
-        lambda i: F.struct(
-            F.element_at(tk, i).alias("w1"),
-            F.element_at(tk, (i + 1).cast("int")).alias("w2"),
+    # token array LET-BOUND (1-element transform) — element_at(tokens(...))
+    # inside the lambda re-runs the split+filter per bigram, O(tokens²)
+    pairs_arr = F.element_at(
+        F.transform(
+            F.array(tk),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, (i + 1).cast("int")).alias("w2"),
+                ),
+            ),
         ),
+        1,
     )
     pairs = (
         df.filter(ids.isNotNull() & tc.isNotNull() & (F.size(tk) >= 2))

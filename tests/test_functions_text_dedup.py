@@ -860,3 +860,21 @@ class TestIncrementalDedup:
         )
         u2, _ = dedup.incremental_dedup(nxt, idx0.unionByName(idx1))
         assert {r["doc_id"] for r in u2.collect()} == {21}
+
+
+def test_shingles_variants_bit_identical(spark):
+    # the fast let-bound default and the udf_safe zip_with form must agree
+    # on every edge: normal, short, empty, whitespace-only, NULL text
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, ""), (4, "   "), (5, None), (6, "one")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        text.shingles(F.col("text"), 3).alias("s"),
+        text.shingles(F.col("text"), 3, udf_safe=True).alias("s2"),
+        text.shingles(F.col("text"), 2).alias("t"),
+        text.shingles(F.col("text"), 2, udf_safe=True).alias("t2"),
+    ).collect()
+    for r in rows:
+        assert list(r.s) == list(r.s2)
+        assert list(r.t) == list(r.t2)
