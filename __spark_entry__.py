@@ -139,6 +139,22 @@ def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail clipping at exact p05/p95 (integer-valued column, exact
+    percentile; 6-dp rounding absorbs the last-ulp interpolation
+    difference between engines — the operator itself clips unrounded)."""
+    from evalidate_spark.operators.table_checks import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    out = winsorize(li, "l_quantity", 0.05, 0.95, exact=True)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_quantity_winsorized"), 6).alias("clipped"),
+    )
+
+
 def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return uniqueness_violations(ev, "user_id")
@@ -1170,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_bloom": q_referential_bloom,
         "zorder_events": q_zorder_events,
         "uniqueness_composite": q_uniqueness_composite,
+        "winsorize_quantity": q_winsorize_quantity,
         "iqr_outliers": q_iqr_outliers,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
@@ -2334,6 +2351,19 @@ WHERE rank <= 5
 # %4=1  https://sub.siteK.com:443/pI/        → https://sub.siteK.com/pI
 # %4=2  https://siteK.com/path?b=2&a=1&fbclid=abc → ...?a=1&b=2
 # %4=3  not a URL → NULLs, is_web false; NULL doc_id → NULL url → all NULL
+ORACLE["winsorize_quantity"] = """
+WITH q AS (
+  SELECT quantile_cont(CAST(l_quantity AS double), 0.05) AS lo,
+         quantile_cont(CAST(l_quantity AS double), 0.95) AS hi
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CASE WHEN l_quantity IS NULL THEN NULL
+            ELSE round(least(greatest(CAST(l_quantity AS double), q.lo), q.hi), 6)
+       END AS clipped
+FROM lineitem, q
+"""
+
 ORACLE["canonical_urls"] = """
 WITH q AS (
   SELECT doc_id,

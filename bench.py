@@ -198,6 +198,8 @@ def main() -> None:
         "span_reconstruct",
         "partition_verdicts",
         "ngram_dup_spans",
+        "canonical_urls",
+        "winsorize_quantity",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

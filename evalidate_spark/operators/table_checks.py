@@ -390,6 +390,45 @@ def iqr_outliers(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+    out_col: str = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Winsorization: *col* clipped to its ``[lower_p, upper_p]`` quantile
+    range — the standard heavy-tail guard before numeric features feed a
+    model or a drift monitor (a single corrupt 1e308 row otherwise owns
+    the histogram/PSI bounds).  NULL values pass through NULL.
+
+    Returns *df* with ``out_col`` (default ``<col>_winsorized``) added.
+    Same plan shape as :func:`iqr_outliers`: one tiny quantile agg
+    (GK sketch by default, exact ``percentile`` for audit/oracle parity)
+    broadcast onto a stateless projection — a scan plus a 1-row
+    broadcast, no data shuffle at any scale."""
+    if not (0.0 <= lower_p <= upper_p <= 1.0):
+        raise ValueError("need 0 <= lower_p <= upper_p <= 1")
+    out_col = out_col or "%s_winsorized" % col
+    c = F.col("`%s`" % col).cast("double")
+    pfn = F.percentile if exact else F.percentile_approx
+    q = (
+        df.filter(c.isNotNull())
+        .agg(pfn(c, [float(lower_p), float(upper_p)]).alias("__q"))
+        .select(F.col("__q")[0].alias("__wlo"), F.col("__q")[1].alias("__whi"))
+    )
+    clipped = F.when(
+        c.isNotNull(),
+        F.least(F.greatest(c, F.col("__wlo")), F.col("__whi")),
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .withColumn(out_col, clipped)
+        .drop("__wlo", "__whi")
+    )
+
+
 def drift_quantile(
     current: DataFrame,
     baseline: DataFrame,

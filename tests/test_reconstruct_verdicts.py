@@ -170,3 +170,22 @@ class TestPlanShape:
         final = plan.split("== Initial Plan ==")[0]
         # partial agg map-side → ONE exchange of ≤8×partitions rows
         assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_winsorize_clips_and_passes_nulls(spark):
+    import pytest as _pt
+    from evalidate_spark.operators.table_checks import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+        + [(99, None)],
+        "id long, v double",
+    )
+    out = {r.id: r.v_winsorized for r in winsorize(df, "v", 0.1, 0.9, exact=True).collect()}
+    # exact p10/p90 over n=10: rank p*(n-1)=0.9 → p10=1.9 ; rank 8.1 → p90=9+0.1*991
+    assert out[0] == 1.9 and out[1] == 2.0  # low tail clipped up, 2.0 untouched
+    assert out[5] == 6.0  # interior untouched
+    assert out[9] == _pt.approx(9 + 0.1 * 991)  # 1000 clipped to p90
+    assert out[99] is None  # NULL passes through
+    with _pt.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
