@@ -155,6 +155,22 @@ def q_winsorize_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop nightly data-quality report: engine rule violations,
+    uniqueness, referential, and span-structure checks folded to one
+    (check_id, n_violations, status) row each."""
+    from evalidate_spark.operators.table_checks import check_suite
+
+    return check_suite(
+        [
+            ("doc_rules", q_validate_documents(spark, sf_dir)),
+            ("events_user_unique", q_uniqueness_events_user(spark, sf_dir)),
+            ("lineitem_supplier_ref", q_referential_lineitem_supplier(spark, sf_dir)),
+            ("span_structure", q_span_structure(spark, sf_dir)),
+        ]
+    )
+
+
 def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return uniqueness_violations(ev, "user_id")
@@ -1187,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "uniqueness_composite": q_uniqueness_composite,
         "winsorize_quantity": q_winsorize_quantity,
+        "check_suite": q_check_suite,
         "iqr_outliers": q_iqr_outliers,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
@@ -2351,6 +2368,20 @@ WHERE rank <= 5
 # %4=1  https://sub.siteK.com:443/pI/        → https://sub.siteK.com/pI
 # %4=2  https://siteK.com/path?b=2&a=1&fbclid=abc → ...?a=1&b=2
 # %4=3  not a URL → NULLs, is_web false; NULL doc_id → NULL url → all NULL
+# composed from the member oracles so the suite report can never drift
+# from the individual checks
+ORACLE["check_suite"] = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS check_id, CAST(count(*) AS BIGINT) AS n_violations,
+       CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM ({ORACLE[src]})"""
+    for name, src in [
+        ("doc_rules", "validate_documents"),
+        ("events_user_unique", "uniqueness_events_user"),
+        ("lineitem_supplier_ref", "referential_lineitem_supplier"),
+        ("span_structure", "span_structure"),
+    ]
+)
+
 ORACLE["winsorize_quantity"] = """
 WITH q AS (
   SELECT quantile_cont(CAST(l_quantity AS double), 0.05) AS lo,

@@ -390,6 +390,37 @@ def iqr_outliers(
     )
 
 
+def check_suite(checks) -> DataFrame:
+    """Unified report over a whole validation config: *checks* is a
+    sequence of ``(check_id, violations_df)`` pairs — any mix of engine
+    violations, uniqueness/referential/span outputs — and the result is
+    one row per check: ``(check_id, n_violations, status)`` with status
+    ``'pass'`` when the violation set is empty.
+
+    Each check collapses to a 1-row count aggregate before the union, so
+    the suite costs exactly the sum of its member scans and moves one row
+    per check — the shape a nightly data-quality job wants at any corpus
+    size.  Checks stay independent Spark jobs under one action (the union
+    is evaluated together; AQE schedules the branches)."""
+    checks = list(checks)
+    if not checks:
+        raise ValueError("check_suite needs at least one (check_id, df) pair")
+    outs = [
+        df.agg(
+            F.lit(str(name)).alias("check_id"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+        for name, df in checks
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.withColumn(
+        "status",
+        F.when(F.col("n_violations") == 0, F.lit("pass")).otherwise(F.lit("fail")),
+    )
+
+
 def winsorize(
     df: DataFrame,
     col: str,

@@ -1,4 +1,4 @@
-"""Adversarial oracle-parity gate: 70 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: 71 driver queries — the whole oracled
 surface over documents/events/lineitem/supplier/embeddings/part/nation/
 region — must
 hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
@@ -84,6 +84,7 @@ QUERIES = [
     "referential_lineitem_supplier",
     "referential_bloom",
     "winsorize_quantity",
+    "check_suite",
     # spans surface (NULL text/id/n_chars flow through the derived spans)
     "span_structure",
     "span_refs_dangling",

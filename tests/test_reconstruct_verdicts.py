@@ -189,3 +189,16 @@ def test_winsorize_clips_and_passes_nulls(spark):
     assert out[99] is None  # NULL passes through
     with _pt.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_check_suite_statuses(spark):
+    import pytest as _pt
+    from evalidate_spark.operators.table_checks import check_suite
+
+    empty = spark.range(0).selectExpr("id as doc_id")
+    bad = spark.range(3).selectExpr("id as doc_id")
+    out = {r.check_id: r for r in check_suite([("a", empty), ("b", bad)]).collect()}
+    assert out["a"].n_violations == 0 and out["a"].status == "pass"
+    assert out["b"].n_violations == 3 and out["b"].status == "fail"
+    with _pt.raises(ValueError):
+        check_suite([])
