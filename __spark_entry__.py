@@ -1180,10 +1180,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over the deterministic
     synthetic media table.  Decode is REAL for every image format in the
     table — baseline JPEG (pure-numpy T.81 codec), PNG (stdlib zlib),
-    BMP — plus PCM WAV audio; only video stays stubbed (flagged
-    ``decoded = false``).  No SQL oracle (payload decode isn't
-    SQL-expressible); codecs are verified independently in pytest."""
+    BMP — plus PCM WAV audio and MJPEG/DIB AVI video (header probe).
+    No SQL oracle (payload decode isn't SQL-expressible); codecs are
+    verified independently in pytest."""
     return multimodal.extract_features(multimodal.synth_media(spark, 200))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: MJPEG / uncompressed-DIB AVI payloads are
+    decoded frame-by-frame (pure-numpy T.81 JPEG + DIB codecs,
+    ``functions/avi.py``) and sampled on a 250 ms grid — 1→N ``mapInPandas``
+    expansion, frame bytes never leave the executors.  No SQL oracle (video
+    decode isn't SQL-expressible); the codec and the sha-per-frame contract
+    are verified independently in pytest (``TestAviCodec``,
+    ``test_frame_sample_real``)."""
+    media = multimodal.synth_media(spark, 120)
+    return multimodal.frame_sample(media, every_ms=250).orderBy(
+        "media_ref", "ts_ms"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1267,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
     }
 
 

@@ -1,0 +1,242 @@
+"""Zero-dependency AVI video container codec (public Microsoft RIFF-AVI
+layout), making the multimodal pipeline's VIDEO decode step real in this
+sandbox — the last modality that was previously a stub.
+
+Two frame encodings, both library-free here:
+
+* **MJPEG** (``MJPG`` fourcc): each ``00dc`` chunk in the ``movi`` list is
+  a complete baseline JPEG, decoded by the pure-numpy T.81 decoder in
+  :mod:`evalidate_spark.functions.jpeg`.  This is the classic
+  capture/webcam interchange format and exercises a REAL lossy video path.
+* **Uncompressed DIB** (``BI_RGB``): ``00db`` chunks hold bottom-up BGR
+  rows padded to 4 bytes — the same pixel-array layout as 24-bit BMP.
+
+Container layout (public spec — Microsoft "AVI RIFF File Reference"):
+``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+00dc/00db...) idx1)``.  All sizes little-endian; chunks are word-aligned
+(a pad byte follows odd-sized chunk data).  ``avih.dwMicroSecPerFrame``
+and ``strh.dwScale/dwRate`` both carry the frame period; the decoder
+trusts ``strh`` (rate/scale) and falls back to ``avih``.
+
+Not implemented (raise, never mis-decode): audio streams inside AVI,
+palettized/16-bpp DIBs, OpenDML ``AVIX`` extension riffs, any compressed
+fourcc other than MJPG.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg
+
+_AVIF_HASINDEX = 0x00000010
+_VIDEO_CHUNK_IDS = (b"00dc", b"00db")
+
+
+def _chunk(ckid: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return ckid + struct.pack("<I", len(data)) + data + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def _headers(
+    n_frames: int, w: int, h: int, fps: int, handler: bytes, compression: int,
+    max_chunk: int,
+) -> bytes:
+    """LIST('hdrl') for one video stream."""
+    us_per_frame = round(1_000_000 / fps)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, max_chunk * fps, 0, _AVIF_HASINDEX,
+        n_frames, 0, 1, max_chunk, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", handler, 0, 0, 0, 0,
+        1, fps, 0, n_frames, max_chunk, 0, 0,
+        0, 0, w, h,
+    )
+    # BITMAPINFOHEADER — biHeight positive = bottom-up (DIB convention)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, w * h * 3, 0, 0, 0, 0
+    )
+    strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    return _list(b"hdrl", _chunk(b"avih", avih) + strl)
+
+
+def _dib_frame(px: np.ndarray) -> bytes:
+    """uint8 [H, W, 3] RGB → bottom-up padded BGR rows (BMP pixel array)."""
+    h, w = px.shape[:2]
+    pad = (-(w * 3)) % 4
+    bgr = px[::-1, :, ::-1]
+    if pad == 0:
+        return bgr.tobytes()
+    out = bytearray()
+    zero = b"\x00" * pad
+    for r in range(h):
+        out += bgr[r].tobytes() + zero
+    return bytes(out)
+
+
+def _encode(frames: List[np.ndarray], fps: int, mjpeg: bool, quality: int) -> bytes:
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    first = np.asarray(frames[0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError("expected [H, W, 3] RGB frames")
+    h, w = first.shape[:2]
+    ckid = b"00dc" if mjpeg else b"00db"
+    blobs = []
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one size")
+        blobs.append(encode_jpeg(f, quality=quality) if mjpeg else _dib_frame(f))
+    movi_payload = b"movi"
+    index = bytearray()
+    for b in blobs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        index += ckid + struct.pack("<III", 0x10, len(movi_payload), len(b))
+        movi_payload += _chunk(ckid, b)
+    handler = b"MJPG" if mjpeg else b"DIB "
+    compression = struct.unpack("<I", b"MJPG")[0] if mjpeg else 0
+    body = (
+        _headers(len(blobs), w, h, fps, handler, compression, max(map(len, blobs)))
+        + _chunk(b"LIST", movi_payload)
+        + _chunk(b"idx1", bytes(index))
+    )
+    return _chunk(b"RIFF", b"AVI " + body)
+
+
+def encode_avi_mjpeg(frames: List[np.ndarray], fps: int = 4, quality: int = 85) -> bytes:
+    """uint8 ``[H, W, 3]`` RGB frames → MJPEG AVI bytes (lossy)."""
+    return _encode(frames, fps, mjpeg=True, quality=quality)
+
+
+def encode_avi_dib(frames: List[np.ndarray], fps: int = 4) -> bytes:
+    """uint8 ``[H, W, 3]`` RGB frames → uncompressed-DIB AVI bytes
+    (bit-exact roundtrip)."""
+    return _encode(frames, fps, mjpeg=False, quality=0)
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _walk(data: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield ``(ckid_or_listtype, payload_start, payload_end)`` for each
+    chunk in ``data[start:end]``; LIST chunks yield their list type with
+    the bounds of their inner payload."""
+    pos = start
+    while pos + 8 <= end:
+        ckid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated AVI chunk")
+        if ckid == b"LIST":
+            yield data[body : body + 4], body + 4, body + size
+        else:
+            yield ckid, body, body + size
+        pos = body + size + (size % 2)
+
+
+class AviInfo:
+    """Header-only parse result — dims, frame count, timing, codec."""
+
+    __slots__ = ("width", "height", "n_frames", "fps", "handler", "bpp",
+                 "compression", "_movi")
+
+    @property
+    def duration_ms(self) -> int:
+        return int(round(self.n_frames * 1000 / self.fps))
+
+
+def probe_avi(data: bytes) -> AviInfo:
+    """Parse headers only (no frame decode) — the cheap path for
+    feature extraction over a 100 TB media column."""
+    if not is_avi(data):
+        raise ValueError("not an AVI payload")
+    info = AviInfo()
+    info._movi = None
+    us_per_frame = 0
+    scale = rate = 0
+    info.handler = b""
+    info.compression = 0
+    info.bpp = 24
+    for ckid, s, e in _walk(data, 12, len(data)):
+        if ckid == b"hdrl":
+            for hid, hs, he in _walk(data, s, e):
+                if hid == b"avih":
+                    (us_per_frame, _, _, _, n_frames, _, _, _, w, h) = (
+                        struct.unpack_from("<10I", data, hs)
+                    )
+                    info.n_frames, info.width, info.height = n_frames, w, h
+                elif hid == b"strl":
+                    for sid, ss, se in _walk(data, hs, he):
+                        if sid == b"strh":
+                            fcc, handler = struct.unpack_from("<4s4s", data, ss)
+                            if fcc == b"vids":
+                                info.handler = handler
+                                scale, rate = struct.unpack_from("<II", data, ss + 20)
+                        elif sid == b"strf":
+                            (_, bw, bh, _, bpp, comp) = struct.unpack_from(
+                                "<IiiHHI", data, ss
+                            )
+                            info.bpp = bpp
+                            info.compression = comp
+        elif ckid == b"movi":
+            info._movi = (s, e)
+    if info._movi is None or not getattr(info, "width", 0):
+        raise ValueError("AVI missing hdrl/movi")
+    if scale and rate:
+        info.fps = rate / scale
+    elif us_per_frame:
+        info.fps = 1_000_000 / us_per_frame
+    else:
+        raise ValueError("AVI carries no frame timing")
+    return info
+
+
+def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
+    """AVI bytes → (list of uint8 ``[H, W, 3]`` RGB frames, fps).
+
+    MJPG chunks go through the baseline-JPEG decoder; ``00db`` chunks are
+    read as 24-bpp bottom-up BGR DIBs.  Any other codec raises
+    ``NotImplementedError`` (honest stub boundary, never a garbage
+    decode)."""
+    info = probe_avi(data)
+    mjpg = info.handler.upper() == b"MJPG" or info.compression == struct.unpack(
+        "<I", b"MJPG"
+    )[0]
+    if not mjpg and info.compression != 0:
+        raise NotImplementedError(
+            "only MJPG and uncompressed-DIB AVI streams are decodable "
+            "without external codec libraries"
+        )
+    if not mjpg and info.bpp != 24:
+        raise NotImplementedError("only 24-bpp DIB frames supported")
+    frames: List[np.ndarray] = []
+    w, h = info.width, info.height
+    stride = w * 3 + ((-(w * 3)) % 4)
+    for ckid, s, e in _walk(data, info._movi[0], info._movi[1]):
+        if ckid not in _VIDEO_CHUNK_IDS:
+            continue
+        blob = data[s:e]
+        if mjpg:
+            frames.append(decode_jpeg(bytes(blob)))
+        else:
+            if len(blob) < stride * h:
+                raise ValueError("truncated DIB frame")
+            rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h).reshape(
+                h, stride
+            )
+            px = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+            frames.append(px.copy())
+    return frames, info.fps

@@ -3,16 +3,18 @@
 ``mapInPandas`` UDFs.
 
 The Spark side is real and tested: schemas, batch iteration, partition
-sizing, UDF signatures.  The decode step is REAL for every dominant image
-format — baseline JPEG (pure numpy Huffman+IDCT,
+sizing, UDF signatures.  The decode step is REAL for every modality now:
+images — baseline JPEG (pure numpy Huffman+IDCT,
 :mod:`evalidate_spark.functions.jpeg`), PNG (stdlib zlib), 24-bit BMP —
-plus 16-bit PCM WAV audio, via the zero-dependency codecs in
-:mod:`evalidate_spark.functions.codecs`.  Video (and exotic variants:
-progressive JPEG, stereo WAV, …) remains a **clearly-marked stub**:
-``strict=True`` raises ``NotImplementedError``, the default derives
-deterministic fake dimensions (flagged ``decoded = false`` in the feature
-rows) so pipelines stay testable end-to-end.  Swap :func:`decode_media`'s
-fallback for pyav in production; nothing else changes.
+audio — 16-bit PCM WAV — and video — MJPEG / uncompressed-DIB AVI
+(:mod:`evalidate_spark.functions.avi`): header-only probe for features,
+full frame decode + sampling in :func:`frame_sample`.  Exotic variants
+(progressive JPEG, stereo WAV, H.264/VP9 video, …) remain a
+**clearly-marked stub**: ``strict=True`` raises ``NotImplementedError``,
+the default derives deterministic fake dimensions (flagged
+``decoded = false`` in the feature rows) so pipelines stay testable
+end-to-end.  Swap :func:`decode_media`'s fallback for pyav in production;
+nothing else changes.
 
 Scale notes: payload bytes never pass through the driver, never join, and
 never shuffle — feature extraction is a map-only stage.  Keep
@@ -28,7 +30,7 @@ from typing import Iterator, Optional
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from . import codecs
+from . import avi, codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -59,8 +61,10 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
     """Decode one payload to typed features.
 
     Real paths (no external libraries): baseline JPEG, PNG, and BMP →
-    width/height; WAV → duration/sample-rate/RMS.  Anything else is a
-    codec this sandbox cannot decode (video, progressive JPEG, …):
+    width/height; WAV → duration/sample-rate/RMS; MJPEG/DIB AVI video →
+    width/height/duration (header-only probe — frame bytes untouched, the
+    cheap path over a 100 TB media column).  Anything else is a codec
+    this sandbox cannot decode (H.264 video, progressive JPEG, …):
     ``strict=True`` raises ``NotImplementedError``; otherwise
     deterministic pseudo-dimensions are derived from the payload hash and
     the row is flagged ``decoded: False``."""
@@ -95,6 +99,17 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
         try:
             px = codecs.decode_jpeg(payload)
             out.update(width=int(px.shape[1]), height=int(px.shape[0]))
+            return out
+        except Exception:
+            pass
+    if kind == "video" and avi.is_avi(payload):
+        try:
+            info = avi.probe_avi(payload)
+            out.update(
+                width=int(info.width),
+                height=int(info.height),
+                duration_ms=int(info.duration_ms),
+            )
             return out
         except Exception:
             pass
@@ -241,10 +256,86 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling for MJPEG / uncompressed-DIB AVI payloads
+    (:data:`FRAME_SCHEMA` rows): decode the stream once per payload, then
+    emit the frame at-or-before each ``every_ms`` grid point — one row per
+    sample with the frame's true dims and a sha-256 of its RGB pixels
+    (``decoded = true``).  Video payloads in codecs this sandbox cannot
+    decode (H.264, VP9, …) fall back to the deterministic pseudo-frame rows
+    flagged ``decoded = false`` so mixed corpora still flow end-to-end.
+
+    1→N ``mapInPandas`` row expansion; payload and frame bytes never leave
+    the executors — downstream consumers join on (media_ref, frame_ix)."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for ref, kind, payload in zip(
+                pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                payload = bytes(payload) if payload is not None else b""
+                frames = None
+                if avi.is_avi(payload):
+                    try:
+                        frames, fps = avi.decode_avi(payload)
+                    except (NotImplementedError, ValueError):
+                        frames = None
+                if frames:
+                    dur = int(round(len(frames) * 1000 / fps))
+                    for ix, ts in enumerate(range(0, dur, every_ms)):
+                        fix = min(int(ts * fps / 1000), len(frames) - 1)
+                        px = frames[fix]
+                        rows["media_ref"].append(ref)
+                        rows["frame_ix"].append(fix)
+                        rows["ts_ms"].append(ts)
+                        rows["width"].append(px.shape[1])
+                        rows["height"].append(px.shape[0])
+                        rows["frame_sha"].append(
+                            hashlib.sha256(px.tobytes()).hexdigest()
+                        )
+                        rows["decoded"].append(True)
+                else:
+                    stub = decode_media(kind, payload)
+                    for ix, ts in enumerate(range(0, stub["duration_ms"], every_ms)):
+                        rows["media_ref"].append(ref)
+                        rows["frame_ix"].append(ix)
+                        rows["ts_ms"].append(ts)
+                        rows["width"].append(stub["width"])
+                        rows["height"].append(stub["height"])
+                        rows["frame_sha"].append(
+                            hashlib.sha256(
+                                payload + ts.to_bytes(4, "big")
+                            ).hexdigest()
+                        )
+                        rows["decoded"].append(False)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """STUB video frame sampling: emits one row per sampled frame with a
-    deterministic frame payload (real impl: pyav keyframe iteration — video
-    containers are all compressed, no library-free path exists).
+    deterministic frame payload, regardless of container (use
+    :func:`frame_sample` for the real MJPEG/DIB-AVI decode path).
     Demonstrates the 1→N ``mapInPandas`` row-expansion shape."""
     import hashlib
 
@@ -283,8 +374,9 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
     library-free codec exists: images rotate through true baseline JPEGs
     (the dominant lossy web format), true PNGs (zlib-deflated), and true
     24-bit BMPs (8–23 px noise squares), audio is true mono 16-bit PCM WAV
-    (sine tones 1.0–3.0 s at 4 kHz), video stays an opaque pseudo-payload
-    (every video container is compressed).  Generated distributed
+    (sine tones 1.0–3.0 s at 4 kHz), video is true AVI — alternating MJPEG
+    (lossy, through the baseline-JPEG encoder) and uncompressed-DIB
+    (bit-exact) streams of 2–4 noise frames at 4 fps.  Generated distributed
     (``mapInPandas`` over ``spark.range`` — no driver-side loop), seeded
     per id."""
     import numpy as np
@@ -317,7 +409,15 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
                     ).astype(np.int16)
                     payload = codecs.encode_wav(samples, rate)
                 else:
-                    payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+                    w, h = 8 + i % 8, 8 + (i // 3) % 8
+                    frames = [
+                        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                        for _ in range(2 + i % 3)
+                    ]
+                    if (i // 3) % 2 == 0:
+                        payload = avi.encode_avi_mjpeg(frames, fps=4, quality=85)
+                    else:
+                        payload = avi.encode_avi_dib(frames, fps=4)
                 refs.append(f"m-{i}")
                 kinds.append(kind)
                 payloads.append(payload)

@@ -304,6 +304,77 @@ class TestCodecs:
         assert d["decoded"] is False and d["duration_ms"] >= 1000
 
 
+class TestAviCodec:
+    def _frames(self, n=3, h=10, w=13, seed=7):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+    def test_dib_roundtrip_bit_exact(self):
+        from evalidate_spark.functions import avi
+
+        frames = self._frames()
+        blob = avi.encode_avi_dib(frames, fps=4)
+        dec, fps = avi.decode_avi(blob)
+        assert fps == 4.0 and len(dec) == len(frames)
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+
+    def test_mjpeg_decodes_close_on_smooth_content(self):
+        from evalidate_spark.functions import avi
+
+        h, w = 16, 24
+        y, x = np.mgrid[0:h, 0:w]
+        base = ((x * 9 + y * 5) % 256).astype(np.uint8)
+        frames = [
+            np.stack([base, (base + 40 * k) % 256, 255 - base], axis=-1).astype(
+                np.uint8
+            )
+            for k in range(3)
+        ]
+        blob = avi.encode_avi_mjpeg(frames, fps=2, quality=92)
+        dec, fps = avi.decode_avi(blob)
+        assert fps == 2.0 and len(dec) == 3
+        for a, b in zip(frames, dec):
+            assert b.shape == a.shape
+            assert float(np.abs(a.astype(int) - b.astype(int)).mean()) < 12.0
+
+    def test_probe_headers_only(self):
+        from evalidate_spark.functions import avi
+
+        blob = avi.encode_avi_mjpeg(self._frames(n=4, h=8, w=9), fps=4)
+        info = avi.probe_avi(blob)
+        assert (info.width, info.height, info.n_frames) == (9, 8, 4)
+        assert info.fps == 4.0 and info.duration_ms == 1000
+        assert info.handler == b"MJPG"
+
+    def test_honest_failure_modes(self):
+        from evalidate_spark.functions import avi
+
+        assert not avi.is_avi(b"RIFF\x00\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            avi.probe_avi(b"not an avi at all")
+        blob = avi.encode_avi_dib(self._frames(n=1), fps=4)
+        with pytest.raises(ValueError, match="truncated"):
+            avi.decode_avi(blob[:-40])
+        # unknown fourcc must raise, never garbage-decode: rewrite the strf
+        # chunk's biCompression field (offset 16 into BITMAPINFOHEADER) to a
+        # codec we don't support
+        comp_at = blob.find(b"strf") + 8 + 16
+        h264 = blob[:comp_at] + b"H264" + blob[comp_at + 4 :]
+        with pytest.raises(NotImplementedError):
+            avi.decode_avi(h264)
+
+    def test_word_alignment_odd_jpeg_sizes(self):
+        from evalidate_spark.functions import avi
+
+        # MJPEG chunks are arbitrary (often odd) sizes — padding must hold
+        # across many frames
+        frames = self._frames(n=5, h=9, w=11, seed=3)
+        blob = avi.encode_avi_mjpeg(frames, fps=5, quality=35)
+        dec, fps = avi.decode_avi(blob)
+        assert len(dec) == 5 and all(f.shape == (9, 11, 3) for f in dec)
+
+
 class TestMultimodal:
     def test_real_decode_on_synth(self, spark):
         media = multimodal.synth_media(spark, n=30)
@@ -311,10 +382,12 @@ class TestMultimodal:
         by_kind = {}
         for r in feats:
             by_kind.setdefault(r["media_kind"], []).append(r)
-        # images and audio decode for REAL; only video uses stub dims
+        # every modality decodes for REAL now — video via the AVI probe
         assert all(r["decoded"] for r in by_kind["image"])
         assert all(r["decoded"] for r in by_kind["audio"])
-        assert all(not r["decoded"] for r in by_kind["video"])
+        assert all(r["decoded"] for r in by_kind["video"])
+        assert all(8 <= r["width"] <= 15 for r in by_kind["video"])
+        assert all(r["duration_ms"] in (500, 750, 1000) for r in by_kind["video"])
         assert all(8 <= r["width"] <= 23 for r in by_kind["image"])
         assert all(r["sample_rate"] == 4000 and r["rms"] > 0 for r in by_kind["audio"])
         assert all(1000 <= r["duration_ms"] <= 3000 for r in by_kind["audio"])
@@ -376,6 +449,45 @@ class TestMultimodal:
         assert set(per_ref) == {v["media_ref"] for v in vids}
         for ref, fs in per_ref.items():
             assert [f["frame_ix"] for f in sorted(fs, key=lambda x: x["ts_ms"])] == list(range(len(fs)))
+
+    def test_frame_sample_real(self, spark):
+        from evalidate_spark.functions import avi
+        import hashlib
+
+        media = multimodal.synth_media(spark, n=24)
+        frames = multimodal.frame_sample(media, every_ms=250).collect()
+        vids = {
+            r["media_ref"]: bytes(r["payload"])
+            for r in media.collect()
+            if r["media_kind"] == "video"
+        }
+        assert frames and {f["media_ref"] for f in frames} == set(vids)
+        # every sampled row comes from a REAL decode and its sha matches an
+        # independent re-decode of the same payload
+        per_ref = {}
+        for f in frames:
+            assert f["decoded"] is True
+            per_ref.setdefault(f["media_ref"], []).append(f)
+        for ref, fs in per_ref.items():
+            decoded, fps = avi.decode_avi(vids[ref])
+            dur = int(round(len(decoded) * 1000 / fps))
+            assert len(fs) == len(range(0, dur, 250))
+            for f in sorted(fs, key=lambda x: x["ts_ms"]):
+                want = min(int(f["ts_ms"] * fps / 1000), len(decoded) - 1)
+                assert f["frame_ix"] == want
+                px = decoded[f["frame_ix"]]
+                assert (f["width"], f["height"]) == (px.shape[1], px.shape[0])
+                assert f["frame_sha"] == hashlib.sha256(px.tobytes()).hexdigest()
+
+    def test_frame_sample_fallback_flagged(self, spark):
+        # a non-AVI video payload still yields rows, flagged decoded=false
+        rows = [("v-0", "video", b"\x00h264-ish-opaque-payload", {"src": "t"})]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.frame_sample(media, every_ms=1000).collect()
+        assert out and all(f["decoded"] is False for f in out)
+        assert [f["frame_ix"] for f in sorted(out, key=lambda x: x["ts_ms"])] == list(
+            range(len(out))
+        )
 
     def test_resize_stub_meta(self, spark):
         media = multimodal.synth_media(spark, n=5)
