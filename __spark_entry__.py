@@ -32,7 +32,7 @@ from evalidate_spark import (
     validate_values,
     validate_zipped,
 )
-from evalidate_spark.functions import dedup, multimodal, similarity, text
+from evalidate_spark.functions import dedup, multimodal, perceptual, similarity, text
 from evalidate_spark import lib as _lib
 from evalidate_spark.operators.table_checks import (
     drift_categorical,
@@ -1200,6 +1200,24 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container near-duplicate IMAGE detection: perceptual dHash
+    (map-only Arrow stage over real decoded pixels — JPEG/PNG/BMP) banded
+    through the capped Hamming bucketing shared with SimHash
+    (``functions/perceptual.py``).  The corpus injects a PNG transcode of
+    every image, so expected recall is exactly one pair per image at
+    Hamming 0.  No SQL oracle (pixel decode isn't SQL-expressible); hash
+    properties and recall are pytest-verified (``tests/test_perceptual.py``)."""
+    media = multimodal.synth_media(spark, 90)
+    images = media.filter(F.col("media_kind") == "image")
+    copies = perceptual.transcode_images(images, "png").withColumn(
+        "media_ref", F.concat(F.col("media_ref"), F.lit("::png"))
+    )
+    return perceptual.image_near_dups(
+        images.unionByName(copies), max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -1282,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "image_near_dups": q_image_near_dups,
     }
 
 

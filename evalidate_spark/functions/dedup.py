@@ -572,7 +572,34 @@ def simhash_candidates(
     sig = simhash64(tc, shingle_k)
     # NULL-text rows never produce candidates (same rationale as MinHash)
     sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
-    chunks = sigs.select(
+    return hamming_candidates(
+        sigs, id_col="__id", sig_col="__sig", n_chunks=4, max_bucket=max_bucket
+    )
+
+
+def hamming_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_chunks: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Banding over any 64-bit bigint signature column (SimHash, perceptual
+    image dHash, …): split into *n_chunks* equal-width chunks; rows sharing
+    any chunk value become candidate pairs — by pigeonhole this catches
+    EVERY pair with Hamming distance < n_chunks (wider radii are caught
+    probabilistically).  Returns ``(id_a, id_b, hamming, truncated)`` with
+    exact ``bit_count(xor)`` Hamming distance; buckets are capped at
+    *max_bucket* members BEFORE ``collect_list`` (deterministic first-ids),
+    so one degenerate signature value can never OOM an executor."""
+    if 64 % n_chunks != 0:
+        raise ValueError("n_chunks must divide 64")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    ids = F.col("`%s`" % id_col)
+    sg = F.col("`%s`" % sig_col).cast("bigint")
+    base = sigs.select(ids.alias("__id"), sg.alias("__sig"))
+    chunks = base.select(
         "__id",
         "__sig",
         F.explode(
@@ -580,9 +607,11 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("__sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        F.shiftright(F.col("__sig"), width * c)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -1,0 +1,202 @@
+"""Perceptual image hashing (dHash) and cross-container near-duplicate
+image detection.
+
+Training corpora carry the *same* image re-encoded many ways — PNG vs BMP
+vs JPEG, different quality settings — so byte-level dedup (sha over the
+payload) misses most image duplicates.  dHash ("difference hash", public
+domain technique popularized by Krawetz's "Kind of Like That" blog post)
+compares each pixel of a 9×8 grayscale thumbnail with its right neighbour,
+giving a 64-bit signature that is invariant to container, scale, and mild
+lossy re-encoding, while distinct images land ~32 bits apart.
+
+Spark shape: hashing is a map-only Arrow ``mapInPandas`` stage over the
+payload column (pixels never shuffle, never hit the driver — only the
+8-byte signature leaves the stage); pairing reuses the capped Hamming
+banding from :func:`evalidate_spark.functions.dedup.hamming_candidates`,
+so the whole pipeline is signature-sized after the first stage — the same
+scan-once/shuffle-tiny design as text MinHash.  With ``n_chunks=8`` every
+pair within Hamming distance 7 is caught deterministically (pigeonhole
+over 8-bit bands).
+
+No SQL oracle is possible (decode + DCT-free thumbnailing aren't
+SQL-expressible); correctness is pytest-verified instead: container
+invariance (PNG ≡ BMP ≡ JPEG-decode of the same pixels), JPEG re-encode
+proximity, distinct-image separation, and exact recall on an injected
+duplicate corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from . import codecs
+from .dedup import hamming_candidates
+
+_GRAY = np.array([0.299, 0.587, 0.114])  # ITU-R BT.601 luma
+
+
+def _box_means(g: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Exact area-average resize of a 2-D float array to (th, tw) via a
+    padded integral image — deterministic, no interpolation library."""
+    if g.shape[0] < th:
+        g = np.repeat(g, -(-th // g.shape[0]), axis=0)
+    if g.shape[1] < tw:
+        g = np.repeat(g, -(-tw // g.shape[1]), axis=1)
+    h, w = g.shape
+    s = np.zeros((h + 1, w + 1))
+    s[1:, 1:] = g.cumsum(0).cumsum(1)
+    re = (np.arange(th + 1) * h) // th
+    ce = (np.arange(tw + 1) * w) // tw
+    tot = (
+        s[re[1:, None], ce[None, 1:]]
+        - s[re[:-1, None], ce[None, 1:]]
+        - s[re[1:, None], ce[None, :-1]]
+        + s[re[:-1, None], ce[None, :-1]]
+    )
+    area = (re[1:] - re[:-1])[:, None] * (ce[1:] - ce[:-1])[None, :]
+    return tot / area
+
+
+def dhash64(px: np.ndarray) -> int:
+    """uint8 ``[H, W, 3]`` RGB pixels → 64-bit dHash as a SIGNED int (the
+    value Spark stores in a ``bigint`` column): luma → 9×8 box-mean
+    thumbnail → bit i = (cell left of i) > (cell right of i), row-major."""
+    g = np.asarray(px, dtype=np.float64) @ _GRAY
+    m = _box_means(g, 9, 8)
+    bits = (m[:, :-1] > m[:, 1:]).ravel()
+    v = 0
+    for i in np.flatnonzero(bits):
+        v |= 1 << int(i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def decode_image(payload: bytes) -> Optional[np.ndarray]:
+    """Container-dispatch decode (BMP / PNG / baseline JPEG) → pixels, or
+    ``None`` for anything this sandbox has no codec for — callers flag,
+    never crash the stage."""
+    payload = payload or b""
+    try:
+        if payload[:2] == b"BM":
+            return codecs.decode_bmp(payload)
+        if payload[: len(codecs.PNG_SIGNATURE)] == codecs.PNG_SIGNATURE:
+            return codecs.decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return codecs.decode_jpeg(payload)
+    except Exception:
+        return None
+    return None
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Map-only Arrow stage: image rows of a :data:`multimodal.MEDIA_SCHEMA`
+    table → ``(media_ref, dhash bigint, width, height, decoded)``.
+    Undecodable payloads yield ``dhash = NULL, decoded = false`` (the
+    honest-flag contract shared with :mod:`multimodal`)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k.name: [] for k in DHASH_SCHEMA.fields}
+            for ref, kind, payload in zip(
+                pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                px = decode_image(bytes(payload) if payload is not None else b"")
+                rows["media_ref"].append(ref)
+                if px is None:
+                    rows["dhash"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["decoded"].append(False)
+                else:
+                    rows["dhash"].append(dhash64(px))
+                    rows["width"].append(px.shape[1])
+                    rows["height"].append(px.shape[0])
+                    rows["decoded"].append(True)
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["dhash"] = pdf_out["dhash"].astype("Int64")
+            pdf_out["width"] = pdf_out["width"].astype("Int32")
+            pdf_out["height"] = pdf_out["height"].astype("Int32")
+            yield pdf_out
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def image_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bucket: int = 64,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Cross-container near-duplicate image pairs:
+    ``(id_a, id_b, hamming, truncated)`` with ``hamming <= max_hamming``.
+
+    Pipeline: :func:`image_dhash` (map-only, pixels stay put) →
+    :func:`dedup.hamming_candidates` banding on the 8-byte signatures
+    (capped buckets, one small shuffle) → exact-Hamming filter.  With the
+    default ``n_chunks=8``, recall is exact for ``max_hamming <= 7``."""
+    hashed = image_dhash(media).filter(F.col("decoded"))
+    pairs = hamming_candidates(
+        hashed, id_col="media_ref", sig_col="dhash",
+        n_chunks=n_chunks, max_bucket=max_bucket,
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def transcode_images(media: DataFrame, container: str = "png") -> DataFrame:
+    """Re-encode every decodable image payload into *container*
+    (``png`` | ``bmp`` | ``jpeg``) inside the Arrow batch loop — the
+    normalize-the-container step of an image-dedup pipeline, and the
+    duplicate-injection tool for its tests.  Non-image or undecodable rows
+    pass through unchanged with ``meta['transcode'] = 'skipped'``."""
+    import pandas as pd
+
+    if container not in ("png", "bmp", "jpeg"):
+        raise ValueError(f"unknown container {container!r}")
+
+    def _enc(px: np.ndarray) -> bytes:
+        if container == "png":
+            return codecs.encode_png(px)
+        if container == "bmp":
+            return codecs.encode_bmp(px)
+        return codecs.encode_jpeg(px, quality=85)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads, metas = [], []
+            for kind, p, m in zip(pdf["media_kind"], pdf["payload"], pdf["meta"]):
+                meta = dict(m) if isinstance(m, dict) else {}
+                px = (
+                    decode_image(bytes(p) if p is not None else b"")
+                    if kind == "image"
+                    else None
+                )
+                if px is None:
+                    payloads.append(p)
+                    meta["transcode"] = "skipped"
+                else:
+                    payloads.append(_enc(px))
+                    meta["transcode"] = container
+                metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(batches, schema=media.schema)

@@ -1,0 +1,163 @@
+"""Perceptual image hashing (dHash) + cross-container image near-dup
+detection — the image analogue of the text MinHash/SimHash pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from evalidate_spark.functions import codecs, multimodal, perceptual
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _smooth(h=20, w=28):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 8) % 256, (y * 11) % 256, ((x + y) * 5) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+class TestDhash:
+    def test_container_invariance(self):
+        px = _smooth()
+        d = perceptual.dhash64(px)
+        assert d == perceptual.dhash64(codecs.decode_png(codecs.encode_png(px)))
+        assert d == perceptual.dhash64(codecs.decode_bmp(codecs.encode_bmp(px)))
+
+    def test_jpeg_and_scale_proximity(self):
+        px = _smooth()
+        d = perceptual.dhash64(px)
+        jpg = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=85))
+        assert _ham(d, perceptual.dhash64(jpg)) <= 4
+        up = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+        assert _ham(d, perceptual.dhash64(up)) <= 2
+
+    def test_distinct_separation(self):
+        # synth-media-like seeded noise images: every distinct pair lands
+        # far outside the near-dup radius
+        hs = []
+        for i in range(30):
+            r = np.random.default_rng(42 + i * 3)
+            im = r.integers(
+                0, 256, size=(8 + i % 16, 8 + (i // 3) % 16, 3), dtype=np.uint8
+            )
+            hs.append(perceptual.dhash64(im))
+        assert min(_ham(a, b) for i, a in enumerate(hs) for b in hs[i + 1 :]) > 12
+
+    def test_signed_bigint_range(self):
+        # a hash with bit 63 set must come back as a negative Python int
+        # (Spark bigint), not overflow
+        px = np.zeros((8, 9, 3), dtype=np.uint8)
+        px[:, :1] = 255  # leftmost column brightest → every row bit 0 set
+        d = perceptual.dhash64(px)
+        assert -(1 << 63) <= d < (1 << 63)
+
+    def test_decode_image_dispatch(self):
+        px = _smooth(8, 8)
+        assert np.array_equal(perceptual.decode_image(codecs.encode_bmp(px)), px)
+        assert np.array_equal(perceptual.decode_image(codecs.encode_png(px)), px)
+        assert perceptual.decode_image(codecs.encode_jpeg(px, 85)).shape == px.shape
+        assert perceptual.decode_image(b"\x00junk") is None
+        assert perceptual.decode_image(None) is None
+        assert perceptual.decode_image(b"BM\x01trunc") is None  # corrupt → None
+
+
+class TestImageDhashSpark:
+    def test_matches_local_recompute(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        got = {r["media_ref"]: r for r in perceptual.image_dhash(media).collect()}
+        raw = {
+            r["media_ref"]: bytes(r["payload"])
+            for r in media.collect()
+            if r["media_kind"] == "image"
+        }
+        assert set(got) == set(raw)
+        for ref, payload in raw.items():
+            px = perceptual.decode_image(payload)
+            assert got[ref]["decoded"] is True
+            assert got[ref]["dhash"] == perceptual.dhash64(px)
+            assert (got[ref]["width"], got[ref]["height"]) == (
+                px.shape[1],
+                px.shape[0],
+            )
+
+    def test_undecodable_flagged_null(self, spark):
+        rows = [
+            ("bad-0", "image", b"\x00not-an-image", {"src": "t"}),
+            ("aud-0", "audio", b"\x00ignored", {"src": "t"}),
+        ]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = perceptual.image_dhash(media).collect()
+        assert len(out) == 1  # audio rows don't emit
+        assert out[0]["media_ref"] == "bad-0"
+        assert out[0]["dhash"] is None and out[0]["decoded"] is False
+
+
+class TestImageNearDups:
+    def test_cross_container_recall_and_separation(self, spark):
+        media = multimodal.synth_media(spark, n=90)  # 30 images
+        images = media.filter(F.col("media_kind") == "image")
+        copies = perceptual.transcode_images(images, "png").withColumn(
+            "media_ref", F.concat(F.col("media_ref"), F.lit("::png"))
+        )
+        pairs = perceptual.image_near_dups(
+            images.unionByName(copies), max_hamming=6
+        ).collect()
+        n_images = images.count()
+        # recall 1.0: every image pairs with its PNG transcode at hamming 0 …
+        assert len(pairs) == n_images
+        for p in sorted(pairs, key=lambda r: r["id_a"]):
+            a, b = sorted([p["id_a"], p["id_b"]])
+            assert b == a + "::png"
+            assert p["hamming"] == 0 and p["truncated"] is False
+        # … and no cross-image pair sneaks under the radius
+
+    def test_transcode_preserves_pixels_lossless(self, spark):
+        media = multimodal.synth_media(spark, n=12)
+        out = perceptual.transcode_images(media, "bmp").collect()
+        raw = {r["media_ref"]: r for r in media.collect()}
+        for r in out:
+            if r["media_kind"] != "image":
+                assert r["meta"]["transcode"] == "skipped"
+                continue
+            assert r["meta"]["transcode"] == "bmp"
+            got = codecs.decode_bmp(bytes(r["payload"]))
+            want = perceptual.decode_image(bytes(raw[r["media_ref"]]["payload"]))
+            assert np.array_equal(got, want)
+
+    def test_transcode_rejects_unknown_container(self, spark):
+        media = multimodal.synth_media(spark, n=3)
+        with pytest.raises(ValueError, match="unknown container"):
+            perceptual.transcode_images(media, "webp")
+
+
+class TestHammingCandidates:
+    def test_pigeonhole_guarantee_at_radius_7(self, spark):
+        from evalidate_spark.functions.dedup import hamming_candidates
+
+        # base signature with bit 63 set (negative bigint) + a 7-bit-flipped
+        # twin: with n_chunks=8 the pair MUST be found (distance < 8)
+        base = -(1 << 63) | 0x0123456789ABCDE0
+        twin = base
+        for b in (0, 9, 18, 27, 36, 45, 54):  # 7 flips, one per low band
+            twin ^= 1 << b
+        far = 0x7FFFFFFFFFFFFFFF
+        df = spark.createDataFrame(
+            [("a", base), ("b", twin), ("c", far)], "id string, sig long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_candidates(
+                df, id_col="id", sig_col="sig", n_chunks=8
+            ).collect()
+        }
+        assert got.get(("a", "b")) == 7
+
+    def test_rejects_bad_chunks(self, spark):
+        from evalidate_spark.functions.dedup import hamming_candidates
+
+        df = spark.createDataFrame([("a", 1)], "id string, sig long")
+        with pytest.raises(ValueError, match="divide 64"):
+            hamming_candidates(df, id_col="id", sig_col="sig", n_chunks=7)
