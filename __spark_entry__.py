@@ -1200,6 +1200,29 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free trailing-window feature generation
+    (``sessions.trailing_window_features``): per event, the same user's
+    event count / value sum / error count over the preceding hour — one
+    hash-by-user shuffle, one sort, three sibling RANGE-frame aggregates
+    evaluated in a single window pass.  NULL-ts rows pass through with
+    NULL features (the sessionize contract)."""
+    from evalidate_spark.operators.sessions import trailing_window_features
+
+    return trailing_window_features(_t(spark, sf_dir, "events"), window_s=3600)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (``text.tfidf_top_terms``): one
+    explode, two aggregates sharing the (id, term) shuffle, a vocab join,
+    a single-row broadcast for n_docs, and a per-doc window.  The top-k
+    window orders by the 6-dp-ROUNDED score (term-asc tiebreak) so the
+    selected set is engine-independent — mathematically-equal scores from
+    different (tf, df) pairs (2·ln2 = ln4) would otherwise order
+    nondeterministically across engines."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-container near-duplicate IMAGE detection: perceptual dHash
     (map-only Arrow stage over real decoded pixels — JPEG/PNG/BMP) banded
@@ -1301,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "image_near_dups": q_image_near_dups,
+        "tfidf_terms": q_tfidf_terms,
+        "trailing_features": q_trailing_features,
     }
 
 
@@ -1697,6 +1722,46 @@ FROM documents WHERE doc_id IS NULL
     "exact_dup_groups": """
 SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS prefix_fp, count(*) AS n_docs
 FROM documents WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1
+""",
+    "trailing_features": """
+WITH live AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_id, user_id, ts_us,
+  CAST(count(*) OVER w AS BIGINT) AS n_w,
+  round(sum(value) OVER w, 6) AS sum_value_w,
+  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END) OVER w, 0)
+       AS BIGINT) AS n_flag_w
+FROM live
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT event_id, user_id, NULL, NULL, NULL, NULL
+FROM events WHERE ts IS NULL
+""",
+    "tfidf_terms": r"""
+WITH live AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM live
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM live
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df_docs), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, tfidf FROM ranked WHERE rn <= 5
 """,
     "top_ngrams": """
 WITH tok AS (

@@ -668,3 +668,59 @@ def lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.floor(F.sum("__m") / F.count(F.lit(1))).cast("long").alias("nll_milli"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-*k* TF-IDF terms:
+    ``(doc_id, term, tf, df_docs, tfidf)``.
+
+    The classic keyword-extraction / feature-selection pass over a corpus:
+    ``tfidf = tf * ln(n_docs / df_docs)`` (plain IDF — a term in every doc
+    scores 0).  NULL texts contribute no rows and don't count toward
+    ``n_docs`` (the contract shared with every sibling text op).
+
+    Ranking determinism across engines: two different (tf, df) pairs can
+    be *mathematically* equal (``2·ln 2 = ln 4``) yet compare differently
+    in floating point depending on evaluation order, so the top-k window
+    orders by the score ROUNDED to 6 dp with a term-asc tiebreak — the
+    selected row set is then engine-independent, which is what the DuckDB
+    oracle hash-checks.
+
+    Scale shape: one explode → two hash aggregates sharing the (id, term)
+    shuffle → a term-keyed join (vocab-sized right side, left by Catalyst/
+    AQE to pick broadcast vs shuffle at runtime) → one single-row broadcast
+    for n_docs → per-doc window.  No driver-side data, no collect."""
+    from pyspark.sql import Window
+
+    ids = F.col("`%s`" % id_col)
+    tc = F.col("`%s`" % text_col)
+    live = df.filter(tc.isNotNull())
+    toks = live.select(ids.alias("__id"), F.explode(tokens(tc)).alias("term"))
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = live.agg(F.countDistinct(ids).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df_docs")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__id").alias(id_col), "term", "tf", "df_docs", "tfidf"
+        )
+    )

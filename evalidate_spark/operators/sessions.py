@@ -188,3 +188,67 @@ def _session_bounds_split(
             F.max("t_end_us").alias("t_end_us"),
         )
     )
+
+
+def trailing_window_features(
+    df: DataFrame,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    flag_col: str = "event_type",
+    flag_value: str = "error",
+) -> DataFrame:
+    """Point-in-time-correct trailing-window features, one row per event:
+    for each event, the count / value-sum / flagged-count of the SAME
+    key's events with ``ts in [ts - window_s, ts]`` — the classic
+    leakage-free feature-generation pass (a model scoring the event may
+    only see the past, never the future).
+
+    Output: ``(event_id, user_id, ts_us, n_w, sum_value_w, n_flag_w)``.
+    NULL-timestamp rows pass through with NULL features (same
+    unsessionizable-by-contract rule as :func:`sessionize`); NULL keys form
+    their own partition; NULL values are skipped by the sum (NULL sum when
+    the whole frame is NULL).
+
+    Scale shape: ONE shuffle (hash by key), then a single sort powers all
+    three RANGE-frame aggregates — Spark evaluates sibling window functions
+    over the same (partition, order, frame) in one pass.  Frames are
+    integer microsecond ranges (``unix_micros``), so results are
+    bit-comparable across engines and DST-proof."""
+    us = _micros(df, ts_col)
+    ids = F.col("`%s`" % id_col)
+    key = F.col("`%s`" % key_col)
+    val = F.col("`%s`" % value_col)
+    live = df.filter(F.col("`%s`" % ts_col).isNotNull()).select(
+        ids.alias("event_id"),
+        key.alias("user_id"),
+        us.alias("ts_us"),
+        val.alias("__v"),
+        (F.col("`%s`" % flag_col) == flag_value).alias("__f"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    feats = live.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.round(F.sum("__v").over(w), 6).alias("sum_value_w"),
+        F.coalesce(
+            F.sum(F.when(F.col("__f"), 1)).over(w), F.lit(0)
+        ).cast("long").alias("n_flag_w"),
+    )
+    masked = df.filter(F.col("`%s`" % ts_col).isNull()).select(
+        ids.alias("event_id"),
+        key.alias("user_id"),
+        F.lit(None).cast("long").alias("ts_us"),
+        F.lit(None).cast("long").alias("n_w"),
+        F.lit(None).cast("double").alias("sum_value_w"),
+        F.lit(None).cast("long").alias("n_flag_w"),
+    )
+    return feats.unionByName(masked)

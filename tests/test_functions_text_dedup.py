@@ -878,3 +878,47 @@ def test_shingles_variants_bit_identical(spark):
     for r in rows:
         assert list(r.s) == list(r.s2)
         assert list(r.t) == list(r.t2)
+
+
+class TestTfidf:
+    def test_hand_computed(self, spark):
+        import math
+
+        from evalidate_spark.functions import text as tx
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry cherry durian"),
+                (4, None),  # NULL text: no rows, excluded from n_docs
+            ],
+            "doc_id int, text string",
+        )
+        got = {
+            (r["doc_id"], r["term"]): r
+            for r in tx.tfidf_top_terms(docs, k=2).collect()
+        }
+        n = 3  # live docs
+        # doc 1: apple tf=2 df=1 → 2·ln3 ; banana tf=1 df=2 → ln1.5
+        assert got[(1, "apple")]["tf"] == 2
+        assert got[(1, "apple")]["df_docs"] == 1
+        assert got[(1, "apple")]["tfidf"] == round(2 * math.log(n / 1), 6)
+        assert got[(1, "banana")]["tfidf"] == round(math.log(n / 2), 6)
+        # doc 3: cherry tf=2 df=2, durian tf=1 df=1
+        assert got[(3, "cherry")]["tfidf"] == round(2 * math.log(n / 2), 6)
+        assert got[(3, "durian")]["tfidf"] == round(math.log(n / 1), 6)
+        assert 4 not in {d for d, _ in got}
+        assert len(got) == 6  # k=2 per live doc
+
+    def test_topk_cut_and_tiebreak(self, spark):
+        from evalidate_spark.functions import text as tx
+
+        docs = spark.createDataFrame(
+            [(1, "z y x w v"), (2, "v w")], "doc_id int, text string"
+        )
+        out = tx.tfidf_top_terms(docs, k=3).collect()
+        d1 = sorted(r["term"] for r in out if r["doc_id"] == 1)
+        # doc1 terms x/y/z are unique to it (equal scores) → term-asc
+        # tiebreak keeps the 3 alphabetically-first of the tied block
+        assert d1 == ["x", "y", "z"]

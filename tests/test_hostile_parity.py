@@ -45,11 +45,13 @@ QUERIES = [
     "lm_scores",
     "minhash_pairs_md5",
     "top_ngrams",
+    "tfidf_terms",
     "lang_marker_counts",
     "token_counts_bpe",
     "jaccard_pairs",
     "zorder_events",
     "sessions",
+    "trailing_features",
     "asof_features",
     "histogram_events_value",
     "uniqueness_events_user",

@@ -82,3 +82,46 @@ def test_split_sessionization_equals_unsplit_and_oracle(spark_holder, rows):
     assert key(session_bounds(df, gap_minutes=GAP_MIN, split_hours=1)) == want
     # 2h buckets: different stitch pattern, same answer
     assert key(session_bounds(df, gap_minutes=GAP_MIN, split_hours=2)) == want
+
+
+class TestTrailingFeatures:
+    def test_hand_computed_with_boundary(self, spark):
+        from evalidate_spark.operators.sessions import trailing_window_features
+
+        # u1: t=0, 3600s, 3601s, 7300s — frame is INCLUSIVE at -window_s
+        rows = [
+            (1, "2024-01-01 00:00:00", 10, "view", 1.0),
+            (2, "2024-01-01 01:00:00", 10, "error", 2.0),   # includes t=0
+            (3, "2024-01-01 01:00:01", 10, "view", 4.0),    # t=0 aged out
+            (4, "2024-01-01 02:01:40", 10, "error", None),  # alone; NULL val
+            (5, "2024-01-01 00:30:00", 20, "view", 8.0),
+            (6, None, 10, "view", 16.0),                    # NULL ts masked
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts_s string, user_id int, event_type string, value double"
+        ).selectExpr(
+            "event_id", "cast(ts_s as timestamp) as ts", "user_id",
+            "event_type", "value",
+        )
+        got = {
+            r["event_id"]: r
+            for r in trailing_window_features(df, window_s=3600).collect()
+        }
+        assert (got[1]["n_w"], got[1]["sum_value_w"], got[1]["n_flag_w"]) == (1, 1.0, 0)
+        assert (got[2]["n_w"], got[2]["sum_value_w"], got[2]["n_flag_w"]) == (2, 3.0, 1)
+        assert (got[3]["n_w"], got[3]["sum_value_w"], got[3]["n_flag_w"]) == (2, 6.0, 1)
+        # frame with only a NULL value: count 1, sum NULL, flag 1
+        assert (got[4]["n_w"], got[4]["sum_value_w"], got[4]["n_flag_w"]) == (1, None, 1)
+        assert got[5]["n_w"] == 1
+        # NULL ts passes through fully masked
+        assert got[6]["ts_us"] is None and got[6]["n_w"] is None
+        assert got[6]["sum_value_w"] is None and got[6]["n_flag_w"] is None
+
+    def test_single_window_pass_plan(self, spark):
+        from evalidate_spark.operators.sessions import trailing_window_features
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = trailing_window_features(df, window_s=3600)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # all three aggregates share one Window operator (one shuffle+sort)
+        assert plan.count("Window [") == 1
