@@ -1241,6 +1241,24 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection: 65-log-band spectral fingerprint
+    (gain / resample / duration invariant, ``functions/perceptual.py``)
+    over real decoded WAV samples, banded through the shared capped
+    Hamming bucketing.  The corpus injects a 0.25×-gain re-encode of every
+    audio row — expected recall exactly one pair per audio at Hamming 0.
+    No SQL oracle (FFT isn't SQL-expressible); invariances and separation
+    are pytest-verified (``TestSpechash``, ``TestAudioNearDups``)."""
+    media = multimodal.synth_media(spark, 60)
+    audio = media.filter(F.col("media_kind") == "audio")
+    copies = perceptual.audio_gain(audio, gain=0.25).withColumn(
+        "media_ref", F.concat(F.col("media_ref"), F.lit("::q"))
+    )
+    return perceptual.audio_near_dups(
+        audio.unionByName(copies), max_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -1324,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "image_near_dups": q_image_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "tfidf_terms": q_tfidf_terms,
         "trailing_features": q_trailing_features,
     }

@@ -200,3 +200,144 @@ def transcode_images(media: DataFrame, container: str = "png") -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=media.schema)
+
+
+# ------------------------------------------------------------------ audio
+def spechash64(
+    samples: np.ndarray,
+    rate: int,
+    f_lo: float = 50.0,
+    f_hi: float = 2000.0,
+    floor: float = 1e-4,
+) -> int:
+    """64-bit spectral fingerprint of a PCM signal — the audio analogue of
+    :func:`dhash64`: power spectrum → 65 log-spaced bands between *f_lo*
+    and *f_hi* Hz (≈ one musical semitone per band) → bit i =
+    (band i energy) > (band i+1 energy), over TOTAL-energy-normalised,
+    floor-clamped band energies.
+
+    Invariances (by construction, pytest-verified): gain/volume scaling
+    (normalisation), duration change of stationary content (relative
+    energies), resampling (bands in absolute Hz).  The *floor* clamp makes
+    comparisons between noise-only bands deterministically False instead
+    of quantization-noise coin flips.  Resolution limit, stated honestly:
+    content whose spectra differ only WITHIN one log band (< ~5.9%
+    frequency shift) can collide; sparse spectra (pure tones) populate few
+    bands, so distinct tones sit only a few bits apart — use a tight
+    ``max_hamming`` for tonal corpora, wider for broadband content."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 2:
+        x = np.pad(x, (0, 2 - x.size))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(x.size, 1.0 / rate)
+    edges = f_lo * (f_hi / f_lo) ** (np.arange(66) / 65)
+    idx = np.searchsorted(edges, freqs)
+    e = np.zeros(65)
+    np.add.at(e, np.clip(idx - 1, 0, 64), np.where((idx >= 1) & (idx <= 65), spec, 0.0))
+    tot = e.sum()
+    if tot <= 0:
+        return 0  # silence / empty: canonical zero fingerprint
+    e = np.maximum(e / tot, floor)
+    v = 0
+    for i in np.flatnonzero(e[:-1] > e[1:]):
+        v |= 1 << int(i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+SPECHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("spechash", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_spechash(media: DataFrame) -> DataFrame:
+    """Map-only Arrow stage: audio rows → ``(media_ref, spechash bigint,
+    sample_rate, decoded)``; undecodable payloads flagged NULL/false."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k.name: [] for k in SPECHASH_SCHEMA.fields}
+            for ref, kind, payload in zip(
+                pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                rows["media_ref"].append(ref)
+                try:
+                    samples, rate = codecs.decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    rows["spechash"].append(spechash64(samples, rate))
+                    rows["sample_rate"].append(rate)
+                    rows["decoded"].append(True)
+                except Exception:
+                    rows["spechash"].append(None)
+                    rows["sample_rate"].append(None)
+                    rows["decoded"].append(False)
+            out = pd.DataFrame(rows)
+            out["spechash"] = out["spechash"].astype("Int64")
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(batches, schema=SPECHASH_SCHEMA)
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 64,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-duplicate audio pairs (gain-scaled / resampled / re-trimmed
+    copies): :func:`audio_spechash` → the shared capped Hamming banding →
+    exact-distance filter.  Sparse (tonal) spectra concentrate hash mass
+    in few bits, making the all-zero chunk value a hot bucket — the
+    ``max_bucket`` cap bounds that skew and flags affected pairs
+    ``truncated`` rather than letting one bucket explode quadratically."""
+    hashed = audio_spechash(media).filter(F.col("decoded"))
+    pairs = hamming_candidates(
+        hashed, id_col="media_ref", sig_col="spechash",
+        n_chunks=n_chunks, max_bucket=max_bucket,
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def audio_gain(media: DataFrame, gain: float = 0.25) -> DataFrame:
+    """Re-encode every decodable WAV payload with its samples scaled by
+    *gain* (int16-clipped) — the duplicate-injection tool for audio-dedup
+    tests, and a minimal real audio transform.  Non-audio/undecodable rows
+    pass through with ``meta['gain'] = 'skipped'``."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads, metas = [], []
+            for kind, p, m in zip(pdf["media_kind"], pdf["payload"], pdf["meta"]):
+                meta = dict(m) if isinstance(m, dict) else {}
+                try:
+                    if kind != "audio":
+                        raise ValueError("not audio")
+                    samples, rate = codecs.decode_wav(
+                        bytes(p) if p is not None else b""
+                    )
+                    scaled = np.clip(
+                        np.round(samples.astype(np.float64) * gain),
+                        -32768, 32767,
+                    ).astype(np.int16)
+                    payloads.append(codecs.encode_wav(scaled, rate))
+                    meta["gain"] = str(gain)
+                except Exception:
+                    payloads.append(p)
+                    meta["gain"] = "skipped"
+                metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(batches, schema=media.schema)

@@ -161,3 +161,86 @@ class TestHammingCandidates:
         df = spark.createDataFrame([("a", 1)], "id string, sig long")
         with pytest.raises(ValueError, match="divide 64"):
             hamming_candidates(df, id_col="id", sig_col="sig", n_chunks=7)
+
+
+def _tone(freq, rate, dur, amp=8000):
+    t = np.arange(int(rate * dur))
+    return (np.sin(2 * np.pi * freq * t / rate) * amp).astype(np.int16)
+
+
+def _sham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+class TestSpechash:
+    def test_invariances(self):
+        a = perceptual.spechash64(_tone(440, 4000, 1.5), 4000)
+        # gain / volume (energy-normalised)
+        assert _sham(a, perceptual.spechash64(_tone(440, 4000, 1.5, amp=1500), 4000)) == 0
+        # resampling (bands in absolute Hz)
+        assert _sham(a, perceptual.spechash64(_tone(440, 8000, 1.5), 8000)) == 0
+        # duration of stationary content
+        assert _sham(a, perceptual.spechash64(_tone(440, 4000, 2.5), 4000)) == 0
+
+    def test_separation(self):
+        # the synth_media tone ladder: every distinct-frequency pair stays
+        # outside the tight tonal radius
+        hs = [
+            perceptual.spechash64(_tone(100 + i * 25, 4000, 1.0 + (i % 5) * 0.5), 4000)
+            for i in range(20)
+        ]
+        assert min(
+            _sham(a, b) for i, a in enumerate(hs) for b in hs[i + 1 :]
+        ) >= 2
+        # broadband content: distinct signals far, gain-scaled identical
+        n1 = (np.random.default_rng(5).standard_normal(6000) * 3000).astype(np.int16)
+        n2 = (np.random.default_rng(9).standard_normal(6000) * 3000).astype(np.int16)
+        h1 = perceptual.spechash64(n1, 4000)
+        assert _sham(h1, perceptual.spechash64(n2, 4000)) > 16
+        scaled = np.clip(np.round(n1 * 0.3), -32768, 32767).astype(np.int16)
+        assert _sham(h1, perceptual.spechash64(scaled.astype(np.int16), 4000)) == 0
+
+    def test_silence_canonical_zero(self):
+        assert perceptual.spechash64(np.zeros(100, dtype=np.int16), 4000) == 0
+        assert perceptual.spechash64(np.zeros(0, dtype=np.int16), 4000) == 0
+
+
+class TestAudioNearDups:
+    def test_gain_copy_recall(self, spark):
+        media = multimodal.synth_media(spark, n=60)  # 20 audio rows
+        audio = media.filter(F.col("media_kind") == "audio")
+        copies = perceptual.audio_gain(audio, gain=0.25).withColumn(
+            "media_ref", F.concat(F.col("media_ref"), F.lit("::q"))
+        )
+        pairs = perceptual.audio_near_dups(
+            audio.unionByName(copies), max_hamming=1
+        ).collect()
+        n_audio = audio.count()
+        assert len(pairs) == n_audio
+        for p in pairs:
+            a, b = sorted([p["id_a"], p["id_b"]])
+            assert b == a + "::q" and p["hamming"] == 0
+
+    def test_spechash_spark_matches_local(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        got = {r["media_ref"]: r for r in perceptual.audio_spechash(media).collect()}
+        raw = {
+            r["media_ref"]: bytes(r["payload"])
+            for r in media.collect()
+            if r["media_kind"] == "audio"
+        }
+        assert set(got) == set(raw)
+        from evalidate_spark.functions import codecs as cc
+
+        for ref, payload in raw.items():
+            s, r = cc.decode_wav(payload)
+            assert got[ref]["decoded"] is True
+            assert got[ref]["spechash"] == perceptual.spechash64(s, r)
+            assert got[ref]["sample_rate"] == r
+
+    def test_undecodable_flagged(self, spark):
+        rows = [("x", "audio", b"\x00not-wav", {"s": "t"})]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = perceptual.audio_spechash(media).collect()
+        assert len(out) == 1 and out[0]["decoded"] is False
+        assert out[0]["spechash"] is None
