@@ -200,6 +200,11 @@ def main() -> None:
         "ngram_dup_spans",
         "canonical_urls",
         "winsorize_quantity",
+        "tfidf_terms",
+        "trailing_features",
+        "video_frames",
+        "image_near_dups",
+        "audio_near_dups",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 
