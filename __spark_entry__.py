@@ -1259,6 +1259,23 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection via frame-level perceptual hashes:
+    decode AVI frames (map-only Arrow stage — one 8-byte dHash per frame
+    leaves), band through the shared capped Hamming bucketing, roll up
+    matched frames per video pair.  The corpus injects an MJPEG transcode
+    of every DIB video — expected recall exactly one pair per video at
+    score 1.0.  No SQL oracle (frame decode isn't SQL-expressible);
+    recall/separation pytest-verified (``TestVideoNearDups``)."""
+    media = multimodal.synth_smooth_videos(spark, 12)
+    copies = perceptual.transcode_video(media, "mjpeg", quality=88).withColumn(
+        "media_ref", F.concat(F.col("media_ref"), F.lit("::mj"))
+    )
+    return perceptual.video_near_dups(
+        media.unionByName(copies), max_hamming=7, min_shared=0.99
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -1343,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
+        "video_near_dups": q_video_near_dups,
         "tfidf_terms": q_tfidf_terms,
         "trailing_features": q_trailing_features,
     }

@@ -62,9 +62,11 @@ def _headers(
         1, fps, 0, n_frames, max_chunk, 0, 0,
         0, 0, w, h,
     )
-    # BITMAPINFOHEADER — biHeight positive = bottom-up (DIB convention)
+    # BITMAPINFOHEADER — biHeight positive = bottom-up (DIB convention);
+    # biSizeImage includes the 4-byte row padding
+    stride = w * 3 + ((-(w * 3)) % 4)
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, w * h * 3, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
     )
     strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
     return _list(b"hdrl", _chunk(b"avih", avih) + strl)
@@ -179,13 +181,19 @@ def probe_avi(data: bytes) -> AviInfo:
                     )
                     info.n_frames, info.width, info.height = n_frames, w, h
                 elif hid == b"strl":
+                    # strf's layout depends on the stream type declared by
+                    # the strl's OWN strh (audio strls carry a WAVEFORMATEX,
+                    # not a BITMAPINFOHEADER) — only the vids stream's strf
+                    # may set bpp/compression
+                    is_vids = False
                     for sid, ss, se in _walk(data, hs, he):
                         if sid == b"strh":
                             fcc, handler = struct.unpack_from("<4s4s", data, ss)
-                            if fcc == b"vids":
+                            is_vids = fcc == b"vids"
+                            if is_vids:
                                 info.handler = handler
                                 scale, rate = struct.unpack_from("<II", data, ss + 20)
-                        elif sid == b"strf":
+                        elif sid == b"strf" and is_vids:
                             (_, bw, bh, _, bpp, comp) = struct.unpack_from(
                                 "<IiiHHI", data, ss
                             )
@@ -204,6 +212,21 @@ def probe_avi(data: bytes) -> AviInfo:
     return info
 
 
+_MJPG_INT = struct.unpack("<I", b"MJPG")[0]
+
+
+def _is_mjpg(info: AviInfo) -> bool:
+    return info.handler.upper() == b"MJPG" or info.compression == _MJPG_INT
+
+
+def is_decodable(info: AviInfo) -> bool:
+    """True iff :func:`decode_avi` can actually decode this stream's frames
+    (MJPG, or uncompressed 24-bpp DIB) — the shared gate between frame
+    decode and the ``decoded`` feature flag, so a probe-able-but-H.264 AVI
+    is never reported as decoded."""
+    return _is_mjpg(info) or (info.compression == 0 and info.bpp == 24)
+
+
 def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
     """AVI bytes → (list of uint8 ``[H, W, 3]`` RGB frames, fps).
 
@@ -212,9 +235,7 @@ def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
     ``NotImplementedError`` (honest stub boundary, never a garbage
     decode)."""
     info = probe_avi(data)
-    mjpg = info.handler.upper() == b"MJPG" or info.compression == struct.unpack(
-        "<I", b"MJPG"
-    )[0]
+    mjpg = _is_mjpg(info)
     if not mjpg and info.compression != 0:
         raise NotImplementedError(
             "only MJPG and uncompressed-DIB AVI streams are decodable "
@@ -222,12 +243,23 @@ def decode_avi(data: bytes) -> Tuple[List[np.ndarray], float]:
         )
     if not mjpg and info.bpp != 24:
         raise NotImplementedError("only 24-bpp DIB frames supported")
+    # OpenDML AVIX extension riffs append frames past the first RIFF; a
+    # silent partial decode would under-report content — raise instead
+    first_riff_end = 8 + struct.unpack_from("<I", data, 4)[0]
+    if data[first_riff_end : first_riff_end + 4] in (b"RIFF", b"LIST"):
+        raise NotImplementedError("OpenDML AVIX extension riffs not supported")
+
+    def _video_chunks(start: int, end: int) -> Iterator[Tuple[int, int]]:
+        for ckid, s, e in _walk(data, start, end):
+            if ckid in _VIDEO_CHUNK_IDS:
+                yield s, e
+            elif ckid == b"rec ":  # interleave grouping list — recurse
+                yield from _video_chunks(s, e)
+
     frames: List[np.ndarray] = []
     w, h = info.width, info.height
     stride = w * 3 + ((-(w * 3)) % 4)
-    for ckid, s, e in _walk(data, info._movi[0], info._movi[1]):
-        if ckid not in _VIDEO_CHUNK_IDS:
-            continue
+    for s, e in _video_chunks(info._movi[0], info._movi[1]):
         blob = data[s:e]
         if mjpg:
             frames.append(decode_jpeg(bytes(blob)))

@@ -591,14 +591,16 @@ def hamming_candidates(
     probabilistically).  Returns ``(id_a, id_b, hamming, truncated)`` with
     exact ``bit_count(xor)`` Hamming distance; buckets are capped at
     *max_bucket* members BEFORE ``collect_list`` (deterministic first-ids),
-    so one degenerate signature value can never OOM an executor."""
+    so one degenerate signature value can never OOM an executor.
+    NULL signatures never produce candidates (they would otherwise collide
+    into shared NULL buckets and emit ``hamming = NULL`` pairs)."""
     if 64 % n_chunks != 0:
         raise ValueError("n_chunks must divide 64")
     width = 64 // n_chunks
     mask = (1 << width) - 1
     ids = F.col("`%s`" % id_col)
     sg = F.col("`%s`" % sig_col).cast("bigint")
-    base = sigs.select(ids.alias("__id"), sg.alias("__sig"))
+    base = sigs.filter(sg.isNotNull()).select(ids.alias("__id"), sg.alias("__sig"))
     chunks = base.select(
         "__id",
         "__sig",

@@ -81,36 +81,28 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
     # another modality — it falls through to strict-raise / flagged stub.
     # Unsupported container VARIANTS (32bpp BMP, stereo WAV, truncated
     # files) likewise fall through instead of crashing the whole stage.
-    if kind == "image" and payload[:2] == b"BM":
-        try:
-            px = codecs.decode_bmp(payload)
+    if kind == "image":
+        # shared container-sniffing decode (BMP/PNG/baseline JPEG) lives in
+        # perceptual.decode_image — one dispatch to maintain, not two
+        from .perceptual import decode_image
+
+        px = decode_image(payload)
+        if px is not None:
             out.update(width=int(px.shape[1]), height=int(px.shape[0]))
             return out
-        except Exception:
-            pass
-    if kind == "image" and payload[: len(codecs.PNG_SIGNATURE)] == codecs.PNG_SIGNATURE:
-        try:
-            px = codecs.decode_png(payload)
-            out.update(width=int(px.shape[1]), height=int(px.shape[0]))
-            return out
-        except Exception:
-            pass
-    if kind == "image" and payload[:3] == b"\xff\xd8\xff":
-        try:
-            px = codecs.decode_jpeg(payload)
-            out.update(width=int(px.shape[1]), height=int(px.shape[0]))
-            return out
-        except Exception:
-            pass
     if kind == "video" and avi.is_avi(payload):
         try:
             info = avi.probe_avi(payload)
-            out.update(
-                width=int(info.width),
-                height=int(info.height),
-                duration_ms=int(info.duration_ms),
-            )
-            return out
+            # decoded=True is a promise that the FRAMES are decodable, not
+            # just the header: an H.264-in-AVI payload must fall through to
+            # the strict-raise / flagged-stub path
+            if avi.is_decodable(info):
+                out.update(
+                    width=int(info.width),
+                    height=int(info.height),
+                    duration_ms=int(info.duration_ms),
+                )
+                return out
         except Exception:
             pass
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -259,7 +251,8 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
-        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("sample_ix", T.IntegerType()),  # 0,1,2,… per payload
+        T.StructField("frame_ix", T.IntegerType()),   # source frame; NULL on stub
         T.StructField("ts_ms", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -275,11 +268,17 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     emit the frame at-or-before each ``every_ms`` grid point — one row per
     sample with the frame's true dims and a sha-256 of its RGB pixels
     (``decoded = true``).  Video payloads in codecs this sandbox cannot
-    decode (H.264, VP9, …) fall back to the deterministic pseudo-frame rows
-    flagged ``decoded = false`` so mixed corpora still flow end-to-end.
+    decode (H.264, VP9, corrupt containers, …) fall back to deterministic
+    pseudo-frame rows flagged ``decoded = false`` so mixed corpora still
+    flow end-to-end — any decode error downgrades the one payload, never
+    the stage.
 
+    ``sample_ix`` is the dense per-payload sample counter — the join key
+    ``(media_ref, sample_ix)`` is unique.  ``frame_ix`` is the SOURCE frame
+    index the sample resolved to (repeats when ``every_ms`` under-runs the
+    frame period; NULL on the stub path where no real frame exists).
     1→N ``mapInPandas`` row expansion; payload and frame bytes never leave
-    the executors — downstream consumers join on (media_ref, frame_ix)."""
+    the executors."""
     import hashlib
 
     import pandas as pd
@@ -297,7 +296,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 if avi.is_avi(payload):
                     try:
                         frames, fps = avi.decode_avi(payload)
-                    except (NotImplementedError, ValueError):
+                    except Exception:  # corrupt/unsupported → flagged stub
                         frames = None
                 if frames:
                     dur = int(round(len(frames) * 1000 / fps))
@@ -305,6 +304,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         fix = min(int(ts * fps / 1000), len(frames) - 1)
                         px = frames[fix]
                         rows["media_ref"].append(ref)
+                        rows["sample_ix"].append(ix)
                         rows["frame_ix"].append(fix)
                         rows["ts_ms"].append(ts)
                         rows["width"].append(px.shape[1])
@@ -317,7 +317,8 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     stub = decode_media(kind, payload)
                     for ix, ts in enumerate(range(0, stub["duration_ms"], every_ms)):
                         rows["media_ref"].append(ref)
-                        rows["frame_ix"].append(ix)
+                        rows["sample_ix"].append(ix)
+                        rows["frame_ix"].append(None)
                         rows["ts_ms"].append(ts)
                         rows["width"].append(stub["width"])
                         rows["height"].append(stub["height"])
@@ -327,7 +328,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                             ).hexdigest()
                         )
                         rows["decoded"].append(False)
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            out["frame_ix"] = out["frame_ix"].astype("Int32")
+            yield out
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
@@ -410,9 +413,11 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
                     payload = codecs.encode_wav(samples, rate)
                 else:
                     w, h = 8 + i % 8, 8 + (i // 3) % 8
+                    # i % 3 is constant on this branch (it selected the
+                    # kind) — vary the frame count on i // 3 instead
                     frames = [
                         rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                        for _ in range(2 + i % 3)
+                        for _ in range(2 + (i // 3) % 3)
                     ]
                     if (i // 3) % 2 == 0:
                         payload = avi.encode_avi_mjpeg(frames, fps=4, quality=85)
@@ -422,6 +427,50 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
                 kinds.append(kind)
                 payloads.append(payload)
                 metas.append({"src": "synth"})
+            yield pd.DataFrame(
+                {"media_ref": refs, "media_kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def synth_smooth_videos(spark, n: int = 12, partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic synthetic VIDEO table with JPEG-friendly content: each
+    video is 3 frames of low-frequency sinusoidal gradients whose
+    orientation/frequency depend on the id (distinct videos are far apart
+    perceptually) and whose phase shifts per frame.  Complements
+    :func:`synth_media`'s noise videos — noise is JPEG's worst case, so
+    perceptual re-encode proximity needs smooth content.  DIB-encoded
+    (bit-exact ground truth); pair with
+    :func:`evalidate_spark.functions.perceptual.transcode_video` for lossy
+    duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from . import avi as _avi
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            refs, kinds, payloads, metas = [], [], [], []
+            for i in pdf["id"]:
+                v = int(i)
+                a, b = 1 + (v % 4), 1 + (v // 4)
+                h, w = 16, 20
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for t in range(3):
+                    ph = 2 * np.pi * (a * x / w + b * y / h) + t * 0.9
+                    base = (128 + 100 * np.sin(ph)).astype(np.uint8)
+                    g = (128 + 100 * np.cos(ph * 0.7)).astype(np.uint8)
+                    frames.append(
+                        np.stack([base, g, 255 - base], -1).astype(np.uint8)
+                    )
+                refs.append(f"v-{v}")
+                kinds.append("video")
+                payloads.append(_avi.encode_avi_dib(frames, fps=4))
+                metas.append({"src": "synth-smooth"})
             yield pd.DataFrame(
                 {"media_ref": refs, "media_kind": kinds, "payload": payloads, "meta": metas}
             )

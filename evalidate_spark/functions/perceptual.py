@@ -341,3 +341,169 @@ def audio_gain(media: DataFrame, gain: float = 0.25) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=media.schema)
+
+
+# ------------------------------------------------------------------ video
+FRAMEHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def video_framehash(media: DataFrame) -> DataFrame:
+    """Map-only Arrow stage: video rows → one ``(media_ref, frame_ix,
+    dhash, n_frames, decoded)`` row per decoded frame (:func:`dhash64` on
+    each frame's pixels).  Undecodable videos emit a single flagged row so
+    they stay visible downstream.  Frame pixels never leave the stage —
+    only 8-byte signatures shuffle."""
+    import pandas as pd
+
+    from . import avi
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k.name: [] for k in FRAMEHASH_SCHEMA.fields}
+            for ref, kind, payload in zip(
+                pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                payload = bytes(payload) if payload is not None else b""
+                frames = None
+                if avi.is_avi(payload):
+                    try:
+                        frames, _fps = avi.decode_avi(payload)
+                    except Exception:
+                        frames = None
+                if frames:
+                    for ix, px in enumerate(frames):
+                        rows["media_ref"].append(ref)
+                        rows["frame_ix"].append(ix)
+                        rows["dhash"].append(dhash64(px))
+                        rows["n_frames"].append(len(frames))
+                        rows["decoded"].append(True)
+                else:
+                    rows["media_ref"].append(ref)
+                    rows["frame_ix"].append(None)
+                    rows["dhash"].append(None)
+                    rows["n_frames"].append(None)
+                    rows["decoded"].append(False)
+            out = pd.DataFrame(rows)
+            out["frame_ix"] = out["frame_ix"].astype("Int32")
+            out["dhash"] = out["dhash"].astype("Int64")
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(batches, schema=FRAMEHASH_SCHEMA)
+
+
+def video_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    min_shared: float = 0.5,
+    max_bucket: int = 64,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs via frame-level perceptual hashes:
+    ``(id_a, id_b, shared_frames, n_a, n_b, score)`` where *score* =
+    (matched frames on the smaller side) / min(n_a, n_b), kept when
+    ``score >= min_shared``.
+
+    Pipeline: :func:`video_framehash` (map-only; one 8-byte signature per
+    frame) → the shared capped Hamming banding over (video, frame) struct
+    ids → frame pairs within *max_hamming*, same-video pairs dropped →
+    per-video-pair roll-up counting DISTINCT matched frames on each side.
+    A re-encoded copy (DIB → MJPEG) matches frame-for-frame at small
+    Hamming; unrelated footage shares ~no frames.  Everything after the
+    first stage is signature-sized; the quadratic risk inside one hash
+    bucket is bounded by *max_bucket* exactly as for text/image dedup."""
+    fh = video_framehash(media).filter(F.col("decoded"))
+    sigs = fh.select(
+        F.struct(F.col("media_ref"), F.col("frame_ix")).alias("fid"),
+        "dhash",
+    )
+    fp = hamming_candidates(
+        sigs, id_col="fid", sig_col="dhash",
+        n_chunks=n_chunks, max_bucket=max_bucket,
+    ).filter(F.col("hamming") <= max_hamming)
+    # struct ordering sorts by media_ref first, so id_a.media_ref <=
+    # id_b.media_ref — cross-video pairs are already canonically oriented
+    vp = fp.select(
+        F.col("id_a.media_ref").alias("id_a"),
+        F.col("id_a.frame_ix").alias("fa"),
+        F.col("id_b.media_ref").alias("id_b"),
+        F.col("id_b.frame_ix").alias("fb"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    matched = vp.groupBy("id_a", "id_b").agg(
+        F.countDistinct("fa").alias("__ma"),
+        F.countDistinct("fb").alias("__mb"),
+    )
+    counts = fh.groupBy("media_ref").agg(F.max("n_frames").alias("__n"))
+    scored = (
+        matched.join(counts.withColumnRenamed("media_ref", "id_a"), "id_a")
+        .withColumnRenamed("__n", "n_a")
+        .join(counts.withColumnRenamed("media_ref", "id_b"), "id_b")
+        .withColumnRenamed("__n", "n_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least("__ma", "__mb").alias("shared_frames"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.least("__ma", "__mb") / F.least("n_a", "n_b"), 6
+            ).alias("score"),
+        )
+    )
+    return scored.filter(F.col("score") >= min_shared)
+
+
+def transcode_video(
+    media: DataFrame, container: str = "mjpeg", quality: int = 85
+) -> DataFrame:
+    """Re-encode every decodable AVI payload as *container*
+    (``mjpeg`` — lossy — or ``dib`` — bit-exact), preserving fps — the
+    duplicate-injection transform for video dedup and the
+    normalize-the-codec step of a media pipeline.  Non-video or
+    undecodable rows pass through with ``meta['transcode'] = 'skipped'``."""
+    import pandas as pd
+
+    from . import avi
+
+    if container not in ("mjpeg", "dib"):
+        raise ValueError(f"unknown container {container!r}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads, metas = [], []
+            for kind, p, m in zip(pdf["media_kind"], pdf["payload"], pdf["meta"]):
+                meta = dict(m) if isinstance(m, dict) else {}
+                try:
+                    if kind != "video":
+                        raise ValueError("not video")
+                    frames, fps = avi.decode_avi(bytes(p) if p is not None else b"")
+                    if not frames:
+                        raise ValueError("no frames")
+                    fps_i = max(1, int(round(fps)))
+                    if container == "mjpeg":
+                        payloads.append(
+                            avi.encode_avi_mjpeg(frames, fps=fps_i, quality=quality)
+                        )
+                    else:
+                        payloads.append(avi.encode_avi_dib(frames, fps=fps_i))
+                    meta["transcode"] = container
+                except Exception:
+                    payloads.append(p)
+                    meta["transcode"] = "skipped"
+                metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(batches, schema=media.schema)

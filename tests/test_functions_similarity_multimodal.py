@@ -364,6 +364,92 @@ class TestAviCodec:
         with pytest.raises(NotImplementedError):
             avi.decode_avi(h264)
 
+    def test_multistream_strf_dispatch(self):
+        import struct
+
+        from evalidate_spark.functions import avi
+
+        # append an AUDIO strl (strh 'auds' + WAVEFORMATEX strf) after the
+        # video strl: its strf must NOT overwrite the video bpp/compression
+        blob = avi.encode_avi_dib(self._frames(n=2), fps=4)
+        wf = struct.pack("<HHIIHH", 1, 1, 4000, 8000, 2, 16)  # PCM fmt
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIi4H",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, 4000, 0, 4000, 8000, 0, 0, 0, 0, 0, 0,
+        )
+        audio_strl = avi._list(
+            b"strl", avi._chunk(b"strh", strh) + avi._chunk(b"strf", wf)
+        )
+        # splice into the hdrl list: grow hdrl, LIST and RIFF sizes
+        hdrl_at = blob.find(b"hdrl") - 8
+        hdrl_size = struct.unpack_from("<I", blob, hdrl_at + 4)[0]
+        end = hdrl_at + 8 + hdrl_size
+        patched = bytearray(blob[:end] + audio_strl + blob[end:])
+        struct.pack_into("<I", patched, hdrl_at + 4, hdrl_size + len(audio_strl))
+        struct.pack_into("<I", patched, 4, len(patched) - 8)
+        info = avi.probe_avi(bytes(patched))
+        assert info.bpp == 24 and info.compression == 0
+        frames, fps = avi.decode_avi(bytes(patched))
+        assert len(frames) == 2 and np.array_equal(frames[0], self._frames(n=2)[0])
+
+    def test_rec_list_wrapped_movi(self):
+        import struct
+
+        from evalidate_spark.functions import avi
+
+        # wrap each 00db chunk in a LIST('rec ') — the common interleaved
+        # layout — and check decode still finds the frames
+        frames = self._frames(n=2, h=4, w=4)
+        blob = avi.encode_avi_dib(frames, fps=4)
+        info = avi.probe_avi(blob)
+        s, e = info._movi
+        inner = blob[s:e]
+        out = bytearray()
+        pos = 0
+        while pos + 8 <= len(inner):
+            size = struct.unpack_from("<I", inner, pos + 4)[0]
+            chunk = inner[pos : pos + 8 + size + (size % 2)]
+            out += avi._list(b"rec ", bytes(chunk))
+            pos += 8 + size + (size % 2)
+        rebuilt = blob[: s - 12] + avi._chunk(b"LIST", b"movi" + bytes(out)) + blob[e:]
+        rebuilt = bytearray(rebuilt)
+        struct.pack_into("<I", rebuilt, 4, len(rebuilt) - 8)
+        dec, fps = avi.decode_avi(bytes(rebuilt))
+        assert len(dec) == 2 and np.array_equal(dec[1], frames[1])
+
+    def test_avix_extension_raises(self):
+        from evalidate_spark.functions import avi
+
+        blob = avi.encode_avi_dib(self._frames(n=1), fps=4)
+        with pytest.raises(NotImplementedError, match="AVIX"):
+            avi.decode_avi(blob + b"RIFF\x04\x00\x00\x00AVIX")
+
+    def test_h264_avi_not_reported_decoded(self):
+        import struct
+
+        from evalidate_spark.functions import avi, multimodal as mm
+
+        blob = avi.encode_avi_dib(self._frames(n=1), fps=4)
+        comp_at = blob.find(b"strf") + 8 + 16
+        h264 = blob[:comp_at] + b"H264" + blob[comp_at + 4 :]
+        info = avi.probe_avi(h264)  # header probe still works…
+        assert not avi.is_decodable(info)  # …but frames aren't decodable
+        d = mm.decode_media("video", h264)
+        assert d["decoded"] is False  # flagged stub, not a false promise
+        with pytest.raises(NotImplementedError):
+            mm.decode_media("video", h264, strict=True)
+
+    def test_biSizeImage_includes_row_padding(self):
+        import struct
+
+        from evalidate_spark.functions import avi
+
+        blob = avi.encode_avi_dib(self._frames(n=1, h=5, w=9), fps=4)
+        strf_at = blob.find(b"strf") + 8
+        size_image = struct.unpack_from("<I", blob, strf_at + 20)[0]
+        assert size_image == (9 * 3 + ((-(9 * 3)) % 4)) * 5  # stride 28
+
     def test_word_alignment_odd_jpeg_sizes(self):
         from evalidate_spark.functions import avi
 
@@ -480,14 +566,48 @@ class TestMultimodal:
                 assert f["frame_sha"] == hashlib.sha256(px.tobytes()).hexdigest()
 
     def test_frame_sample_fallback_flagged(self, spark):
-        # a non-AVI video payload still yields rows, flagged decoded=false
-        rows = [("v-0", "video", b"\x00h264-ish-opaque-payload", {"src": "t"})]
-        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
-        out = multimodal.frame_sample(media, every_ms=1000).collect()
-        assert out and all(f["decoded"] is False for f in out)
-        assert [f["frame_ix"] for f in sorted(out, key=lambda x: x["ts_ms"])] == list(
-            range(len(out))
+        from evalidate_spark.functions import avi
+
+        # non-AVI and corrupt-AVI video payloads still yield rows, flagged
+        # decoded=false with NULL frame_ix — a bad payload must downgrade
+        # itself, never crash the stage
+        good = avi.encode_avi_dib(
+            [np.zeros((4, 4, 3), dtype=np.uint8)] * 2, fps=2
         )
+        corrupt = good[:40]  # truncated mid-header: probe/decode raise
+        rows = [
+            ("v-0", "video", b"\x00h264-ish-opaque-payload", {"src": "t"}),
+            ("v-1", "video", corrupt, {"src": "t"}),
+            ("v-2", "video", good, {"src": "t"}),
+        ]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.frame_sample(media, every_ms=500).collect()
+        by_ref = {}
+        for f in out:
+            by_ref.setdefault(f["media_ref"], []).append(f)
+        for ref in ("v-0", "v-1"):
+            fs = sorted(by_ref[ref], key=lambda x: x["ts_ms"])
+            assert all(f["decoded"] is False and f["frame_ix"] is None for f in fs)
+            assert [f["sample_ix"] for f in fs] == list(range(len(fs)))
+        assert all(f["decoded"] is True for f in by_ref["v-2"])
+
+    def test_frame_sample_dense_grid_repeats_frame_ix(self, spark):
+        from evalidate_spark.functions import avi
+
+        # every_ms below the frame period: sample_ix stays dense/unique,
+        # frame_ix repeats the resolved source frame
+        blob = avi.encode_avi_dib(
+            [np.full((4, 4, 3), i, dtype=np.uint8) for i in range(2)], fps=2
+        )
+        media = spark.createDataFrame(
+            [("v", "video", blob, {})], schema=multimodal.MEDIA_SCHEMA
+        )
+        fs = sorted(
+            multimodal.frame_sample(media, every_ms=250).collect(),
+            key=lambda x: x["ts_ms"],
+        )
+        assert [f["sample_ix"] for f in fs] == [0, 1, 2, 3]
+        assert [f["frame_ix"] for f in fs] == [0, 0, 1, 1]
 
     def test_resize_stub_meta(self, spark):
         media = multimodal.synth_media(spark, n=5)

@@ -168,8 +168,7 @@ def _tone(freq, rate, dur, amp=8000):
     return (np.sin(2 * np.pi * freq * t / rate) * amp).astype(np.int16)
 
 
-def _sham(a, b):
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+_sham = _ham  # same 64-bit Hamming helper
 
 
 class TestSpechash:
@@ -244,3 +243,76 @@ class TestAudioNearDups:
         out = perceptual.audio_spechash(media).collect()
         assert len(out) == 1 and out[0]["decoded"] is False
         assert out[0]["spechash"] is None
+
+
+def test_hamming_candidates_null_sigs_excluded(spark):
+    from evalidate_spark.functions.dedup import hamming_candidates
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("n1", None), ("n2", None)], "id string, sig long"
+    )
+    got = hamming_candidates(df, id_col="id", sig_col="sig").collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("a", "b")}
+    assert all(r["hamming"] == 0 for r in got)
+
+
+class TestVideoNearDups:
+    def test_framehash_matches_local(self, spark):
+        from evalidate_spark.functions import avi
+
+        media = multimodal.synth_smooth_videos(spark, n=6)
+        got = {}
+        for r in perceptual.video_framehash(media).collect():
+            got.setdefault(r["media_ref"], {})[r["frame_ix"]] = r
+        raw = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+        assert set(got) == set(raw)
+        for ref, payload in raw.items():
+            frames, _ = avi.decode_avi(payload)
+            assert len(got[ref]) == len(frames)
+            for ix, px in enumerate(frames):
+                r = got[ref][ix]
+                assert r["decoded"] is True
+                assert r["dhash"] == perceptual.dhash64(px)
+                assert r["n_frames"] == len(frames)
+
+    def test_framehash_undecodable_flagged(self, spark):
+        rows = [("bad", "video", b"\x00h264", {"s": "t"})]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = perceptual.video_framehash(media).collect()
+        assert len(out) == 1 and out[0]["decoded"] is False
+        assert out[0]["dhash"] is None and out[0]["frame_ix"] is None
+
+    def test_transcode_recall_and_separation(self, spark):
+        media = multimodal.synth_smooth_videos(spark, n=12)
+        copies = perceptual.transcode_video(media, "mjpeg", quality=88).withColumn(
+            "media_ref", F.concat(F.col("media_ref"), F.lit("::mj"))
+        )
+        pairs = perceptual.video_near_dups(
+            media.unionByName(copies), max_hamming=7, min_shared=0.99
+        ).collect()
+        # recall 1.0: every video pairs with exactly its MJPEG transcode
+        assert len(pairs) == 12
+        for p in pairs:
+            a, b = sorted([p["id_a"], p["id_b"]])
+            assert b == a + "::mj"
+            assert p["score"] == 1.0
+            assert p["shared_frames"] == 3 and p["n_a"] == 3 and p["n_b"] == 3
+
+    def test_transcode_video_dib_bit_exact(self, spark):
+        from evalidate_spark.functions import avi
+
+        media = multimodal.synth_smooth_videos(spark, n=3)
+        out = perceptual.transcode_video(media, "dib").collect()
+        raw = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+        for r in out:
+            assert r["meta"]["transcode"] == "dib"
+            a, fa = avi.decode_avi(bytes(r["payload"]))
+            b, fb = avi.decode_avi(raw[r["media_ref"]])
+            assert fa == fb and all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    def test_transcode_video_skips_non_video(self, spark):
+        media = multimodal.synth_media(spark, n=6)  # image/audio rows too
+        out = perceptual.transcode_video(media, "mjpeg").collect()
+        for r in out:
+            want = "mjpeg" if r["media_kind"] == "video" else "skipped"
+            assert r["meta"]["transcode"] == want
