@@ -205,6 +205,7 @@ def main() -> None:
         "video_frames",
         "image_near_dups",
         "audio_near_dups",
+        "video_near_dups",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 
