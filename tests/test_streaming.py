@@ -298,3 +298,24 @@ def test_asof_join_stream_equals_batch(spark, tmp_path):
     )
     assert got == want and len(got) == 200
     assert sum(1 for _, _, v in got if v is not None) > 100  # real matches
+
+
+def test_media_features_stream_equals_batch(spark, tmp_path):
+    """The multimodal path (opaque binary payloads + mapInPandas decode)
+    must run unchanged under Structured Streaming — feature extraction is
+    map-only, so the streaming plan needs no state and the rows must equal
+    the batch run bit-for-bit."""
+    from evalidate_spark.functions import multimodal
+
+    src = str(tmp_path / "media")
+    multimodal.synth_media(spark, n=45).write.parquet(src)
+
+    batch = {
+        tuple(r)
+        for r in multimodal.extract_features(spark.read.parquet(src)).collect()
+    }
+    stream = multimodal.extract_features(_stream(spark, src))
+    assert stream.isStreaming
+    _run_to_memory(stream, "media_feats")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM media_feats").collect()}
+    assert got == batch and len(got) == 45
