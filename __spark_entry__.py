@@ -155,6 +155,23 @@ def q_winsorize_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggested_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suggestion: profile lineitem once and emit
+    the rule spec the data already satisfies (required / type / allowed /
+    size rows) — exact-distinct audit mode so the decision boundaries are
+    replayable in SQL.  The spec round-trips: suggestions_to_spec →
+    validate → zero violations (tests/test_table_ops.py)."""
+    from evalidate_spark.operators.suggest import suggest_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    return suggest_constraints(
+        li,
+        columns=["l_returnflag", "l_linestatus", "l_linenumber", "l_quantity"],
+        max_allowed=8,
+        approx_distinct=False,
+    )
+
+
 def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-stop nightly data-quality report: engine rule violations,
     uniqueness, referential, and span-structure checks folded to one
@@ -1294,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_composite": q_uniqueness_composite,
         "winsorize_quantity": q_winsorize_quantity,
         "check_suite": q_check_suite,
+        "suggested_constraints": q_suggested_constraints,
         "iqr_outliers": q_iqr_outliers,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
@@ -2627,6 +2645,49 @@ SELECT t.doc_id, t.n_ngrams,
                  THEN floor(coalesce(p.n_dup, 0) * 10000 / t.n_ngrams)
                  ELSE 0 END AS BIGINT) AS dup_bp
 FROM tot t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ORACLE["suggested_constraints"] = """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(l_returnflag) AS rf_nn, count(DISTINCT l_returnflag) AS rf_d,
+         min(length(l_returnflag)) AS rf_lo, max(length(l_returnflag)) AS rf_hi,
+         string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS rf_set,
+         count(l_linestatus) AS ls_nn, count(DISTINCT l_linestatus) AS ls_d,
+         min(length(l_linestatus)) AS ls_lo, max(length(l_linestatus)) AS ls_hi,
+         string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS ls_set,
+         count(l_linenumber) AS ln_nn,
+         cast(floor(min(l_linenumber)) AS BIGINT) AS ln_lo,
+         cast(ceil(max(l_linenumber)) AS BIGINT) AS ln_hi,
+         count(l_quantity) AS q_nn,
+         cast(floor(min(l_quantity)) AS BIGINT) AS q_lo,
+         cast(ceil(max(l_quantity)) AS BIGINT) AS q_hi
+  FROM lineitem
+)
+SELECT "column", rule, param FROM (
+  SELECT 'l_returnflag' AS "column", 'required' AS rule, '' AS param,
+         (rf_nn = n AND n > 0) AS keep FROM s
+  UNION ALL SELECT 'l_returnflag', 'type', 'binary', true FROM s
+  UNION ALL SELECT 'l_returnflag', 'allowed', rf_set,
+         rf_d BETWEEN 1 AND 8 FROM s
+  UNION ALL SELECT 'l_returnflag', 'size',
+         '[' || rf_lo || ',' || rf_hi || ']', rf_nn > 0 FROM s
+  UNION ALL SELECT 'l_linestatus', 'required', '', ls_nn = n AND n > 0 FROM s
+  UNION ALL SELECT 'l_linestatus', 'type', 'binary', true FROM s
+  UNION ALL SELECT 'l_linestatus', 'allowed', ls_set,
+         ls_d BETWEEN 1 AND 8 FROM s
+  UNION ALL SELECT 'l_linestatus', 'size',
+         '[' || ls_lo || ',' || ls_hi || ']', ls_nn > 0 FROM s
+  UNION ALL SELECT 'l_linenumber', 'required', '', ln_nn = n AND n > 0 FROM s
+  UNION ALL SELECT 'l_linenumber', 'type', 'integer', true FROM s
+  UNION ALL SELECT 'l_linenumber', 'size',
+         '[' || ln_lo || ',' || ln_hi || ']', ln_nn > 0 FROM s
+  UNION ALL SELECT 'l_quantity', 'required', '', q_nn = n AND n > 0 FROM s
+  UNION ALL SELECT 'l_quantity', 'type', 'float', true FROM s
+  UNION ALL SELECT 'l_quantity', 'size',
+         '[' || q_lo || ',' || q_hi || ']', q_nn > 0 FROM s
+) WHERE keep
 """
 
 

@@ -200,6 +200,7 @@ def main() -> None:
         "ngram_dup_spans",
         "canonical_urls",
         "winsorize_quantity",
+        "suggested_constraints",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

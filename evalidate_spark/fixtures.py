@@ -142,12 +142,12 @@ HOSTILE_EVENTS = [
     (None, "2026-01-01 12:00:00", 3, "view", -1.0, None),  # NULL id
 ]
 HOSTILE_LINEITEM = [
-    (1, 1, 2, 10.0, "N", "2026-01-05"),
-    (1, 2, 4, 20.0, "R", "2026-01-06"),
-    (2, 1, 3, None, "A", None),  # NULL quantity + shipdate
-    (2, 2, None, 30.0, None, "2026-01-07"),  # NULL suppkey + returnflag
-    (None, 1, 6, 40.0, "N", "2026-01-08"),  # NULL orderkey
-    (3, None, 99, 50.0, "R", "2026-01-09"),  # NULL linenumber, dangling
+    (1, 1, 2, 10.0, "N", "F", "2026-01-05"),
+    (1, 2, 4, 20.0, "R", "O", "2026-01-06"),
+    (2, 1, 3, None, "A", "", None),  # NULL quantity + shipdate; EMPTY status
+    (2, 2, None, 30.0, None, None, "2026-01-07"),  # NULL suppkey/returnflag/status
+    (None, 1, 6, 40.0, "N", "F", "2026-01-08"),  # NULL orderkey
+    (3, None, 99, 50.0, "R", "O", "2026-01-09"),  # NULL linenumber, dangling
 ]
 HOSTILE_SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
 # part: one row per validate_part branch — regexp fail, allowed fail, both
@@ -266,10 +266,10 @@ def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
     spark.createDataFrame(
         HOSTILE_LINEITEM,
         "l_orderkey long, l_linenumber int, l_suppkey long, l_quantity double, "
-        "l_returnflag string, l_shipdate_s string",
+        "l_returnflag string, l_linestatus string, l_shipdate_s string",
     ).selectExpr(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_returnflag",
-        "cast(l_shipdate_s as date) l_shipdate",
+        "l_linestatus", "cast(l_shipdate_s as date) l_shipdate",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineitem.parquet")
     )

@@ -7,6 +7,8 @@ reference's element-local checks — SURVEY.md §2.8).
   text+media documents table (explode-free HOFs)
 * :mod:`.sessions` — gap-based event sessionization (windowed)
 * :mod:`.asof` — point-in-time (as-of) feature join, union+window form
+* :mod:`.suggest` — constraint suggestion: profile the data, emit the
+  rule spec it satisfies (feeds straight back into ``validate``)
 """
 
 from .table_checks import (
@@ -21,3 +23,4 @@ from .table_checks import (
 from .spans import span_rules, span_structure_violations
 from .sessions import session_bounds, sessionize
 from .asof import asof_join
+from .suggest import suggest_constraints, suggestions_to_spec

@@ -1,0 +1,191 @@
+"""Constraint suggestion: profile a table and propose a rule spec.
+
+The reference engine validates against a *hand-written* spec
+(``/root/reference/src/evalidate.erl``; rule records
+``/root/reference/include/evalidate.hrl:11-31``).  At corpus scale the
+spec itself is a liability — nobody hand-writes bounds for 400 columns —
+so this operator closes the loop the way Deequ's ``ConstraintSuggestion``
+does for its checks: scan the data once, emit the spec the data already
+satisfies, feed it straight back into :func:`evalidate_spark.validate`.
+
+Suggested rules (one output row each, ``column / rule / param``):
+
+* ``required``  — the column has zero NULLs.
+* ``type``      — schema-derived reference type name (``binary`` /
+  ``integer`` / ``float`` / ``boolean``); data-independent.
+* ``allowed``   — string column whose exact distinct-value count is
+  ``<= max_allowed``; param is the comma-joined sorted value set.
+* ``size``      — numeric: ``[floor(min), ceil(max)]`` value bounds;
+  string: ``[min_len, max_len]`` char-length bounds.
+
+Scale design (10^12 rows): TWO scans, both single-aggregation passes
+with partial (map-side) aggregation and a one-row shuffle per partition.
+Pass 1 estimates per-column cardinality with HyperLogLog++ (O(1) sketch
+memory) purely to decide which string columns are safe ``allowed``
+candidates; pass 2 — the returned, lazy plan — computes the stats plus
+``collect_set`` for *verified-small* candidates only, so no unbounded
+value set is ever collected.  The final unpivot is an ``explode`` over a
+single row.  Exact mode (``approx_distinct=False``) swaps HLL for
+``count(DISTINCT)`` — the oracle/audit path, same contract as
+:func:`evalidate_spark.operators.table_checks.profile`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["suggest_constraints", "suggestions_to_spec"]
+
+# Spark typeName -> reference type-validator name (spec.TYPE_NAMES).
+# Types outside this map (dates, arrays, structs, maps) get no type rule:
+# the reference type system (/root/reference/src/evv.erl:100-125) has no
+# counterpart, and guessing one would make the suggested spec fail its
+# own round-trip.
+_TYPE_MAP = {
+    "string": "binary",
+    "byte": "integer",
+    "short": "integer",
+    "integer": "integer",
+    "long": "integer",
+    "float": "float",
+    "double": "float",
+    "boolean": "boolean",
+}
+
+_NUMERIC = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    max_allowed: int = 8,
+    approx_distinct: bool = True,
+) -> DataFrame:
+    """Suggest a constraint spec the data currently satisfies.
+
+    Returns ``column, rule, param`` rows (deterministic given the data).
+    ``max_allowed`` caps the ``allowed``-set size; candidates are
+    pre-screened by cardinality (HLL by default) before any value set is
+    collected, so executor memory stays bounded on high-cardinality
+    columns.
+    """
+    cols = list(columns) if columns else [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"suggest_constraints: unknown column {c!r}")
+
+    str_cols = [c for c in cols if types[c] == "string"]
+    # ---- pass 1 (eager, one row): cardinality screen for allowed-sets.
+    # HLL standard error ~2%; the 1.5x slack means a true cardinality
+    # beyond ~1.5*max_allowed can never slip into the collect_set pass.
+    if str_cols:
+        dfn = F.countDistinct if not approx_distinct else F.approx_count_distinct
+        screen = df.agg(
+            *[dfn(F.col("`%s`" % c)).alias(c) for c in str_cols]
+        ).first()
+        budget = max_allowed if not approx_distinct else int(max_allowed * 1.5)
+        candidates = [c for c in str_cols if (screen[c] or 0) <= budget]
+    else:
+        candidates = []
+
+    # ---- pass 2 (lazy, returned): stats + capped value sets in ONE agg.
+    aggs: List = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        qc = F.col("`%s`" % c)
+        aggs.append(F.count(qc).alias(f"{c}__nn"))
+        if types[c] in _NUMERIC:
+            aggs.append(F.floor(F.min(qc)).cast("long").alias(f"{c}__lo"))
+            aggs.append(F.ceil(F.max(qc)).cast("long").alias(f"{c}__hi"))
+        elif types[c] == "string":
+            aggs.append(F.min(F.length(qc)).alias(f"{c}__lo"))
+            aggs.append(F.max(F.length(qc)).alias(f"{c}__hi"))
+        if c in candidates:
+            # slice is belt-and-braces: the screen already bounds the set,
+            # the cap bounds the *emitted* row even if data moved under us
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(qc)), 1, max_allowed + 1
+                ).alias(f"{c}__set")
+            )
+    row = df.agg(*aggs)
+
+    def entry(c: str, rule: str, param: str, keep: str) -> str:
+        # identical field names in every struct: array() requires it
+        return (
+            f"struct('{c}' as column, '{rule}' as rule, {param} as param, "
+            f"{keep} as keep)"
+        )
+
+    parts = []
+    for c in cols:
+        has_bounds = types[c] in _NUMERIC or types[c] == "string"
+        parts.append(entry(c, "required", "''", f"`{c}__nn` = __n AND __n > 0"))
+        tname = _TYPE_MAP.get(types[c])
+        if tname:
+            parts.append(entry(c, "type", f"'{tname}'", "true"))
+        if c in candidates:
+            parts.append(
+                entry(
+                    c,
+                    "allowed",
+                    f"concat_ws(',', `{c}__set`)",
+                    f"size(`{c}__set`) between 1 and {max_allowed}",
+                )
+            )
+        if has_bounds:
+            parts.append(
+                entry(
+                    c,
+                    "size",
+                    f"concat('[', cast(`{c}__lo` as string), ',', "
+                    f"cast(`{c}__hi` as string), ']')",
+                    f"`{c}__nn` > 0",
+                )
+            )
+    return (
+        row.select(F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s"))
+        .where(F.col("s.keep"))
+        .select("s.column", "s.rule", "s.param")
+    )
+
+
+def suggestions_to_spec(rows, schema_types: Optional[dict] = None) -> list:
+    """Turn collected suggestion rows back into an executable rule spec.
+
+    ``rows`` is any iterable of ``(column, rule, param)`` (e.g.
+    ``suggest_constraints(df).collect()``).  The result feeds
+    :func:`evalidate_spark.validate` directly — by construction the data
+    that produced the suggestions passes the returned spec (the
+    round-trip is asserted in ``tests/test_table_ops.py``).
+
+    ``allowed`` params are comma-joined, so value sets whose members
+    contain commas do not round-trip; ``suggest_constraints`` is still
+    correct for them (param is informational), this inverse is not.
+    """
+    from ..spec import OPTIONAL, REQUIRED, Allowed, Rule, Size, Type
+
+    by_col: dict = {}
+    for r in rows:
+        c, rule, param = r[0], r[1], r[2]
+        by_col.setdefault(c, {})[rule] = param
+    out = []
+    for c, rules in by_col.items():
+        validators = []
+        if "type" in rules:
+            validators.append(Type(rules["type"]))
+        if "allowed" in rules:
+            validators.append(Allowed(rules["allowed"].split(",")))
+        if "size" in rules:
+            lo, hi = rules["size"].strip("[]").split(",")
+            validators.append(Size(int(lo), int(hi)))
+        out.append(
+            Rule(
+                key=c,
+                presence=REQUIRED if "required" in rules else OPTIONAL,
+                validators=validators,
+            )
+        )
+    return out

@@ -87,6 +87,7 @@ QUERIES = [
     "referential_bloom",
     "winsorize_quantity",
     "check_suite",
+    "suggested_constraints",
     # spans surface (NULL text/id/n_chars flow through the derived spans)
     "span_structure",
     "span_refs_dangling",

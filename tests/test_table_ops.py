@@ -374,3 +374,55 @@ def test_composite_uniqueness_and_iqr(spark):
     )
     out = sorted(r["v"] for r in iqr_outliers(vals, "v", exact=True).collect())
     assert out == [-1e6, 1e6]
+
+
+def test_suggest_constraints_round_trip(spark):
+    """The suggested spec is, by construction, satisfied by the data that
+    produced it: suggestions_to_spec -> validate -> zero violations."""
+    from evalidate_spark import validate
+    from evalidate_spark.operators.suggest import (
+        suggest_constraints,
+        suggestions_to_spec,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.5, "x"),
+            (2, "B", 1.0, None),
+            (3, "A", 49.9, "yy"),
+            (4, "C", 25.0, "zzz"),
+        ],
+        "id long, flag string, qty double, note string",
+    )
+    sug = suggest_constraints(df, max_allowed=8, approx_distinct=False)
+    rows = sorted((r[0], r[1], r[2]) for r in sug.collect())
+    assert ("flag", "allowed", "A,B,C") in rows
+    assert ("flag", "required", "") in rows
+    assert ("id", "size", "[1,4]") in rows
+    assert ("qty", "size", "[1,50]") in rows
+    assert ("note", "size", "[1,3]") in rows
+    # note has a NULL -> no required suggestion
+    assert not any(c == "note" and r == "required" for c, r, _ in rows)
+
+    spec = suggestions_to_spec(rows)
+    res = validate(df, spec, id_cols=["id"])
+    assert res.violations.count() == 0
+
+    # ...and the spec actually bites on data outside the envelope
+    bad = spark.createDataFrame(
+        [(5, "Z", 500.0, "toolong")], "id long, flag string, qty double, note string"
+    )
+    assert validate(bad, spec, id_cols=["id"]).violations.count() > 0
+
+
+def test_suggest_constraints_cardinality_screen(spark):
+    """High-cardinality string columns never reach collect_set: no
+    allowed suggestion, bounded memory (the HLL screen decides)."""
+    from evalidate_spark.operators.suggest import suggest_constraints
+
+    df = spark.range(5000).selectExpr(
+        "cast(id AS string) AS hi_card", "cast(id % 3 AS string) AS lo_card"
+    )
+    rows = {(r[0], r[1]): r[2] for r in suggest_constraints(df).collect()}
+    assert ("hi_card", "allowed") not in rows
+    assert rows[("lo_card", "allowed")] == "0,1,2"
