@@ -172,6 +172,30 @@ def q_suggested_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profiling via mergeable states: lineitem is split into
+    two disjoint ingestion increments, each scanned ONCE into a one-row
+    state (counts + typed min/max + HLL sketch), and the states fold into
+    the full-table profile without rescanning the data.  The oracled
+    projection is the exactly-mergeable fields; the sketch-merge estimate
+    is asserted in pytest (DuckDB cannot replay DataSketches HLL)."""
+    from evalidate_spark.operators.table_checks import (
+        merge_profile_states,
+        profile_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linenumber", "l_quantity", "l_shipdate"]
+    inc0 = profile_state(
+        li.where("pmod(coalesce(l_orderkey, -1), 2) = 0"), cols, "inc0"
+    )
+    inc1 = profile_state(
+        li.where("pmod(coalesce(l_orderkey, -1), 2) = 1"), cols, "inc1"
+    )
+    merged = merge_profile_states(inc0.unionByName(inc1))
+    return merged.select("column", "n_rows", "n_nulls", "min_repr", "max_repr")
+
+
 def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-stop nightly data-quality report: engine rule violations,
     uniqueness, referential, and span-structure checks folded to one
@@ -1312,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_quantity": q_winsorize_quantity,
         "check_suite": q_check_suite,
         "suggested_constraints": q_suggested_constraints,
+        "profile_incremental": q_profile_incremental,
         "iqr_outliers": q_iqr_outliers,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
@@ -2688,6 +2713,27 @@ SELECT "column", rule, param FROM (
   UNION ALL SELECT 'l_quantity', 'size',
          '[' || q_lo || ',' || q_hi || ']', q_nn > 0 FROM s
 ) WHERE keep
+"""
+
+
+ORACLE["profile_incremental"] = """
+SELECT 'l_returnflag' AS "column", count(*) AS n_rows,
+       count(*) - count(l_returnflag) AS n_nulls,
+       CAST(min(l_returnflag) AS VARCHAR) AS min_repr,
+       CAST(max(l_returnflag) AS VARCHAR) AS max_repr
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+       CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
 """
 
 

@@ -201,6 +201,7 @@ def main() -> None:
         "canonical_urls",
         "winsorize_quantity",
         "suggested_constraints",
+        "profile_incremental",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

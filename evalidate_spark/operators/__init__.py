@@ -13,6 +13,8 @@ reference's element-local checks — SURVEY.md §2.8).
 
 from .table_checks import (
     profile,
+    profile_state,
+    merge_profile_states,
     uniqueness_violations,
     referential_violations,
     drift,

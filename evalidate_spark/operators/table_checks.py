@@ -86,6 +86,79 @@ def profile(
     ).select("s.*")
 
 
+def profile_state(df: DataFrame, columns: Sequence[str], increment: str) -> DataFrame:
+    """Mergeable per-column stats STATE for one ingestion increment.
+
+    At 10^12 rows re-profiling the whole table per ingest is the cost
+    killer; the fix is the standard mergeable-aggregate decomposition
+    (Deequ calls these *states*): each increment is scanned exactly once
+    into a ONE-ROW state — ``count`` / ``null-count`` / typed ``min`` /
+    ``max`` plus an Apache DataSketches HLL sketch
+    (``hll_sketch_agg``) for distinct counts — appended to a tiny state
+    table (one row per increment, a handful of bytes per column).
+    :func:`merge_profile_states` folds ANY subset of state rows into the
+    same shape :func:`profile` produces, without touching the data again:
+    counts add, min/max fold, sketches union (``hll_union_agg``).  This
+    is also the checkpoint/resume path for metrics — states survive in
+    the manifest layout and a re-run merges instead of rescans.
+    """
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    aggs: List = [
+        F.lit(increment).alias("increment"),
+        F.count(F.lit(1)).alias("__n"),
+    ]
+    for c in columns:
+        qc = F.col("`%s`" % c)
+        aggs.append(F.sum(qc.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(qc).alias(f"{c}__min"))
+        aggs.append(F.max(qc).alias(f"{c}__max"))
+        # hll_sketch_agg accepts int/bigint/string/binary only; coerce the
+        # rest to a value-faithful string key (dates, doubles, decimals)
+        if types.get(c) in ("integer", "long", "string", "binary"):
+            sk = qc
+        elif types.get(c) in ("byte", "short"):
+            sk = qc.cast("int")
+        else:
+            sk = qc.cast("string")
+        aggs.append(F.hll_sketch_agg(sk).alias(f"{c}__hll"))
+    return df.agg(*aggs)
+
+
+def merge_profile_states(states: DataFrame) -> DataFrame:
+    """Fold profile state rows (one per increment) into per-column stats.
+
+    Input is the union/append of :func:`profile_state` outputs over the
+    SAME column set; output matches :func:`profile`'s shape —
+    ``column, n_rows, n_nulls, n_distinct, min_repr, max_repr`` — with
+    ``n_distinct`` estimated from the unioned HLL sketches.  Merging is
+    exact for every other field, and associative: any grouping of
+    increments folds to the same result (asserted in
+    ``tests/test_table_ops.py``).  Cost is O(#increments × #columns)
+    state rows — independent of data size.
+    """
+    cols = sorted(
+        {f.name[: -len("__hll")] for f in states.schema.fields if f.name.endswith("__hll")}
+    )
+    aggs: List = [F.sum("__n").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(f"`{c}__nulls`").alias(f"{c}__nulls"))
+        aggs.append(F.min(f"`{c}__min`").cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(f"`{c}__max`").cast("string").alias(f"{c}__max"))
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(f"`{c}__hll`")).alias(f"{c}__distinct")
+        )
+    row = states.agg(*aggs)
+    parts = [
+        f"struct('{c}' as column, __n as n_rows, `{c}__nulls` as n_nulls, "
+        f"`{c}__distinct` as n_distinct, `{c}__min` as min_repr, "
+        f"`{c}__max` as max_repr)"
+        for c in cols
+    ]
+    return row.select(
+        F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s")
+    ).select("s.*")
+
+
 def uniqueness_violations(
     df: DataFrame, key, salt_buckets: Optional[int] = None
 ) -> DataFrame:

@@ -88,6 +88,7 @@ QUERIES = [
     "winsorize_quantity",
     "check_suite",
     "suggested_constraints",
+    "profile_incremental",
     # spans surface (NULL text/id/n_chars flow through the derived spans)
     "span_structure",
     "span_refs_dangling",

@@ -426,3 +426,44 @@ def test_suggest_constraints_cardinality_screen(spark):
     rows = {(r[0], r[1]): r[2] for r in suggest_constraints(df).collect()}
     assert ("hi_card", "allowed") not in rows
     assert rows[("lo_card", "allowed")] == "0,1,2"
+
+
+def test_profile_states_merge_matches_direct(spark):
+    """State merge is exact for counts/min/max and the sketch-union
+    distinct estimate stays within HLL error of the truth; merging is
+    order-insensitive (any increment grouping folds identically)."""
+    from evalidate_spark.operators.table_checks import (
+        merge_profile_states,
+        profile,
+        profile_state,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id",
+        "cast(id % 97 AS string) AS cat",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE cast(id AS double) / 4 END AS v",
+    )
+    cols = ["id", "cat", "v"]
+    parts = [
+        profile_state(df.where(f"pmod(id, 3) = {i}"), cols, f"inc{i}")
+        for i in range(3)
+    ]
+    states = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {r["column"]: r for r in merge_profile_states(states).collect()}
+    direct = {
+        r["column"]: r
+        for r in profile(df, cols, approx_distinct=False, quantiles=()).collect()
+    }
+    for c in cols:
+        assert merged[c]["n_rows"] == direct[c]["n_rows"] == 10_000
+        assert merged[c]["n_nulls"] == direct[c]["n_nulls"]
+        assert merged[c]["min_repr"] == direct[c]["min_repr"]
+        assert merged[c]["max_repr"] == direct[c]["max_repr"]
+        truth = direct[c]["n_distinct"]
+        assert abs(merged[c]["n_distinct"] - truth) <= max(2, 0.05 * truth), c
+
+    # permutation invariance: reversed union folds to identical rows
+    rev = parts[2].unionByName(parts[1]).unionByName(parts[0])
+    a = sorted(map(tuple, merge_profile_states(states).collect()))
+    b = sorted(map(tuple, merge_profile_states(rev).collect()))
+    assert a == b
