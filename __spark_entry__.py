@@ -1168,6 +1168,25 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cosine")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-pairwise) with an EXACT oracle via the same
+    duplicate-injection construction as embedding_near_dups: the corpus
+    plus an id-shifted copy of itself.  Injected pairs are identical
+    vectors, and cosine cell assignment is scale-invariant, so every
+    true >=0.999 pair provably shares a cell — the clustered approximate
+    path returns exactly the brute-force answer, which DuckDB replays."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    kept = dedup.semantic_dedup(
+        emb.union(dup),
+        threshold=0.999,
+        n_centroids=8,
+        dim=64,
+        max_cell=1_000_000,  # construction precondition: no cell truncated
+    )
+    return kept.select("vec_id", "label")
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1388,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -2715,6 +2735,23 @@ SELECT "column", rule, param FROM (
 ) WHERE keep
 """
 
+
+ORACLE["semantic_dedup"] = f"""
+WITH allr AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings
+), v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS emb FROM allr
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+), d AS (
+  SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.emb', 'b.emb')}, 6) >= 0.999
+)
+SELECT r.vec_id, r.label
+FROM allr r LEFT JOIN d ON r.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
 
 ORACLE["profile_incremental"] = """
 SELECT 'l_returnflag' AS "column", count(*) AS n_rows,

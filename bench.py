@@ -202,6 +202,7 @@ def main() -> None:
         "winsorize_quantity",
         "suggested_constraints",
         "profile_incremental",
+        "semantic_dedup",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

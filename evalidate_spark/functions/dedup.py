@@ -815,3 +815,93 @@ def embedding_near_dups(
         df, vec_col, id_col, planes=planes, seed=seed, max_bucket=max_bucket, dim=dim
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    dim: Optional[int] = None,
+    max_cell: int = 8192,
+    sample_n: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    centroids: Optional[list] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings into k-means cells, compute exact cosine only WITHIN each
+    cell, and drop every row that has a smaller-id same-cell neighbour
+    with ``round(cosine, 6) >= threshold``.  Returns the KEPT rows (all
+    original columns).
+
+    Deterministic drop rule: "exists a smaller-id near-neighbour" — no
+    dependence on iteration order, and identical vectors always share a
+    cell (same argmax scores, same tie-break), so exact duplicates are
+    always caught regardless of the fitted centroids.
+
+    Scale notes: cell assignment is one fused projection (centroids are
+    plan literals, no shuffle — :func:`similarity.ivf_assign`); the
+    pairwise stage is ONE shuffle on the cell id feeding an Arrow
+    ``applyInPandas`` that runs each cell as a blocked numpy matmul —
+    per-cell work is O((n/k)^2) vectorized flops, so size
+    ``n_centroids ~ sqrt(corpus)`` to keep cells bounded, and
+    ``max_cell`` hard-caps membership BEFORE the shuffle (first
+    *max_cell* ids per cell, deterministic) so one fat cell cannot
+    quadratic-blow a task.  Parallelism equals the number of cells —
+    another reason k grows with the corpus.  Rows with NULL id/vector or
+    a non-*dim* vector cannot be compared and are always kept.
+    """
+    from .similarity import _kmeans_centroids, ivf_assign
+
+    qid, qv = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    if dim is None:
+        first = df.filter(qv.isNotNull()).select(F.size(qv).alias("d")).first()
+        if first is None:
+            return df  # nothing comparable -> nothing to drop
+        dim = first["d"]
+    valid = df.filter(qid.isNotNull() & (F.size(qv) == dim))
+    if centroids is None:
+        centroids = _kmeans_centroids(
+            valid, vec_col, n_centroids, sample_n=sample_n, iters=iters, seed=seed
+        )
+    cells = (
+        ivf_assign(valid, centroids, vec_col)
+        .select(qid.alias("__sid"), qv.cast("array<double>").alias("__sv"), "cell")
+    )
+    cells = cap_per_group(cells, ["cell"], "__sid", max_cell).select(
+        "cell", "__sid", "__sv"
+    )
+
+    import numpy as np
+
+    th = float(threshold)
+
+    def _drop(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-cell numpy pairwise (the SemDeDup inner loop): one blocked
+        # matmul instead of interpreted per-pair expressions.  Peak memory
+        # is n_cell x 2048 doubles per task (<=128 MB at max_cell=8192).
+        pdf = pdf.sort_values("__sid")
+        ids = pdf["__sid"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"__drop_id": np.array([], dtype=np.int64)})
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["__sv"]], dtype=np.float64
+        )
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        vn = np.divide(v, np.where(nrm == 0, 1.0, nrm))  # zero vector -> cos 0
+        dropped = np.zeros(n, dtype=bool)
+        block = 2048
+        for j0 in range(1, n, block):
+            j1 = min(j0 + block, n)
+            s = np.round(vn[:j1] @ vn[j0:j1].T, 6)
+            # strict id comparison (not row index): duplicate ids must not
+            # drop each other — "smaller id" is the deterministic contract
+            hit = (s >= th) & (ids[:j1, None] < ids[None, j0:j1])
+            dropped[j0:j1] |= hit.any(axis=0)
+        return pd.DataFrame({"__drop_id": ids[dropped]})
+
+    dropped = cells.groupBy("cell").applyInPandas(_drop, "__drop_id long")
+    return df.join(dropped, on=qid == F.col("__drop_id"), how="left_anti")

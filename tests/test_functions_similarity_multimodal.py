@@ -739,3 +739,38 @@ class TestCentroidOutliers:
                 similarity.centroid_outliers(df.repartition(parts), dim=8, k=60).collect()
             )
             assert got == base
+
+
+def test_semantic_dedup_contract(spark):
+    """Planted duplicate clusters: larger-id members of any >=threshold
+    pair drop; scaled copies (cosine 1.0, different magnitude) share a
+    cell by scale-invariance and drop; duplicate ids never drop each
+    other; zero/NULL/ragged vectors always pass through."""
+    import numpy as np
+
+    from evalidate_spark.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+
+    def unit(i, d=8):
+        v = rng.standard_normal(d)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rows = []
+    for i in range(40):
+        rows.append((i, unit(i)))
+    vecs = {i: r[1] for i, r in enumerate(rows)}
+    rows.append((100, vecs[3]))                      # exact dup of id 3
+    rows.append((101, [2 * x for x in vecs[7]]))     # scaled copy of id 7
+    rows.append((102, [0.0] * 8))                    # zero vector
+    rows.append((103, [0.0] * 8))                    # second zero vector
+    rows.append((104, None))                         # NULL vector
+    rows.append((105, unit(9)[:4]))                  # ragged
+    rows.append((8, vecs[8]))                        # duplicate id, same vec
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r["vec_id"] for r in
+            semantic_dedup(df, threshold=0.999, n_centroids=4, dim=8,
+                           sample_n=100, seed=1).collect()}
+    assert 100 not in kept and 101 not in kept
+    assert {102, 103, 104, 105, 8}.issubset(kept)
+    assert set(range(40)).issubset(kept)

@@ -79,6 +79,7 @@ QUERIES = [
     "quantized_topk",
     "centroid_outliers",
     "embedding_near_dups",
+    "semantic_dedup",
     # lineitem/supplier surface (NULL keys, measures, dates)
     "profile_lineitem",
     "profile_quantiles",
