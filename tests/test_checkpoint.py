@@ -81,3 +81,38 @@ class TestCheckpoint:
         )
         for r in lin:
             assert r["engine_version"] and len(r["input_files"]) == 2 and r["wall_s"] >= 0
+
+
+def test_profile_states_resume_and_merge(spark, input_dir, tmp_path):
+    """A crashed-and-resumed run's merged profile equals the direct
+    profile of the whole input (exact fields + distinct on this small
+    cardinality), and a unit re-run never double-counts its state."""
+    from evalidate_spark.operators.table_checks import profile
+
+    run = CheckpointedRun(
+        spark, input_dir, RULES, str(tmp_path / "p"),
+        files_per_unit=2, profile_columns=("doc_id", "lang"),
+    )
+    run.run(max_units=1)
+    # simulate crash AFTER side effects, BEFORE manifest: delete one
+    # manifest entry so the unit re-runs (state must overwrite, not append)
+    import os
+    mdir = str(tmp_path / "p" / "manifest")
+    os.remove(os.path.join(mdir, sorted(os.listdir(mdir))[0]))
+    run.run()
+
+    merged = {r["column"]: r for r in run.profile().collect()}
+    direct = {
+        r["column"]: r
+        for r in profile(
+            spark.read.parquet(input_dir), ["doc_id", "lang"],
+            approx_distinct=False, quantiles=(),
+        ).collect()
+    }
+    for c in ("doc_id", "lang"):
+        assert merged[c]["n_rows"] == direct[c]["n_rows"] == 200
+        assert merged[c]["n_nulls"] == direct[c]["n_nulls"]
+        assert merged[c]["min_repr"] == direct[c]["min_repr"]
+        assert merged[c]["max_repr"] == direct[c]["max_repr"]
+    # lang has 2 true values — HLL is exact at this cardinality
+    assert merged["lang"]["n_distinct"] == direct["lang"]["n_distinct"]
