@@ -2705,9 +2705,13 @@ WITH s AS (
          count(l_linenumber) AS ln_nn,
          cast(floor(min(l_linenumber)) AS BIGINT) AS ln_lo,
          cast(ceil(max(l_linenumber)) AS BIGINT) AS ln_hi,
+         cast(min(l_linenumber) AS DOUBLE) AS ln_rlo,
+         cast(max(l_linenumber) AS DOUBLE) AS ln_rhi,
          count(l_quantity) AS q_nn,
          cast(floor(min(l_quantity)) AS BIGINT) AS q_lo,
-         cast(ceil(max(l_quantity)) AS BIGINT) AS q_hi
+         cast(ceil(max(l_quantity)) AS BIGINT) AS q_hi,
+         cast(min(l_quantity) AS DOUBLE) AS q_rlo,
+         cast(max(l_quantity) AS DOUBLE) AS q_rhi
   FROM lineitem
 )
 SELECT "column", rule, param FROM (
@@ -2727,11 +2731,15 @@ SELECT "column", rule, param FROM (
   UNION ALL SELECT 'l_linenumber', 'required', '', ln_nn = n AND n > 0 FROM s
   UNION ALL SELECT 'l_linenumber', 'type', 'integer', true FROM s
   UNION ALL SELECT 'l_linenumber', 'size',
-         '[' || ln_lo || ',' || ln_hi || ']', ln_nn > 0 FROM s
+         '[' || ln_lo || ',' || ln_hi || ']',
+         ln_nn > 0 AND ln_rlo >= -9.2233720368547e18
+                   AND ln_rhi <= 9.2233720368547e18 FROM s
   UNION ALL SELECT 'l_quantity', 'required', '', q_nn = n AND n > 0 FROM s
   UNION ALL SELECT 'l_quantity', 'type', 'float', true FROM s
   UNION ALL SELECT 'l_quantity', 'size',
-         '[' || q_lo || ',' || q_hi || ']', q_nn > 0 FROM s
+         '[' || q_lo || ',' || q_hi || ']',
+         q_nn > 0 AND q_rlo >= -9.2233720368547e18
+                  AND q_rhi <= 9.2233720368547e18 FROM s
 ) WHERE keep
 """
 

@@ -191,14 +191,29 @@ class CheckpointedRun:
         """Run-level column stats folded from the per-unit mergeable
         states (``column, n_rows, n_nulls, n_distinct, min_repr,
         max_repr``) — cost is O(units × columns) state rows, no data
-        rescan.  Requires ``profile_columns`` to have been set."""
+        rescan.  Requires ``profile_columns`` to have been set.
+
+        The states are cross-checked against the manifest before the
+        fold: every completed unit must have a state (else the merge
+        would silently undercount — e.g. units completed by an earlier
+        run without ``profile_columns``), and states from units no
+        longer in the manifest (stale out_dir reuse) are excluded."""
         from .operators.table_checks import merge_profile_states
 
         if not self.profile_columns:
             raise ValueError("profile_columns was not set on this run")
-        return merge_profile_states(
-            self.spark.read.parquet(os.path.join(self.out_dir, PROFILE_STATES_DIR))
+        done = sorted(self.completed_units())
+        states = self.spark.read.parquet(
+            os.path.join(self.out_dir, PROFILE_STATES_DIR)
         )
+        have = {r["increment"] for r in states.select("increment").distinct().collect()}
+        missing = [u for u in done if u not in have]
+        if missing:
+            raise ValueError(
+                "no profile state for completed unit(s) %s — were they run "
+                "without profile_columns?" % ", ".join(missing)
+            )
+        return merge_profile_states(states.filter(F.col("increment").isin(done)))
 
     def lineage(self) -> List[Dict[str, Any]]:
         """Per-unit lineage records (inputs, counts, timing, version),

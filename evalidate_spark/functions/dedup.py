@@ -829,6 +829,7 @@ def semantic_dedup(
     iters: int = 5,
     seed: int = 42,
     centroids: Optional[list] = None,
+    truncated_col: Optional[str] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings into k-means cells, compute exact cosine only WITHIN each
@@ -852,6 +853,9 @@ def semantic_dedup(
     quadratic-blow a task.  Parallelism equals the number of cells —
     another reason k grows with the corpus.  Rows with NULL id/vector or
     a non-*dim* vector cannot be compared and are always kept.
+    ``truncated_col`` (optional) appends a boolean marking kept rows whose
+    cell exceeded *max_cell* — those were only partially inspected (the
+    honest-signal contract shared with the minhash/simhash paths).
     """
     from .similarity import _kmeans_centroids, ivf_assign
 
@@ -863,15 +867,18 @@ def semantic_dedup(
         dim = first["d"]
     valid = df.filter(qid.isNotNull() & (F.size(qv) == dim))
     if centroids is None:
-        centroids = _kmeans_centroids(
-            valid, vec_col, n_centroids, sample_n=sample_n, iters=iters, seed=seed
-        )
+        try:
+            centroids = _kmeans_centroids(
+                valid, vec_col, n_centroids, sample_n=sample_n, iters=iters, seed=seed
+            )
+        except ValueError:
+            return df  # no comparable (id, dim-length) rows -> nothing to drop
     cells = (
         ivf_assign(valid, centroids, vec_col)
         .select(qid.alias("__sid"), qv.cast("array<double>").alias("__sv"), "cell")
     )
     cells = cap_per_group(cells, ["cell"], "__sid", max_cell).select(
-        "cell", "__sid", "__sv"
+        "cell", "__sid", "__sv", "__gsz"
     )
 
     import numpy as np
@@ -904,4 +911,20 @@ def semantic_dedup(
         return pd.DataFrame({"__drop_id": ids[dropped]})
 
     dropped = cells.groupBy("cell").applyInPandas(_drop, "__drop_id long")
-    return df.join(dropped, on=qid == F.col("__drop_id"), how="left_anti")
+    kept = df.join(dropped, on=qid == F.col("__drop_id"), how="left_anti")
+    if truncated_col is None:
+        return kept
+    # honest-signal mode (same contract as the minhash/simhash `truncated`
+    # flag): rows whose cell blew the cap were only partially (or never)
+    # compared — mark them so callers can distinguish clean from uninspected
+    tcells = cells.filter(F.col("__gsz") > max_cell).select("cell").distinct()
+    flagged = (
+        ivf_assign(kept.filter(qid.isNotNull() & (F.size(qv) == dim)), centroids, vec_col)
+        .select(qid.alias("__tid"), "cell")
+        .join(tcells, "cell", "left_semi")
+        .select("__tid")
+        .distinct()
+    )
+    return kept.join(flagged, on=qid == F.col("__tid"), how="left").withColumn(
+        truncated_col, F.col("__tid").isNotNull()
+    ).drop("__tid")

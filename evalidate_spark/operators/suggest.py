@@ -99,6 +99,11 @@ def suggest_constraints(
         if types[c] in _NUMERIC:
             aggs.append(F.floor(F.min(qc)).cast("long").alias(f"{c}__lo"))
             aggs.append(F.ceil(F.max(qc)).cast("long").alias(f"{c}__hi"))
+            # raw doubles back the int64-range guard below: a cast('long')
+            # on an out-of-range double clamps, and a clamped bound would
+            # make the suggested spec reject its own data
+            aggs.append(F.min(qc).cast("double").alias(f"{c}__rlo"))
+            aggs.append(F.max(qc).cast("double").alias(f"{c}__rhi"))
         elif types[c] == "string":
             aggs.append(F.min(F.length(qc)).alias(f"{c}__lo"))
             aggs.append(F.max(F.length(qc)).alias(f"{c}__hi"))
@@ -136,17 +141,27 @@ def suggest_constraints(
                 )
             )
         if has_bounds:
+            keep = f"`{c}__nn` > 0"
+            if types[c] in _NUMERIC:
+                # Size bounds are integers in the reference DSL — a column
+                # whose envelope exceeds int64 gets no size rule at all
+                keep += (
+                    f" AND `{c}__rlo` >= -9.2233720368547e18"
+                    f" AND `{c}__rhi` <= 9.2233720368547e18"
+                )
             parts.append(
                 entry(
                     c,
                     "size",
                     f"concat('[', cast(`{c}__lo` as string), ',', "
                     f"cast(`{c}__hi` as string), ']')",
-                    f"`{c}__nn` > 0",
+                    keep,
                 )
             )
+    from .table_checks import explode_structs
+
     return (
-        row.select(F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s"))
+        explode_structs(row, parts)
         .where(F.col("s.keep"))
         .select("s.column", "s.rule", "s.param")
     )

@@ -30,6 +30,14 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def explode_structs(row: DataFrame, parts: Sequence[str]) -> DataFrame:
+    """One-row wide aggregate → long rows: explode an array of struct
+    literals (SQL fragments over the aggregate's columns) as ``s``.
+    Shared by :func:`profile`, :func:`merge_profile_states`, and
+    ``operators.suggest`` so struct-literal quoting lives in one place."""
+    return row.select(F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s"))
+
+
 def profile(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
@@ -81,9 +89,7 @@ def profile(
             f"`{c}__distinct` as n_distinct, `{c}__min` as min_repr, "
             f"`{c}__max` as max_repr, {q} as quantiles)"
         )
-    return row.select(
-        F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s")
-    ).select("s.*")
+    return explode_structs(row, parts).select("s.*")
 
 
 def profile_state(df: DataFrame, columns: Sequence[str], increment: str) -> DataFrame:
@@ -154,9 +160,7 @@ def merge_profile_states(states: DataFrame) -> DataFrame:
         f"`{c}__max` as max_repr)"
         for c in cols
     ]
-    return row.select(
-        F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s")
-    ).select("s.*")
+    return explode_structs(row, parts).select("s.*")
 
 
 def uniqueness_violations(

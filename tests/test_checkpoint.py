@@ -116,3 +116,16 @@ def test_profile_states_resume_and_merge(spark, input_dir, tmp_path):
         assert merged[c]["max_repr"] == direct[c]["max_repr"]
     # lang has 2 true values — HLL is exact at this cardinality
     assert merged["lang"]["n_distinct"] == direct["lang"]["n_distinct"]
+
+
+def test_profile_raises_on_uncovered_units(spark, input_dir, tmp_path):
+    """Units completed WITHOUT profile_columns have no state — profile()
+    must refuse to silently undercount them after a config change."""
+    out = str(tmp_path / "g")
+    CheckpointedRun(spark, input_dir, RULES, out, files_per_unit=2).run(max_units=2)
+    run = CheckpointedRun(
+        spark, input_dir, RULES, out, files_per_unit=2, profile_columns=("lang",)
+    )
+    run.run()
+    with pytest.raises(ValueError, match="no profile state"):
+        run.profile()

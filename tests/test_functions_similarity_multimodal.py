@@ -774,3 +774,24 @@ def test_semantic_dedup_contract(spark):
     assert 100 not in kept and 101 not in kept
     assert {102, 103, 104, 105, 8}.issubset(kept)
     assert set(range(40)).issubset(kept)
+
+
+def test_semantic_dedup_no_comparable_rows_and_truncated_flag(spark):
+    from evalidate_spark.functions.dedup import semantic_dedup
+
+    # all ids NULL -> nothing comparable -> input passes through unchanged
+    df = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (None, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert semantic_dedup(df, dim=2, n_centroids=2, sample_n=10).count() == 2
+
+    # max_cell cap: dup beyond the cap survives but is flagged truncated
+    rows = [(i, [1.0, float(i)]) for i in range(6)] + [(100, [1.0, 5.0])]
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df2, threshold=0.9999, dim=2, n_centroids=1, sample_n=10,
+        max_cell=3, truncated_col="truncated",
+    )
+    got = {r["vec_id"]: r["truncated"] for r in out.collect()}
+    assert 100 in got and got[100] is True  # its dup (id 5) was never compared

@@ -1,4 +1,5 @@
-"""Adversarial oracle-parity gate: 71 driver queries — the whole oracled
+"""Adversarial oracle-parity gate: every oracled driver query (QUERIES
+below; kept in lockstep with ``oracle_sql()``) — the whole oracled
 surface over documents/events/lineitem/supplier/embeddings/part/nation/
 region — must
 hash-match their DuckDB oracles on HOSTILE tables: NULL texts/ids/
@@ -142,3 +143,9 @@ def test_hostile_corpus_oracle_parity(spark, hostile_dir, name):
     assert len(srows) == len(ores), (name, len(srows), len(ores))
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
     assert _vhash(scols, srows) == _vhash(ocols, ores), name
+
+
+def test_gate_covers_every_oracled_query():
+    """QUERIES is the whole oracled surface — adding an oracle without
+    hostile coverage (or vice versa) fails here instead of rotting."""
+    assert sorted(QUERIES) == sorted(entry.oracle_sql())

@@ -467,3 +467,21 @@ def test_profile_states_merge_matches_direct(spark):
     a = sorted(map(tuple, merge_profile_states(states).collect()))
     b = sorted(map(tuple, merge_profile_states(rev).collect()))
     assert a == b
+
+
+def test_suggest_constraints_int64_guard(spark):
+    """A numeric envelope beyond int64 yields NO size rule (a clamped
+    bound would make the spec reject its own data); the round-trip
+    still holds."""
+    from evalidate_spark import validate
+    from evalidate_spark.operators.suggest import (
+        suggest_constraints,
+        suggestions_to_spec,
+    )
+
+    df = spark.createDataFrame([(1, 1e30), (2, -5.0)], "id long, v double")
+    rows = [tuple(r) for r in
+            suggest_constraints(df, approx_distinct=False).collect()]
+    assert not any(c == "v" and r == "size" for c, r, _ in rows)
+    assert ("id", "size", "[1,2]") in rows
+    assert validate(df, suggestions_to_spec(rows), id_cols=["id"]).violations.count() == 0
