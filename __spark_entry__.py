@@ -1187,6 +1187,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "label")
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule verdicts over documents — integer
+    cross-multiplied thresholds so every count and verdict replays
+    bit-for-bit in DuckDB (min_words lowered to 5: the synthetic docs
+    are short, and a mixed pass/fail population exercises every rule)."""
+    from evalidate_spark.functions.text import gopher_rules
+
+    # stopword presence re-targeted at the synthetic corpus vocabulary so
+    # the gate sees a mixed pass/fail population across every rule
+    return gopher_rules(
+        _t(spark, sf_dir, "documents"),
+        min_words=5,
+        stopwords=("the", "a", "value", "table", "data", "row", "key", "scan"),
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1408,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
+        "gopher_rules": q_gopher_rules,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -2743,6 +2760,65 @@ SELECT "column", rule, param FROM (
 ) WHERE keep
 """
 
+
+ORACLE["gopher_rules"] = """
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE list_filter(string_split_regex(text, '\\s+'), x -> x <> '') END AS tk,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                          x -> x <> '') END AS ls
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_words,
+    CASE WHEN tk IS NULL THEN NULL
+         ELSE CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT)
+    END AS n_word_chars,
+    CASE WHEN tk IS NULL THEN NULL
+         ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+    END AS n_alpha_words,
+    CASE WHEN tk IS NULL THEN NULL
+         ELSE CAST(len(list_distinct(list_transform(
+                list_filter(tk, x -> lower(x) IN
+                  ('the','a','value','table','data','row','key','scan')),
+                x -> lower(x)))) AS BIGINT)
+    END AS n_stop_hits,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CASE WHEN ls IS NULL THEN NULL
+         ELSE CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*•]'))) AS BIGINT)
+    END AS n_bullet_lines,
+    CASE WHEN ls IS NULL THEN NULL
+         ELSE CAST(len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS BIGINT)
+    END AS n_ellipsis_lines,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
+    END AS n_symbols
+  FROM t
+), f AS (
+  SELECT *,
+    CASE WHEN n_words IS NULL THEN ['no_text']
+         ELSE list_sort(
+           [r FOR r IN [
+              CASE WHEN n_words < 5 OR n_words > 100000 THEN 'word_count' END,
+              CASE WHEN 3*n_words > n_word_chars OR n_word_chars > 10*n_words
+                   THEN 'mean_word_len' END,
+              CASE WHEN 10*n_symbols > n_words THEN 'symbol_ratio' END,
+              CASE WHEN 10*n_bullet_lines > 9*n_lines THEN 'bullet_lines' END,
+              CASE WHEN 10*n_ellipsis_lines > 3*n_lines THEN 'ellipsis_lines' END,
+              CASE WHEN 5*n_alpha_words < 4*n_words THEN 'alpha_words' END,
+              CASE WHEN n_stop_hits < 2 THEN 'stopwords' END
+            ] IF r IS NOT NULL])
+    END AS fl
+  FROM c
+)
+SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_hits, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_symbols,
+       coalesce(array_to_string(fl, ','), '') AS fails,
+       len(fl) = 0 AS passes
+FROM f
+"""
 
 ORACLE["semantic_dedup"] = f"""
 WITH allr AS (

@@ -203,6 +203,7 @@ def main() -> None:
         "suggested_constraints",
         "profile_incremental",
         "semantic_dedup",
+        "gopher_rules",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

@@ -724,3 +724,108 @@ def tfidf_top_terms(
             F.col("__id").alias(id_col), "term", "tf", "df_docs", "tfidf"
         )
     )
+
+
+# Gopher repetition/quality rules (Rae et al. 2021, Appendix A) use this
+# fixed 8-word presence set: a document failing to contain >= 2 of them
+# is unlikely to be running English prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, Appendix A)
+    as ONE fused projection of integer counts + rule verdicts.
+
+    Per doc: ``n_words, n_word_chars, n_alpha_words, n_stop_hits,
+    n_lines, n_bullet_lines, n_ellipsis_lines, n_symbols, fails
+    (comma-joined sorted rule names), passes``.  Rules:
+
+    * ``word_count``     — *min_words* <= words <= *max_words*
+    * ``mean_word_len``  — mean word length in [3, 10]
+    * ``symbol_ratio``   — (# + ellipsis) per word <= 0.1
+    * ``bullet_lines``   — <= 90% of lines start with a bullet
+    * ``ellipsis_lines`` — <= 30% of lines end with an ellipsis
+    * ``alpha_words``    — >= 80% of words contain a letter
+    * ``stopwords``      — >= 2 distinct Gopher stopwords present
+    * ``no_text``        — NULL text fails everything with this marker
+
+    Every threshold is evaluated by integer cross-multiplication
+    (``10*symbols <= words``), never a float ratio, so the verdicts are
+    bit-stable and replayable in any SQL engine.  Token and line arrays
+    are let-bound once (``F.transform(F.array(...))``) — no per-rule
+    re-split, no per-element re-evaluation (the O(tokens^2) HOF trap)."""
+    c = F.col("`%s`" % text_col)
+
+    tc = F.transform(
+        F.array(tokens(c)),
+        lambda tk: F.struct(
+            F.size(tk).alias("w"),
+            F.aggregate(
+                tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).alias("wc"),
+            F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]"))).alias("aw"),
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(tk, lambda x: F.lower(x).isin(*stopwords)),
+                        lambda x: F.lower(x),
+                    )
+                )
+            ).alias("sh"),
+        ),
+    )[0]
+    lc = F.transform(
+        F.array(
+            F.filter(
+                F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ),
+        lambda ls: F.struct(
+            F.size(ls).alias("l"),
+            F.size(F.filter(ls, lambda x: x.rlike("^[-*•]"))).alias("bl"),
+            F.size(F.filter(ls, lambda x: x.rlike("(\\.\\.\\.|…)$"))).alias("el"),
+        ),
+    )[0]
+    sym = F.regexp_count(c, F.lit("#|\\.\\.\\.|…"))
+
+    base = df.select(
+        F.col("`%s`" % id_col),
+        tc["w"].cast("long").alias("n_words"),
+        tc["wc"].cast("long").alias("n_word_chars"),
+        tc["aw"].cast("long").alias("n_alpha_words"),
+        tc["sh"].cast("long").alias("n_stop_hits"),
+        lc["l"].cast("long").alias("n_lines"),
+        lc["bl"].cast("long").alias("n_bullet_lines"),
+        lc["el"].cast("long").alias("n_ellipsis_lines"),
+        sym.cast("long").alias("n_symbols"),
+    )
+    w, wc = F.col("n_words"), F.col("n_word_chars")
+    rules = [
+        ("word_count", (w < min_words) | (w > max_words)),
+        ("mean_word_len", (3 * w > wc) | (wc > 10 * w)),
+        ("symbol_ratio", 10 * F.col("n_symbols") > w),
+        ("bullet_lines", 10 * F.col("n_bullet_lines") > 9 * F.col("n_lines")),
+        ("ellipsis_lines", 10 * F.col("n_ellipsis_lines") > 3 * F.col("n_lines")),
+        ("alpha_words", 5 * F.col("n_alpha_words") < 4 * w),
+        ("stopwords", F.col("n_stop_hits") < 2),
+    ]
+    fails = F.sort_array(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    fails = F.when(F.col("n_words").isNull(), F.array(F.lit("no_text"))).otherwise(fails)
+    return base.select(
+        "*",
+        F.concat_ws(",", fails).alias("fails"),
+        (F.size(fails) == 0).alias("passes"),
+    )

@@ -922,3 +922,33 @@ class TestTfidf:
         # doc1 terms x/y/z are unique to it (equal scores) → term-asc
         # tiebreak keeps the 3 alphabetically-first of the tied block
         assert d1 == ["x", "y", "z"]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from evalidate_spark.functions.text import gopher_rules
+
+    prose = ("the cat and the dog have been to the house of that man "
+             "with some be to of and words repeated here again ") * 3
+    docs = [
+        (1, prose),                                        # passes
+        (2, "short text"),                                 # word_count
+        (3, ("a " * 60) + "the be"),                       # mean_word_len low
+        (4, prose + " ##########"),                        # symbol_ratio
+        (5, "\n".join("- item the be" for _ in range(10))),  # bullet_lines
+        (6, "\n".join("the be thing..." for _ in range(10))),  # ellipsis_lines
+        (7, ("123 456 789 " * 20) + "the be"),             # alpha_words
+        (8, "zz " * 60),                                   # stopwords
+        (9, None),                                         # no_text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=5).collect()}
+    assert got[1]["passes"] and got[1]["fails"] == ""
+    assert "word_count" in got[2]["fails"]
+    assert "mean_word_len" in got[3]["fails"]
+    assert "symbol_ratio" in got[4]["fails"]
+    assert "bullet_lines" in got[5]["fails"]
+    assert "ellipsis_lines" in got[6]["fails"]
+    assert "alpha_words" in got[7]["fails"]
+    assert "stopwords" in got[8]["fails"]
+    assert got[9]["fails"] == "no_text" and got[9]["passes"] is False
+    assert got[9]["n_words"] is None

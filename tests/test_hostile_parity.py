@@ -30,6 +30,7 @@ QUERIES = [
     "corpus_report",
     "quality_topk",
     "quality_documents",
+    "gopher_rules",
     "chunked_docs",
     "fingerprint_documents",
     "token_counts",
