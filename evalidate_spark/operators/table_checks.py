@@ -30,12 +30,17 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def explode_structs(row: DataFrame, parts: Sequence[str]) -> DataFrame:
+def explode_structs(
+    row: DataFrame, parts: Sequence[str], keep: Sequence[str] = ()
+) -> DataFrame:
     """One-row wide aggregate → long rows: explode an array of struct
-    literals (SQL fragments over the aggregate's columns) as ``s``.
-    Shared by :func:`profile`, :func:`merge_profile_states`, and
-    ``operators.suggest`` so struct-literal quoting lives in one place."""
-    return row.select(F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s"))
+    literals (SQL fragments over the aggregate's columns) as ``s``,
+    carrying the *keep* columns (e.g. a streaming window) alongside.
+    Shared by :func:`profile`, :func:`merge_profile_states`,
+    ``streaming.profile_stream`` and ``operators.suggest`` so the
+    struct-literal quoting lives in one place."""
+    ex = F.explode(F.expr("array(%s)" % ",".join(parts))).alias("s")
+    return row.select(*[F.col("`%s`" % k) for k in keep], ex)
 
 
 def profile(

@@ -100,6 +100,45 @@ def windowed_verdicts(
     )
 
 
+def profile_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    columns: Sequence[str],
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed column-stats — the streaming twin of
+    :func:`evalidate_spark.operators.table_checks.profile`: per window and
+    column, ``n_rows / n_nulls / n_distinct (HLL) / min_repr / max_repr``
+    in ONE watermarked incremental aggregate (every term — count, sum,
+    min, max, ``approx_count_distinct`` — merges per micro-batch; state is
+    O(windows x columns), never O(rows)).  Output is long-format rows
+    ``(window, column, ...)`` via the shared one-row unpivot, so a
+    streaming sink accumulates the same shape the batch profile emits —
+    batch equivalence is pinned in ``tests/test_streaming.py``."""
+    from .operators.table_checks import explode_structs
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        qc = F.col("`%s`" % c)
+        aggs.append(F.sum(qc.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(qc).alias(f"{c}__distinct"))
+        aggs.append(F.min(qc).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(qc).cast("string").alias(f"{c}__max"))
+    row = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(*aggs)
+    )
+    parts = [
+        f"struct('{c}' as column, __n as n_rows, `{c}__nulls` as n_nulls, "
+        f"`{c}__distinct` as n_distinct, `{c}__min` as min_repr, "
+        f"`{c}__max` as max_repr)"
+        for c in columns
+    ]
+    return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
+
+
 def asof_join_stream(
     stream_df: DataFrame,
     right: DataFrame,

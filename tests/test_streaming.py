@@ -319,3 +319,44 @@ def test_media_features_stream_equals_batch(spark, tmp_path):
     _run_to_memory(stream, "media_feats")
     got = {tuple(r) for r in spark.sql("SELECT * FROM media_feats").collect()}
     assert got == batch and len(got) == 45
+
+
+def test_profile_stream_matches_batch_profile(spark, tmp_path):
+    """Windowed streaming profile ≡ batch profile per window: exact fields
+    equal, HLL distinct identical (same sketch algorithm both sides)."""
+    from evalidate_spark.operators.table_checks import profile
+
+    path = str(tmp_path / "ps_in")
+    (
+        spark.range(240)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+            "CASE WHEN id % 11 = 0 THEN NULL ELSE cast(id % 37 AS long) END v",
+            "concat('u', cast(id % 13 AS string)) u",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    ps = streaming.profile_stream(
+        _stream(spark, path), "ts", columns=("v", "u"), window="30 minutes"
+    )
+    _run_to_memory(ps, "ps_out", mode="complete")
+    got = {
+        (r["window"]["start"], r["column"]): (
+            r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_repr"], r["max_repr"]
+        )
+        for r in spark.table("ps_out").collect()
+    }
+    # 240 rows * 30s = 2h span -> 4 windows of 30 min
+    assert len(got) == 4 * 2
+
+    batch = spark.read.parquet(path).withColumn(
+        "w", F.window(F.col("ts"), "30 minutes")["start"]
+    )
+    for w in [r["w"] for r in batch.select("w").distinct().collect()]:
+        sub = batch.filter(F.col("w") == w)
+        for r in profile(sub, ["v", "u"], quantiles=()).collect():
+            assert got[(w, r["column"])] == (
+                r["n_rows"], r["n_nulls"], r["n_distinct"],
+                r["min_repr"], r["max_repr"],
+            ), (w, r["column"])
