@@ -795,3 +795,25 @@ def test_semantic_dedup_no_comparable_rows_and_truncated_flag(spark):
     )
     got = {r["vec_id"]: r["truncated"] for r in out.collect()}
     assert 100 in got and got[100] is True  # its dup (id 5) was never compared
+
+
+def test_semantic_dedup_plan_single_cell_exchange(spark):
+    """The cap window and the per-cell pandas stage key on the same cell
+    id, so the whole pairwise path costs ONE hash exchange (plus the
+    broadcast of the small dropped-id set into the anti-join)."""
+    import re
+
+    from evalidate_spark.functions.dedup import semantic_dedup
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # inject duplicates: with an empty dropped set AQE eliminates the
+    # anti-join entirely (PropagateEmptyRelation) and no pairwise plan runs
+    emb = emb.union(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = semantic_dedup(emb, threshold=0.999, n_centroids=4, dim=64)
+    out.collect()  # executedPlan on the SAME df (count() builds a new plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning\(cell", plan)) == 1
+    assert "FlatMapGroupsInPandas" in plan
