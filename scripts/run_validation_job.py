@@ -32,6 +32,12 @@ def main(argv=None) -> int:
     ap.add_argument("--id-cols", default="doc_id", help="comma-separated id columns")
     ap.add_argument("--files-per-unit", type=int, default=32)
     ap.add_argument("--max-units", type=int, default=None, help="process at most N units (testing)")
+    ap.add_argument(
+        "--profile-columns",
+        default="",
+        help="comma-separated columns to fold into per-unit mergeable "
+        "profile states; the merged run-level stats print in the summary",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,6 +54,7 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     shutil.copyfile(args.rules, os.path.join(args.out, "rules.json"))  # lineage
 
+    profile_cols = [c.strip() for c in args.profile_columns.split(",") if c.strip()]
     run = CheckpointedRun(
         spark,
         args.input,
@@ -55,8 +62,11 @@ def main(argv=None) -> int:
         args.out,
         id_cols=[c.strip() for c in args.id_cols.split(",") if c.strip()],
         files_per_unit=args.files_per_unit,
+        profile_columns=tuple(profile_cols),
     )
     summary = run.run(max_units=args.max_units)
+    if profile_cols and not run.pending_units():
+        summary["profile"] = [r.asDict() for r in run.profile().collect()]
     print(json.dumps(summary))
     return 0
 

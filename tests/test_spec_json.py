@@ -98,12 +98,16 @@ class TestSubmitJob:
             assert p.returncode == 0, p.stderr[-2000:]
             return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
 
-        first = run(["--max-units", "1"])
+        first = run(["--max-units", "1", "--profile-columns", "doc_id,text"])
         assert len(first["processed_now"]) == 1
-        second = run([])
+        assert "profile" not in first  # incomplete run: no run-level stats
+        second = run(["--profile-columns", "doc_id,text"])
         assert second["total_units_done"] == 2
         assert second["rows"] == 100
         assert (tmp_path / "out" / "rules.json").exists()
+        prof = {p["column"]: p for p in second["profile"]}
+        assert prof["doc_id"]["n_rows"] == 100 and prof["doc_id"]["n_nulls"] == 0
+        assert prof["text"]["min_repr"] == "no"
 
     def test_spark_submit_pyfiles(self, spark, tmp_path):
         """The north rule's literal submission mode: ``spark-submit
