@@ -1203,6 +1203,17 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning over documents: page-level lorem-ipsum/brace
+    drops, line-level terminal-punctuation + min-words + javascript
+    rules — counts, cleaned text, and keep verdict all replayed in
+    DuckDB (the synthetic corpus has no terminal punctuation, so the
+    hostile corpus carries the kept-line variety)."""
+    from evalidate_spark.functions.text import c4_filters
+
+    return c4_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1425,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -2818,6 +2830,34 @@ SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_hits, n_lines,
        coalesce(array_to_string(fl, ','), '') AS fails,
        len(fl) = 0 AS passes
 FROM f
+"""
+
+ORACLE["c4_filters"] = """
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                          x -> x <> '') END AS ls
+  FROM documents
+), k AS (
+  SELECT doc_id, text, ls,
+    CASE WHEN ls IS NULL THEN NULL
+         ELSE list_filter(ls, x ->
+                regexp_matches(x, '[.!?"'']$')
+                AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 3
+                AND NOT contains(lower(x), 'javascript')) END AS kept,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE contains(lower(text), 'lorem ipsum') OR contains(text, '{') END AS pd
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CASE WHEN pd IS NULL OR pd THEN NULL
+       ELSE CAST(len(kept) AS BIGINT) END AS n_kept_lines,
+  CASE WHEN pd IS NULL OR pd THEN NULL
+       ELSE coalesce(array_to_string(kept, chr(10)), '') END AS cleaned,
+  coalesce(NOT pd AND len(kept) > 0, false) AS keep_doc
+FROM k
 """
 
 ORACLE["semantic_dedup"] = f"""

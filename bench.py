@@ -204,6 +204,7 @@ def main() -> None:
         "profile_incremental",
         "semantic_dedup",
         "gopher_rules",
+        "c4_filters",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

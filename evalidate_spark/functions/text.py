@@ -829,3 +829,56 @@ def gopher_rules(
         F.concat_ws(",", fails).alias("fails"),
         (F.size(fails) == 0).alias("passes"),
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020, §2.2) as one fused
+    projection — the line-level companion to :func:`gopher_rules`:
+
+    * page DROPPED outright when it contains ``lorem ipsum`` (any case)
+      or a ``{`` (code, not prose);
+    * otherwise keep only lines that end in terminal punctuation
+      (``. ! ? " '``), have >= *min_line_words* words, and do not
+      mention ``javascript`` (any case).
+
+    Per doc: ``n_lines, n_kept_lines, cleaned (kept lines re-joined
+    with newlines; NULL when the page drops), keep_doc``.  NULL text →
+    NULL counts, ``keep_doc`` false.  Lines are split/trimmed once
+    (let-bound array); every per-line predicate touches only its own
+    element, so the projection is linear in the text."""
+    c = F.col("`%s`" % text_col)
+    lc = F.transform(
+        F.array(
+            F.filter(
+                F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ),
+        lambda ls: F.struct(
+            F.size(ls).alias("l"),
+            F.filter(
+                ls,
+                lambda x: x.rlike("[.!?\"']$")
+                & (
+                    F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+                    >= min_line_words
+                )
+                & ~F.lower(x).contains("javascript"),
+            ).alias("kept"),
+        ),
+    )[0]
+    page_drop = F.lower(c).contains("lorem ipsum") | c.contains("{")
+    return df.select(
+        F.col("`%s`" % id_col),
+        lc["l"].cast("long").alias("n_lines"),
+        F.when(~page_drop, F.size(lc["kept"]).cast("long")).alias("n_kept_lines"),
+        F.when(~page_drop, F.concat_ws("\n", lc["kept"])).alias("cleaned"),
+        F.coalesce(
+            ~page_drop & (F.size(lc["kept"]) > 0), F.lit(False)
+        ).alias("keep_doc"),
+    )

@@ -952,3 +952,25 @@ def test_gopher_rules_each_rule_fires(spark):
     assert "stopwords" in got[8]["fails"]
     assert got[9]["fails"] == "no_text" and got[9]["passes"] is False
     assert got[9]["n_words"] is None
+
+
+def test_c4_filters_contract(spark):
+    from evalidate_spark.functions.text import c4_filters
+
+    docs = [
+        (1, "This is a good sentence.\nshort\nAnother fine line here!\nno punct line at all"),
+        (2, "Enable javascript to view this.\nA real sentence stays here."),
+        (3, "Some text with lorem ipsum inside."),     # page drop
+        (4, "var x = { a: 1 };\nGood line otherwise."),  # page drop ({)
+        (5, None),                                      # NULL text
+        (6, "everything here lacks punctuation"),       # nothing kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    assert got[1]["keep_doc"] and got[1]["n_kept_lines"] == 2
+    assert got[1]["cleaned"] == "This is a good sentence.\nAnother fine line here!"
+    assert got[2]["keep_doc"] and got[2]["cleaned"] == "A real sentence stays here."
+    assert got[3]["keep_doc"] is False and got[3]["cleaned"] is None
+    assert got[4]["keep_doc"] is False and got[4]["n_kept_lines"] is None
+    assert got[5]["keep_doc"] is False and got[5]["n_lines"] is None
+    assert got[6]["keep_doc"] is False and got[6]["cleaned"] == ""

@@ -31,6 +31,7 @@ QUERIES = [
     "quality_topk",
     "quality_documents",
     "gopher_rules",
+    "c4_filters",
     "chunked_docs",
     "fingerprint_documents",
     "token_counts",
