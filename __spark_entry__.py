@@ -1214,6 +1214,35 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filters(_t(spark, sf_dir, "documents"))
 
 
+# single source of truth for the classifier driver query; the oracle's
+# VALUES table mirrors it literally (keep in lockstep)
+CLASSIFIER_W = {
+    "the": -40,
+    "a": -20,
+    "value": 250,
+    "table": 120,
+    "data": 180,
+    "row": -300,
+    "key": 90,
+    "scan": -150,
+}
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear bag-of-words quality classifier over
+    documents — integer milli-unit weights, mean-normalized logit,
+    threshold verdict.  Map-literal strategy: a pure per-row projection,
+    zero shuffle (plan-asserted in tests/test_classifier.py)."""
+    from evalidate_spark.functions.classifier import classifier_scores
+
+    return classifier_scores(
+        _t(spark, sf_dir, "documents"),
+        CLASSIFIER_W,
+        bias_milli=50,
+        threshold_milli=0,
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1437,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
+        "classifier_scores": q_classifier_scores,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -2895,6 +2925,37 @@ UNION ALL
 SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
        CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
 FROM lineitem
+"""
+
+
+# mirrors CLASSIFIER_W + q_classifier_scores (bias 50, threshold 0):
+# integer milli-weights, mean logit via floor(double division) — division
+# then floor replays bit-for-bit because |sums| are far below 2^52
+ORACLE["classifier_scores"] = r"""
+WITH w(token, wt) AS (
+  VALUES ('the', -40), ('a', -20), ('value', 250), ('table', 120),
+         ('data', 180), ('row', -300), ('key', 90), ('scan', -150)
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL
+), ex AS (
+  SELECT doc_id, unnest(tk) AS token FROM toks
+), agg AS (
+  SELECT ex.doc_id, sum(coalesce(w.wt, 0)) AS sw, count(w.wt) AS h
+  FROM ex LEFT JOIN w ON lower(ex.token) = w.token
+  GROUP BY ex.doc_id
+), scored AS (
+  SELECT t.doc_id, cast(len(t.tk) AS int) AS n_tokens,
+         cast(coalesce(agg.h, 0) AS bigint) AS hits,
+         cast(50 + CASE WHEN len(t.tk) > 0
+              THEN floor(cast(agg.sw AS double) / len(t.tk))
+              ELSE 0 END AS bigint) AS logit_milli
+  FROM toks t LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id, n_tokens, hits, logit_milli, logit_milli > 0 AS keep
+FROM scored
 """
 
 

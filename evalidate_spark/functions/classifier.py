@@ -1,0 +1,182 @@
+"""Linear bag-of-words quality classifier — the fastText-shaped model
+filter of a training-data pipeline (CCNet's wiki-reference classifier,
+LLaMA's quality model) re-expressed as integer-exact Spark plans.
+
+Inference is exactly what fastText does at prediction time: tokenize,
+look each token up in a weight table, average, add a bias, threshold.
+Weights here are INTEGER MILLI-UNITS (w * 1000 rounded) so every score
+is an integer sum / floor-division — bit-replayable by any SQL engine
+and independent of float summation order.  Training is out of scope by
+design (weights come from wherever the user trains them); what this
+module owns is scoring 10^12 documents without leaving the JVM.
+
+Two physical strategies, same semantics:
+
+- ``strategy="map"`` (default for vocabularies that fit a literal,
+  ≤ ``MAP_VOCAB_MAX``): the weight table becomes a literal
+  ``map<string,long>`` inside ONE ``F.aggregate`` pass — a pure
+  per-row projection, zero shuffle, zero Python; at 10^12 docs it
+  rides the same scan as the validation fast path.
+- ``strategy="join"``: tokens are exploded and broadcast-hash-joined
+  against a weight DataFrame, then re-aggregated per doc — one shuffle
+  on doc_id, for vocabularies too large to inline in the plan (real
+  classifiers carry 10^5-10^6 n-gram weights; a multi-MB map literal
+  would bloat every task's deserialized plan).
+
+Both are pinned bit-identical in tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+# Above this many entries the literal-map plan stops being free: the map
+# is serialized into every task and HOF lookup is a linear scan.
+MAP_VOCAB_MAX = 1024
+
+
+def _weight_map(weights: Dict[str, int]) -> Column:
+    pairs = []
+    for token, w in weights.items():
+        pairs.append(F.lit(token))
+        pairs.append(F.lit(int(w)).cast("long"))
+    return F.create_map(*pairs)
+
+
+def classifier_scores(
+    df: DataFrame,
+    weights: Dict[str, int],
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Score every document under a linear bag-of-words model.
+
+    Returns ``(id_col, n_tokens, hits, logit_milli, keep)``:
+
+    - ``n_tokens``  — whitespace token count (0 for NULL/empty text);
+    - ``hits``      — tokens found in the weight table (case-folded);
+    - ``logit_milli`` — ``bias_milli + floor(sum_w / n_tokens)`` in
+      integer milli-units (mean token weight, fastText's normalization;
+      ``bias_milli`` alone when the doc has no tokens).  ``floor`` (not
+      truncate-toward-zero) so negative sums divide identically in
+      Spark and in SQL replays;
+    - ``keep``      — ``logit_milli > threshold_milli``.
+
+    Rows with NULL ``id_col`` are dropped (no stable identity); NULL
+    text scores as an empty document — same contract as the rest of the
+    text surface.  Unknown tokens carry weight 0, exactly fastText's
+    OOV behavior without subword hashing.
+
+    ``id_col`` must be unique under ``strategy="join"`` (the re-aggregate
+    groups by it); ``strategy="map"`` scores each row independently.
+    """
+    n = len(weights)
+    if strategy == "auto":
+        strategy = "map" if n <= MAP_VOCAB_MAX else "join"
+    if strategy == "map":
+        return _scores_map(df, weights, bias_milli, threshold_milli, text_col, id_col)
+    if strategy == "join":
+        return _scores_join(df, weights, bias_milli, threshold_milli, text_col, id_col)
+    raise ValueError("strategy must be auto|map|join, got %r" % strategy)
+
+
+def _finish(sum_w: Column, hits: Column, n_tok: Column, bias: int, thr: int):
+    logit = F.lit(int(bias)).cast("long") + F.when(
+        n_tok > 0, F.floor(sum_w.cast("double") / n_tok)
+    ).otherwise(F.lit(0)).cast("long")
+    return [
+        n_tok.cast("int").alias("n_tokens"),
+        hits.cast("long").alias("hits"),
+        logit.alias("logit_milli"),
+        (logit > F.lit(int(thr))).alias("keep"),
+    ]
+
+
+def _scores_map(
+    df: DataFrame,
+    weights: Dict[str, int],
+    bias_milli: int,
+    threshold_milli: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    ids = F.col("`%s`" % id_col)
+    wm = _weight_map(weights)
+
+    def w_of(t: Column) -> Column:
+        # nullable lookup: NULL == not in vocabulary (so a legitimate
+        # 0-weight vocabulary entry still counts as a hit, matching the
+        # join strategy's count(__w) exactly)
+        return F.element_at(wm, F.lower(t))
+
+    # single fold over the token array: (sum_w, hits, n) in one struct
+    # accumulator — the token array is the lambda's own argument, so
+    # nothing non-trivial is referenced twice (HOF re-inlining pitfall)
+    acc = F.aggregate(
+        # NULL text → empty array (aggregate over NULL is NULL, which
+        # would blank every output column instead of scoring bias-only)
+        F.coalesce(
+            tokens(F.col("`%s`" % text_col)), F.array().cast("array<string>")
+        ),
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("h"),
+            F.lit(0).cast("long").alias("n"),
+        ),
+        lambda a, t: F.struct(
+            (a["s"] + F.coalesce(w_of(t), F.lit(0).cast("long"))).alias("s"),
+            (a["h"] + F.when(w_of(t).isNotNull(), 1).otherwise(0)).alias("h"),
+            (a["n"] + 1).alias("n"),
+        ),
+    )
+    # let-bind the fold result (one evaluation) before fanning out to
+    # four output columns
+    out = df.filter(ids.isNotNull()).select(
+        ids.alias(id_col), acc.alias("__a")
+    )
+    a = F.col("__a")
+    return out.select(
+        id_col,
+        *_finish(a["s"], a["h"], a["n"], bias_milli, threshold_milli),
+    )
+
+
+def _scores_join(
+    df: DataFrame,
+    weights: Dict[str, int],
+    bias_milli: int,
+    threshold_milli: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    ids = F.col("`%s`" % id_col)
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(t, int(w)) for t, w in weights.items()], "__tok string, __w long"
+    )
+    base = df.filter(ids.isNotNull()).select(
+        ids.alias(id_col), tokens(F.col("`%s`" % text_col)).alias("__tk")
+    )
+    # explode_outer keeps zero-token docs (NULL __tok row) so every doc
+    # gets a score; broadcast the weight table — it is dwarfed by the
+    # corpus at any realistic vocabulary size
+    ex = base.select(id_col, F.explode_outer("__tk").alias("__tok0"))
+    joined = ex.join(
+        F.broadcast(w_df), F.lower(F.col("__tok0")) == F.col("__tok"), "left"
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("__w"), F.lit(0))).alias("__s"),
+        F.count("__w").alias("__h"),
+        F.count("__tok0").alias("__n"),
+    )
+    return agg.select(
+        id_col,
+        *_finish(F.col("__s"), F.col("__h"), F.col("__n"), bias_milli, threshold_milli),
+    )

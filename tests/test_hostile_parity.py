@@ -32,6 +32,7 @@ QUERIES = [
     "quality_documents",
     "gopher_rules",
     "c4_filters",
+    "classifier_scores",
     "chunked_docs",
     "fingerprint_documents",
     "token_counts",
