@@ -1243,6 +1243,24 @@ def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional dependencies across nation and events: the
+    relationship half of constraint suggestion.  n_nationkey→n_name must
+    hold (key), n_regionkey→n_name must not (5 nations per region);
+    event_id→user_id holds, user_id→event_type does not."""
+    from evalidate_spark.operators.suggest import functional_dependencies
+
+    nat = functional_dependencies(
+        _t(spark, sf_dir, "nation"),
+        [("n_nationkey", "n_name"), ("n_regionkey", "n_name")],
+    )
+    ev = functional_dependencies(
+        _t(spark, sf_dir, "events"),
+        [("event_id", "user_id"), ("user_id", "event_type")],
+    )
+    return nat.unionByName(ev)
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1467,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
         "classifier_scores": q_classifier_scores,
+        "functional_deps": q_functional_deps,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -2956,6 +2975,44 @@ WITH w(token, wt) AS (
 )
 SELECT doc_id, n_tokens, hits, logit_milli, logit_milli > 0 AS keep
 FROM scored
+"""
+
+
+# mirrors q_functional_deps: NULL-determinant rows excluded, NULL
+# dependent counts as one image (count(DISTINCT x) ignores NULLs, so add
+# a has-NULL flag per key)
+ORACLE["functional_deps"] = """
+WITH probe(tbl, det, dep) AS (
+  VALUES ('nation', 'n_nationkey', 'n_name'),
+         ('nation', 'n_regionkey', 'n_name'),
+         ('events', 'event_id', 'user_id'),
+         ('events', 'user_id', 'event_type')
+), nat AS (
+  SELECT det, dep, k, count(DISTINCT v) + max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS imgs
+  FROM (
+    SELECT 'n_nationkey' AS det, 'n_name' AS dep,
+           cast(n_nationkey AS varchar) AS k, n_name AS v
+    FROM nation WHERE n_nationkey IS NOT NULL
+    UNION ALL
+    SELECT 'n_regionkey', 'n_name', cast(n_regionkey AS varchar), n_name
+    FROM nation WHERE n_regionkey IS NOT NULL
+    UNION ALL
+    SELECT 'event_id', 'user_id', cast(event_id AS varchar),
+           cast(user_id AS varchar)
+    FROM events WHERE event_id IS NOT NULL
+    UNION ALL
+    SELECT 'user_id', 'event_type', cast(user_id AS varchar), event_type
+    FROM events WHERE user_id IS NOT NULL
+  ) GROUP BY det, dep, k
+)
+SELECT p.det AS determinant, p.dep AS dependent,
+       cast(coalesce(count(n.k), 0) AS bigint) AS n_keys,
+       cast(coalesce(sum(CASE WHEN n.imgs > 1 THEN 1 ELSE 0 END), 0) AS bigint)
+         AS violating_keys,
+       cast(coalesce(max(n.imgs), 0) AS bigint) AS max_images,
+       coalesce(sum(CASE WHEN n.imgs > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
+FROM probe p LEFT JOIN nat n ON p.det = n.det AND p.dep = n.dep
+GROUP BY p.det, p.dep
 """
 
 

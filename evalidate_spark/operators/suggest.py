@@ -32,11 +32,15 @@ single row.  Exact mode (``approx_distinct=False``) swaps HLL for
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["suggest_constraints", "suggestions_to_spec"]
+__all__ = [
+    "suggest_constraints",
+    "suggestions_to_spec",
+    "functional_dependencies",
+]
 
 # Spark typeName -> reference type-validator name (spec.TYPE_NAMES).
 # Types outside this map (dates, arrays, structs, maps) get no type rule:
@@ -204,3 +208,68 @@ def suggestions_to_spec(rows, schema_types: Optional[dict] = None) -> list:
             )
         )
     return out
+
+
+def functional_dependencies(
+    df: DataFrame, pairs: Sequence[Tuple[str, str]]
+) -> DataFrame:
+    """Test candidate functional dependencies ``determinant -> dependent``.
+
+    The other half of Deequ-style constraint suggestion: ``allowed``/
+    ``size`` bounds describe single columns, FDs describe column
+    *relationships* (`n_nationkey -> n_name`, `sku -> brand`) — exactly
+    the uniqueness/consistency invariants a validation spec wants to pin
+    before the data drifts.  One row per candidate pair:
+
+    ``(determinant, dependent, n_keys, violating_keys, max_images,
+    holds)`` where ``n_keys`` counts distinct non-NULL determinant
+    values, ``violating_keys`` those mapping to more than one image,
+    ``max_images`` the worst key's image count, and
+    ``holds = violating_keys == 0`` (vacuously true on an empty table).
+
+    NULL contract: rows with a NULL determinant are excluded (no key
+    identity); a NULL *dependent* is one image value of its own — a key
+    mapping to both ``'x'`` and NULL is a violation, matching what a
+    downstream NOT-NULL-on-match check would observe.
+
+    Scale shape (10^12 rows): per pair, an explicit two-phase plan —
+    ``groupBy(det, dep)`` (map-side combined; the heavy shuffle keys on
+    the PAIR, so a hot determinant with many images still spreads across
+    reducers) then ``groupBy(det)`` counting images, then a 1-row
+    summary agg.  No Expand-based ``count(DISTINCT)``, no value
+    collection, O(1) output.  Candidate pairs are unioned 1-row plans —
+    keep the pair list bounded (it is a spec, not a search; for FD
+    *mining* over all column pairs, screen with
+    :func:`suggest_constraints`'s HLL pass first)."""
+    if not pairs:
+        raise ValueError("functional_dependencies needs at least one pair")
+    names = {f.name for f in df.schema.fields}
+    outs: List[DataFrame] = []
+    for det, dep in pairs:
+        for c in (det, dep):
+            if c not in names:
+                raise ValueError(f"functional_dependencies: unknown column {c!r}")
+        kd = F.col("`%s`" % det)
+        vd = F.col("`%s`" % dep)
+        images = (
+            df.filter(kd.isNotNull())
+            .groupBy(kd.alias("__k"), vd.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__imgs"))
+        )
+        viol = F.sum(F.when(F.col("__imgs") > 1, 1).otherwise(0))
+        outs.append(
+            images.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.coalesce(viol, F.lit(0)).cast("long").alias("violating_keys"),
+                F.coalesce(F.max("__imgs"), F.lit(0)).cast("long").alias("max_images"),
+                (F.coalesce(viol, F.lit(0)) == 0).alias("holds"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

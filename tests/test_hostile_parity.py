@@ -63,6 +63,7 @@ QUERIES = [
     "drift_event_types",
     "uniqueness_composite",
     "iqr_outliers",
+    "functional_deps",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
