@@ -1261,6 +1261,17 @@ def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.unionByName(ev)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shares for the engine's own shuffle keys (events
+    user_id + event_type): exact counts, integer-basis-point shares,
+    deterministic value-ascending tiebreak, TakeOrdered plan."""
+    from evalidate_spark.operators.table_checks import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], top_k=10
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1486,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "classifier_scores": q_classifier_scores,
         "functional_deps": q_functional_deps,
+        "skew_report": q_skew_report,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3013,6 +3025,29 @@ SELECT p.det AS determinant, p.dep AS dependent,
        coalesce(sum(CASE WHEN n.imgs > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
 FROM probe p LEFT JOIN nat n ON p.det = n.det AND p.dep = n.dep
 GROUP BY p.det, p.dep
+"""
+
+
+# mirrors q_skew_report: per column, top-10 non-NULL values by count
+# (value-ascending tiebreak), share in integer basis points
+ORACLE["skew_report"] = """
+WITH f AS (
+  SELECT 'user_id' AS col, cast(user_id AS varchar) AS value,
+         count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'event_type', event_type, count(*)
+  FROM events WHERE event_type IS NOT NULL GROUP BY 2
+), r AS (
+  SELECT col, value, cnt,
+         row_number() OVER (PARTITION BY col ORDER BY cnt DESC, value ASC) AS rn,
+         sum(cnt) OVER (PARTITION BY col) AS total
+  FROM f
+)
+SELECT col AS "column", value, cast(cnt AS bigint) AS cnt,
+       cast((cnt * 10000) // total AS bigint) AS share_bp,
+       (cnt * 10000) // total >= 1000 AS is_hot
+FROM r WHERE rn <= 10
 """
 
 

@@ -769,3 +769,65 @@ def drift(
             ks = max(ks, abs(cb - cc))
         out.append({"column": col, "psi": psi, "ks": ks})
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    columns: Sequence[str],
+    top_k: int = 10,
+    hot_bp: int = 1000,
+) -> DataFrame:
+    """Heavy-hitter report per key column — the shuffle-skew diagnostic.
+
+    Every shuffle in this engine keys on some column (uniqueness on
+    doc_id, referential on suppkey, sessions on user_id); one key owning
+    a material share of the rows is what makes a 1000-executor stage
+    wait on one straggler task.  This check makes that measurable before
+    it burns a run: for each column, the ``top_k`` most frequent
+    non-NULL values with exact counts and integer-basis-point corpus
+    share, flagged ``is_hot`` at ``share_bp >= hot_bp`` (default 10%) —
+    the direct input for choosing a salting factor or enabling AQE
+    skew-join splitting on that key.
+
+    Returns ``(column, value, cnt, share_bp, is_hot)``; ``value`` is
+    stringified so mixed-type columns union into one report.  Ordering
+    ties break value-ascending, so top-k is deterministic cross-engine.
+
+    Scale shape: per column one ``groupBy`` (map-side combined, output
+    ≤ #distinct values), top-k via orderBy+limit (TakeOrdered,
+    tree-reduced — never a single-task window), a 1-row total joined by
+    broadcast.  The frequency subplan appears twice (top-k + total);
+    Spark's exchange reuse folds them into one physical aggregation.
+    ``share_bp = (cnt * 10000) div total`` in pure int64 arithmetic —
+    exact while ``cnt`` stays below ~9·10^14 rows, documented ceiling."""
+    if not columns:
+        raise ValueError("skew_report needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    outs: List[DataFrame] = []
+    for col in columns:
+        if col not in names:
+            raise ValueError(f"skew_report: unknown column {col!r}")
+        c = F.col("`%s`" % col).cast("string")
+        freq = (
+            df.filter(c.isNotNull())
+            .groupBy(c.alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = freq.orderBy(F.col("cnt").desc(), F.col("value").asc()).limit(top_k)
+        total = freq.agg(F.sum("cnt").alias("__total"))
+        # integer `div`, not floor(double division): counts are
+        # non-negative so div == floor, and int64 arithmetic is exact
+        share = F.expr("cnt * 10000L div __total").cast("long")
+        outs.append(
+            top.crossJoin(F.broadcast(total)).select(
+                F.lit(col).alias("column"),
+                "value",
+                F.col("cnt").cast("long").alias("cnt"),
+                share.alias("share_bp"),
+                (share >= F.lit(int(hot_bp))).alias("is_hot"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

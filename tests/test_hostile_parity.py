@@ -64,6 +64,7 @@ QUERIES = [
     "uniqueness_composite",
     "iqr_outliers",
     "functional_deps",
+    "skew_report",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
