@@ -1261,6 +1261,20 @@ def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.unionByName(ev)
 
 
+def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-health counters per document: U+FFFD replacement chars,
+    stray control bytes, latin-1 mojibake digraphs, and a clean verdict —
+    pure regexp_count projection (zero shuffle)."""
+    from evalidate_spark.functions.text import encoding_anomalies
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", encoding_anomalies(F.col("text")).alias("e"))
+        .select("doc_id", "e.*")
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter shares for the engine's own shuffle keys (events
     user_id + event_type): exact counts, integer-basis-point shares,
@@ -1498,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "functional_deps": q_functional_deps,
         "skew_report": q_skew_report,
+        "encoding_anomalies": q_encoding_anomalies,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3049,6 +3064,27 @@ SELECT col AS "column", value, cast(cnt AS bigint) AS cnt,
        (cnt * 10000) // total >= 1000 AS is_hot
 FROM r WHERE rn <= 10
 """
+
+
+# mirrors functions.text.ENCODING_PATTERNS — one regex syntax that
+# parses identically under Java regex and RE2 (\x{hhhh} escapes)
+ORACLE["encoding_anomalies"] = (
+    """
+SELECT doc_id,
+  cast(coalesce(len(regexp_extract_all(text, '�')), 0) AS int)
+    AS repl_chars,
+  cast(coalesce(len(regexp_extract_all(text,
+    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]')), 0) AS int)
+    AS ctrl_chars,
+  cast(coalesce(len(regexp_extract_all(text,
+    '(\\x{00E2}\\x{20AC}|\\x{00C3}[\\x{0080}-\\x{00FF}])')), 0) AS int)
+    AS mojibake_seqs,
+  coalesce(NOT regexp_matches(text,
+    '�|[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"""
+    """|(\\x{00E2}\\x{20AC}|\\x{00C3}[\\x{0080}-\\x{00FF}])'), true) AS clean
+FROM documents WHERE doc_id IS NOT NULL
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:

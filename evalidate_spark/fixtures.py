@@ -131,6 +131,10 @@ HOSTILE_DOCS = [
     (7, "the the the the", None, "src7", None),  # NULL lang + n_chars
     (None, "orphan text row here", "de", "src8", 20),  # NULL doc_id
     (8, "solo", "de", None, 4),             # NULL source
+    # encoding damage: U+FFFD, a raw BEL control byte, latin-1 mojibake
+    # digraphs (â€™ and Ã©) — drives functions.text.encoding_anomalies
+    (9, "café � b\x07ad â€™text Ã©",
+     "en", "src9", 22),
 ]
 HOSTILE_EVENTS = [
     (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),

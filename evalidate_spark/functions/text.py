@@ -253,6 +253,43 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+# Encoding-anomaly patterns — one syntax that parses identically under
+# Java regex (Spark) and RE2 (DuckDB), pinned by the oracle gate:
+#   repl  — U+FFFD replacement chars, the scar of a lossy decode;
+#   ctrl  — C0 controls (minus \t\n\r), DEL, and C1 (raw \x80-\x9F in
+#           decoded text almost always means a cp1252/latin-1 mixup);
+#   moji  — classic UTF-8-bytes-decoded-as-latin-1 digraphs: 'â' U+20AC
+#           (the 'â€œ/â€™' family) and 'Ã' + any latin-1-range char
+#           ('Ã©' for 'é', 'Ã¼' for 'ü', ...).
+ENCODING_PATTERNS = (
+    ("repl_chars", "�"),
+    ("ctrl_chars", r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"),
+    ("mojibake_seqs", r"(\x{00E2}\x{20AC}|\x{00C3}[\x{0080}-\x{00FF}])"),
+)
+
+
+def encoding_anomalies(col: Column) -> Column:
+    """Struct of encoding-damage counters for a text column — the decode
+    health check of a web-scale ingest (bad transcodes poison tokenizers
+    and dedup alike).  ``(repl_chars, ctrl_chars, mojibake_seqs, clean)``
+    — counts of U+FFFD, stray control bytes, and latin-1-mojibake
+    digraphs, plus ``clean = all three are zero``.  NULL text counts as
+    clean-by-absence (all zeros, clean=true) so the struct is always
+    populated.  Pure ``regexp_count`` projection: JVM codegen, no
+    shuffle, rides the validation fast path's scan."""
+    cnts = [
+        F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0)).alias(name)
+        for name, pat in ENCODING_PATTERNS
+    ]
+    # clean via ONE short-circuiting rlike on the alternation — not by
+    # summing the three counts, which would inline each regexp_count
+    # twice into the projection
+    dirty = F.coalesce(
+        col.rlike("|".join(p for _, p in ENCODING_PATTERNS)), F.lit(False)
+    )
+    return F.struct(*cnts, (~dirty).alias("clean"))
+
+
 def repetition_ratio_bp(col: Column, k: int = 2) -> Column:
     """Repeated-k-gram ratio in integer basis points:
     ``floor((1 - distinct_kgrams/kgrams) * 10000)`` — the boilerplate /

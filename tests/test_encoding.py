@@ -1,0 +1,45 @@
+"""Encoding-anomaly counters: hand-built damaged strings, NULL/clean
+contracts, and the zero-shuffle plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evalidate_spark.functions.text import encoding_anomalies
+
+CASES = [
+    ("ok", "perfectly clean ascii text", (0, 0, 0, True)),
+    ("uni", "café naïve — legit utf-8 ≠ mojibake", (0, 0, 0, True)),
+    ("repl", "lossy � decode � here", (2, 0, 0, False)),
+    ("ctrl", "bell\x07 and null\x00 and c1\x85", (0, 3, 0, False)),
+    ("tabs", "tab\t newline\n cr\r are fine", (0, 0, 0, True)),
+    ("moji", "cafÃ© â€™quoteâ€", (0, 1, 3, False)),
+    ("null", None, (0, 0, 0, True)),
+    ("empty", "", (0, 0, 0, True)),
+]
+
+
+@pytest.fixture(scope="module")
+def damaged(spark):
+    return spark.createDataFrame(
+        [(k, t) for k, t, _ in CASES], "k string, t string"
+    )
+
+
+def test_counts(damaged):
+    out = {
+        r["k"]: (r["repl_chars"], r["ctrl_chars"], r["mojibake_seqs"], r["clean"])
+        for r in damaged.select(
+            "k", encoding_anomalies(F.col("t")).alias("e")
+        ).select("k", "e.*").collect()
+    }
+    for k, _, expect in CASES:
+        assert out[k] == expect, k
+
+
+def test_plan_is_projection_only(damaged):
+    plan = (
+        damaged.select(encoding_anomalies(F.col("t")).alias("e"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

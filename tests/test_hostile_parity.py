@@ -65,6 +65,7 @@ QUERIES = [
     "iqr_outliers",
     "functional_deps",
     "skew_report",
+    "encoding_anomalies",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
