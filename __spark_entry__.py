@@ -1261,6 +1261,29 @@ def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.unionByName(ev)
 
 
+def q_quantile_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile states: events split into two increments,
+    each sketched once, folded without rescan.  The driver-checked
+    fields (count / min / max through the sketch fold) are exact by
+    KLL's contract; the quantile estimates themselves are
+    tolerance-asserted in tests/test_quantile_states.py (randomized
+    compaction makes them hash-unstable by nature)."""
+    from evalidate_spark.operators.table_checks import (
+        merge_quantile_states,
+        quantile_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    inc = [
+        quantile_state(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i), ["value"], f"inc{i}"
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_quantile_states(inc[0].unionByName(inc[1]))
+    return merged.select("column", "n_values", "min_val", "max_val")
+
+
 def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-health counters per document: U+FFFD replacement chars,
     stray control bytes, latin-1 mojibake digraphs, and a clean verdict —
@@ -1513,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_deps": q_functional_deps,
         "skew_report": q_skew_report,
         "encoding_anomalies": q_encoding_anomalies,
+        "quantile_states": q_quantile_states,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3085,6 +3109,18 @@ SELECT doc_id,
 FROM documents WHERE doc_id IS NOT NULL
 """
 )
+
+
+# mirrors q_quantile_states: NULL event_id rows belong to neither
+# increment (pmod propagates NULL); count/min/max survive the KLL state
+# fold exactly
+ORACLE["quantile_states"] = """
+SELECT 'value' AS "column",
+  cast(count(value) AS bigint) AS n_values,
+  min(cast(value AS double)) AS min_val,
+  max(cast(value AS double)) AS max_val
+FROM events WHERE event_id IS NOT NULL
+"""
 
 
 def oracle_sql() -> dict[str, str]:

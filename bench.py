@@ -205,6 +205,11 @@ def main() -> None:
         "semantic_dedup",
         "gopher_rules",
         "c4_filters",
+        "classifier_scores",
+        "functional_deps",
+        "skew_report",
+        "encoding_anomalies",
+        "quantile_states",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

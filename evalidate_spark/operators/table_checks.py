@@ -831,3 +831,170 @@ def skew_report(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def quantile_state(
+    df: DataFrame, columns: Sequence[str], increment: str, k: int = 200
+) -> DataFrame:
+    """Mergeable per-column QUANTILE state for one ingestion increment —
+    the distribution half of :func:`profile_state` (which covers
+    count/nulls/min/max/distinct).  One row per increment holding an
+    Apache DataSketches KLL sketch (``kll_sketch_agg_double``, parameter
+    *k*: 200 ≈ 1.65% one-sided rank error) plus an exact value count per
+    column; NULLs are ignored by the sketch and tracked by the count
+    difference.  At 10^12 rows this is what makes quantile/drift checks
+    affordable: each increment is scanned once, forever, and any
+    subset of increments folds in O(states) via
+    :func:`merge_quantile_states` — the same never-rescan contract as
+    the HLL profile states, now for KS/PSI-style distribution checks."""
+    aggs: List = [
+        F.lit(increment).alias("increment"),
+        F.count(F.lit(1)).alias("__n"),
+    ]
+    for c in columns:
+        qc = F.col("`%s`" % c).cast("double")
+        aggs.append(F.count(qc).alias(f"{c}__cnt"))
+        aggs.append(F.kll_sketch_agg_double(qc, F.lit(int(k))).alias(f"{c}__kll"))
+    return df.agg(*aggs)
+
+
+def merge_quantile_states(
+    states: DataFrame, quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Fold quantile state rows into per-column quantile estimates.
+
+    Output: ``(column, n_values, min_val, max_val, q_<pct>...)`` —
+    ``n_values``/``min_val``/``max_val`` are EXACT (KLL tracks stream
+    min/max and count losslessly, asserted against SQL in the driver
+    gate); the ``q_`` columns are estimates within the sketch's rank
+    error (tolerance-asserted in pytest).  Merging is associative;
+    cost is O(#increments × #columns) rows, independent of data size."""
+    cols = sorted(
+        {f.name[: -len("__kll")] for f in states.schema.fields if f.name.endswith("__kll")}
+    )
+    aggs: List = []
+    for c in cols:
+        aggs.append(F.sum(f"`{c}__cnt`").alias(f"{c}__cnt"))
+        aggs.append(F.kll_merge_agg_double(f"`{c}__kll`").alias(f"{c}__m"))
+    row = states.agg(*aggs)
+    qnames = [("q_%g" % (q * 100)).replace(".", "_") for q in quantiles]
+    sels = []
+    for c in cols:
+        m = F.col(f"`{c}__m`")
+        fields = [
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(f"`{c}__cnt`"), F.lit(0)).cast("long").alias("n_values"),
+            F.when(
+                F.col(f"`{c}__cnt`") > 0, F.kll_sketch_get_quantile_double(m, F.lit(0.0))
+            ).alias("min_val"),
+            F.when(
+                F.col(f"`{c}__cnt`") > 0, F.kll_sketch_get_quantile_double(m, F.lit(1.0))
+            ).alias("max_val"),
+        ]
+        for q, qn in zip(quantiles, qnames):
+            fields.append(
+                F.when(
+                    F.col(f"`{c}__cnt`") > 0,
+                    F.kll_sketch_get_quantile_double(m, F.lit(float(q))),
+                ).alias(qn)
+            )
+        sels.append(F.struct(*fields))
+    return row.select(
+        F.explode(F.array(*sels)).alias("s")
+    ).select("s.*")
+
+
+def quantile_drift_states(
+    baseline_states: DataFrame,
+    current_states: DataFrame,
+    probes: int = 64,
+) -> DataFrame:
+    """KS drift per column between two SETS of quantile states — e.g.
+    all historical increments vs today's — without rescanning either
+    side.  Each side's sketches are merged, then the KS statistic is the
+    max CDF gap over *probes* evenly spaced value points across the
+    union envelope: ``ks_bp = floor(max_x |rank_b(x) - rank_c(x)| *
+    10000)`` (integer basis points; estimate quality bounded by the two
+    sketches' rank errors).  Returns ``(column, n_baseline, n_current,
+    ks_bp)``.
+
+    Two driver steps, both O(states): the union envelope (min/max per
+    column) is collected from the merged sketches first — Spark's
+    ``kll_sketch_get_rank`` requires *foldable* probe values, and the
+    state tables are one row per increment by construction, so this
+    collect is bounded — then the rank probing itself is a single 1-row
+    projection over the two merged state rows (broadcast cross join).
+    Zero data movement beyond the tiny state tables."""
+    cols = sorted(
+        {
+            f.name[: -len("__kll")]
+            for f in baseline_states.schema.fields
+            if f.name.endswith("__kll")
+        }
+    )
+    bag = baseline_states.agg(
+        *[F.kll_merge_agg_double(f"`{c}__kll`").alias(f"{c}__b") for c in cols],
+        *[F.sum(f"`{c}__cnt`").alias(f"{c}__bn") for c in cols],
+    )
+    cag = current_states.agg(
+        *[F.kll_merge_agg_double(f"`{c}__kll`").alias(f"{c}__c") for c in cols],
+        *[F.sum(f"`{c}__cnt`").alias(f"{c}__cn") for c in cols],
+    )
+    both = bag.crossJoin(F.broadcast(cag))
+    # bounded collect: one row, 2 doubles per column, from the tiny
+    # state fold — needed because rank probes must be literals
+    env_sel = []
+    for c in cols:
+        b, cc = F.col(f"`{c}__b`"), F.col(f"`{c}__c`")
+        has = (F.coalesce(F.col(f"`{c}__bn`"), F.lit(0)) > 0) & (
+            F.coalesce(F.col(f"`{c}__cn`"), F.lit(0)) > 0
+        )
+        env_sel.append(
+            F.when(
+                has,
+                F.least(
+                    F.kll_sketch_get_quantile_double(b, F.lit(0.0)),
+                    F.kll_sketch_get_quantile_double(cc, F.lit(0.0)),
+                ),
+            ).alias(f"{c}__lo")
+        )
+        env_sel.append(
+            F.when(
+                has,
+                F.greatest(
+                    F.kll_sketch_get_quantile_double(b, F.lit(1.0)),
+                    F.kll_sketch_get_quantile_double(cc, F.lit(1.0)),
+                ),
+            ).alias(f"{c}__hi")
+        )
+    env = both.select(*env_sel).first()
+
+    sels = []
+    for c in cols:
+        b, cc = F.col(f"`{c}__b`"), F.col(f"`{c}__c`")
+        lo, hi = env[f"{c}__lo"], env[f"{c}__hi"]
+        if lo is None or hi is None:
+            ks_col = F.lit(None).cast("long")
+        else:
+            pts = (
+                [lo + (hi - lo) * i / probes for i in range(probes + 1)]
+                if hi > lo
+                else [lo]
+            )
+            gap = None
+            for x in pts:
+                g = F.abs(
+                    F.kll_sketch_get_rank_double(b, F.lit(float(x)))
+                    - F.kll_sketch_get_rank_double(cc, F.lit(float(x)))
+                )
+                gap = g if gap is None else F.greatest(gap, g)
+            ks_col = F.floor(gap * 10_000).cast("long")
+        sels.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(f"`{c}__bn`"), F.lit(0)).cast("long").alias("n_baseline"),
+                F.coalesce(F.col(f"`{c}__cn`"), F.lit(0)).cast("long").alias("n_current"),
+                ks_col.alias("ks_bp"),
+            )
+        )
+    return both.select(F.explode(F.array(*sels)).alias("s")).select("s.*")

@@ -66,6 +66,7 @@ QUERIES = [
     "functional_deps",
     "skew_report",
     "encoding_anomalies",
+    "quantile_states",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
