@@ -49,6 +49,7 @@ MANIFEST_DIR = "manifest"
 VIOLATIONS_DIR = "violations"
 VERDICTS_DIR = "verdicts"
 PROFILE_STATES_DIR = "profile_states"
+QUANTILE_STATES_DIR = "quantile_states"
 
 
 def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]:
@@ -86,6 +87,12 @@ class CheckpointedRun:
     #: written idempotently per unit and :meth:`profile` merges them into
     #: the run-level column stats without rescanning any completed unit.
     profile_columns: Sequence[str] = ()
+    #: numeric columns to sketch per unit with DataSketches KLL
+    #: (``table_checks.quantile_state``); :meth:`quantiles` folds them
+    #: into run-level quantiles and :meth:`quantile_drift` compares any
+    #: two unit subsets (e.g. history vs the latest ingest) — all without
+    #: rescanning completed units.
+    quantile_columns: Sequence[str] = ()
 
     def _manifest_path(self) -> str:
         return os.path.join(self.out_dir, MANIFEST_DIR)
@@ -145,6 +152,15 @@ class CheckpointedRun:
                     os.path.join(self.out_dir, PROFILE_STATES_DIR)
                 )
 
+            if self.quantile_columns:
+                from .operators.table_checks import quantile_state
+
+                quantile_state(
+                    df, list(self.quantile_columns), unit["unit_id"]
+                ).write.mode("overwrite").partitionBy("increment").parquet(
+                    os.path.join(self.out_dir, QUANTILE_STATES_DIR)
+                )
+
             # stats from the verdicts JUST WRITTEN (a tiny parquet read of
             # one row per input partition) — not by re-running the whole
             # validation as a second action, which would double per-unit
@@ -202,18 +218,56 @@ class CheckpointedRun:
 
         if not self.profile_columns:
             raise ValueError("profile_columns was not set on this run")
+        states, done = self._checked_states(PROFILE_STATES_DIR, "profile_columns")
+        return merge_profile_states(states.filter(F.col("increment").isin(done)))
+
+    def _checked_states(self, subdir: str, opt_name: str):
+        """Read a state table and cross-check it against the manifest:
+        every completed unit must have a state row (else the merge would
+        silently undercount), and stale states from units no longer in
+        the manifest are excluded by the caller's filter."""
         done = sorted(self.completed_units())
-        states = self.spark.read.parquet(
-            os.path.join(self.out_dir, PROFILE_STATES_DIR)
-        )
+        states = self.spark.read.parquet(os.path.join(self.out_dir, subdir))
         have = {r["increment"] for r in states.select("increment").distinct().collect()}
         missing = [u for u in done if u not in have]
         if missing:
             raise ValueError(
-                "no profile state for completed unit(s) %s — were they run "
-                "without profile_columns?" % ", ".join(missing)
+                "no %s state for completed unit(s) %s — were they run "
+                "without %s?"
+                % (subdir[: -len("_states")], ", ".join(missing), opt_name)
             )
-        return merge_profile_states(states.filter(F.col("increment").isin(done)))
+        return states, done
+
+    def quantiles(self) -> DataFrame:
+        """Run-level quantile estimates folded from the per-unit KLL
+        states (``column, n_values, min_val, max_val, q_25..q_99``) —
+        count/min/max exact, quantiles within sketch rank error.  Same
+        manifest cross-check as :meth:`profile`."""
+        from .operators.table_checks import merge_quantile_states
+
+        if not self.quantile_columns:
+            raise ValueError("quantile_columns was not set on this run")
+        states, done = self._checked_states(QUANTILE_STATES_DIR, "quantile_columns")
+        return merge_quantile_states(states.filter(F.col("increment").isin(done)))
+
+    def quantile_drift(
+        self, baseline_units: Sequence[str], current_units: Sequence[str]
+    ) -> DataFrame:
+        """KS drift (integer basis points) between two completed-unit
+        subsets — e.g. all historical units vs the latest ingest —
+        computed purely from the stored KLL states, no data rescan."""
+        from .operators.table_checks import quantile_drift_states
+
+        if not self.quantile_columns:
+            raise ValueError("quantile_columns was not set on this run")
+        states, done = self._checked_states(QUANTILE_STATES_DIR, "quantile_columns")
+        for u in list(baseline_units) + list(current_units):
+            if u not in done:
+                raise ValueError("unit %s is not a completed unit" % u)
+        return quantile_drift_states(
+            states.filter(F.col("increment").isin(list(baseline_units))),
+            states.filter(F.col("increment").isin(list(current_units))),
+        )
 
     def lineage(self) -> List[Dict[str, Any]]:
         """Per-unit lineage records (inputs, counts, timing, version),

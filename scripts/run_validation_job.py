@@ -38,6 +38,13 @@ def main(argv=None) -> int:
         help="comma-separated columns to fold into per-unit mergeable "
         "profile states; the merged run-level stats print in the summary",
     )
+    ap.add_argument(
+        "--quantile-columns",
+        default="",
+        help="comma-separated numeric columns to sketch per unit with "
+        "DataSketches KLL; the merged run-level quantiles print in the "
+        "summary",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +62,7 @@ def main(argv=None) -> int:
     shutil.copyfile(args.rules, os.path.join(args.out, "rules.json"))  # lineage
 
     profile_cols = [c.strip() for c in args.profile_columns.split(",") if c.strip()]
+    quantile_cols = [c.strip() for c in args.quantile_columns.split(",") if c.strip()]
     run = CheckpointedRun(
         spark,
         args.input,
@@ -63,10 +71,13 @@ def main(argv=None) -> int:
         id_cols=[c.strip() for c in args.id_cols.split(",") if c.strip()],
         files_per_unit=args.files_per_unit,
         profile_columns=tuple(profile_cols),
+        quantile_columns=tuple(quantile_cols),
     )
     summary = run.run(max_units=args.max_units)
     if profile_cols and not run.pending_units():
         summary["profile"] = [r.asDict() for r in run.profile().collect()]
+    if quantile_cols and not run.pending_units():
+        summary["quantiles"] = [r.asDict() for r in run.quantiles().collect()]
     print(json.dumps(summary))
     return 0
 

@@ -18,6 +18,7 @@ def input_dir(spark, tmp_path):
             F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
             F.when(F.col("id") % 7 == 0, F.lit("x")).otherwise(F.lit("valid text here")).alias("text"),
             F.when(F.col("id") % 5 == 0, F.lit("zz")).otherwise(F.lit("en")).alias("lang"),
+            (F.col("id") % 50).cast("double").alias("n"),
         )
         .repartition(8)
         .write.parquet(path)
@@ -129,3 +130,45 @@ def test_profile_raises_on_uncovered_units(spark, input_dir, tmp_path):
     run.run()
     with pytest.raises(ValueError, match="no profile state"):
         run.profile()
+
+
+def test_quantile_states_resume_merge_and_drift(spark, input_dir, tmp_path):
+    """KLL quantile states follow the same idempotent-per-unit contract:
+    a crashed-and-re-run unit overwrites (never double-counts) its state,
+    the merged fold's exact fields match the direct scan, and drift
+    between unit subsets runs purely from states."""
+    run = CheckpointedRun(
+        spark, input_dir, RULES, str(tmp_path / "q"),
+        files_per_unit=2, quantile_columns=("n",),
+    )
+    run.run(max_units=1)
+    import os
+    mdir = str(tmp_path / "q" / "manifest")
+    os.remove(os.path.join(mdir, sorted(os.listdir(mdir))[0]))
+    run.run()
+
+    out = run.quantiles().collect()
+    assert [r["column"] for r in out] == ["n"]
+    r = out[0]
+    assert r["n_values"] == 200
+    assert r["min_val"] == 0.0 and r["max_val"] == 49.0
+    # 200 values < k=200*4 sketch capacity per unit: estimates are tight
+    assert abs(r["q_50"] - 24.5) <= 2.0
+
+    # drift between identical-distribution unit subsets: bounded by
+    # two-sample noise (n=100 per side → 95th-pct KS ≈ 0.19), far below
+    # the ~5000 bp a genuine half-range shift produces
+    units = [u["unit_id"] for u in sorted(
+        ({"unit_id": k} for k in run.completed_units()), key=lambda d: d["unit_id"]
+    )]
+    drift = run.quantile_drift(units[:2], units[2:]).collect()[0]
+    assert drift["ks_bp"] < 2500
+    with pytest.raises(ValueError):
+        run.quantile_drift(["unit-99999"], units[:1])
+
+
+def test_quantiles_raises_when_not_configured(spark, input_dir, tmp_path):
+    run = CheckpointedRun(spark, input_dir, RULES, str(tmp_path / "nq"))
+    run.run(max_units=1)
+    with pytest.raises(ValueError):
+        run.quantiles()

@@ -81,6 +81,7 @@ class TestSubmitJob:
         spark.range(100).selectExpr(
             "concat('d', id) doc_id",
             "case when id % 9 = 0 then 'no' else 'valid text' end text",
+            "cast(id as double) n",
         ).repartition(4).write.parquet(src)
         rules_file = tmp_path / "rules.json"
         rules_file.write_text(
@@ -98,16 +99,21 @@ class TestSubmitJob:
             assert p.returncode == 0, p.stderr[-2000:]
             return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
 
-        first = run(["--max-units", "1", "--profile-columns", "doc_id,text"])
+        first = run(["--max-units", "1", "--profile-columns", "doc_id,text",
+                     "--quantile-columns", "n"])
         assert len(first["processed_now"]) == 1
         assert "profile" not in first  # incomplete run: no run-level stats
-        second = run(["--profile-columns", "doc_id,text"])
+        assert "quantiles" not in first
+        second = run(["--profile-columns", "doc_id,text", "--quantile-columns", "n"])
         assert second["total_units_done"] == 2
         assert second["rows"] == 100
         assert (tmp_path / "out" / "rules.json").exists()
         prof = {p["column"]: p for p in second["profile"]}
         assert prof["doc_id"]["n_rows"] == 100 and prof["doc_id"]["n_nulls"] == 0
         assert prof["text"]["min_repr"] == "no"
+        [q] = second["quantiles"]
+        assert q["column"] == "n" and q["n_values"] == 100
+        assert q["min_val"] == 0.0 and q["max_val"] == 99.0
 
     def test_spark_submit_pyfiles(self, spark, tmp_path):
         """The north rule's literal submission mode: ``spark-submit
