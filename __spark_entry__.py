@@ -1261,6 +1261,20 @@ def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.unionByName(ev)
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set overlap between two document slices (doc_id%3 ∈
+    {0,1} vs {1,2}) — |A|, |B|, intersection, union, Jaccard without a
+    join.  Exact (hence hash-checkable) below the sketch's 4096-key
+    retention; tolerance-tested beyond it in tests/test_overlap.py."""
+    from evalidate_spark.operators.table_checks import overlap_estimate
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    return overlap_estimate(
+        d.filter(m.isin(0, 1)), d.filter(m.isin(1, 2)), "doc_id"
+    )
+
+
 def q_quantile_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KLL quantile states: events split into two increments,
     each sketched once, folded without rescan.  The driver-checked
@@ -1537,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "encoding_anomalies": q_encoding_anomalies,
         "quantile_states": q_quantile_states,
+        "corpus_overlap": q_corpus_overlap,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3120,6 +3135,31 @@ SELECT 'value' AS "column",
   min(cast(value AS double)) AS min_val,
   max(cast(value AS double)) AS max_val
 FROM events WHERE event_id IS NOT NULL
+"""
+
+
+# mirrors q_corpus_overlap: theta sketches are exact below 4096 retained
+# keys, so at the gate's scale the estimates equal plain distinct counts
+ORACLE["corpus_overlap"] = """
+WITH a AS (
+  SELECT DISTINCT doc_id FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 3 IN (0, 1)
+), b AS (
+  SELECT DISTINCT doc_id FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 3 IN (1, 2)
+), m AS (
+  SELECT (SELECT count(*) FROM a) AS n_a,
+         (SELECT count(*) FROM b) AS n_b,
+         (SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_intersection,
+         (SELECT count(*) FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)) AS n_union
+)
+SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+       cast(n_intersection AS bigint) AS n_intersection,
+       cast(n_union AS bigint) AS n_union,
+       CASE WHEN n_union > 0
+            THEN cast((n_intersection * 10000) // n_union AS bigint)
+       END AS jaccard_bp
+FROM m
 """
 
 

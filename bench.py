@@ -210,6 +210,7 @@ def main() -> None:
         "skew_report",
         "encoding_anomalies",
         "quantile_states",
+        "corpus_overlap",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

@@ -67,6 +67,7 @@ QUERIES = [
     "skew_report",
     "encoding_anomalies",
     "quantile_states",
+    "corpus_overlap",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
