@@ -792,6 +792,23 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resolve_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup apply: same first-5-token fingerprint groups
+    as dedup_corpus, but keep the LONGEST member (n_chars as the quality
+    score, min-id tiebreak) — one map-side-combinable aggregate, no
+    corpus window."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    key = F.when(
+        F.col("text").isNotNull(), F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    )
+    return dedup.resolve_duplicates(d, "n_chars", key=key).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-eval contamination screen: corpus docs sharing ≥2 distinct
     3-token shingles with a ~1% benchmark slice.  Benchmark shingles
@@ -1552,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_anomalies": q_encoding_anomalies,
         "quantile_states": q_quantile_states,
         "corpus_overlap": q_corpus_overlap,
+        "resolve_duplicates": q_resolve_duplicates,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3160,6 +3178,22 @@ SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
             THEN cast((n_intersection * 10000) // n_union AS bigint)
        END AS jaccard_bp
 FROM m
+"""
+
+
+# mirrors q_resolve_duplicates: same fingerprint groups as dedup_corpus,
+# winner = (n_chars DESC NULLS LAST, doc_id ASC)
+ORACLE["resolve_duplicates"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text IS NULL
+   OR doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
+      ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE rn = 1
+)
 """
 
 

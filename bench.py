@@ -211,6 +211,7 @@ def main() -> None:
         "encoding_anomalies",
         "quantile_states",
         "corpus_overlap",
+        "resolve_duplicates",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

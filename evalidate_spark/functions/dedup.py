@@ -86,6 +86,45 @@ def distinct_by_fingerprint(
     )
 
 
+def resolve_duplicates(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+) -> DataFrame:
+    """Quality-aware dedup apply: keep the HIGHEST-quality member of each
+    fingerprint group (NULL quality ranks last; ties break on min id) —
+    what a real pipeline wants once quality scores exist, instead of
+    :func:`distinct_by_fingerprint`'s arbitrary-but-deterministic min-id
+    representative.
+
+    Same scale shape as the min-id variant: one groupBy over (key,
+    ranking-struct) — ``min(struct(-quality, id))`` picks the
+    (quality DESC, id ASC) winner in a single map-side-combinable
+    aggregate, no window over the corpus — then a LEFT SEMI join so the
+    doc payload never rides the shuffle.  NULL-key rows pass through
+    untouched (same contract and reasoning as
+    :func:`distinct_by_fingerprint`).  ``quality_col`` must be numeric
+    (it is negated for the ordering)."""
+    kexpr = key if key is not None else fingerprint(F.col("`%s`" % text_col))
+    ids = F.col("`%s`" % id_col)
+    # -quality with NULL → +inf: null-quality docs lose to any scored doc
+    neg_q = F.coalesce(
+        -F.col("`%s`" % quality_col).cast("double"), F.lit(float("inf"))
+    )
+    keep = (
+        df.select(kexpr.alias("__fp"), F.struct(neg_q.alias("nq"), ids.alias("id")).alias("__r"))
+        .filter(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.min("__r").alias("__best"))
+        .select(F.col("__best.id").alias("__id"))
+    )
+    return df.filter(kexpr.isNull()).unionByName(
+        df.filter(kexpr.isNotNull()).join(keep, on=ids == keep["__id"], how="left_semi")
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     index_df: Optional[DataFrame],

@@ -68,6 +68,7 @@ QUERIES = [
     "encoding_anomalies",
     "quantile_states",
     "corpus_overlap",
+    "resolve_duplicates",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
