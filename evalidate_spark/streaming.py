@@ -139,6 +139,55 @@ def profile_stream(
     return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
 
 
+def quantile_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    columns: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    k: int = 200,
+) -> DataFrame:
+    """Event-time windowed quantiles — the streaming twin of
+    :func:`evalidate_spark.operators.table_checks.quantile_state` +
+    ``merge_quantile_states``: per window and numeric column, a
+    DataSketches KLL sketch accumulated incrementally across
+    micro-batches (state is one sketch per window × column, never
+    O(rows)), then quantile extraction as a plain projection over the
+    aggregate output.  ``n_values / min_val / max_val`` are exact, the
+    ``q_`` columns estimates within the sketch's rank error — the same
+    split as the batch operator, equivalence pinned in
+    ``tests/test_streaming.py``."""
+    from .operators.table_checks import explode_structs
+
+    aggs = []
+    for c in columns:
+        qc = F.col("`%s`" % c).cast("double")
+        aggs.append(F.count(qc).alias(f"{c}__cnt"))
+        aggs.append(F.kll_sketch_agg_double(qc, F.lit(int(k))).alias(f"{c}__kll"))
+    row = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(*aggs)
+    )
+    qnames = [("q_%g" % (q * 100)).replace(".", "_") for q in quantiles]
+    parts = []
+    for c in columns:
+        qcols = ", ".join(
+            "CASE WHEN `%s__cnt` > 0 THEN kll_sketch_get_quantile_double("
+            "`%s__kll`, cast(%r as double)) END as %s" % (c, c, float(q), qn)
+            for q, qn in zip(quantiles, qnames)
+        )
+        parts.append(
+            f"struct('{c}' as column, coalesce(`{c}__cnt`, 0L) as n_values, "
+            f"CASE WHEN `{c}__cnt` > 0 THEN kll_sketch_get_quantile_double("
+            f"`{c}__kll`, cast(0.0 as double)) END as min_val, "
+            f"CASE WHEN `{c}__cnt` > 0 THEN kll_sketch_get_quantile_double("
+            f"`{c}__kll`, cast(1.0 as double)) END as max_val, {qcols})"
+        )
+    return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
+
+
 def asof_join_stream(
     stream_df: DataFrame,
     right: DataFrame,

@@ -360,3 +360,47 @@ def test_profile_stream_matches_batch_profile(spark, tmp_path):
                 r["n_rows"], r["n_nulls"], r["n_distinct"],
                 r["min_repr"], r["max_repr"],
             ), (w, r["column"])
+
+
+def test_quantile_stream_matches_batch_states(spark, tmp_path):
+    """Windowed streaming KLL quantiles ≡ batch quantile_state fold per
+    window: with fewer values than the sketch's k the sketch is exact,
+    so EVERY output field must match."""
+    from evalidate_spark.operators.table_checks import (
+        merge_quantile_states,
+        quantile_state,
+    )
+
+    path = str(tmp_path / "qs_in")
+    (
+        spark.range(240)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+            "CASE WHEN id % 11 = 0 THEN NULL ELSE cast(id % 37 AS double) END v",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    qs = streaming.quantile_stream(
+        _stream(spark, path), "ts", columns=("v",), window="30 minutes"
+    )
+    _run_to_memory(qs, "qs_out", mode="complete")
+    got = {
+        r["window"]["start"]: (
+            r["n_values"], r["min_val"], r["max_val"],
+            r["q_25"], r["q_50"], r["q_75"], r["q_90"], r["q_99"],
+        )
+        for r in spark.table("qs_out").collect()
+    }
+    assert len(got) == 4
+
+    batch = spark.read.parquet(path).withColumn(
+        "w", F.window(F.col("ts"), "30 minutes")["start"]
+    )
+    for w in [r["w"] for r in batch.select("w").distinct().collect()]:
+        st = quantile_state(batch.filter(F.col("w") == w), ["v"], "one")
+        r = merge_quantile_states(st).collect()[0]
+        assert got[w] == (
+            r["n_values"], r["min_val"], r["max_val"],
+            r["q_25"], r["q_50"], r["q_75"], r["q_90"], r["q_99"],
+        ), w
