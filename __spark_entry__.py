@@ -208,6 +208,14 @@ def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events_user_unique", q_uniqueness_events_user(spark, sf_dir)),
             ("lineitem_supplier_ref", q_referential_lineitem_supplier(spark, sf_dir)),
             ("span_structure", q_span_structure(spark, sf_dir)),
+            # round-3 session-5 members: relationship, skew, and decode
+            # health — each contributes its VIOLATING rows only
+            ("fd_violations", q_functional_deps(spark, sf_dir).filter(~F.col("holds"))),
+            ("hot_keys", q_skew_report(spark, sf_dir).filter(F.col("is_hot"))),
+            (
+                "encoding_damage",
+                q_encoding_anomalies(spark, sf_dir).filter(~F.col("clean")),
+            ),
         ]
     )
 
@@ -3195,6 +3203,31 @@ WHERE text IS NULL
   ) WHERE rn = 1
 )
 """
+
+
+# rebuilt HERE (after every member oracle exists): q_check_suite gained
+# the fd/skew/encoding members this round, each filtered to its
+# violating rows
+ORACLE["check_suite"] = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS check_id, CAST(count(*) AS BIGINT) AS n_violations,
+       CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM ({sql})"""
+    for name, sql in [
+        ("doc_rules", ORACLE["validate_documents"]),
+        ("events_user_unique", ORACLE["uniqueness_events_user"]),
+        ("lineitem_supplier_ref", ORACLE["referential_lineitem_supplier"]),
+        ("span_structure", ORACLE["span_structure"]),
+        (
+            "fd_violations",
+            "SELECT * FROM (%s) WHERE NOT holds" % ORACLE["functional_deps"],
+        ),
+        ("hot_keys", "SELECT * FROM (%s) WHERE is_hot" % ORACLE["skew_report"]),
+        (
+            "encoding_damage",
+            "SELECT * FROM (%s) WHERE NOT clean" % ORACLE["encoding_anomalies"],
+        ),
+    ]
+)
 
 
 def oracle_sql() -> dict[str, str]:
