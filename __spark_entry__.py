@@ -1300,6 +1300,30 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment anomaly alerting from profile states alone: events
+    split into 4 ingests by user, ingest #3 deliberately degraded
+    (values < 2 nulled, simulating an upstream regression) — the
+    detector flags its null-rate jump without rescanning any data."""
+    from evalidate_spark.operators.table_checks import (
+        profile_anomalies,
+        profile_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    m = F.pmod(F.col("user_id"), F.lit(4))
+    states = None
+    for i in range(4):
+        sl = ev.filter(m == i)
+        if i == 3:
+            sl = sl.withColumn(
+                "value", F.when(F.col("value") >= 2.0, F.col("value"))
+            )
+        st = profile_state(sl, ["value"], f"inc{i}")
+        states = st if states is None else states.unionByName(st)
+    return profile_anomalies(states)
+
+
 def q_quantile_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KLL quantile states: events split into two increments,
     each sketched once, folded without rescan.  The driver-checked
@@ -1578,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_states": q_quantile_states,
         "corpus_overlap": q_corpus_overlap,
         "resolve_duplicates": q_resolve_duplicates,
+        "profile_anomalies": q_profile_anomalies,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3228,6 +3253,44 @@ FROM ({sql})"""
         ),
     ]
 )
+
+
+# mirrors q_profile_anomalies: integer-div basis points over exact
+# per-increment counts; NULL baselines on a hypothetical single increment
+ORACLE["profile_anomalies"] = """
+WITH mm(m) AS (VALUES (0), (1), (2), (3)),
+base AS (
+  SELECT ((user_id % 4) + 4) % 4 AS m,
+         CASE WHEN ((user_id % 4) + 4) % 4 = 3 AND NOT (value >= 2.0)
+              THEN NULL ELSE value END AS v
+  FROM events WHERE user_id IS NOT NULL
+), cnt AS (
+  SELECT m, count(*) AS n, count(*) - count(v) AS nulls
+  FROM base GROUP BY m
+), st AS (
+  -- the engine emits a state row even for an EMPTY increment slice
+  SELECT 'inc' || cast(mm.m AS varchar) AS increment,
+         coalesce(n, 0) AS n, coalesce(nulls, 0) AS nulls
+  FROM mm LEFT JOIN cnt USING (m)
+), tot AS (
+  SELECT sum(n) AS tn, sum(nulls) AS tnulls, count(*) AS k FROM st
+), calc AS (
+  SELECT increment, n, nulls,
+    (nulls * 10000) // greatest(n, 1) AS null_bp,
+    CASE WHEN tn - n > 0
+         THEN ((tnulls - nulls) * 10000) // greatest(tn - n, 1) END AS base_null_bp,
+    CASE WHEN k > 1 AND tn - n > 0
+         THEN (n * (k - 1) * 10000) // greatest(tn - n, 1) END AS volume_bp
+  FROM st, tot
+)
+SELECT increment, 'value' AS "column", cast(n AS bigint) AS n_rows,
+  cast(null_bp AS bigint) AS null_bp,
+  cast(base_null_bp AS bigint) AS base_null_bp,
+  cast(volume_bp AS bigint) AS volume_bp,
+  coalesce(null_bp - base_null_bp >= 500, false) AS null_anomaly,
+  coalesce(volume_bp < 5000, false) AS volume_anomaly
+FROM calc
+"""
 
 
 def oracle_sql() -> dict[str, str]:

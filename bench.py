@@ -212,6 +212,7 @@ def main() -> None:
         "quantile_states",
         "corpus_overlap",
         "resolve_duplicates",
+        "profile_anomalies",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

@@ -1055,3 +1055,84 @@ def overlap_estimate(
             F.expr("n_intersection * 10000L div n_union"),
         ).cast("long").alias("jaccard_bp"),
     )
+
+
+def profile_anomalies(
+    states: DataFrame,
+    null_jump_bp: int = 500,
+    volume_drop_bp: int = 5000,
+) -> DataFrame:
+    """Flag anomalous ingestion increments from their profile states —
+    the alerting layer on top of :func:`profile_state`: an upstream
+    schema regression shows up as a null-rate jump, a broken feed as a
+    volume collapse, and both are visible in the state table WITHOUT
+    touching the data again.
+
+    One output row per (increment, column): ``null_bp`` (this
+    increment's null rate, integer basis points) vs ``base_null_bp``
+    (ALL OTHER increments pooled), ``null_anomaly`` when the jump
+    reaches *null_jump_bp*; ``volume_bp`` (this increment's row count vs
+    the MEAN of the other increments, 10000 = equal) with
+    ``volume_anomaly`` when it falls below ``10000 - volume_drop_bp``.
+    Returns ``(increment, column, n_rows, null_bp, base_null_bp,
+    volume_bp, null_anomaly, volume_anomaly)``.
+
+    All integer ``div`` arithmetic on exact state fields — replayable by
+    any SQL engine.  The whole computation is a crossJoin of the state
+    table (O(increments x columns) rows) with its own 1-row totals; no
+    data-scale work at all.  A single-increment history has no "others"
+    to compare against — its rows carry NULL baselines and are never
+    flagged."""
+    null_cols = sorted(
+        f.name[: -len("__nulls")]
+        for f in states.schema.fields
+        if f.name.endswith("__nulls")
+    )
+    if not null_cols:
+        raise ValueError("profile_anomalies: input has no profile_state columns")
+    tot = states.agg(
+        F.sum("__n").alias("__tn"),
+        F.count(F.lit(1)).alias("__k"),
+        *[F.sum(f"`{c}__nulls`").alias(f"__tnull_{c}") for c in null_cols],
+    )
+    j = states.crossJoin(F.broadcast(tot))
+    others_n = (F.col("__tn") - F.col("__n")).cast("long")
+    k_others = (F.col("__k") - 1).cast("long")
+    # volume vs the mean of the others: n * k_others * 10000 div others_n
+    volume_bp = F.when(
+        (k_others > 0) & (others_n > 0),
+        F.expr("__n * (__k - 1) * 10000L div greatest(__tn - __n, 1L)"),
+    ).cast("long")
+    parts = []
+    for c in null_cols:
+        # an EMPTY increment's state has sum(NULLs) = NULL — rate it as
+        # zero nulls so the empty-feed case surfaces as a volume anomaly,
+        # not a NULL-poisoned row
+        null_bp = F.expr(
+            f"coalesce(`{c}__nulls`, 0L) * 10000L div greatest(__n, 1L)"
+        ).cast("long")
+        base_bp = F.when(
+            others_n > 0,
+            F.expr(
+                f"(`__tnull_{c}` - coalesce(`{c}__nulls`, 0L)) * 10000L "
+                f"div greatest(__tn - __n, 1L)"
+            ),
+        ).cast("long")
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                null_bp.alias("null_bp"),
+                base_bp.alias("base_null_bp"),
+                volume_bp.alias("volume_bp"),
+                F.coalesce(
+                    null_bp - base_bp >= F.lit(int(null_jump_bp)), F.lit(False)
+                ).alias("null_anomaly"),
+                F.coalesce(
+                    volume_bp < F.lit(10_000 - int(volume_drop_bp)), F.lit(False)
+                ).alias("volume_anomaly"),
+            )
+        )
+    return j.select(
+        "increment", F.explode(F.array(*parts)).alias("s")
+    ).select("increment", "s.*")

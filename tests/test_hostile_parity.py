@@ -69,6 +69,7 @@ QUERIES = [
     "quantile_states",
     "corpus_overlap",
     "resolve_duplicates",
+    "profile_anomalies",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
