@@ -96,3 +96,35 @@ def test_auto_picks_join_above_map_vocab_max(docs):
 def test_bad_strategy_raises(docs):
     with pytest.raises(ValueError):
         classifier_scores(docs, W, strategy="rdd")
+
+
+# ---------------------------------------------------------------- property
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+_token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.one_of(st.none(), st.lists(_token, max_size=8).map(" ".join)),
+        min_size=1,
+        max_size=12,
+    ),
+    weights=st.dictionaries(_token, st.integers(-1000, 1000), min_size=1, max_size=8),
+    bias=st.integers(-500, 500),
+)
+def test_property_map_join_identical(spark, docs, weights, bias):
+    """For ANY corpus/vocabulary/bias: the zero-shuffle map-literal plan
+    and the explode+broadcast-join plan yield identical rows."""
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(docs)], "doc_id string, text string"
+    )
+    a = classifier_scores(df, weights, bias_milli=bias, strategy="map")
+    b = classifier_scores(df, weights, bias_milli=bias, strategy="join")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
