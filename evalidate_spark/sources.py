@@ -15,9 +15,11 @@ Refs:
 * a filesystem path → parquet (``spark.read.parquet`` / ``write.parquet``)
 
 Snapshot pinning: ``read_table(..., snapshot_id=...)`` maps to Iceberg's
-``snapshot-id`` read option; the parquet fallback raises — checkpoint
-manifests (:mod:`evalidate_spark.checkpoint`) provide the resume story
-without snapshots.
+``snapshot-id`` read option; the parquet fallback honors it when the path
+is a :class:`SnapshotLog` directory (append/overwrite snapshot chain with
+atomic JSON manifests, same commit protocol as the checkpoint layer) and
+raises on a bare parquet path — checkpoint manifests
+(:mod:`evalidate_spark.checkpoint`) provide the resume story either way.
 """
 
 from __future__ import annotations
@@ -68,16 +70,23 @@ def read_table(
     spark: SparkSession, ref: str, snapshot_id: Optional[int] = None
 ) -> DataFrame:
     """E5 — the engine's only scan.  Iceberg table identifier or parquet
-    path; ``snapshot_id`` pins an Iceberg snapshot (time-travel read)."""
+    path; ``snapshot_id`` pins a snapshot (time-travel read) — Iceberg's
+    ``snapshot-id`` read option, or the :class:`SnapshotLog` manifest
+    chain when the path is a snapshot-logged parquet directory."""
+    import os
+
     if _is_iceberg_ref(ref, spark):
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(_strip(ref))
+    if os.path.isdir(os.path.join(ref, "snapshots")):
+        return SnapshotLog(ref).read(spark, snapshot_id)
     if snapshot_id is not None:
         raise ValueError(
-            "snapshot reads need the Iceberg runtime; the parquet fallback "
-            "has no snapshots (resume via checkpoint manifests instead)"
+            "snapshot reads need the Iceberg runtime or a SnapshotLog "
+            "directory; this parquet path has neither (resume via "
+            "checkpoint manifests instead)"
         )
     return spark.read.parquet(ref)
 
@@ -460,3 +469,110 @@ class ResultSink:
         finally:
             ann.unpersist()
         return refs
+
+
+# ------------------------------------------------------------ snapshot log
+# A minimal Iceberg-shaped snapshot layer for the PARQUET fallback: every
+# commit writes its data files under an isolated subdirectory, then
+# atomically publishes a JSON manifest naming (snapshot_id, operation,
+# parent, file list).  Readers resolve a snapshot to its file list by
+# walking parents (append = parent files + own; overwrite = own only), so
+# - reads are repeatable: a concurrent append can never change what an
+#   already-resolved snapshot returns (files are immutable once published);
+# - time travel is a constructor argument, exactly like Iceberg's
+#   snapshot-id read option that read_table maps to when the jar exists.
+# Commit protocol is the same temp-file + os.replace claim the checkpoint
+# manifests use: a crash mid-write leaves an unpublished data directory,
+# never a half-readable snapshot.
+
+class SnapshotLog:
+    """Append/overwrite snapshots over a parquet directory with
+    time-travel reads.  One writer at a time (single-driver pipelines —
+    the checkpoint runner — not a multi-writer catalog; Iceberg itself
+    is the answer once the runtime jar is present)."""
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        self._snap_dir = os.path.join(path, "snapshots")
+        os.makedirs(self._snap_dir, exist_ok=True)
+
+    # ---- log state
+    def snapshots(self):
+        """All published snapshots, oldest first: list of dicts
+        ``(snapshot_id, operation, parent, n_files, ts)``."""
+        import json
+        import os
+
+        out = []
+        for f in sorted(os.listdir(self._snap_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self._snap_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def latest_id(self):
+        snaps = self.snapshots()
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    # ---- write path
+    def commit(self, df: DataFrame, operation: str = "append") -> int:
+        """Write *df* as a new snapshot; returns its snapshot id.
+        ``operation``: ``append`` (new snapshot = parent's files + these)
+        or ``overwrite`` (new snapshot = these files only)."""
+        import json
+        import os
+        import time as _time
+
+        if operation not in ("append", "overwrite"):
+            raise ValueError("operation must be append|overwrite")
+        parent = self.latest_id()
+        sid = (parent or 0) + 1
+        data_dir = os.path.join(self.path, "data", "snap-%05d" % sid)
+        df.write.mode("error").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        rec = {
+            "snapshot_id": sid,
+            "operation": operation,
+            "parent": parent,
+            "files": files,
+            "n_files": len(files),
+            "ts": _time.time(),
+        }
+        tmp = os.path.join(self._snap_dir, ".%05d.tmp" % sid)
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self._snap_dir, "%05d.json" % sid))
+        return sid
+
+    # ---- read path
+    def files(self, snapshot_id: Optional[int] = None):
+        """Resolve a snapshot (default: latest) to its immutable file
+        list by walking the parent chain back to the nearest overwrite."""
+        snaps = {s["snapshot_id"]: s for s in self.snapshots()}
+        if not snaps:
+            return []
+        sid = snapshot_id if snapshot_id is not None else max(snaps)
+        if sid not in snaps:
+            raise ValueError(
+                "unknown snapshot %r (have %s)" % (snapshot_id, sorted(snaps))
+            )
+        out = []
+        cur = snaps[sid]
+        while True:
+            out = list(cur["files"]) + out
+            if cur["operation"] == "overwrite" or cur["parent"] is None:
+                break
+            cur = snaps[cur["parent"]]
+        return out
+
+    def read(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> DataFrame:
+        files = self.files(snapshot_id)
+        if not files:
+            raise ValueError("snapshot log at %r has no snapshots" % self.path)
+        return spark.read.parquet(*files)

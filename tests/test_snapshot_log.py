@@ -1,0 +1,82 @@
+"""SnapshotLog: append/overwrite chains resolve to the right immutable
+file sets, time-travel reads are repeatable after later commits, crash
+mid-write never publishes, and error contracts hold."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evalidate_spark.sources import SnapshotLog
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").cast("long").alias("v"))
+
+
+def test_append_chain_and_time_travel(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    s1 = log.commit(_df(spark, 0, 10))
+    s2 = log.commit(_df(spark, 10, 15))
+    assert (s1, s2) == (1, 2)
+    assert log.read(spark, s1).count() == 10          # time travel
+    assert log.read(spark).count() == 15              # latest = union
+    assert sorted(r["v"] for r in log.read(spark, s2).collect()) == list(range(15))
+
+
+def test_overwrite_resets_lineage(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(_df(spark, 0, 10))
+    s2 = log.commit(_df(spark, 100, 103), operation="overwrite")
+    log.commit(_df(spark, 200, 202))                  # append on top
+    assert sorted(r["v"] for r in log.read(spark).collect()) == [100, 101, 102, 200, 201]
+    assert log.read(spark, s2).count() == 3
+    # snapshot 1 still readable — overwrite never deletes published files
+    assert log.read(spark, 1).count() == 10
+
+
+def test_resolved_snapshot_is_immutable_under_later_commits(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    s1 = log.commit(_df(spark, 0, 5))
+    before = log.files(s1)
+    log.commit(_df(spark, 5, 9))
+    assert log.files(s1) == before
+
+
+def test_unpublished_data_is_invisible(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(_df(spark, 0, 5))
+    # simulate a crash AFTER data write, BEFORE manifest publish: write
+    # a stray data dir with no manifest
+    stray = str(tmp_path / "t" / "data" / "snap-00099")
+    _df(spark, 900, 905).write.parquet(stray)
+    assert log.latest_id() == 1
+    assert log.read(spark).count() == 5
+
+
+def test_errors(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no snapshots"):
+        log.read(spark)
+    log.commit(_df(spark, 0, 3))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        log.read(spark, 42)
+    with pytest.raises(ValueError, match="append.overwrite"):
+        log.commit(_df(spark, 0, 1), operation="merge")
+
+
+def test_read_table_routes_snapshot_logged_paths(spark, tmp_path):
+    from evalidate_spark.sources import read_table
+
+    path = str(tmp_path / "t")
+    log = SnapshotLog(path)
+    s1 = log.commit(_df(spark, 0, 4))
+    log.commit(_df(spark, 4, 6))
+    assert read_table(spark, path).count() == 6
+    assert read_table(spark, path, snapshot_id=s1).count() == 4
+    # bare parquet path + snapshot_id still refuses
+    bare = str(tmp_path / "bare")
+    _df(spark, 0, 3).write.parquet(bare)
+    with pytest.raises(ValueError, match="SnapshotLog"):
+        read_table(spark, bare, snapshot_id=1)
