@@ -110,29 +110,30 @@ def _scores_map(
     ids = F.col("`%s`" % id_col)
     wm = _weight_map(weights)
 
-    def w_of(t: Column) -> Column:
-        # nullable lookup: NULL == not in vocabulary (so a legitimate
-        # 0-weight vocabulary entry still counts as a hit, matching the
-        # join strategy's count(__w) exactly)
-        return F.element_at(wm, F.lower(t))
-
-    # single fold over the token array: (sum_w, hits, n) in one struct
-    # accumulator — the token array is the lambda's own argument, so
-    # nothing non-trivial is referenced twice (HOF re-inlining pitfall)
-    acc = F.aggregate(
+    # ONE map lookup per token: transform tokens → nullable weights first
+    # (NULL == not in vocabulary, so a legitimate 0-weight entry still
+    # counts as a hit, matching the join strategy's count(__w) exactly),
+    # THEN fold the weight array.  Looking up inside the fold lambda would
+    # inline the full map literal — and its linear-scan lookup — into both
+    # the sum and hits slots (HOF re-inlining pitfall, caught in review).
+    ws = F.transform(
         # NULL text → empty array (aggregate over NULL is NULL, which
         # would blank every output column instead of scoring bias-only)
         F.coalesce(
             tokens(F.col("`%s`" % text_col)), F.array().cast("array<string>")
         ),
+        lambda t: F.element_at(wm, F.lower(t)),
+    )
+    acc = F.aggregate(
+        ws,
         F.struct(
             F.lit(0).cast("long").alias("s"),
             F.lit(0).cast("long").alias("h"),
             F.lit(0).cast("long").alias("n"),
         ),
-        lambda a, t: F.struct(
-            (a["s"] + F.coalesce(w_of(t), F.lit(0).cast("long"))).alias("s"),
-            (a["h"] + F.when(w_of(t).isNotNull(), 1).otherwise(0)).alias("h"),
+        lambda a, w: F.struct(
+            (a["s"] + F.coalesce(w, F.lit(0).cast("long"))).alias("s"),
+            (a["h"] + F.when(w.isNotNull(), 1).otherwise(0)).alias("h"),
             (a["n"] + 1).alias("n"),
         ),
     )

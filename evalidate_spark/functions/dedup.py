@@ -114,7 +114,13 @@ def resolve_duplicates(
         -F.col("`%s`" % quality_col).cast("double"), F.lit(float("inf"))
     )
     keep = (
-        df.select(kexpr.alias("__fp"), F.struct(neg_q.alias("nq"), ids.alias("id")).alias("__r"))
+        # NULL-id rows cannot be ranking candidates: NULL sorts FIRST in
+        # struct comparison, so a NULL-id doc would win its group and the
+        # semi-join (ids == NULL never matches) would then delete the
+        # whole group (review finding).  Excluding them here matches
+        # distinct_by_fingerprint, whose min() ignores NULL ids.
+        df.filter(ids.isNotNull())
+        .select(kexpr.alias("__fp"), F.struct(neg_q.alias("nq"), ids.alias("id")).alias("__r"))
         .filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min("__r").alias("__best"))

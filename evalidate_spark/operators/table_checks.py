@@ -841,8 +841,10 @@ def quantile_state(
     count/nulls/min/max/distinct).  One row per increment holding an
     Apache DataSketches KLL sketch (``kll_sketch_agg_double``, parameter
     *k*: 200 ≈ 1.65% one-sided rank error) plus an exact value count per
-    column; NULLs are ignored by the sketch and tracked by the count
-    difference.  At 10^12 rows this is what makes quantile/drift checks
+    column; NULLs are ignored by the sketch — the state also carries the
+    increment's total row count ``__n`` so per-column null rates are
+    derivable as ``__n - {c}__cnt`` (the consumers that only need
+    quantiles read the ``__cnt``/``__kll`` fields).  At 10^12 rows this is what makes quantile/drift checks
     affordable: each increment is scanned once, forever, and any
     subset of increments folds in O(states) via
     :func:`merge_quantile_states` — the same never-rescan contract as
@@ -912,14 +914,16 @@ def quantile_drift_states(
     """KS drift per column between two SETS of quantile states — e.g.
     all historical increments vs today's — without rescanning either
     side.  Each side's sketches are merged, then the KS statistic is the
-    max CDF gap over *probes* evenly spaced value points across the
-    union envelope: ``ks_bp = floor(max_x |rank_b(x) - rank_c(x)| *
-    10000)`` (integer basis points; estimate quality bounded by the two
-    sketches' rank errors).  Returns ``(column, n_baseline, n_current,
-    ks_bp)``.
+    max CDF gap over the union of BOTH sides' own quantile values at
+    *probes*+1 evenly spaced ranks: ``ks_bp = floor(max_x |rank_b(x) -
+    rank_c(x)| * 10000)`` (integer basis points; estimate quality
+    bounded by the two sketches' rank errors — probing at the sketches'
+    own quantiles, not an even value grid, means a moved point mass
+    always has a probe sitting on it).  Returns ``(column, n_baseline,
+    n_current, ks_bp)``.
 
-    Two driver steps, both O(states): the union envelope (min/max per
-    column) is collected from the merged sketches first — Spark's
+    Two driver steps, both O(states): each side's quantile values are
+    collected from the merged sketches first — Spark's
     ``kll_sketch_get_rank`` requires *foldable* probe values, and the
     state tables are one row per increment by construction, so this
     collect is bounded — then the rank probing itself is a single 1-row
@@ -941,51 +945,47 @@ def quantile_drift_states(
         *[F.sum(f"`{c}__cnt`").alias(f"{c}__cn") for c in cols],
     )
     both = bag.crossJoin(F.broadcast(cag))
-    # bounded collect: one row, 2 doubles per column, from the tiny
-    # state fold — needed because rank probes must be literals
+    # bounded collect: one row, 2*(probes+1) doubles per column, from the
+    # tiny state fold — needed because rank probes must be literals.
+    # Probe points are EACH SIDE'S OWN QUANTILE VALUES (not an even value
+    # grid): a point mass that moves between two grid lines would be
+    # invisible to evenly spaced probes (KS gap confined between them),
+    # while the sketches' own quantiles by construction sit on the mass,
+    # keeping the estimate within the sketches' rank errors.
+    grid = [i / probes for i in range(probes + 1)]
     env_sel = []
     for c in cols:
         b, cc = F.col(f"`{c}__b`"), F.col(f"`{c}__c`")
         has = (F.coalesce(F.col(f"`{c}__bn`"), F.lit(0)) > 0) & (
             F.coalesce(F.col(f"`{c}__cn`"), F.lit(0)) > 0
         )
-        env_sel.append(
-            F.when(
-                has,
-                F.least(
-                    F.kll_sketch_get_quantile_double(b, F.lit(0.0)),
-                    F.kll_sketch_get_quantile_double(cc, F.lit(0.0)),
-                ),
-            ).alias(f"{c}__lo")
-        )
-        env_sel.append(
-            F.when(
-                has,
-                F.greatest(
-                    F.kll_sketch_get_quantile_double(b, F.lit(1.0)),
-                    F.kll_sketch_get_quantile_double(cc, F.lit(1.0)),
-                ),
-            ).alias(f"{c}__hi")
-        )
+        for side, sk in (("b", b), ("c", cc)):
+            env_sel.append(
+                F.when(
+                    has,
+                    F.array(
+                        *[
+                            F.kll_sketch_get_quantile_double(sk, F.lit(float(p0)))
+                            for p0 in grid
+                        ]
+                    ),
+                ).alias(f"{c}__q{side}")
+            )
     env = both.select(*env_sel).first()
 
     sels = []
     for c in cols:
         b, cc = F.col(f"`{c}__b`"), F.col(f"`{c}__c`")
-        lo, hi = env[f"{c}__lo"], env[f"{c}__hi"]
-        if lo is None or hi is None:
+        qb, qc = env[f"{c}__qb"], env[f"{c}__qc"]
+        if qb is None or qc is None:
             ks_col = F.lit(None).cast("long")
         else:
-            pts = (
-                [lo + (hi - lo) * i / probes for i in range(probes + 1)]
-                if hi > lo
-                else [lo]
-            )
+            pts = sorted({float(x) for x in (list(qb) + list(qc)) if x is not None})
             gap = None
             for x in pts:
                 g = F.abs(
-                    F.kll_sketch_get_rank_double(b, F.lit(float(x)))
-                    - F.kll_sketch_get_rank_double(cc, F.lit(float(x)))
+                    F.kll_sketch_get_rank_double(b, F.lit(x))
+                    - F.kll_sketch_get_rank_double(cc, F.lit(x))
                 )
                 gap = g if gap is None else F.greatest(gap, g)
             ks_col = F.floor(gap * 10_000).cast("long")

@@ -530,6 +530,15 @@ class SnapshotLog:
         parent = self.latest_id()
         sid = (parent or 0) + 1
         data_dir = os.path.join(self.path, "data", "snap-%05d" % sid)
+        # a crash between data write and manifest publish leaves an
+        # ORPHAN data dir for this very sid (it is unpublished by
+        # construction: publish is atomic and sid = latest+1, so no
+        # manifest can reference it) — clear it or every future commit
+        # would wedge on PATH_ALREADY_EXISTS (review finding)
+        if os.path.isdir(data_dir):
+            import shutil
+
+            shutil.rmtree(data_dir)
         df.write.mode("error").parquet(data_dir)
         files = sorted(
             os.path.join(data_dir, f)

@@ -97,3 +97,19 @@ def test_all_null_column(spark):
     out = merge_quantile_states(st).collect()[0]
     assert out["n_values"] == 0
     assert out["min_val"] is None and out["q_50"] is None
+
+
+def test_drift_sees_moved_point_mass_between_grid_lines(spark):
+    """Review regression: probing an even value grid misses a point mass
+    that moves between adjacent grid lines; probing each sketch's own
+    quantile values must catch it (true KS ≈ 0.99 here)."""
+    base = spark.createDataFrame(
+        [(0.0,)] + [(100.25,)] * 99, "v double"
+    )
+    cur = spark.createDataFrame(
+        [(0.0,)] + [(100.75,)] * 99, "v double"
+    )
+    bs = quantile_state(base, ["v"], "b")
+    cs = quantile_state(cur, ["v"], "c")
+    r = quantile_drift_states(bs, cs).collect()[0]
+    assert r["ks_bp"] > 9_000

@@ -60,3 +60,19 @@ def test_plan_has_no_window(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_null_id_never_deletes_its_group(spark):
+    """Review regression: a NULL-id doc must not win its group (NULL
+    sorts first in struct comparison) — the semi-join would then match
+    nothing and silently delete every member."""
+    df = spark.createDataFrame(
+        [("d1", "same group text", 5.0), (None, "same group text", 9.0),
+         ("d2", "other group here", 1.0), (None, "other group here", 1.0)],
+        "doc_id string, text string, q double",
+    )
+    kept = {r["doc_id"] for r in resolve_duplicates(df, "q").collect()}
+    # the NULL-id doc loses in group 1 even with higher quality, and
+    # loses the tie in group 2; NULL-id rows themselves drop (no identity
+    # to keep by — same as distinct_by_fingerprint)
+    assert kept == {"d1", "d2"}

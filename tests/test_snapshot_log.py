@@ -80,3 +80,16 @@ def test_read_table_routes_snapshot_logged_paths(spark, tmp_path):
     _df(spark, 0, 3).write.parquet(bare)
     with pytest.raises(ValueError, match="SnapshotLog"):
         read_table(spark, bare, snapshot_id=1)
+
+
+def test_commit_recovers_from_orphaned_data_dir(spark, tmp_path):
+    """Review regression: a crash AFTER the data write, BEFORE manifest
+    publish leaves data/snap-<next> orphaned — the next commit must
+    replace it, not wedge on PATH_ALREADY_EXISTS forever."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(_df(spark, 0, 5))
+    orphan = str(tmp_path / "t" / "data" / "snap-00002")
+    _df(spark, 900, 909).write.parquet(orphan)  # the crashed write
+    s2 = log.commit(_df(spark, 5, 8))           # must succeed
+    assert s2 == 2
+    assert sorted(r["v"] for r in log.read(spark).collect()) == list(range(8))
