@@ -53,8 +53,24 @@ QUANTILE_STATES_DIR = "quantile_states"
 
 
 def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]:
-    """Deterministic unit list: input parquet part-files grouped in sorted
-    order.  (Iceberg seam: replace with snapshot/partition listing.)"""
+    """Deterministic unit list.  A snapshot-logged input
+    (:class:`evalidate_spark.sources.SnapshotLog` layout) yields ONE unit
+    per snapshot's own data files — each ingest commit validates as the
+    increment it is, and resume skips whole published snapshots; this is
+    the literal shape of Iceberg's snapshot listing, which replaces this
+    function when the runtime jar exists.  A plain parquet directory
+    falls back to part-files grouped in sorted order."""
+    if os.path.isdir(os.path.join(input_path, "snapshots")):
+        from .sources import SnapshotLog
+
+        return [
+            {
+                "unit_id": "snap-%05d" % s["snapshot_id"],
+                "files": list(s["files"]),
+            }
+            for s in SnapshotLog(input_path).snapshots()
+            if s["files"]
+        ]
     files = sorted(
         f
         for f in os.listdir(input_path)

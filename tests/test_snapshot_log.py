@@ -93,3 +93,41 @@ def test_commit_recovers_from_orphaned_data_dir(spark, tmp_path):
     s2 = log.commit(_df(spark, 5, 8))           # must succeed
     assert s2 == 2
     assert sorted(r["v"] for r in log.read(spark).collect()) == list(range(8))
+
+
+def test_checkpointed_run_units_are_snapshots(spark, tmp_path):
+    """A snapshot-logged input validates one unit per ingest commit, and
+    a commit landing mid-run is picked up by resume without re-running
+    published snapshots."""
+    from evalidate_spark.checkpoint import CheckpointedRun, list_units
+    from evalidate_spark.spec import Rule, Size
+
+    src = str(tmp_path / "in")
+    log = SnapshotLog(src)
+    for lo, hi in ((0, 40), (40, 70)):
+        log.commit(
+            spark.range(lo, hi).selectExpr(
+                "concat('d', id) doc_id",
+                "case when id % 9 = 0 then 'no' else 'valid text' end text",
+            )
+        )
+    rules = [Rule(key="doc_id"), Rule(key="text", validators=[Size(5, 100)])]
+    run = CheckpointedRun(spark, src, rules, str(tmp_path / "out"))
+    assert [u["unit_id"] for u in list_units(src)] == ["snap-00001", "snap-00002"]
+    first = run.run()
+    assert first["processed_now"] == ["snap-00001", "snap-00002"]
+    assert first["rows"] == 70
+
+    # a third ingest lands later: only IT is pending
+    log.commit(
+        spark.range(70, 80).selectExpr(
+            "concat('d', id) doc_id", "'valid text' text"
+        )
+    )
+    second = run.run()
+    assert second["processed_now"] == ["snap-00003"]
+    assert second["rows"] == 80
+    # violations: ids 0,9,...,63 fail Size(5,100) with 'no'
+    assert run.violations().select("doc_id").distinct().count() == len(
+        [i for i in range(70) if i % 9 == 0]
+    )
