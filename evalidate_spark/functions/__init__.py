@@ -27,4 +27,15 @@ unless Python is genuinely required, in which case Arrow-batched pandas
 UDFs are used (never per-row Python).
 """
 
-from . import bpe, codecs, dedup, jpeg, multimodal, sampling, similarity, text, web  # noqa: F401
+from . import (  # noqa: F401
+    bpe,
+    classifier,
+    codecs,
+    dedup,
+    jpeg,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    web,
+)

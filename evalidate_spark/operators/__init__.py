@@ -1,8 +1,11 @@
 """Table-level validation operators (north-rule additions beyond the
 reference's element-local checks — SURVEY.md §2.8).
 
-* :mod:`.table_checks` — column stats profile, uniqueness, referential
-  integrity, distribution drift (numeric PSI/KS + categorical PSI/TVD)
+* :mod:`.table_checks` — column stats profile (+ mergeable HLL/KLL
+  states with anomaly alerting and state-to-state KS drift), uniqueness,
+  referential integrity (anti-join + Bloom-gated), distribution drift
+  (numeric PSI/KS + categorical PSI/TVD), heavy-hitter skew report,
+  Theta-sketch corpus overlap, check-suite roll-up
 * :mod:`.spans` — span-sequence structural validation on the interleaved
   text+media documents table (explode-free HOFs)
 * :mod:`.sessions` — gap-based event sessionization (windowed)
@@ -15,14 +18,25 @@ from .table_checks import (
     profile,
     profile_state,
     merge_profile_states,
+    profile_anomalies,
+    quantile_state,
+    merge_quantile_states,
+    quantile_drift_states,
     uniqueness_violations,
     referential_violations,
     drift,
     drift_categorical,
     drift_quantile,
     referential_violations_bloom,
+    skew_report,
+    overlap_estimate,
+    check_suite,
 )
 from .spans import span_rules, span_structure_violations
 from .sessions import session_bounds, sessionize
 from .asof import asof_join
-from .suggest import suggest_constraints, suggestions_to_spec
+from .suggest import (
+    functional_dependencies,
+    suggest_constraints,
+    suggestions_to_spec,
+)
