@@ -1347,6 +1347,25 @@ def q_quantile_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("column", "n_values", "min_val", "max_val")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→prose extraction per document (script/style/comment bodies
+    dropped, block closers to newlines, tags stripped, core entities
+    decoded, whitespace collapsed) + token count of the extract — pure
+    regexp chain, zero shuffle, one regex syntax for Java and RE2."""
+    from evalidate_spark.functions.text import html_to_text, token_count
+
+    ex = html_to_text(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            ex.alias("extracted"),
+            F.coalesce(token_count(ex), F.lit(0)).alias("n_tokens"),
+        )
+    )
+
+
 def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-health counters per document: U+FFFD replacement chars,
     stray control bytes, latin-1 mojibake digraphs, and a clean verdict —
@@ -1603,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "resolve_duplicates": q_resolve_duplicates,
         "profile_anomalies": q_profile_anomalies,
+        "html_extract": q_html_extract,
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
@@ -3290,6 +3310,34 @@ SELECT increment, 'value' AS "column", cast(n AS bigint) AS n_rows,
   coalesce(null_bp - base_null_bp >= 500, false) AS null_anomaly,
   coalesce(volume_bp < 5000, false) AS volume_anomaly
 FROM calc
+"""
+
+
+# mirrors functions.text.HTML_STRIP_PATTERNS/HTML_ENTITIES exactly —
+# same pattern strings, same order, &amp; decoded last
+ORACLE["html_extract"] = r"""
+WITH ex AS (
+  SELECT doc_id, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+            '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+        '(?i)<(br|/p|/div|/li|/tr|/h[1-6])\b[^>]*>', chr(10), 'g'),
+      '<[^>]+>', ' ', 'g'),
+    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+    '&#39;', chr(39)), '&amp;', '&'),
+  '\s+', ' ', 'g')) AS extracted
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, extracted,
+  cast(coalesce(len(list_filter(string_split_regex(extracted, '\s+'),
+                                x -> x <> '')), 0) AS int) AS n_tokens
+FROM ex
 """
 
 

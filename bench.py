@@ -213,6 +213,7 @@ def main() -> None:
         "corpus_overlap",
         "resolve_duplicates",
         "profile_anomalies",
+        "html_extract",
         "tfidf_terms",
         "trailing_features",
         "video_frames",

@@ -135,6 +135,11 @@ HOSTILE_DOCS = [
     # digraphs (â€™ and Ã©) — drives functions.text.encoding_anomalies
     (9, "café � b\x07ad â€™text Ã©",
      "en", "src9", 22),
+    # raw HTML with script/comment bodies and entities — drives
+    # functions.text.html_to_text; also exercises <>& flowing through
+    # every other text operator
+    (10, '<p>Hello &amp; <b>world</b></p><script>var x="z";</script>'
+         '<!-- c --><ul><li>a</li></ul>', "en", "src10", 58),
 ]
 HOSTILE_EVENTS = [
     (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),

@@ -253,6 +253,50 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+# HTML-strip chain — one syntax valid under Java regex AND RE2 (no
+# backreferences: RE2 silently fails to match them, so script/style get
+# separate patterns).  Order is the contract: script/style bodies first
+# (their content is code, not prose), comments, block-level closers to
+# newlines (preserves paragraph token boundaries), every remaining tag to
+# a space, then the six core entities (&amp; LAST so '&amp;lt;' decodes
+# to the literal '&lt;', not '<'), then whitespace collapse.
+HTML_STRIP_PATTERNS = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(br|/p|/div|/li|/tr|/h[1-6])\b[^>]*>", "\n"),
+    (r"<[^>]+>", " "),
+)
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract prose from HTML markup — the first transform of a web
+    ingest: drop script/style/comment bodies, turn block boundaries into
+    newlines (so tokenization sees paragraph breaks), strip remaining
+    tags, decode the core entities, collapse whitespace.  Pure
+    ``regexp_replace``/``replace`` chain (JVM codegen, zero shuffle);
+    plain text without markup passes through modulo whitespace
+    collapsing, and NULL stays NULL.  A heuristic extractor, not an HTML5
+    parser — boilerplate REMOVAL (nav/footer) is
+    :func:`remove_frequent_segments`'s job downstream."""
+    out = col
+    for pat, rep in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        # literal replace, not regexp — entity text must never be
+        # interpreted as a pattern
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 # Encoding-anomaly patterns — one syntax that parses identically under
 # Java regex (Spark) and RE2 (DuckDB), pinned by the oracle gate:
 #   repl  — U+FFFD replacement chars, the scar of a lossy decode;

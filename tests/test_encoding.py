@@ -43,3 +43,32 @@ def test_plan_is_projection_only(damaged):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- html strip
+from evalidate_spark.functions.text import html_to_text
+
+HTML_CASES = [
+    ("full",
+     '<html><head><style>p{x}</style></head><body><p>Hello &amp; '
+     '<b>world</b></p><script>var x="z";</script><ul><li>a</li>'
+     '<li>b</li></ul><!-- note --></body></html>',
+     "Hello & world a b"),
+    ("plain", "no markup at   all", "no markup at all"),
+    ("entities", "&lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x", '<tag> "q" \'s\' x'),
+    ("amp_last", "&amp;lt;", "&lt;"),
+    ("multiline_script", "a<script>\nline1\nline2\n</script>b", "a b"),
+    ("case", "<SCRIPT>x</SCRIPT><P>Y</P>", "Y"),
+    ("null", None, None),
+    ("empty", "", ""),
+]
+
+
+def test_html_to_text(spark):
+    df = spark.createDataFrame([(k, t) for k, t, _ in HTML_CASES], "k string, t string")
+    out = {
+        r["k"]: r["s"]
+        for r in df.select("k", html_to_text(F.col("t")).alias("s")).collect()
+    }
+    for k, _, want in HTML_CASES:
+        assert out[k] == want, (k, out[k])

@@ -70,6 +70,7 @@ QUERIES = [
     "corpus_overlap",
     "resolve_duplicates",
     "profile_anomalies",
+    "html_extract",
     # validation-engine surface (oracles model full NULL presence semantics)
     "validate_documents",
     "clean_documents",
