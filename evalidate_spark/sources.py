@@ -585,3 +585,16 @@ class SnapshotLog:
         if not files:
             raise ValueError("snapshot log at %r has no snapshots" % self.path)
         return spark.read.parquet(*files)
+
+    # ---- maintenance
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """Rewrite the CURRENT table state as one ``overwrite`` snapshot
+        with ~*target_files* data files — the small-file remedy: a long
+        append chain accumulates one file set per commit, and at scale
+        the per-file open cost starts to dominate the scan.  Published
+        history is untouched (snapshots are immutable; time travel to
+        pre-compaction ids still works), the parent chain simply
+        restarts at the compacted snapshot.  Returns the new snapshot
+        id."""
+        df = self.read(spark)
+        return self.commit(df.coalesce(int(target_files)), operation="overwrite")

@@ -131,3 +131,19 @@ def test_checkpointed_run_units_are_snapshots(spark, tmp_path):
     assert run.violations().select("doc_id").distinct().count() == len(
         [i for i in range(70) if i % 9 == 0]
     )
+
+
+def test_compact_rewrites_state_and_keeps_history(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        log.commit(_df(spark, lo, hi).repartition(4))
+    assert len(log.files()) == 12
+    sid = log.compact(spark, target_files=2)
+    assert len(log.files()) <= 2
+    assert sorted(r["v"] for r in log.read(spark).collect()) == list(range(90))
+    # pre-compaction snapshots still time-travel
+    assert log.read(spark, 2).count() == 60
+    # appends on top of the compacted state chain correctly
+    log.commit(_df(spark, 90, 95))
+    assert log.read(spark).count() == 95
+    assert sid == 4
