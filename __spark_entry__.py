@@ -3317,7 +3317,7 @@ FROM calc
 # same pattern strings, same order, &amp; decoded last
 ORACLE["html_extract"] = r"""
 WITH ex AS (
-  SELECT doc_id, trim(regexp_replace(
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
     replace(replace(replace(replace(replace(replace(
       regexp_replace(
         regexp_replace(
@@ -3331,7 +3331,8 @@ WITH ex AS (
       '<[^>]+>', ' ', 'g'),
     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
     '&#39;', chr(39)), '&amp;', '&'),
-  '\s+', ' ', 'g')) AS extracted
+  '[^\S\n]+', ' ', 'g'), ' ?\n+ ?', chr(10), 'g'),
+  '^\s+|\s+$', '', 'g') AS extracted
   FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT doc_id, extracted,

@@ -60,16 +60,25 @@ def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]
     the literal shape of Iceberg's snapshot listing, which replaces this
     function when the runtime jar exists.  A plain parquet directory
     falls back to part-files grouped in sorted order."""
-    if os.path.isdir(os.path.join(input_path, "snapshots")):
+    from .sources import has_snapshot_log
+
+    if has_snapshot_log(input_path):
         from .sources import SnapshotLog
 
+        # compaction snapshots are pure rewrites of rows that earlier
+        # units already validated — processing one as a fresh increment
+        # would double every row, violation, and verdict.  A non-compact
+        # OVERWRITE does validate (it carries genuinely new data); its
+        # superseded units' outputs remain in out_dir by design — each
+        # unit records what arrived, not the table's current state
+        # (validate-on-arrival lineage).
         return [
             {
                 "unit_id": "snap-%05d" % s["snapshot_id"],
                 "files": list(s["files"]),
             }
             for s in SnapshotLog(input_path).snapshots()
-            if s["files"]
+            if s["files"] and not s.get("compaction")
         ]
     files = sorted(
         f

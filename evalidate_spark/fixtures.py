@@ -139,7 +139,7 @@ HOSTILE_DOCS = [
     # functions.text.html_to_text; also exercises <>& flowing through
     # every other text operator
     (10, '<p>Hello &amp; <b>world</b></p><script>var x="z";</script>'
-         '<!-- c --><ul><li>a</li></ul>', "en", "src10", 58),
+         '<!-- c --><ul><li>a</li></ul>', "en", "src10", 87),
 ]
 HOSTILE_EVENTS = [
     (1, "2026-01-01 10:00:00", 1, "view", 1.5, None),

@@ -281,7 +281,11 @@ def html_to_text(col: Column) -> Column:
     """Extract prose from HTML markup — the first transform of a web
     ingest: drop script/style/comment bodies, turn block boundaries into
     newlines (so tokenization sees paragraph breaks), strip remaining
-    tags, decode the core entities, collapse whitespace.  Pure
+    tags, decode the core entities, collapse whitespace.  The final
+    collapse is NEWLINE-PRESERVING (horizontal runs → one space, newline
+    runs → one newline) so the block boundaries genuinely survive to the
+    output — line-oriented consumers (Gopher/C4 line rules, chunking)
+    see paragraph breaks, not one flattened line.  Pure
     ``regexp_replace``/``replace`` chain (JVM codegen, zero shuffle);
     plain text without markup passes through modulo whitespace
     collapsing, and NULL stays NULL.  A heuristic extractor, not an HTML5
@@ -294,7 +298,9 @@ def html_to_text(col: Column) -> Column:
         # literal replace, not regexp — entity text must never be
         # interpreted as a pattern
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    out = F.regexp_replace(out, r"[^\S\n]+", " ")   # horizontal runs → space
+    out = F.regexp_replace(out, " ?\n+ ?", "\n")    # newline runs → newline
+    return F.regexp_replace(out, r"^\s+|\s+$", "")  # trim incl. newlines
 
 
 # Encoding-anomaly patterns — one syntax that parses identically under

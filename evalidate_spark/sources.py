@@ -66,6 +66,22 @@ def _strip(ref: str) -> str:
     return ref[len(ICEBERG_PREFIX):] if ref.startswith(ICEBERG_PREFIX) else ref
 
 
+def has_snapshot_log(path: str) -> bool:
+    """True iff *path* is a directory with at least one PUBLISHED
+    snapshot manifest.  The mere existence of a ``snapshots/`` subdir is
+    not enough: an unrelated folder of that name (or a SnapshotLog
+    skeleton created before any commit) must not hijack a plain parquet
+    directory into the snapshot code path — that would silently read (or
+    validate) nothing."""
+    import os
+
+    d = os.path.join(path, "snapshots")
+    try:
+        return any(f.endswith(".json") for f in os.listdir(d))
+    except OSError:
+        return False
+
+
 def read_table(
     spark: SparkSession, ref: str, snapshot_id: Optional[int] = None
 ) -> DataFrame:
@@ -80,7 +96,7 @@ def read_table(
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(_strip(ref))
-    if os.path.isdir(os.path.join(ref, "snapshots")):
+    if has_snapshot_log(ref):
         return SnapshotLog(ref).read(spark, snapshot_id)
     if snapshot_id is not None:
         raise ValueError(
@@ -517,10 +533,15 @@ class SnapshotLog:
         return snaps[-1]["snapshot_id"] if snaps else None
 
     # ---- write path
-    def commit(self, df: DataFrame, operation: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, operation: str = "append", compaction: bool = False
+    ) -> int:
         """Write *df* as a new snapshot; returns its snapshot id.
         ``operation``: ``append`` (new snapshot = parent's files + these)
-        or ``overwrite`` (new snapshot = these files only)."""
+        or ``overwrite`` (new snapshot = these files only).
+        ``compaction`` marks the manifest as a pure REWRITE of
+        already-published rows — consumers that process snapshots as
+        increments (``checkpoint.list_units``) skip it."""
         import json
         import os
         import time as _time
@@ -548,6 +569,7 @@ class SnapshotLog:
         rec = {
             "snapshot_id": sid,
             "operation": operation,
+            "compaction": bool(compaction),
             "parent": parent,
             "files": files,
             "n_files": len(files),
@@ -597,4 +619,6 @@ class SnapshotLog:
         restarts at the compacted snapshot.  Returns the new snapshot
         id."""
         df = self.read(spark)
-        return self.commit(df.coalesce(int(target_files)), operation="overwrite")
+        return self.commit(
+            df.coalesce(int(target_files)), operation="overwrite", compaction=True
+        )

@@ -49,12 +49,15 @@ def test_plan_is_projection_only(damaged):
 from evalidate_spark.functions.text import html_to_text
 
 HTML_CASES = [
+    # block closers (</p>, </li>) become REAL newlines in the output —
+    # line-oriented consumers downstream see paragraph boundaries
     ("full",
      '<html><head><style>p{x}</style></head><body><p>Hello &amp; '
      '<b>world</b></p><script>var x="z";</script><ul><li>a</li>'
      '<li>b</li></ul><!-- note --></body></html>',
-     "Hello & world a b"),
+     "Hello & world\na\nb"),
     ("plain", "no markup at   all", "no markup at all"),
+    ("keeps_newlines", "para one\n\npara two", "para one\npara two"),
     ("entities", "&lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x", '<tag> "q" \'s\' x'),
     ("amp_last", "&amp;lt;", "&lt;"),
     ("multiline_script", "a<script>\nline1\nline2\n</script>b", "a b"),

@@ -147,3 +147,50 @@ def test_compact_rewrites_state_and_keeps_history(spark, tmp_path):
     log.commit(_df(spark, 90, 95))
     assert log.read(spark).count() == 95
     assert sid == 4
+
+
+def test_compaction_snapshot_is_not_a_checkpoint_unit(spark, tmp_path):
+    """Review regression: compact() rewrites already-validated rows — a
+    checkpointed run must NOT re-validate them as a fresh increment
+    (rows/violations would double)."""
+    from evalidate_spark.checkpoint import CheckpointedRun, list_units
+    from evalidate_spark.spec import Rule, Size
+
+    src = str(tmp_path / "in")
+    log = SnapshotLog(src)
+    log.commit(
+        spark.range(0, 50).selectExpr(
+            "concat('d', id) doc_id",
+            "case when id % 9 = 0 then 'no' else 'valid text' end text",
+        )
+    )
+    rules = [Rule(key="doc_id"), Rule(key="text", validators=[Size(5, 100)])]
+    run = CheckpointedRun(spark, src, rules, str(tmp_path / "out"))
+    assert run.run()["rows"] == 50
+    log.compact(spark)
+    after = run.run()
+    assert after["processed_now"] == []        # nothing to re-validate
+    assert after["rows"] == 50                 # not doubled
+    # a genuine overwrite (new data) DOES validate as a unit
+    log.commit(
+        spark.range(100, 120).selectExpr(
+            "concat('d', id) doc_id", "'valid text' text"
+        ),
+        operation="overwrite",
+    )
+    assert [u["unit_id"] for u in run.pending_units()] == ["snap-00003"]
+
+
+def test_stray_snapshots_dir_does_not_hijack_parquet_input(spark, tmp_path):
+    """Review regression: a plain parquet input containing an unrelated
+    (or empty-skeleton) 'snapshots' folder must still list parquet
+    units — not silently validate nothing."""
+    from evalidate_spark.checkpoint import list_units
+    from evalidate_spark.sources import read_table
+
+    src = str(tmp_path / "in")
+    _df(spark, 0, 20).repartition(2).write.parquet(src)
+    os.makedirs(os.path.join(src, "snapshots"))   # empty skeleton
+    units = list_units(src)
+    assert units and all(u["files"] for u in units)
+    assert read_table(spark, src).count() == 20
