@@ -128,3 +128,13 @@ def test_property_map_join_identical(spark, docs, weights, bias):
     a = classifier_scores(df, weights, bias_milli=bias, strategy="map")
     b = classifier_scores(df, weights, bias_milli=bias, strategy="join")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_map_literal_appears_once_in_plan(docs):
+    """Review regression: the vocabulary map literal must be inlined
+    exactly once (lookup via transform), not once per accumulator slot."""
+    plan = (
+        classifier_scores(docs, W, strategy="map")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("keys: [the,data,noise,zero]") == 1
