@@ -367,6 +367,14 @@ def minhash_candidates(
     ids (deterministic by id order) and their pairs carry
     ``truncated = true``.
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes → 0-row bands hash the empty slice to a
+        # CONSTANT, co-bucketing every doc (all-pairs garbage, no error);
+        # non-divisible values silently ignore trailing signature slots —
+        # reject both, like hamming_candidates validates n_chunks
+        raise ValueError(
+            "bands (%d) must divide num_hashes (%d)" % (bands, num_hashes)
+        )
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
     tc = F.col("`%s`" % text_col)
@@ -470,6 +478,10 @@ def minhash_candidates_md5(
     (``concat_ws`` skips NULL elements) and be reported as a duplicate of
     every other one (mirror with ``WHERE text IS NOT NULL`` in SQL
     oracles)."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            "bands (%d) must divide num_hashes (%d)" % (bands, num_hashes)
+        )
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
     tc = F.col("`%s`" % text_col)
@@ -806,11 +818,19 @@ def contamination(
     bench_id_col: Optional[str] = None,
     shingle_k: int = 3,
     min_shared: int = 2,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Train-vs-benchmark contamination check: pairs ``(doc_id, bench_id,
     n_shared)`` where a corpus doc shares ≥ *min_shared* DISTINCT k-token
     shingles with a benchmark/eval doc — the screen run before training so
     eval sets aren't memorised.
+
+    ``exclude_same_id`` (default True) drops pairs whose ids coincide —
+    correct when the benchmark is a SLICE of the corpus (a doc trivially
+    "contaminates" itself).  Set it False when the two sides come from
+    DIFFERENT id namespaces: there a numeric coincidence (corpus doc 5 vs
+    bench doc 5) is a genuine pair, and the default would silently drop
+    the diagonal of real hits.
 
     Scale shape: the benchmark side is small by definition (an eval set),
     so its exploded distinct shingles BROADCAST; the corpus side streams
@@ -830,9 +850,11 @@ def contamination(
         F.col("`%s`" % bench_id_col).alias("bench_id"),
         F.explode(F.array_distinct(shingles(t, shingle_k))).alias("__sh"),
     )
+    paired = d_sh.join(F.broadcast(b_sh), "__sh")
+    if exclude_same_id:
+        paired = paired.filter(F.col("doc_id") != F.col("bench_id"))
     return (
-        d_sh.join(F.broadcast(b_sh), "__sh")
-        .filter(F.col("doc_id") != F.col("bench_id"))
+        paired
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
@@ -905,10 +927,18 @@ def semantic_dedup(
     from .similarity import _kmeans_centroids, ivf_assign
 
     qid, qv = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    def _passthrough(d0: DataFrame) -> DataFrame:
+        # degenerate batches keep the PROMISED schema: the output must
+        # not gain/lose truncated_col depending on the data, or a fixed
+        # downstream table schema fails only on the empty increment
+        if truncated_col is None:
+            return d0
+        return d0.withColumn(truncated_col, F.lit(False))
+
     if dim is None:
         first = df.filter(qv.isNotNull()).select(F.size(qv).alias("d")).first()
         if first is None:
-            return df  # nothing comparable -> nothing to drop
+            return _passthrough(df)  # nothing comparable -> nothing to drop
         dim = first["d"]
     valid = df.filter(qid.isNotNull() & (F.size(qv) == dim))
     if centroids is None:
@@ -917,7 +947,8 @@ def semantic_dedup(
                 valid, vec_col, n_centroids, sample_n=sample_n, iters=iters, seed=seed
             )
         except ValueError:
-            return df  # no comparable (id, dim-length) rows -> nothing to drop
+            # no comparable (id, dim-length) rows -> nothing to drop
+            return _passthrough(df)
     cells = (
         ivf_assign(valid, centroids, vec_col)
         .select(qid.alias("__sid"), qv.cast("array<double>").alias("__sv"), "cell")
@@ -938,7 +969,7 @@ def semantic_dedup(
         ids = pdf["__sid"].to_numpy()
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({"__drop_id": np.array([], dtype=np.int64)})
+            return pd.DataFrame({"__drop_id": ids[:0]})
         v = np.asarray(
             [np.asarray(x, dtype=np.float64) for x in pdf["__sv"]], dtype=np.float64
         )
@@ -955,7 +986,10 @@ def semantic_dedup(
             dropped[j0:j1] |= hit.any(axis=0)
         return pd.DataFrame({"__drop_id": ids[dropped]})
 
-    dropped = cells.groupBy("cell").applyInPandas(_drop, "__drop_id long")
+    # output schema follows the caller's id type (string/int/long/...)
+    # instead of hardcoding long — every other dedup op takes any id type
+    id_type = df.schema[id_col].dataType.simpleString()
+    dropped = cells.groupBy("cell").applyInPandas(_drop, "__drop_id %s" % id_type)
     kept = df.join(dropped, on=qid == F.col("__drop_id"), how="left_anti")
     if truncated_col is None:
         return kept

@@ -212,7 +212,16 @@ def lsh_bucket_pairs(
             .first()
         )
         if first is None:
-            raise ValueError("empty corpus")
+            # an empty/all-NULL batch has zero pairs, not an error — the
+            # graceful contract semantic_dedup already follows; raising
+            # here turned a no-op increment into a 3am job failure
+            # (review finding)
+            id_t = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [],
+                "id_a %s, id_b %s, cosine double, truncated boolean"
+                % (id_t, id_t),
+            )
         dim = first["d"]
     df = df.filter(
         F.col("`%s`" % id_col).isNotNull()
@@ -285,9 +294,14 @@ def _kmeans_centroids(
     vdf = df.select(F.col("`%s`" % vec_col).alias("v")).filter(F.col("v").isNotNull())
     total = vdf.count()
     if total > sample_n:
-        frac = min(1.0, 1.2 * sample_n / total)  # slight over-draw, then trim
+        # keep the WHOLE random draw (expected ~1.2x sample_n): trimming
+        # with limit() cuts by partition order, excluding the corpus tail
+        # from the fit — the positional bias sample() was chosen to avoid
+        # (review finding).  The fit cost is linear in the sample, so the
+        # 20% overdraw is cheaper than the bias.
+        frac = min(1.0, 1.2 * sample_n / total)
         vdf = vdf.sample(fraction=frac, seed=seed)
-    rows = vdf.limit(sample_n).collect()
+    rows = vdf.collect()
     if not rows:
         raise ValueError("no non-null vectors to fit centroids on")
     lens = collections.Counter(len(r["v"]) for r in rows)
@@ -296,9 +310,10 @@ def _kmeans_centroids(
     n = len(x)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    # the sample matrix never changes — normalise it once, outside the loop
+    xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
     for _ in range(iters):
         # cosine assignment on normalised vectors
-        xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
         cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
         assign = np.argmax(xn @ cn.T, axis=1)
         for c in range(len(cents)):
@@ -463,11 +478,16 @@ def ivf_probe_cells(
 ) -> DataFrame:
     """Per-probe ``cells`` array: indices of the *nprobe* nearest centroids."""
     vec = F.col("`%s`" % vec_col)
+    # tiebreak on the NEGATED index so descending sort prefers the LOWEST
+    # centroid index — the exact rule ivf_assign's max(struct(s, -i))
+    # applies; with a plain index the two sides broke 9-dp cosine ties in
+    # opposite directions and a probe could miss the very cell its own
+    # duplicate was assigned to (review finding)
     scored = F.array(
         *[
             F.struct(
                 F.round(cosine(vec, F.array(*[F.lit(v) for v in c])), 9).alias("s"),
-                F.lit(i).alias("ix"),
+                F.lit(-i).alias("nix"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -476,7 +496,7 @@ def ivf_probe_cells(
     return probes.select(
         F.col("`%s`" % probe_id_col).alias("query_id"),
         F.col("`%s`" % vec_col).alias("__pv"),
-        F.transform(top, lambda s: s["ix"]).alias("cells"),
+        F.transform(top, lambda s: (-s["nix"]).cast("int")).alias("cells"),
     )
 
 

@@ -817,3 +817,71 @@ def test_semantic_dedup_plan_single_cell_exchange(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning\(cell", plan)) == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+# ------------------------------------------------- review-round regressions
+def test_semantic_dedup_string_ids_and_schema_stability(spark):
+    """String ids must work (output schema follows the id type), and a
+    degenerate batch keeps the promised truncated column."""
+    from evalidate_spark.functions.dedup import semantic_dedup
+
+    rows = [("a1", [1.0, 0.0]), ("a2", [1.0, 0.0]), ("b1", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    kept = semantic_dedup(df, n_centroids=2, sample_n=10, threshold=0.99)
+    assert {r["vec_id"] for r in kept.collect()} == {"a1", "b1"}
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = semantic_dedup(empty, truncated_col="truncated")
+    assert "truncated" in out.columns and out.count() == 0
+
+
+def test_contamination_cross_namespace_diagonal(spark):
+    """exclude_same_id=False keeps pairs whose ids numerically coincide
+    across DIFFERENT id namespaces."""
+    from evalidate_spark.functions.dedup import contamination
+
+    docs = spark.createDataFrame(
+        [(5, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(5, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    assert contamination(docs, bench, min_shared=1).count() == 0  # default
+    hit = contamination(docs, bench, min_shared=1, exclude_same_id=False)
+    assert hit.count() == 1
+
+
+def test_minhash_bands_validated(spark):
+    from evalidate_spark.functions.dedup import minhash_candidates, minhash_candidates_md5
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divide"):
+        minhash_candidates(df, num_hashes=8, bands=16)
+    with _pt.raises(ValueError, match="divide"):
+        minhash_candidates_md5(df, num_hashes=64, bands=10)
+
+
+def test_probe_and_assign_break_ties_identically(spark):
+    """Duplicate centroids: the cell a vector is ASSIGNED to must be the
+    first cell a probe of the same vector PROBES."""
+    from evalidate_spark.functions.similarity import ivf_assign, ivf_probe_cells
+
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]  # 0 and 1 identical
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    cell = ivf_assign(df, cents).collect()[0]["cell"]
+    probed = ivf_probe_cells(
+        df.withColumnRenamed("vec_id", "query_id"), cents, nprobe=1
+    ).collect()[0]["cells"]
+    assert probed[0] == cell == 0
+
+
+def test_embedding_near_dups_empty_batch_is_empty_not_error(spark):
+    from evalidate_spark.functions.dedup import embedding_near_dups
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = embedding_near_dups(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosine", "truncated"}
+    allnull = spark.createDataFrame([("x", None)], "vec_id string, embedding array<double>")
+    assert embedding_near_dups(allnull).count() == 0
