@@ -2056,7 +2056,8 @@ SELECT event_id, user_id, NULL, NULL, NULL, NULL
 FROM events WHERE ts IS NULL
 """,
     "tfidf_terms": r"""
-WITH live AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+WITH live AS (SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL),
 tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
@@ -2669,7 +2670,13 @@ WITH c AS (
   SELECT source, count(*) AS c FROM documents
   WHERE doc_id IS NOT NULL GROUP BY source
 ), q AS (
-  SELECT source, CAST(floor(sqrt(c * (SELECT min(c) FROM c))) AS BIGINT) AS quota
+  -- sqrt(c)*sqrt(cm), NOT sqrt(c*cm): the product of two int64 counts
+  -- overflows at ~3e9-row groups; clamped like the engine's pow path
+  -- (floor of a 1-ulp-low product must never drop rows from min groups)
+  SELECT source,
+    least(c, greatest(
+      CAST(floor(sqrt(c) * sqrt((SELECT min(c) FROM c))) AS BIGINT),
+      CASE WHEN c = (SELECT min(c) FROM c) THEN c END)) AS quota
   FROM c
 ), r AS (
   SELECT doc_id, source,

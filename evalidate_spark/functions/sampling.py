@@ -169,7 +169,12 @@ def rebalance_mixture(
     if alpha == 1.0:
         quota = c
     elif alpha == 0.5:
-        quota = F.floor(F.sqrt(c * cm))
+        # sqrt(c)*sqrt(cm), NOT sqrt(c*cm): the int64 product overflows
+        # at ~3e9-row groups (ANSI crash / silent NaN quota); and clamp
+        # like the pow path — the PRODUCT of two correctly-rounded sqrts
+        # can land 1 ulp low and floor to c-1 on min-size groups
+        raw = F.floor(F.sqrt(c) * F.sqrt(cm))
+        quota = F.least(c, F.greatest(raw, F.when(c == cm, c)))
     else:
         # pow is not correctly rounded: c^alpha * cm^(1-alpha) for c == cm
         # can come out at c - 1ulp and floor to c-1, silently dropping rows
@@ -205,18 +210,25 @@ def pack_sequences(
 
     ``count_col`` reuses a precomputed token count; default counts
     whitespace tokens via :func:`~evalidate_spark.functions.text.token_count`.
-    Docs with NULL id/shard are excluded (not packable deterministically).
+    Docs with NULL id/shard are excluded (not packable deterministically);
+    NULL text packs as a zero-token doc (counted in ``n_docs``, adds
+    nothing to ``seq_tokens``).
     Parallelism is #shards — pick the shard key accordingly (e.g.
     ``source``, a date bucket, or ``pmod(hash(id), N)`` upstream)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     ids = F.col("`%s`" % id_col)
     sh = F.col("`%s`" % shard_col)
-    ntok = (
-        F.col("`%s`" % count_col)
-        if count_col
-        else token_count(F.col("`%s`" % text_col))
-    ).cast("long")
+    # NULL text/count = ZERO tokens: under ANSI-off Spark size(NULL) is
+    # -1, which would shift every later doc's prefix sum in the shard
+    ntok = F.coalesce(
+        (
+            F.col("`%s`" % count_col)
+            if count_col
+            else token_count(F.col("`%s`" % text_col))
+        ).cast("long"),
+        F.lit(0),
+    )
     base = df.filter(ids.isNotNull() & sh.isNotNull()).select(
         sh.alias("shard"), ids.alias("__id"), ntok.alias("__n")
     )

@@ -116,7 +116,11 @@ def lang_id(
     df: DataFrame, text_col: str = "text", markers: Optional[Dict[str, Sequence[str]]] = None
 ) -> DataFrame:
     """Heuristic language guess: argmax of marker hits, ``und`` when no
-    marker matched.  Ties break by the marker-table order (deterministic)."""
+    marker matched, NULL for NULL text (missing text is a presence
+    problem, not an undetermined language — merging the two would let a
+    per-language stratified sample treat missing-text docs as a real
+    'und' corpus slice).  Ties break by the marker-table order
+    (deterministic)."""
     markers = markers or LANG_MARKERS
     m = lang_marker_counts(df, text_col, markers)
     langs = list(markers.keys())
@@ -128,9 +132,12 @@ def lang_id(
     best = F.array_max(
         F.transform(pairs, lambda p: F.struct(p["hits"].alias("hits"), (-p["ix"]).alias("nix")))
     )
-    guess = F.when(best["hits"] > 0, F.element_at(F.array(*[F.lit(l) for l in langs]), -best["nix"] + 1)).otherwise(
-        F.lit("und")
-    )
+    guess = F.when(
+        F.col("`%s`" % text_col).isNull(), F.lit(None).cast("string")
+    ).when(
+        best["hits"] > 0,
+        F.element_at(F.array(*[F.lit(l) for l in langs]), -best["nix"] + 1),
+    ).otherwise(F.lit("und"))
     return m.withColumn("lang_guess", guess)
 
 
@@ -138,6 +145,10 @@ def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
 ) -> DataFrame:
     """Corpus-level top-k token n-grams → ``(ngram, n_docs, occurrences)``,
+    where a doc with fewer than *n* tokens contributes its whole text as
+    one (lower-order) gram — :func:`shingles`' short-doc fallback, pinned
+    by the oracle gate; pre-filter ``size(tokens(text)) >= n`` if strict
+    order-*n* grams are required —
     ordered by occurrences desc with an ngram-asc tiebreak (deterministic
     across engines).
 
@@ -232,7 +243,13 @@ PII_PATTERNS = (
 
 
 def pii_counts(col: Column) -> Column:
-    """Struct ``(n_url, n_email, n_phone)`` of PII matches in the text."""
+    """Struct ``(n_url, n_email, n_phone)`` of PII matches in the text.
+
+    Counts are per-pattern over the RAW text: a span matching two
+    patterns (an email inside a URL) counts in both — they are a
+    diagnostic surface-rate signal, not a partition.  The authoritative
+    scrub is :func:`redact_pii`, whose sequential replacement applies
+    each pattern to the previous pattern's output."""
     return F.struct(
         *[
             F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(
@@ -786,7 +803,10 @@ def tfidf_top_terms(
 
     ids = F.col("`%s`" % id_col)
     tc = F.col("`%s`" % text_col)
-    live = df.filter(tc.isNotNull())
+    # NULL ids excluded like every sibling op: count(DISTINCT id) skips
+    # NULL, so a kept NULL-id row would make df_docs exceed n_docs —
+    # negative IDF and a phantom NULL output group (review finding)
+    live = df.filter(tc.isNotNull() & ids.isNotNull())
     toks = live.select(ids.alias("__id"), F.explode(tokens(tc)).alias("term"))
     tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -885,6 +905,10 @@ def gopher_rules(
 
     base = df.select(
         F.col("`%s`" % id_col),
+        # carried through the projection so the no_text branch below can
+        # key on the TEXT itself: under ANSI-off Spark size(NULL) is -1,
+        # and -1 counts would evaluate the rules instead of no_text
+        c.isNull().alias("__no_text"),
         tc["w"].cast("long").alias("n_words"),
         tc["wc"].cast("long").alias("n_word_chars"),
         tc["aw"].cast("long").alias("n_alpha_words"),
@@ -910,12 +934,12 @@ def gopher_rules(
             lambda x: x.isNotNull(),
         )
     )
-    fails = F.when(F.col("n_words").isNull(), F.array(F.lit("no_text"))).otherwise(fails)
+    fails = F.when(F.col("__no_text"), F.array(F.lit("no_text"))).otherwise(fails)
     return base.select(
         "*",
         F.concat_ws(",", fails).alias("fails"),
         (F.size(fails) == 0).alias("passes"),
-    )
+    ).drop("__no_text")
 
 
 def c4_filters(
@@ -962,7 +986,9 @@ def c4_filters(
     page_drop = F.lower(c).contains("lorem ipsum") | c.contains("{")
     return df.select(
         F.col("`%s`" % id_col),
-        lc["l"].cast("long").alias("n_lines"),
+        # explicit NULL-text guard: under ANSI-off Spark the size() chain
+        # yields -1 instead of NULL for a NULL page
+        F.when(c.isNotNull(), lc["l"]).cast("long").alias("n_lines"),
         F.when(~page_drop, F.size(lc["kept"]).cast("long")).alias("n_kept_lines"),
         F.when(~page_drop, F.concat_ws("\n", lc["kept"])).alias("cleaned"),
         F.coalesce(

@@ -29,5 +29,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the library's NULL contracts assume ANSI semantics (size(NULL)
+        # = NULL, overflow = error) — the Spark 4 default, pinned here so
+        # a 3.x deployment (ANSI off, size(NULL) = -1) cannot silently
+        # flip NULL-text counts to -1 across the text/sampling surface
+        .config("spark.sql.ansi.enabled", "true")
     )
     return builder.getOrCreate()
