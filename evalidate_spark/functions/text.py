@@ -66,23 +66,48 @@ def punct_count(col: Column) -> Column:
 def quality_metrics(
     df: DataFrame, text_col: str = "text", stopwords: Sequence[str] = STOPWORDS_EN
 ) -> DataFrame:
-    """Per-doc quality columns appended in ONE projection:
-    ``n_chars_q, n_tokens, n_tokens_bpe, mean_token_len, stopword_ratio,
-    punct_ratio, uniq_token_ratio``.
-    """
+    """Per-doc quality columns: ``n_chars_q, n_tokens, n_tokens_bpe,
+    mean_token_len, stopword_ratio, punct_ratio, uniq_token_ratio``.
+
+    One tokenize per row: the token-derived counters fold into a single
+    let-bound struct column first, then the ratio columns derive from the
+    struct's fields — referencing ``tokens(c)`` from each output column
+    would inline (and re-run) the split per column (HOFs skip codegen's
+    subexpression elimination).  ``mean_token_len`` is EXACT word chars /
+    words (an ``aggregate`` over the token array) — the former
+    ``(length - n + 1) / n`` shortcut counted every whitespace character
+    beyond one-per-gap as token chars, inflating the metric on indented
+    or multi-space text (review finding)."""
     c = F.col("`%s`" % text_col)
-    toks = tokens(c)
-    n_tok = F.size(toks)
-    return df.select(
+    st = F.transform(
+        F.array(tokens(c)),
+        lambda tk: F.struct(
+            F.size(tk).alias("n"),
+            F.aggregate(
+                tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).alias("wc"),
+            F.aggregate(
+                tk,
+                F.lit(0),
+                lambda a, x: a + F.ceil(F.length(x) / 4).cast("int"),
+            ).alias("bpe"),
+            F.size(F.filter(tk, lambda x: F.lower(x).isin(*stopwords))).alias("sw"),
+            F.size(F.array_distinct(tk)).alias("uq"),
+        ),
+    )[0]
+    with_st = df.select("*", st.alias("__qm"))
+    q = F.col("__qm")
+    n_tok = q["n"]
+    return with_st.select(
         "*",
         F.length(c).alias("n_chars_q"),
         n_tok.alias("n_tokens"),
-        token_count_bpe(c).alias("n_tokens_bpe"),
-        F.when(n_tok > 0, (F.length(c) - n_tok + 1) / n_tok).alias("mean_token_len"),
-        F.when(n_tok > 0, stopword_count(c, stopwords) / n_tok).alias("stopword_ratio"),
+        q["bpe"].alias("n_tokens_bpe"),
+        F.when(n_tok > 0, q["wc"] / n_tok).alias("mean_token_len"),
+        F.when(n_tok > 0, q["sw"] / n_tok).alias("stopword_ratio"),
         F.when(F.length(c) > 0, punct_count(c) / F.length(c)).alias("punct_ratio"),
-        F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).alias("uniq_token_ratio"),
-    )
+        F.when(n_tok > 0, q["uq"] / n_tok).alias("uniq_token_ratio"),
+    ).drop("__qm")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
