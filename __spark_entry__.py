@@ -1487,6 +1487,22 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+# Fixed literal query-term set: oracle_sql() takes no parameters, so the
+# driver query and its DuckDB oracle must agree on the terms up front.
+_BM25_TERMS = ("customer", "merge", "the", "vector")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 against a fixed 4-term query
+    (``text.bm25_topk``): explode-free — one let-bound token projection
+    for (dl, tf_t...), one bounded corpus-stats row (N, avgdl, df_t)
+    collected and re-inlined as literals, TakeOrdered top-k.  Two pruned
+    scans, zero data shuffles."""
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=15
+    )
+
+
 def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-container near-duplicate IMAGE detection: perceptual dHash
     (map-only Arrow stage over real decoded pixels — JPEG/PNG/BMP) banded
@@ -1640,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "video_near_dups": q_video_near_dups,
         "tfidf_terms": q_tfidf_terms,
+        "bm25_topk": q_bm25_topk,
         "trailing_features": q_trailing_features,
     }
 
@@ -3346,6 +3363,55 @@ SELECT doc_id, extracted,
   cast(coalesce(len(list_filter(string_split_regex(extracted, '\s+'),
                                 x -> x <> '')), 0) AS int) AS n_tokens
 FROM ex
+"""
+
+
+# BM25 oracle mirrors text.bm25_topk term-for-term: same tokenizer
+# (regex \s+ split, lowered), same Lucene idf = ln((N-df+0.5)/(df+0.5)+1),
+# same association order in the score, same literal constants (Python
+# 1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 bit-exactly, so plain SQL literals
+# parse to the identical doubles Spark inlines), 6-dp round + id tiebreak.
+ORACLE["bm25_topk"] = r"""
+WITH live AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''), t -> lower(t)) AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), base AS (
+  SELECT doc_id, len(tk) AS dl,
+         len(list_filter(tk, t -> t = 'customer')) AS tf0,
+         len(list_filter(tk, t -> t = 'merge'))    AS tf1,
+         len(list_filter(tk, t -> t = 'the'))      AS tf2,
+         len(list_filter(tk, t -> t = 'vector'))   AS tf3
+  FROM live
+), st AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+    cast((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS bigint) AS matched,
+    round(
+        (ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (cast(tf0 AS double) * 2.2))
+          / (cast(tf0 AS double) + 1.2 * (0.25 + 0.75 * cast(dl AS double) / avgdl))
+      + (ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (cast(tf1 AS double) * 2.2))
+          / (cast(tf1 AS double) + 1.2 * (0.25 + 0.75 * cast(dl AS double) / avgdl))
+      + (ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (cast(tf2 AS double) * 2.2))
+          / (cast(tf2 AS double) + 1.2 * (0.25 + 0.75 * cast(dl AS double) / avgdl))
+      + (ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (cast(tf3 AS double) * 2.2))
+          / (cast(tf3 AS double) + 1.2 * (0.25 + 0.75 * cast(dl AS double) / avgdl))
+      , 6) AS bm25
+  FROM base CROSS JOIN st
+)
+SELECT doc_id, matched, bm25
+FROM scored WHERE matched > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 15
 """
 
 

@@ -215,6 +215,7 @@ def main() -> None:
         "profile_anomalies",
         "html_extract",
         "tfidf_terms",
+        "bm25_topk",
         "trailing_features",
         "video_frames",
         "image_near_dups",

@@ -858,6 +858,119 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-*k* documents by BM25 relevance to a fixed query-term set:
+    ``(doc_id, matched, bm25)``.
+
+    Lucene-style BM25 (Robertson/Sparck-Jones IDF with the +1 inside the
+    log so it never goes negative)::
+
+        idf_t  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        s(d)   = sum_t idf_t * tf_td*(k1+1) / (tf_td + k1*(1-b+b*|d|/avgdl))
+
+    Because the query-term set is small and fixed, the whole scorer is
+    explode-free: one projection computes document length and per-term
+    term frequency from a single let-bound lowered token array (named
+    column, so the expensive split/transform tree appears once in the
+    plan), one corpus aggregate yields (N, avgdl, df_t...) — a single
+    bounded row collected to the driver — and a second projection inlines
+    the resulting idf/avgdl as double literals.  Top-k is an
+    ``orderBy().limit(k)`` → TakeOrdered, never a full sort.
+
+    Scale shape at 100 TB: two pruned (id, text) scans, one single-row
+    exchange for the stats, zero data shuffles.  Cross-engine hash
+    determinism: the score is rounded to 6 dp and ties break on doc id,
+    same convention as :func:`tfidf_top_terms`.
+
+    Only documents matching >=1 query term are ranked; NULL ids/texts are
+    excluded per the shared sibling-op contract."""
+    import math
+
+    if not terms:
+        raise ValueError("bm25_topk: terms must be non-empty")
+    lterms = [t.lower() for t in terms]
+    if len(set(lterms)) != len(lterms):
+        raise ValueError("bm25_topk: duplicate query terms")
+    ids = F.col("`%s`" % id_col)
+    tc = F.col("`%s`" % text_col)
+
+    def _eq(term):
+        def pred(t):
+            return t == term
+
+        return pred
+
+    live = df.filter(ids.isNotNull() & tc.isNotNull())
+    base = live.select(
+        ids.alias("__id"),
+        F.transform(tokens(tc), lambda t: F.lower(t)).alias("__tk"),
+    )
+    nt = len(lterms)
+    proj = base.select(
+        F.col("__id"),
+        F.size("__tk").alias("__dl"),
+        *[
+            F.size(F.filter(F.col("__tk"), _eq(term))).alias("tf_%d" % i)
+            for i, term in enumerate(lterms)
+        ],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[
+            F.sum((F.col("tf_%d" % i) > 0).cast("long")).alias("df_%d" % i)
+            for i in range(nt)
+        ],
+    ).first()
+    n_docs = stats["n"]
+    if not n_docs:
+        return (
+            proj.select(F.col("__id").alias(id_col))
+            .withColumn("matched", F.lit(0).cast("long"))
+            .withColumn("bm25", F.lit(0.0))
+            .limit(0)
+        )
+    avgdl = float(stats["avgdl"])
+    score = None
+    for i in range(nt):
+        dfreq = stats["df_%d" % i] or 0
+        idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        tf = F.col("tf_%d" % i).cast("double")
+        # association order mirrored literally by the DuckDB oracle:
+        # (idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + b * dl / avgdl))
+        contrib = (F.lit(idf) * (tf * F.lit(k1 + 1.0))) / (
+            tf
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl)
+            )
+        )
+        score = contrib if score is None else score + contrib
+    matched = None
+    for i in range(nt):
+        m = (F.col("tf_%d" % i) > 0).cast("long")
+        matched = m if matched is None else matched + m
+    return (
+        proj.select(
+            F.col("__id").alias(id_col),
+            matched.alias("matched"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("matched") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("`%s`" % id_col).asc())
+        .limit(k)
+    )
+
+
 # Gopher repetition/quality rules (Rae et al. 2021, Appendix A) use this
 # fixed 8-word presence set: a document failing to contain >= 2 of them
 # is unlikely to be running English prose.

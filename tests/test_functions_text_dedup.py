@@ -911,6 +911,58 @@ class TestTfidf:
         assert 4 not in {d for d, _ in got}
         assert len(got) == 6  # k=2 per live doc
 
+    def test_bm25_hand_computed(self, spark):
+        import math
+
+        from evalidate_spark.functions import text as tx
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry cherry durian"),
+                (4, None),  # NULL text excluded from N and avgdl
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in tx.bm25_topk(docs, ["apple", "cherry"], k=10).collect()
+        }
+        n, avgdl = 3, (3 + 2 + 3) / 3.0
+        k1, b = 1.2, 0.75
+
+        def s(tf, dfreq, dl):
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        # doc 1: apple tf=2 df=1; doc 2: cherry tf=1 df=2; doc 3: tf=2 df=2
+        assert out[1]["matched"] == 1
+        assert out[1]["bm25"] == round(s(2, 1, 3), 6)
+        assert out[2]["bm25"] == round(s(1, 2, 2), 6)
+        assert out[3]["bm25"] == round(s(2, 2, 3), 6)
+        assert 4 not in out
+        # ranking: doc1 (rare term, tf 2) must outrank both cherry docs
+        assert out[1]["bm25"] > out[3]["bm25"] > out[2]["bm25"]
+
+    def test_bm25_no_match_and_validation(self, spark):
+        import pytest as _pytest
+
+        from evalidate_spark.functions import text as tx
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id int, text string"
+        )
+        assert tx.bm25_topk(docs, ["zzz"], k=5).count() == 0
+        empty = docs.filter("doc_id < 0")
+        out = tx.bm25_topk(empty, ["alpha"], k=5)
+        assert out.columns == ["doc_id", "matched", "bm25"]
+        assert out.count() == 0
+        with _pytest.raises(ValueError):
+            tx.bm25_topk(docs, [], k=5)
+        with _pytest.raises(ValueError):
+            tx.bm25_topk(docs, ["Apple", "apple"], k=5)
+
     def test_topk_cut_and_tiebreak(self, spark):
         from evalidate_spark.functions import text as tx
 

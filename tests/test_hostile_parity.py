@@ -50,6 +50,7 @@ QUERIES = [
     "minhash_pairs_md5",
     "top_ngrams",
     "tfidf_terms",
+    "bm25_topk",
     "lang_marker_counts",
     "token_counts_bpe",
     "jaccard_pairs",
