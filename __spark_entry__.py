@@ -1045,6 +1045,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, cand, shingle_k=3)
 
 
+def q_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard >= 0.8 self-join via prefix
+    filtering (``dedup.ssjoin_pairs``, PPJoin family): rare-first global
+    shingle ordering, prefix-token candidate join + size filter, exact
+    array_intersect verification — zero false negatives, so the
+    brute-force DuckDB oracle is a true ground-truth check of the whole
+    filter chain."""
+    return dedup.ssjoin_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, shingle_k=3
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over duplicate pairs (iterative min-label
     propagation) → (id, cluster_id).  Deterministic chain pairs
@@ -1391,6 +1403,19 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per column (lineitem flag/status/quantity):
+    constant-vs-informative-vs-key diagnostic, NULL as its own category,
+    shuffle-free ``log2(n) − Σ c·log2 c / n`` identity mirrored exactly
+    by the oracle."""
+    from evalidate_spark.operators.table_checks import column_entropy
+
+    return column_entropy(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1624,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
+        "ssjoin_pairs": q_ssjoin_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1633,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "functional_deps": q_functional_deps,
         "skew_report": q_skew_report,
+        "column_entropy": q_column_entropy,
         "encoding_anomalies": q_encoding_anomalies,
         "quantile_states": q_quantile_states,
         "corpus_overlap": q_corpus_overlap,
@@ -3413,6 +3440,60 @@ SELECT doc_id, matched, bm25
 FROM scored WHERE matched > 0
 ORDER BY bm25 DESC, doc_id ASC LIMIT 15
 """
+
+
+# ssjoin oracle is BRUTE FORCE ground truth, not an algorithm mirror: it
+# enumerates every shingle-sharing pair (no prefix filter, no size filter)
+# and keeps Jaccard >= 0.8, so any false negative in the Spark prefix
+# chain shows up as a missing row.  Shingle construction mirrors
+# text.shingles exactly: \s+ tokens, k=3 space-joined windows, short docs
+# collapse to one whole-text shingle (greatest(n-2, 1) windows).
+ORACLE["ssjoin_pairs"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+  FROM base
+), tok AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(cast(i AS double) / (na + nb - i), 6) AS jaccard
+FROM inter
+WHERE cast(i AS double) / (na + nb - i) >= 0.8
+"""
+
+
+# entropy oracle mirrors table_checks.column_entropy term-for-term:
+# NULL is its own category, H = (ln(n) - sum(c*ln c)/n) / ln2 with ln(2)
+# inlined as the same double literal, 6-dp round.
+def _entropy_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", cast(coalesce(n, 0) AS bigint) AS n,
+       cast(nd AS bigint) AS n_distinct,
+       CASE WHEN coalesce(n, 0) > 0 THEN
+         round((ln(cast(n AS double))
+                - sclc / cast(n AS double)) / 0.6931471805599453, 6)
+       ELSE 0.0 END AS entropy_bits
+FROM (
+  SELECT sum(c) AS n, count(*) AS nd,
+         sum(cast(c AS double) * ln(cast(c AS double))) AS sclc
+  FROM (SELECT {col} AS v, count(*) AS c FROM lineitem GROUP BY 1)
+)"""
+
+
+ORACLE["column_entropy"] = "\nUNION ALL\n".join(
+    _entropy_col_sql(c) for c in ("l_returnflag", "l_linestatus", "l_quantity")
+)
 
 
 def oracle_sql() -> dict[str, str]:

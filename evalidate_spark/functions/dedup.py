@@ -530,6 +530,111 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def ssjoin_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join via prefix filtering
+    (PPJoin family, Xiao et al. 2008): every pair of documents whose
+    distinct k-token-shingle sets have Jaccard >= *threshold* —
+    ``(id_a, id_b, jaccard)`` — with **zero false negatives**, unlike
+    MinHash-LSH candidates.
+
+    Prefix-filter guarantee: order each doc's shingles by a single global
+    total order (corpus doc-frequency ascending, shingle tiebreak — rare
+    first).  Jaccard >= t implies overlap >= ceil(t·|A|) for each side, so
+    after dropping the last ceil(t·n)−1 elements of the ordering, a
+    qualifying partner must still share one of the first
+    ``n − ceil(t·n) + 1`` (prefix) shingles.  Join on prefix shingles
+    only, size-filter (``min >= t·max``), then verify exactly with
+    ``array_intersect`` on the full sets.
+
+    Scale shape at 100 TB: the prefix join's bucket per shingle holds only
+    docs for which that shingle is among their RAREST — high-frequency
+    boilerplate shingles fall out of prefixes by construction, so buckets
+    stay small without any cap (and the result stays exact).  Three
+    shuffles total: doc-frequency agg, per-doc re-aggregation of the
+    ordered set, and the candidate join; verification joins key on doc id.
+
+    NULL ids/texts are excluded; score rounds to 6 dp for cross-engine
+    hash determinism (the threshold compares the UNROUNDED ratio — both
+    operands are exact small-integer doubles, so the compare is
+    bit-identical in any IEEE engine)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("ssjoin_pairs: threshold must be in (0, 1]")
+    ids = F.col("`%s`" % id_col)
+    base = (
+        df.filter(ids.isNotNull() & F.col("`%s`" % text_col).isNotNull())
+        .select(
+            ids.alias("__id"),
+            F.array_distinct(
+                shingles(F.col("`%s`" % text_col), shingle_k)
+            ).alias("__set"),
+        )
+    )
+    tok = base.select("__id", F.size("__set").alias("__n"), F.explode("__set").alias("__t"))
+    dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # rare-first global ordering; (df, shingle) is a total order
+    ordered = (
+        tok.join(dfreq, "__t")
+        .groupBy("__id")
+        .agg(
+            F.first("__n").alias("__n"),
+            F.array_sort(F.collect_list(F.struct("__df", "__t"))).alias("__st"),
+        )
+    )
+    n = F.col("__n")
+    # 1e-9 slack: ceil(0.8 * 5) must be 4, but IEEE 0.8*5 =
+    # 4.0000000000000002 would ceil to 5 and shorten the prefix below the
+    # no-false-negative bound.  Slack only ever LENGTHENS the prefix
+    # (more candidates, still exact).
+    plen = (
+        n
+        - F.ceil(F.lit(threshold) * n.cast("double") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    pref = ordered.select(
+        "__id",
+        "__n",
+        F.explode(
+            F.slice(F.transform("__st", lambda s: s["__t"]), F.lit(1), plen)
+        ).alias("__t"),
+    )
+    a = pref.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__t"
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__t"
+    )
+    cand = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            # same 1e-9 slack: a (4, 5) pair at t=0.8 reaches jaccard
+            # exactly 0.8, but float 0.8*5 > 4 would drop it here
+            F.least("__na", "__nb").cast("double")
+            >= F.lit(threshold) * F.greatest("__na", "__nb").cast("double")
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    jac = F.when(uni > 0, inter / uni).otherwise(F.lit(1.0))
+    return (
+        j.select("id_a", "id_b", jac.alias("__jac"))
+        .filter(F.col("__jac") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("__jac", 6).alias("jaccard"))
+    )
+
+
 def near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -29,6 +29,7 @@ from .table_checks import (
     drift_quantile,
     referential_violations_bloom,
     skew_report,
+    column_entropy,
     overlap_estimate,
     check_suite,
 )

@@ -833,6 +833,63 @@ def skew_report(
     return result
 
 
+def column_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Shannon entropy of each column's value distribution —
+    ``(column, n, n_distinct, entropy_bits)``, one row per column.
+
+    Entropy is the single-number answer to "is this column informative,
+    constant, or an id?": ~0 bits flags a constant (a broken extractor
+    writing one value), ~log2(n) flags a unique key masquerading as a
+    category, and a DROP in entropy between snapshots is distribution
+    collapse that PSI misses when the collapsing mass stays inside the
+    top-k buckets.  NULL counts as its own category (a column going
+    all-NULL must read as entropy 0, not be silently excluded);
+    ``n_distinct`` therefore also counts the NULL group.
+
+    Computed via the shuffle-free identity
+    ``H = (ln(n) − Σ c·ln(c) / n) / ln 2`` over exact group counts — one
+    map-side-combined groupBy per column, then a one-row aggregate; no
+    per-group probability column, no window.  ``entropy_bits`` rounds to
+    6 dp.  Natural log + an inlined ln(2) literal, NOT ``log2``: the two
+    engines' ``log2`` builtins may disagree in the last ulp, while ``ln``
+    is already pinned hash-consistent by the tfidf/bm25 oracles."""
+    if not columns:
+        raise ValueError("column_entropy needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    outs: List[DataFrame] = []
+    for col in columns:
+        if col not in names:
+            raise ValueError(f"column_entropy: unknown column {col!r}")
+        freq = df.groupBy(F.col("`%s`" % col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cd = F.col("__c").cast("double")
+        agg = freq.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(cd * F.log(cd)).alias("__sclc"),
+        )
+        nd = F.col("n").cast("double")
+        ln2 = F.lit(0.6931471805599453)  # repr(math.log(2)), both engines
+        outs.append(
+            agg.select(
+                F.lit(col).alias("column"),
+                "n",
+                "n_distinct",
+                F.when(
+                    F.col("n") > 0,
+                    F.round((F.log(nd) - F.col("__sclc") / nd) / ln2, 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("entropy_bits"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
 def quantile_state(
     df: DataFrame, columns: Sequence[str], increment: str, k: int = 200
 ) -> DataFrame:
