@@ -1416,6 +1416,99 @@ def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared check config for q_check_expressions and its oracle — any edit
+# changes BOTH sides (the oracle SQL is generated from these strings, so
+# each predicate must parse identically in Spark SQL and DuckDB).
+CHECK_EXPRESSIONS = {
+    "qty_bounds": "l_quantity >= 1 AND l_quantity <= 50",
+    "qty_le_30": "l_quantity <= 30",
+    "discount_range": "l_discount >= 0 AND l_discount <= 0.1",
+    "price_positive": "l_extendedprice > 0",
+    "flag_domain": "l_returnflag IN ('A','N','R')",
+    "status_domain": "l_linestatus IN ('F','O')",
+    "ship_year": "year(l_shipdate) >= 1992",
+    "price_vs_qty": "l_extendedprice >= l_quantity",
+}
+
+VIOLATION_CHECKS = {
+    "qty_le_49": "l_quantity <= 49",
+    "flag_domain": "l_returnflag IN ('A','N','R')",
+    "status_domain": "l_linestatus IN ('F','O')",
+}
+
+
+def q_check_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style row-level table constraints (``check_expressions``):
+    eight cross-column SQL predicates over lineitem evaluated in ONE scan
+    (one conditional sum per check inside a single aggregate), NULL
+    predicate = failure, integer-bp pass rate."""
+    from evalidate_spark.operators.table_checks import check_expressions
+
+    return check_expressions(_t(spark, sf_dir, "lineitem"), CHECK_EXPRESSIONS)
+
+
+def q_expression_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level violation rows for expression checks
+    (``expression_violations``): one output row per (failing row × failed
+    check), computed in one scan with no explosion of passing rows."""
+    from evalidate_spark.operators.table_checks import expression_violations
+
+    return expression_violations(
+        _t(spark, sf_dir, "lineitem"),
+        VIOLATION_CHECKS,
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_sequence_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence integrity (``sequence_anomalies``):
+    duplicate sequence numbers, timestamps regressing as event_id
+    advances, and >48 h gaps — one window keyed by user, exact-µs
+    arithmetic shared with the sessionizer."""
+    from evalidate_spark.operators.sessions import sequence_anomalies
+
+    return sequence_anomalies(
+        _t(spark, sf_dir, "events"), max_gap_us=48 * 3600 * 1_000_000
+    )
+
+
+def q_null_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise null co-occurrence over the documents columns
+    (``null_correlation``): columns going null TOGETHER flag a broken
+    upstream extractor; all pair counters in one scan / one aggregate,
+    pure int64 arithmetic."""
+    from evalidate_spark.operators.table_checks import null_correlation
+
+    return null_correlation(
+        _t(spark, sf_dir, "documents"), ["text", "lang", "source", "n_chars"]
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pair mutual information (``mutual_information``): the
+    quantitative sibling of functional-dependency discovery — one joint
+    groupBy per pair, entropies + MI derived from the tiny joint table via
+    the same ln-identity as column_entropy."""
+    from evalidate_spark.operators.table_checks import mutual_information
+
+    return mutual_information(
+        _t(spark, sf_dir, "lineitem"),
+        [("l_returnflag", "l_linestatus"), ("l_linenumber", "l_returnflag")],
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) audit of lineitem price and
+    quantity (``benford``): multiplicative prices trend Benford, the
+    uniform synthetic quantity column doesn't — digit extraction via
+    exact integer stringification, never float log10/formatting."""
+    from evalidate_spark.operators.table_checks import benford
+
+    return benford(
+        _t(spark, sf_dir, "lineitem"), ["l_extendedprice", "l_quantity"], scale=2
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1660,6 +1753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_deps": q_functional_deps,
         "skew_report": q_skew_report,
         "column_entropy": q_column_entropy,
+        "check_expressions": q_check_expressions,
+        "expression_violations": q_expression_violations,
+        "sequence_anomalies": q_sequence_anomalies,
+        "null_correlation": q_null_correlation,
+        "mutual_information": q_mutual_information,
+        "benford": q_benford,
         "encoding_anomalies": q_encoding_anomalies,
         "quantile_states": q_quantile_states,
         "corpus_overlap": q_corpus_overlap,
@@ -3493,6 +3592,147 @@ FROM (
 
 ORACLE["column_entropy"] = "\nUNION ALL\n".join(
     _entropy_col_sql(c) for c in ("l_returnflag", "l_linestatus", "l_quantity")
+)
+
+
+# check-expression oracles are GENERATED from the same CHECK_EXPRESSIONS /
+# VIOLATION_CHECKS dicts the Spark query uses — the predicate strings are
+# the single source of truth, parsed by both engines.  NULL-fails pinned
+# via NOT coalesce(pred, false) on both sides.
+def _check_sql(cid: str, pred: str) -> str:
+    return f"""
+SELECT '{cid}' AS check_id, cast(n_rows AS bigint) AS n_rows,
+       cast(n_failed AS bigint) AS n_failed,
+       cast(CASE WHEN n_rows = 0 THEN 10000
+            ELSE (n_rows - n_failed) * 10000 // n_rows END AS bigint) AS pass_bp,
+       CASE WHEN n_failed = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM (SELECT count(*) AS n_rows,
+             coalesce(sum(CASE WHEN NOT coalesce(({pred}), false)
+                           THEN 1 ELSE 0 END), 0) AS n_failed
+      FROM lineitem)"""
+
+
+ORACLE["check_expressions"] = "\nUNION ALL\n".join(
+    _check_sql(cid, pred) for cid, pred in CHECK_EXPRESSIONS.items()
+)
+
+
+ORACLE["expression_violations"] = "\nUNION ALL\n".join(
+    f"""
+SELECT '{cid}' AS check_id, l_orderkey, l_linenumber
+FROM lineitem WHERE NOT coalesce(({pred}), false)"""
+    for cid, pred in VIOLATION_CHECKS.items()
+)
+
+
+# sequence_anomalies: same (seq, ts) window ordering, same NULL exclusion,
+# same one-anomaly-per-adjacency priority (dup > regression > gap) as the
+# operator; epoch_us on NTZ wall-clock microseconds matches _micros.
+ORACLE["sequence_anomalies"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+), w AS (
+  SELECT user_id AS entity, event_id AS seq, t,
+         lag(event_id) OVER win AS ps, lag(t) OVER win AS pt
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY event_id, t)
+)
+SELECT entity, seq,
+       CASE WHEN seq = ps THEN 'duplicate_seq'
+            WHEN pt > t THEN 'ts_regression'
+            ELSE 'gap' END AS kind,
+       cast(CASE WHEN seq <> ps AND pt > t THEN pt - t
+            ELSE t - pt END AS bigint) AS measure
+FROM w
+WHERE ps IS NOT NULL
+  AND (seq = ps OR pt > t OR t - pt > 172800000000)
+"""
+
+
+def _nullcorr_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT col_a, col_b, n, a_null, b_null, both_null,
+       CASE WHEN a_null + b_null - both_null > 0
+            THEN both_null * 10000 // (a_null + b_null - both_null)
+       END AS jaccard_bp
+FROM (
+  SELECT '{a}' AS col_a, '{b}' AS col_b, cast(count(*) AS bigint) AS n,
+         cast(coalesce(sum(CASE WHEN {a} IS NULL THEN 1 ELSE 0 END), 0) AS bigint) AS a_null,
+         cast(coalesce(sum(CASE WHEN {b} IS NULL THEN 1 ELSE 0 END), 0) AS bigint) AS b_null,
+         cast(coalesce(sum(CASE WHEN {a} IS NULL AND {b} IS NULL THEN 1 ELSE 0 END), 0) AS bigint) AS both_null
+  FROM documents)"""
+
+
+_NC_COLS = ["text", "lang", "source", "n_chars"]
+ORACLE["null_correlation"] = "\nUNION ALL\n".join(
+    _nullcorr_pair_sql(_NC_COLS[i], _NC_COLS[j])
+    for i in range(len(_NC_COLS))
+    for j in range(i + 1, len(_NC_COLS))
+)
+
+
+# MI oracle mirrors mutual_information term-for-term: NULL its own
+# category, every entropy via (ln n − Σ c·ln c / n) / ln2 with the same
+# inlined ln(2) literal, MI clamped at 0, all rounded to 6 dp.
+def _mi_pair_sql(x: str, y: str) -> str:
+    return f"""
+SELECT '{x}' AS col_x, '{y}' AS col_y, n,
+       round(ex, 6) AS h_x_bits, round(ey, 6) AS h_y_bits,
+       round(exy, 6) AS h_xy_bits,
+       round(greatest(ex + ey - exy, 0.0), 6) AS mi_bits
+FROM (
+  WITH joint AS (
+    SELECT {x} AS x, {y} AS y, count(*) AS c FROM lineitem GROUP BY 1, 2
+  ), tot AS (SELECT cast(coalesce(sum(c), 0) AS bigint) AS n FROM joint),
+  sxy AS (SELECT sum(cast(c AS double) * ln(cast(c AS double))) AS s FROM joint),
+  sx AS (SELECT sum(cast(c AS double) * ln(cast(c AS double))) AS s
+         FROM (SELECT sum(c) AS c FROM joint GROUP BY x)),
+  sy AS (SELECT sum(cast(c AS double) * ln(cast(c AS double))) AS s
+         FROM (SELECT sum(c) AS c FROM joint GROUP BY y))
+  SELECT tot.n AS n,
+    CASE WHEN tot.n > 0 THEN (ln(cast(tot.n AS double)) - sx.s / cast(tot.n AS double)) / 0.6931471805599453 ELSE 0.0 END AS ex,
+    CASE WHEN tot.n > 0 THEN (ln(cast(tot.n AS double)) - sy.s / cast(tot.n AS double)) / 0.6931471805599453 ELSE 0.0 END AS ey,
+    CASE WHEN tot.n > 0 THEN (ln(cast(tot.n AS double)) - sxy.s / cast(tot.n AS double)) / 0.6931471805599453 ELSE 0.0 END AS exy
+  FROM tot, sxy, sx, sy)"""
+
+
+ORACLE["mutual_information"] = "\nUNION ALL\n".join(
+    _mi_pair_sql(x, y)
+    for x, y in (("l_returnflag", "l_linestatus"), ("l_linenumber", "l_returnflag"))
+)
+
+
+# benford oracle: identical exact-integer digit extraction (scale by 100,
+# round half-up — equal for non-negative doubles in both engines — cast
+# to int64, first character of the INTEGER string) and the same
+# precomputed expected_bp literals (BENFORD_EXPECTED_BP).
+def _benford_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", d.digit, cast(coalesce(f.n, 0) AS bigint) AS n,
+       cast(CASE WHEN t.total = 0 THEN 0
+            ELSE coalesce(f.n, 0) * 10000 // t.total END AS bigint) AS share_bp,
+       cast(CASE d.digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
+            WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+            WHEN 8 THEN 511 ELSE 457 END AS bigint) AS expected_bp
+FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit) d
+LEFT JOIN (
+  SELECT cast(substr(cast(v AS varchar), 1, 1) AS int) AS digit,
+         count(*) AS n
+  FROM (SELECT cast(round(abs(cast({col} AS double)) * 100.0) AS bigint) AS v
+        FROM lineitem)
+  WHERE v IS NOT NULL AND v > 0 GROUP BY 1
+) f USING (digit)
+CROSS JOIN (
+  SELECT coalesce(count(*), 0) AS total
+  FROM (SELECT cast(round(abs(cast({col} AS double)) * 100.0) AS bigint) AS v
+        FROM lineitem)
+  WHERE v IS NOT NULL AND v > 0
+) t"""
+
+
+ORACLE["benford"] = "\nUNION ALL\n".join(
+    _benford_col_sql(c) for c in ("l_extendedprice", "l_quantity")
 )
 
 

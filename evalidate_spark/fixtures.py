@@ -149,14 +149,22 @@ HOSTILE_EVENTS = [
     (5, None, 2, "view", 4.0, None),  # NULL ts
     (6, "2026-01-01 10:30:00", 2, None, 0.0, None),  # NULL type
     (None, "2026-01-01 12:00:00", 3, "view", -1.0, None),  # NULL id
+    # sequence-integrity rows: user 2 repeats event_id 6 (duplicate_seq);
+    # user 3's ids 7→8 run BACKWARD in time (ts_regression)
+    (6, "2026-01-01 10:31:00", 2, "view", 5.0, None),
+    (7, "2026-01-01 09:00:00", 3, "view", 1.0, None),
+    (8, "2026-01-01 08:30:00", 3, "view", 1.0, None),
 ]
+# trailing pair per row = (l_extendedprice, l_discount): zero / negative /
+# below-quantity prices and out-of-range / NULL discounts drive every
+# expression-check branch (price_positive, price_vs_qty, discount_range)
 HOSTILE_LINEITEM = [
-    (1, 1, 2, 10.0, "N", "F", "2026-01-05"),
-    (1, 2, 4, 20.0, "R", "O", "2026-01-06"),
-    (2, 1, 3, None, "A", "", None),  # NULL quantity + shipdate; EMPTY status
-    (2, 2, None, 30.0, None, None, "2026-01-07"),  # NULL suppkey/returnflag/status
-    (None, 1, 6, 40.0, "N", "F", "2026-01-08"),  # NULL orderkey
-    (3, None, 99, 50.0, "R", "O", "2026-01-09"),  # NULL linenumber, dangling
+    (1, 1, 2, 10.0, "N", "F", "2026-01-05", 1000.0, 0.05),
+    (1, 2, 4, 20.0, "R", "O", "2026-01-06", 5.0, 0.11),  # price < qty; disc > 0.1
+    (2, 1, 3, None, "A", "", None, 0.0, -0.01),  # zero price; negative disc
+    (2, 2, None, 30.0, None, None, "2026-01-07", None, None),  # NULL price/disc
+    (None, 1, 6, 40.0, "N", "F", "2026-01-08", -42.5, 0.0),  # negative price
+    (3, None, 99, 50.0, "R", "O", "2026-01-09", 60000.0, 0.1),  # NULL linenumber, dangling
 ]
 HOSTILE_SUPPLIER = [(2, "s2"), (4, "s4"), (6, "s6"), (None, "snull")]
 # part: one row per validate_part branch — regexp fail, allowed fail, both
@@ -275,10 +283,12 @@ def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
     spark.createDataFrame(
         HOSTILE_LINEITEM,
         "l_orderkey long, l_linenumber int, l_suppkey long, l_quantity double, "
-        "l_returnflag string, l_linestatus string, l_shipdate_s string",
+        "l_returnflag string, l_linestatus string, l_shipdate_s string, "
+        "l_extendedprice double, l_discount double",
     ).selectExpr(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_returnflag",
         "l_linestatus", "cast(l_shipdate_s as date) l_shipdate",
+        "l_extendedprice", "l_discount",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineitem.parquet")
     )

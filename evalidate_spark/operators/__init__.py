@@ -30,11 +30,16 @@ from .table_checks import (
     referential_violations_bloom,
     skew_report,
     column_entropy,
+    check_expressions,
+    expression_violations,
+    null_correlation,
+    mutual_information,
+    benford,
     overlap_estimate,
     check_suite,
 )
 from .spans import span_rules, span_structure_violations
-from .sessions import session_bounds, sessionize
+from .sessions import sequence_anomalies, session_bounds, sessionize
 from .asof import asof_join
 from .suggest import (
     functional_dependencies,

@@ -252,3 +252,77 @@ def trailing_window_features(
         F.lit(None).cast("long").alias("n_flag_w"),
     )
     return feats.unionByName(masked)
+
+
+def sequence_anomalies(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    max_gap_us: Optional[int] = None,
+) -> DataFrame:
+    """Per-entity event-sequence integrity check — the temporal sibling of
+    the span-order validator (spans.py validates offsets WITHIN a row;
+    this validates the event stream ACROSS rows).  Events are ordered by
+    ``(seq, ts)`` within each entity; every adjacent pair is classified
+    and at most one anomaly row ``(entity, seq, kind, measure)`` is
+    emitted per adjacency, priority-ordered:
+
+    * ``duplicate_seq`` — the sequence number repeats (same *seq* as the
+      previous event); ``measure`` = µs between the clashing events.
+    * ``ts_regression`` — *seq* advanced but the timestamp went BACKWARD
+      (clock skew, replayed batch); ``measure`` = µs of regression (> 0).
+    * ``gap`` — the timestamp jumped forward by more than *max_gap_us*
+      (dropped data, dead collector); ``measure`` = the gap in µs.  Only
+      checked when *max_gap_us* is set.
+
+    Rows with a NULL entity, seq, or timestamp are excluded: each missing
+    field is a presence violation for the engine's rules, and a row with
+    no position on the sequence axis can't be adjudicated here.  Ordering
+    by ``(seq, ts)`` makes the output a deterministic multiset even when
+    sequence numbers collide (tied rows are interchangeable).
+
+    Scale: ONE window keyed by entity — one shuffle, parallelism =
+    #entities, all three kinds read the same two lag() values; no
+    self-join, no second aggregation."""
+    ent = F.col("`%s`" % entity_col)
+    seq = F.col("`%s`" % seq_col)
+    tus = _micros(df, ts_col)
+    base = df.filter(
+        ent.isNotNull() & seq.isNotNull() & tus.isNotNull()
+    ).select(
+        ent.alias("entity"), seq.alias("seq"), tus.alias("__t")
+    )
+    w = Window.partitionBy("entity").orderBy("seq", "__t")
+    prev_seq = F.lag("seq").over(w)
+    prev_t = F.lag("__t").over(w)
+    t = F.col("__t")
+    is_dup = F.col("seq") == prev_seq
+    is_reg = prev_t > t
+    is_gap = (
+        (t - prev_t > F.lit(int(max_gap_us)))
+        if max_gap_us is not None
+        else F.lit(False)
+    )
+    kind = (
+        F.when(is_dup, F.lit("duplicate_seq"))
+        .when(is_reg, F.lit("ts_regression"))
+        .when(is_gap, F.lit("gap"))
+    )
+    measure = (
+        F.when(is_dup, t - prev_t)
+        .when(is_reg, prev_t - t)
+        .otherwise(t - prev_t)
+        .cast("long")
+    )
+    return (
+        base.select(
+            "entity",
+            "seq",
+            prev_seq.alias("__ps"),
+            kind.alias("kind"),
+            measure.alias("measure"),
+        )
+        .filter(F.col("__ps").isNotNull() & F.col("kind").isNotNull())
+        .drop("__ps")
+    )

@@ -1193,3 +1193,350 @@ def profile_anomalies(
     return j.select(
         "increment", F.explode(F.array(*parts)).alias("s")
     ).select("increment", "s.*")
+
+
+def check_expressions(df: DataFrame, checks) -> DataFrame:
+    """Declarative row-level table constraints — *checks* maps
+    ``check_id -> SQL boolean expression`` (any cross-column predicate the
+    table's columns support: ``"l_shipdate <= l_receiptdate"``,
+    ``"l_discount BETWEEN 0 AND 0.1"``) — evaluated in ONE scan, returning
+    one summary row per check: ``(check_id, n_rows, n_failed, pass_bp,
+    status)``.
+
+    This is the Deequ-``satisfies`` face of the engine: where the
+    reference validates per-KEY rules (`evalidate.erl`'s rule records),
+    these are per-ROW table invariants.  NULL/unknown predicate results
+    count as FAILURES (data-validation semantics: a constraint that cannot
+    be proven true on a row fails that row — deliberately NOT SQL CHECK
+    semantics, where NULL passes; a NULL operand usually means the value a
+    presence rule should have caught).
+
+    ``pass_bp`` is integer basis points via exact int64 ``div`` (vacuous
+    10000 on an empty table).  Plan: every check compiles to one
+    conditional-sum column inside a single partial+final aggregate — k
+    checks cost ONE table scan and one 1-row-per-partition exchange,
+    regardless of k; the per-check fan-out happens on the 1-row result."""
+    checks = list(checks.items()) if isinstance(checks, dict) else list(checks)
+    if not checks:
+        raise ValueError("check_expressions needs at least one check")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, (_, pred) in enumerate(checks):
+        ok = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        aggs.append(
+            F.coalesce(  # sum over an empty table is NULL, not 0
+                F.sum(F.when(ok, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias("__f%d" % i)
+        )
+    fan = F.array(
+        *[
+            F.struct(
+                F.lit(str(cid)).alias("check_id"),
+                F.col("__f%d" % i).alias("n_failed"),
+            )
+            for i, (cid, _) in enumerate(checks)
+        ]
+    )
+    return (
+        df.agg(*aggs)
+        .select(F.col("__n").alias("n_rows"), F.explode(fan).alias("c"))
+        .select(
+            F.col("c.check_id").alias("check_id"),
+            "n_rows",
+            F.col("c.n_failed").alias("n_failed"),
+            F.when(F.col("n_rows") == 0, F.lit(10000).cast("long"))
+            .otherwise(
+                F.expr("(n_rows - c.n_failed) * 10000L div n_rows")
+            )
+            .alias("pass_bp"),
+            F.when(F.col("c.n_failed") == 0, F.lit("pass"))
+            .otherwise(F.lit("fail"))
+            .alias("status"),
+        )
+    )
+
+
+def expression_violations(
+    df: DataFrame, checks, id_cols: Sequence[str] = ("doc_id",)
+) -> DataFrame:
+    """Row-level violation output for :func:`check_expressions` — one row
+    per (failing row × failed check): ``(check_id, *id_cols)``.  Same
+    NULL-fails contract as the summary.
+
+    One scan, zero shuffle, no row explosion on passing rows: each row
+    computes the array of check ids it fails (usually empty), non-empty
+    arrays explode in place.  Output volume is exactly the number of
+    violations — the right shape to sink next to the engine's typed
+    violation rows at any table size."""
+    checks = list(checks.items()) if isinstance(checks, dict) else list(checks)
+    if not checks:
+        raise ValueError("expression_violations needs at least one check")
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)),
+                    F.lit(str(cid)),
+                )
+                for cid, pred in checks
+            ]
+        )
+    )
+    ids = [F.col("`%s`" % c) for c in id_cols]
+    return (
+        df.select(failed.alias("__failed"), *ids)
+        .filter(F.size("__failed") > 0)
+        .select(F.explode("__failed").alias("check_id"), *id_cols)
+    )
+
+
+def null_correlation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise null co-occurrence — for every unordered column pair
+    ``(col_a, col_b)``: total rows, per-column null counts, rows where BOTH
+    are null, and ``jaccard_bp = 10000·|both| div |either|`` (NULL when
+    neither column has any null).
+
+    Columns going null TOGETHER is the signature of a broken upstream
+    extractor (one parser emitted nothing, every field it owns is null),
+    which per-column null rates can't see.  High jaccard_bp (~10000) =
+    shared failure path; ~0 = independent missingness.
+
+    One scan, zero data shuffle: all k per-column counters and k·(k−1)/2
+    pair counters are conditional sums inside a single partial+final
+    aggregate; the pair fan-out happens on the 1-row result.  All-int64
+    arithmetic — exact and hash-stable."""
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("null_correlation needs at least two columns")
+    names = {f.name for f in df.schema.fields}
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"null_correlation: unknown column {c!r}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            # coalesce: sum over an empty table is NULL, not 0
+            F.coalesce(F.sum(F.col("`%s`" % c).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias("__u%d" % i)
+        )
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            pairs.append((i, j))
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("`%s`" % cols[i]).isNull()
+                            & F.col("`%s`" % cols[j]).isNull()
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("__b%d_%d" % (i, j))
+            )
+    fan = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.col("__u%d" % i).alias("a_null"),
+                F.col("__u%d" % j).alias("b_null"),
+                F.col("__b%d_%d" % (i, j)).alias("both_null"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return (
+        df.agg(*aggs)
+        .select(F.col("__n").alias("n"), F.explode(fan).alias("p"))
+        .select(
+            F.col("p.col_a").alias("col_a"),
+            F.col("p.col_b").alias("col_b"),
+            "n",
+            F.col("p.a_null").alias("a_null"),
+            F.col("p.b_null").alias("b_null"),
+            F.col("p.both_null").alias("both_null"),
+            F.expr(
+                "CASE WHEN p.a_null + p.b_null - p.both_null > 0 THEN"
+                " p.both_null * 10000L div"
+                " (p.a_null + p.b_null - p.both_null) END"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+def mutual_information(df: DataFrame, pairs) -> DataFrame:
+    """Mutual information between column pairs — one row per ``(x, y)``
+    pair: ``(col_x, col_y, n, h_x_bits, h_y_bits, h_xy_bits, mi_bits)``.
+
+    MI quantifies what :func:`~evalidate_spark.operators.suggest.functional_dependencies`
+    can only answer yes/no: ``mi ≈ h_y`` means x nearly determines y
+    (a denormalized copy worth one FD rule), ``mi ≈ 0`` means independent.
+    NULL is its own category on both axes — consistent with
+    :func:`column_entropy`, so ``mutual_information(df, [(c, c)])`` degenerates
+    to that column's entropy exactly.
+
+    Via the identity ``MI = H(x) + H(y) − H(x,y)`` with every entropy from
+    the ``(ln n − Σ c·ln c / n) / ln 2`` form over exact counts.  Plan: ONE
+    data shuffle per pair — the map-side-combined ``groupBy(x, y)`` joint
+    count; both marginals and all three entropies derive from that tiny
+    joint table (≤ |X|·|Y| rows), so data volume never flows twice.
+    ``mi_bits`` clamps the tiny negative float residue of the identity to
+    0; all four entropies round to 6 dp."""
+    pairs = list(pairs)
+    if not pairs:
+        raise ValueError("mutual_information needs at least one (x, y) pair")
+    names = {f.name for f in df.schema.fields}
+    ln2 = F.lit(0.6931471805599453)  # repr(math.log(2)), both engines
+
+    def ent(counts: DataFrame, out: str) -> DataFrame:
+        cd = F.col("__c").cast("double")
+        a = counts.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n"),
+            F.sum(cd * F.log(cd)).alias("__s"),
+        )
+        nd = F.col("__n").cast("double")
+        return a.select(
+            "__n",
+            F.when(
+                F.col("__n") > 0, (F.log(nd) - F.col("__s") / nd) / ln2
+            )
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+
+    outs: List[DataFrame] = []
+    for x, y in pairs:
+        for c in (x, y):
+            if c not in names:
+                raise ValueError(f"mutual_information: unknown column {c!r}")
+        joint = df.groupBy(
+            F.col("`%s`" % x).alias("__x"), F.col("`%s`" % y).alias("__y")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        hxy = ent(joint, "__hxy")
+        hx = ent(
+            joint.groupBy("__x").agg(F.sum("__c").alias("__c")), "__hx"
+        ).drop("__n")
+        hy = ent(
+            joint.groupBy("__y").agg(F.sum("__c").alias("__c")), "__hy"
+        ).drop("__n")
+        outs.append(
+            hxy.crossJoin(hx)
+            .crossJoin(hy)
+            .select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("__n").alias("n"),
+                F.round("__hx", 6).alias("h_x_bits"),
+                F.round("__hy", 6).alias("h_y_bits"),
+                F.round("__hxy", 6).alias("h_xy_bits"),
+                F.round(
+                    F.greatest(
+                        F.col("__hx") + F.col("__hy") - F.col("__hxy"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("mi_bits"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+#: floor(log10(1 + 1/d) * 10000) for d = 1..9, precomputed driver-side so
+#: both engines compare against IDENTICAL integer literals (no libm call
+#: in either engine's expected side).
+BENFORD_EXPECTED_BP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+
+
+def benford(
+    df: DataFrame, columns: Sequence[str], scale: int = 2
+) -> DataFrame:
+    """First-significant-digit (Benford) audit of numeric columns — 9 rows
+    per column, one per digit: ``(column, digit, n, share_bp,
+    expected_bp)``.
+
+    Naturally-generated multiplicative quantities (prices, populations,
+    file sizes) follow ``P(d) = log10(1 + 1/d)``; fabricated, truncated, or
+    uniformly-synthesized values don't — a cheap screen for "did a default
+    value or a synthetic filler flood this column".  Compare ``share_bp``
+    against ``expected_bp`` (both integer basis points).
+
+    Digit extraction is EXACT and engine-neutral: values scale by
+    ``10^scale`` (cover *scale* decimal places), round half-up to int64,
+    and the digit is the first character of the INTEGER's decimal string —
+    never ``log10``/float formatting, whose last-ulp behavior differs
+    across engines.  Zero/NULL values are excluded (they have no leading
+    digit); negatives contribute their magnitude.  All 9 digits always
+    appear (zero-filled), so the output shape is fixed.  Plan per column:
+    one map-side-combined 9-group aggregate, then literal-frame joins on
+    ≤9 rows."""
+    cols = list(columns)
+    if not cols:
+        raise ValueError("benford needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    spark = df.sparkSession
+    template = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in BENFORD_EXPECTED_BP]),
+            F.col("id").cast("int"),
+        )
+        .cast("long")
+        .alias("expected_bp"),
+    )
+    outs: List[DataFrame] = []
+    for col in cols:
+        if col not in names:
+            raise ValueError(f"benford: unknown column {col!r}")
+        v = F.round(
+            F.abs(F.col("`%s`" % col).cast("double")) * F.lit(float(10 ** scale))
+        ).cast("long")
+        freq = (
+            df.select(v.alias("__v"))
+            .filter(F.col("__v").isNotNull() & (F.col("__v") > 0))
+            .select(
+                F.substring(F.col("__v").cast("string"), 1, 1)
+                .cast("int")
+                .alias("digit")
+            )
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        joined = template.join(freq, "digit", "left").select(
+            F.lit(col).alias("column"),
+            "digit",
+            F.coalesce("__c", F.lit(0)).cast("long").alias("n"),
+            "expected_bp",
+        )
+        total = F.sum("n").over(Window.partitionBy())  # ≤9 rows
+        outs.append(
+            joined.select(
+                "column",
+                "digit",
+                "n",
+                F.when(total == 0, F.lit(0).cast("long"))
+                .otherwise(F.expr("n * 10000L") .cast("long"))
+                .alias("__num"),
+                total.alias("__t"),
+                "expected_bp",
+            ).select(
+                "column",
+                "digit",
+                "n",
+                F.when(F.col("__t") == 0, F.lit(0).cast("long"))
+                .otherwise(F.expr("__num div __t"))
+                .alias("share_bp"),
+                "expected_bp",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -116,6 +116,14 @@ QUERIES = [
     # part/nation/region surface (NULL per rule branch; NULL join keys)
     "validate_part",
     "nation_region_rollup",
+    "ssjoin_pairs",
+    "column_entropy",
+    "check_expressions",
+    "expression_violations",
+    "sequence_anomalies",
+    "null_correlation",
+    "mutual_information",
+    "benford",
 ]
 
 
