@@ -216,6 +216,14 @@ def main() -> None:
         "html_extract",
         "tfidf_terms",
         "bm25_topk",
+        "ssjoin_pairs",
+        "column_entropy",
+        "check_expressions",
+        "expression_violations",
+        "sequence_anomalies",
+        "null_correlation",
+        "mutual_information",
+        "benford",
         "trailing_features",
         "video_frames",
         "image_near_dups",

@@ -188,6 +188,57 @@ def quantile_stream(
     return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
 
 
+def checks_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    checks,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed constraint pass rates — the streaming twin of
+    :func:`evalidate_spark.operators.table_checks.check_expressions`: per
+    window and check, ``(window, check_id, n_rows, n_failed, pass_bp,
+    status)`` with the same NULL-predicate-fails contract and int64
+    ``div`` basis points.
+
+    Each check is one conditional sum inside a single watermarked
+    incremental aggregate — counts merge per micro-batch, state is
+    O(windows × checks), never O(rows) — so a constraint dashboard over an
+    arriving corpus costs the same plan shape as the batch audit.  Batch
+    equivalence per window is pinned in ``tests/test_streaming.py``."""
+    from .operators.table_checks import explode_structs
+
+    checks = list(checks.items()) if isinstance(checks, dict) else list(checks)
+    if not checks:
+        raise ValueError("checks_stream needs at least one check")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, pred) in enumerate(checks):
+        ok = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(ok, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias("__f%d" % i)
+        )
+    row = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(*aggs)
+    )
+    parts = []
+    for i, (cid, _) in enumerate(checks):
+        cid_sql = str(cid).replace("'", "''")
+        parts.append(
+            f"struct('{cid_sql}' as check_id, cast(__n as bigint) as n_rows, "
+            f"`__f{i}` as n_failed, "
+            f"CASE WHEN __n = 0 THEN 10000L "
+            f"ELSE (__n - `__f{i}`) * 10000L div __n END as pass_bp, "
+            f"CASE WHEN `__f{i}` = 0 THEN 'pass' ELSE 'fail' END as status)"
+        )
+    return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
+
+
 def asof_join_stream(
     stream_df: DataFrame,
     right: DataFrame,

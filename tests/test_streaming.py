@@ -404,3 +404,44 @@ def test_quantile_stream_matches_batch_states(spark, tmp_path):
             r["n_values"], r["min_val"], r["max_val"],
             r["q_25"], r["q_50"], r["q_75"], r["q_90"], r["q_99"],
         ), w
+
+
+def test_checks_stream_matches_batch_checks(spark, tmp_path):
+    """Windowed streaming constraint pass rates ≡ batch check_expressions
+    per window — same NULL-fails contract, same integer-bp arithmetic."""
+    from evalidate_spark.operators.table_checks import check_expressions
+
+    path = str(tmp_path / "cs_in")
+    (
+        spark.range(240)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+            "CASE WHEN id % 11 = 0 THEN NULL ELSE cast(id % 37 AS long) END v",
+            "cast(id % 5 AS double) q",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    CHECKS = {"v_small": "v < 30", "q_pos": "q > 0", "always": "q < 10"}
+    cs = streaming.checks_stream(
+        _stream(spark, path), "ts", CHECKS, window="30 minutes"
+    )
+    assert cs.isStreaming
+    _run_to_memory(cs, "cs_out", mode="complete")
+    got = {
+        (r["window"]["start"], r["check_id"]): (
+            r["n_rows"], r["n_failed"], r["pass_bp"], r["status"]
+        )
+        for r in spark.table("cs_out").collect()
+    }
+    assert len(got) == 4 * 3  # 4 windows x 3 checks
+
+    batch = spark.read.parquet(path).withColumn(
+        "w", F.window(F.col("ts"), "30 minutes")["start"]
+    )
+    for w in [r["w"] for r in batch.select("w").distinct().collect()]:
+        sub = batch.filter(F.col("w") == w).drop("w")
+        for r in check_expressions(sub, CHECKS).collect():
+            assert got[(w, r["check_id"])] == (
+                r["n_rows"], r["n_failed"], r["pass_bp"], r["status"]
+            ), (w, r["check_id"])
