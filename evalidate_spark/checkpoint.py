@@ -50,6 +50,7 @@ VIOLATIONS_DIR = "violations"
 VERDICTS_DIR = "verdicts"
 PROFILE_STATES_DIR = "profile_states"
 QUANTILE_STATES_DIR = "quantile_states"
+CHECK_STATES_DIR = "check_states"
 
 
 def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]:
@@ -118,6 +119,12 @@ class CheckpointedRun:
     #: two unit subsets (e.g. history vs the latest ingest) — all without
     #: rescanning completed units.
     quantile_columns: Sequence[str] = ()
+    #: row-level SQL constraints (``check_id -> predicate``,
+    #: ``table_checks.check_expressions`` semantics: NULL predicate =
+    #: failure) evaluated once per unit; the per-unit count rows are
+    #: trivially mergeable and :meth:`check_results` folds them into
+    #: run-level pass rates without rescanning any completed unit.
+    checks: Optional[Dict[str, str]] = None
 
     def _manifest_path(self) -> str:
         return os.path.join(self.out_dir, MANIFEST_DIR)
@@ -184,6 +191,15 @@ class CheckpointedRun:
                     df, list(self.quantile_columns), unit["unit_id"]
                 ).write.mode("overwrite").partitionBy("increment").parquet(
                     os.path.join(self.out_dir, QUANTILE_STATES_DIR)
+                )
+
+            if self.checks:
+                from .operators.table_checks import check_expressions
+
+                check_expressions(df, self.checks).withColumn(
+                    "increment", F.lit(unit["unit_id"])
+                ).write.mode("overwrite").partitionBy("increment").parquet(
+                    os.path.join(self.out_dir, CHECK_STATES_DIR)
                 )
 
             # stats from the verdicts JUST WRITTEN (a tiny parquet read of
@@ -292,6 +308,35 @@ class CheckpointedRun:
         return quantile_drift_states(
             states.filter(F.col("increment").isin(list(baseline_units))),
             states.filter(F.col("increment").isin(list(current_units))),
+        )
+
+    def check_results(self) -> DataFrame:
+        """Run-level constraint pass rates folded from the per-unit check
+        counts — ``(check_id, n_rows, n_failed, pass_bp, status)`` with
+        the same int64-``div`` arithmetic as ``check_expressions``.
+        Cost is O(units × checks) state rows, no data rescan; same
+        manifest cross-check as :meth:`profile`."""
+        if not self.checks:
+            raise ValueError("checks was not set on this run")
+        states, done = self._checked_states(CHECK_STATES_DIR, "checks")
+        folded = (
+            states.filter(F.col("increment").isin(done))
+            .groupBy("check_id")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("n_failed").cast("long").alias("n_failed"),
+            )
+        )
+        return folded.select(
+            "check_id",
+            "n_rows",
+            "n_failed",
+            F.when(F.col("n_rows") == 0, F.lit(10000).cast("long"))
+            .otherwise(F.expr("(n_rows - n_failed) * 10000L div n_rows"))
+            .alias("pass_bp"),
+            F.when(F.col("n_failed") == 0, F.lit("pass"))
+            .otherwise(F.lit("fail"))
+            .alias("status"),
         )
 
     def lineage(self) -> List[Dict[str, Any]]:

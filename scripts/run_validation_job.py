@@ -45,6 +45,13 @@ def main(argv=None) -> int:
         "DataSketches KLL; the merged run-level quantiles print in the "
         "summary",
     )
+    ap.add_argument(
+        "--checks",
+        default="",
+        help="JSON file of row-level SQL constraints (check_id -> boolean "
+        "expression, check_expressions semantics: NULL fails) evaluated "
+        "per unit; the merged run-level pass rates print in the summary",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,6 +70,11 @@ def main(argv=None) -> int:
 
     profile_cols = [c.strip() for c in args.profile_columns.split(",") if c.strip()]
     quantile_cols = [c.strip() for c in args.quantile_columns.split(",") if c.strip()]
+    checks = None
+    if args.checks:
+        with open(args.checks) as fh:
+            checks = json.load(fh)
+        shutil.copyfile(args.checks, os.path.join(args.out, "checks.json"))  # lineage
     run = CheckpointedRun(
         spark,
         args.input,
@@ -72,12 +84,15 @@ def main(argv=None) -> int:
         files_per_unit=args.files_per_unit,
         profile_columns=tuple(profile_cols),
         quantile_columns=tuple(quantile_cols),
+        checks=checks,
     )
     summary = run.run(max_units=args.max_units)
     if profile_cols and not run.pending_units():
         summary["profile"] = [r.asDict() for r in run.profile().collect()]
     if quantile_cols and not run.pending_units():
         summary["quantiles"] = [r.asDict() for r in run.quantiles().collect()]
+    if checks and not run.pending_units():
+        summary["checks"] = [r.asDict() for r in run.check_results().collect()]
     print(json.dumps(summary))
     return 0
 

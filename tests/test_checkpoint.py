@@ -172,3 +172,51 @@ def test_quantiles_raises_when_not_configured(spark, input_dir, tmp_path):
     run.run(max_units=1)
     with pytest.raises(ValueError):
         run.quantiles()
+
+
+def test_check_states_resume_and_fold(spark, input_dir, tmp_path):
+    """Per-unit expression-check counts follow the same idempotent state
+    contract: a crashed-and-re-run unit overwrites its counts, and the
+    folded run-level pass rates equal a direct whole-input
+    check_expressions scan."""
+    import os
+
+    from evalidate_spark.operators.table_checks import check_expressions
+
+    CHECKS = {"n_small": "n < 40", "lang_en": "lang = 'en'"}
+    run = CheckpointedRun(
+        spark, input_dir, RULES, str(tmp_path / "c"),
+        files_per_unit=2, checks=CHECKS,
+    )
+    run.run(max_units=1)
+    # crash AFTER state write, BEFORE manifest: unit re-runs, counts must
+    # overwrite (partitioned dynamic overwrite), never double
+    mdir = str(tmp_path / "c" / "manifest")
+    os.remove(os.path.join(mdir, sorted(os.listdir(mdir))[0]))
+    run.run()
+
+    folded = {r["check_id"]: r for r in run.check_results().collect()}
+    direct = {
+        r["check_id"]: r
+        for r in check_expressions(
+            spark.read.parquet(input_dir), CHECKS
+        ).collect()
+    }
+    for cid in CHECKS:
+        assert folded[cid]["n_rows"] == direct[cid]["n_rows"] == 200
+        assert folded[cid]["n_failed"] == direct[cid]["n_failed"]
+        assert folded[cid]["pass_bp"] == direct[cid]["pass_bp"]
+        assert folded[cid]["status"] == direct[cid]["status"]
+
+
+def test_check_results_raises_when_not_configured(spark, input_dir, tmp_path):
+    out = str(tmp_path / "nc")
+    CheckpointedRun(spark, input_dir, RULES, out, files_per_unit=2).run(max_units=2)
+    run = CheckpointedRun(
+        spark, input_dir, RULES, out, files_per_unit=2,
+        checks={"ok": "n >= 0"},
+    )
+    run.run()
+    # first two units completed without checks -> no state for them
+    with pytest.raises(ValueError, match="no check state"):
+        run.check_results()

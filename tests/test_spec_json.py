@@ -99,15 +99,23 @@ class TestSubmitJob:
             assert p.returncode == 0, p.stderr[-2000:]
             return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
 
-        first = run(["--max-units", "1", "--profile-columns", "doc_id,text",
-                     "--quantile-columns", "n"])
+        checks_file = tmp_path / "checks.json"
+        checks_file.write_text(json.dumps({"n_nonneg": "n >= 0", "n_small": "n < 90"}))
+        common = ["--profile-columns", "doc_id,text", "--quantile-columns", "n",
+                  "--checks", str(checks_file)]
+        first = run(["--max-units", "1", *common])
         assert len(first["processed_now"]) == 1
         assert "profile" not in first  # incomplete run: no run-level stats
         assert "quantiles" not in first
-        second = run(["--profile-columns", "doc_id,text", "--quantile-columns", "n"])
+        assert "checks" not in first
+        second = run(common)
         assert second["total_units_done"] == 2
         assert second["rows"] == 100
         assert (tmp_path / "out" / "rules.json").exists()
+        assert (tmp_path / "out" / "checks.json").exists()
+        chk = {c["check_id"]: c for c in second["checks"]}
+        assert chk["n_nonneg"]["n_failed"] == 0 and chk["n_nonneg"]["status"] == "pass"
+        assert chk["n_small"]["n_failed"] == 10 and chk["n_small"]["pass_bp"] == 9000
         prof = {p["column"]: p for p in second["profile"]}
         assert prof["doc_id"]["n_rows"] == 100 and prof["doc_id"]["n_nulls"] == 0
         assert prof["text"]["min_repr"] == "no"
