@@ -316,6 +316,8 @@ class CheckpointedRun:
         the same int64-``div`` arithmetic as ``check_expressions``.
         Cost is O(units × checks) state rows, no data rescan; same
         manifest cross-check as :meth:`profile`."""
+        from .operators.table_checks import pass_rate_cols
+
         if not self.checks:
             raise ValueError("checks was not set on this run")
         states, done = self._checked_states(CHECK_STATES_DIR, "checks")
@@ -328,15 +330,7 @@ class CheckpointedRun:
             )
         )
         return folded.select(
-            "check_id",
-            "n_rows",
-            "n_failed",
-            F.when(F.col("n_rows") == 0, F.lit(10000).cast("long"))
-            .otherwise(F.expr("(n_rows - n_failed) * 10000L div n_rows"))
-            .alias("pass_bp"),
-            F.when(F.col("n_failed") == 0, F.lit("pass"))
-            .otherwise(F.lit("fail"))
-            .alias("status"),
+            "check_id", "n_rows", "n_failed", *pass_rate_cols()
         )
 
     def lineage(self) -> List[Dict[str, Any]]:

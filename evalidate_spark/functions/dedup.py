@@ -587,13 +587,16 @@ def ssjoin_pairs(
         )
     )
     n = F.col("__n")
-    # 1e-9 slack: ceil(0.8 * 5) must be 4, but IEEE 0.8*5 =
+    # relative + absolute slack: ceil(0.8 * 5) must be 4, but IEEE 0.8*5 =
     # 4.0000000000000002 would ceil to 5 and shorten the prefix below the
-    # no-false-negative bound.  Slack only ever LENGTHENS the prefix
+    # no-false-negative bound.  The relative term keeps the slack above
+    # one ulp of t·n at ANY set size (a flat 1e-9 stops covering rounding
+    # error once t·n > ~9e6); slack only ever LENGTHENS the prefix
     # (more candidates, still exact).
+    tn = F.lit(threshold) * n.cast("double")
     plen = (
         n
-        - F.ceil(F.lit(threshold) * n.cast("double") - F.lit(1e-9)).cast("int")
+        - F.ceil(tn - F.abs(tn) * F.lit(1e-12) - F.lit(1e-9)).cast("int")
         + 1
     )
     pref = ordered.select(
@@ -609,21 +612,29 @@ def ssjoin_pairs(
     b = pref.select(
         F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__t"
     )
+    bound = F.lit(threshold) * F.greatest("__na", "__nb").cast("double")
     cand = (
         a.join(b, "__t")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            # same 1e-9 slack: a (4, 5) pair at t=0.8 reaches jaccard
-            # exactly 0.8, but float 0.8*5 > 4 would drop it here
+            # same relative+absolute slack: a (4, 5) pair at t=0.8 reaches
+            # jaccard exactly 0.8, but float 0.8*5 > 4 would drop it here
             F.least("__na", "__nb").cast("double")
-            >= F.lit(threshold) * F.greatest("__na", "__nb").cast("double")
-            - F.lit(1e-9)
+            >= bound - F.abs(bound) * F.lit(1e-12) - F.lit(1e-9)
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = base.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
-    sb = base.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    # verification sets come from the ALREADY-AGGREGATED ordered table
+    # (the struct list projected back to shingles), not from base: base's
+    # lineage would re-tokenize + re-shingle every raw text a second and
+    # third time, while ordered's shuffle output is exchange-reusable
+    # across pref/sa/sb
+    sets = ordered.select(
+        "__id", F.transform("__st", lambda s: s["__t"]).alias("__set")
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
     j = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     uni = (F.size("__sa") + F.size("__sb")).cast("double") - inter

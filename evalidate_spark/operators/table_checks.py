@@ -1195,6 +1195,26 @@ def profile_anomalies(
     ).select("increment", "s.*")
 
 
+def pass_rate_cols(n_rows: str = "n_rows", n_failed: str = "n_failed"):
+    """``(pass_bp, status)`` columns from int64 ``n_rows``/``n_failed``
+    SQL expressions — the SINGLE Spark-side definition of the check
+    pass-rate contract (vacuous 10000 on zero rows, exact int64 ``div``
+    basis points).  Shared by :func:`check_expressions` and
+    ``CheckpointedRun.check_results``; ``streaming.checks_stream``'s
+    struct-SQL fragment and the generated DuckDB oracles mirror it."""
+    pass_bp = (
+        F.when(F.expr(n_rows) == 0, F.lit(10000).cast("long"))
+        .otherwise(F.expr(f"({n_rows} - {n_failed}) * 10000L div {n_rows}"))
+        .alias("pass_bp")
+    )
+    status = (
+        F.when(F.expr(n_failed) == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status")
+    )
+    return pass_bp, status
+
+
 def check_expressions(df: DataFrame, checks) -> DataFrame:
     """Declarative row-level table constraints — *checks* maps
     ``check_id -> SQL boolean expression`` (any cross-column predicate the
@@ -1245,14 +1265,7 @@ def check_expressions(df: DataFrame, checks) -> DataFrame:
             F.col("c.check_id").alias("check_id"),
             "n_rows",
             F.col("c.n_failed").alias("n_failed"),
-            F.when(F.col("n_rows") == 0, F.lit(10000).cast("long"))
-            .otherwise(
-                F.expr("(n_rows - c.n_failed) * 10000L div n_rows")
-            )
-            .alias("pass_bp"),
-            F.when(F.col("c.n_failed") == 0, F.lit("pass"))
-            .otherwise(F.lit("fail"))
-            .alias("status"),
+            *pass_rate_cols("n_rows", "c.n_failed"),
         )
     )
 
@@ -1287,7 +1300,12 @@ def expression_violations(
     return (
         df.select(failed.alias("__failed"), *ids)
         .filter(F.size("__failed") > 0)
-        .select(F.explode("__failed").alias("check_id"), *id_cols)
+        .select(
+            F.explode("__failed").alias("check_id"),
+            # backticked again: a dotted id column name must not parse as
+            # struct-field access in this second resolution either
+            *[F.col("`%s`" % c) for c in id_cols],
+        )
     )
 
 
@@ -1518,20 +1536,13 @@ def benford(
         total = F.sum("n").over(Window.partitionBy())  # ≤9 rows
         outs.append(
             joined.select(
-                "column",
-                "digit",
-                "n",
-                F.when(total == 0, F.lit(0).cast("long"))
-                .otherwise(F.expr("n * 10000L") .cast("long"))
-                .alias("__num"),
-                total.alias("__t"),
-                "expected_bp",
+                "column", "digit", "n", total.alias("__t"), "expected_bp"
             ).select(
                 "column",
                 "digit",
                 "n",
                 F.when(F.col("__t") == 0, F.lit(0).cast("long"))
-                .otherwise(F.expr("__num div __t"))
+                .otherwise(F.expr("n * 10000L div __t"))
                 .alias("share_bp"),
                 "expected_bp",
             )

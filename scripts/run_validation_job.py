@@ -74,6 +74,13 @@ def main(argv=None) -> int:
     if args.checks:
         with open(args.checks) as fh:
             checks = json.load(fh)
+        if not isinstance(checks, dict) or not checks:
+            # an empty/malformed file must not silently no-op the run:
+            # the operator asked for constraints and believes they ran
+            raise SystemExit(
+                "--checks file %s must be a non-empty JSON object of "
+                "check_id -> SQL predicate" % args.checks
+            )
         shutil.copyfile(args.checks, os.path.join(args.out, "checks.json"))  # lineage
     run = CheckpointedRun(
         spark,

@@ -89,6 +89,14 @@ class TestCheckExpressions:
             ("flag_a", 3), ("flag_a", 4), ("qty_le_50", 2), ("qty_le_50", 3),
         ]
 
+    def test_violation_id_col_with_dot(self, spark):
+        # a literal dotted column name must not parse as struct access
+        df = spark.createDataFrame([(1, 0.0)], "`meta.id` long, v double")
+        got = expression_violations(
+            df, {"v_pos": "v > 0"}, ["meta.id"]
+        ).collect()
+        assert [(r["check_id"], r["meta.id"]) for r in got] == [("v_pos", 1)]
+
     def test_violations_empty_when_all_pass(self, spark):
         assert (
             expression_violations(

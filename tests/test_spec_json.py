@@ -123,6 +123,17 @@ class TestSubmitJob:
         assert q["column"] == "n" and q["n_values"] == 100
         assert q["min_val"] == 0.0 and q["max_val"] == 99.0
 
+        # an empty checks file must fail loudly, not silently no-op
+        empty = tmp_path / "empty_checks.json"
+        empty.write_text("{}")
+        p = subprocess.run(
+            [sys.executable, "scripts/run_validation_job.py",
+             "--input", src, "--rules", str(rules_file),
+             "--out", str(tmp_path / "out2"), "--checks", str(empty)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        assert p.returncode != 0 and "non-empty JSON object" in p.stderr
+
     def test_spark_submit_pyfiles(self, spark, tmp_path):
         """The north rule's literal submission mode: ``spark-submit
         --py-files <package.zip>`` with the job script OUTSIDE the repo,
