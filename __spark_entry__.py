@@ -1509,6 +1509,18 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language drift vs the whole corpus (``group_drift``):
+    the "which feed went bad" check — one data shuffle, everything else
+    on the tiny (source × lang) counts table; same 9-dp/eps/floor-bp
+    arithmetic as drift_categorical."""
+    from evalidate_spark.operators.table_checks import group_drift
+
+    return group_drift(
+        _t(spark, sf_dir, "documents"), "source", "lang", top_k=3
+    )
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI/KS drift (integer basis points): even-user events as baseline vs
     the full stream."""
@@ -1756,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_expressions": q_check_expressions,
         "expression_violations": q_expression_violations,
         "sequence_anomalies": q_sequence_anomalies,
+        "group_drift": q_group_drift,
         "null_correlation": q_null_correlation,
         "mutual_information": q_mutual_information,
         "benford": q_benford,
@@ -3670,6 +3683,49 @@ ORACLE["null_correlation"] = "\nUNION ALL\n".join(
     for i in range(len(_NC_COLS))
     for j in range(i + 1, len(_NC_COLS))
 )
+
+
+# group_drift oracle mirrors the operator stage-for-stage: corpus top-k
+# (count-desc, cat-asc row_number), __other__ roll-up, 9-dp shares, 1e-6
+# eps clamp, floor-bp — the drift_event_types parity recipe applied
+# per group, with NULL groups/categories excluded on both sides.
+ORACLE["group_drift"] = """
+WITH gc AS (
+  SELECT source AS g, cast(lang AS varchar) AS cat, count(*) AS c
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+), top AS (
+  SELECT cat FROM (
+    SELECT cat, row_number() OVER (ORDER BY sum(c) DESC, cat ASC) AS rk
+    FROM gc GROUP BY cat)
+  WHERE rk <= 3
+), rolled AS (
+  SELECT g,
+         CASE WHEN cat IN (SELECT cat FROM top) THEN cat
+              ELSE '__other__' END AS cat,
+         sum(c) AS c
+  FROM gc GROUP BY 1, 2
+), pg AS (
+  SELECT g, cat,
+         round(c / cast(sum(c) OVER (PARTITION BY g) AS double), 9) AS pg,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM rolled
+), pc AS (
+  SELECT cat, round(c / cast(sum(c) OVER () AS double), 9) AS pc
+  FROM (SELECT cat, sum(c) AS c FROM rolled GROUP BY 1)
+), uni AS (
+  SELECT u.g, u.n, p.cat, p.pc
+  FROM (SELECT DISTINCT g, n FROM pg) u CROSS JOIN pc p
+), j AS (
+  SELECT uni.g, uni.n, coalesce(pg.pg, 0.0) AS pg, uni.pc
+  FROM uni LEFT JOIN pg ON uni.g = pg.g AND uni.cat = pg.cat
+)
+SELECT g AS source, cast(max(n) AS bigint) AS n,
+  cast(floor(sum((greatest(pg,1e-6) - greatest(pc,1e-6))
+                 * ln(greatest(pg,1e-6) / greatest(pc,1e-6))) * 10000) AS bigint) AS psi_bp,
+  cast(floor(0.5 * sum(abs(pg - pc)) * 10000) AS bigint) AS tvd_bp
+FROM j GROUP BY g
+"""
 
 
 # MI oracle mirrors mutual_information term-for-term: NULL its own

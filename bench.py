@@ -221,6 +221,7 @@ def main() -> None:
         "check_expressions",
         "expression_violations",
         "sequence_anomalies",
+        "group_drift",
         "null_correlation",
         "mutual_information",
         "benford",

@@ -35,6 +35,7 @@ from .table_checks import (
     null_correlation,
     mutual_information,
     benford,
+    group_drift,
     overlap_estimate,
     check_suite,
 )

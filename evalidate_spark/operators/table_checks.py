@@ -1551,3 +1551,102 @@ def benford(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def group_drift(
+    df: DataFrame, group_col: str, value_col: str, top_k: int = 50
+) -> DataFrame:
+    """One-vs-corpus categorical drift per GROUP — for every value of
+    *group_col* (a source, a shard, an ingest batch), PSI and total
+    variation between that group's *value_col* distribution and the whole
+    corpus: ``(<group_col>, n, psi_bp, tvd_bp)`` in integer basis points.
+
+    This answers "WHICH source went bad" where :func:`drift_categorical`
+    answers "did the table move": a single upstream feed flooding one
+    category barely moves corpus-level PSI but lights up its own group
+    row.  No baseline table is needed — the corpus itself is the
+    reference, so it drops straight onto any partitioned ingest.
+
+    Categories are the corpus-wide ``top_k`` by count (count-desc,
+    value-asc tiebreak); the rest roll into ``__other__`` so the
+    comparison space stays bounded at any cardinality.  NULL categories
+    and NULL groups are excluded (each is a presence violation for the
+    engine's rules — and a NULL group key would silently never join its
+    own shares back, which both engines would "agree" on while computing
+    the wrong number).
+
+    Plan: ONE data shuffle — the map-side-combined ``groupBy(group,
+    value)``; category totals, top-k (TakeOrdered), corpus shares, the
+    group×category universe, and the per-group roll-up all derive from
+    that tiny counts table (≤ groups × categories rows).  Same 9-dp share
+    rounding / 1e-6 eps clamp / floor-bp arithmetic as
+    :func:`drift_categorical`, mirrored by the oracle."""
+    if top_k < 1:
+        raise ValueError("group_drift: top_k must be >= 1")
+    g = F.col("`%s`" % group_col)
+    c = F.col("`%s`" % value_col).cast("string")
+    gc = (
+        df.filter(g.isNotNull() & c.isNotNull())
+        .groupBy(g.alias("__g"), c.alias("cat"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = (
+        gc.groupBy("cat")
+        .agg(F.sum("__c").alias("__tc"))
+        .orderBy(F.col("__tc").desc(), F.col("cat").asc())
+        .limit(top_k)
+        .select("cat", F.lit(True).alias("__keep"))
+    )
+    rolled = (
+        gc.join(F.broadcast(top), "cat", "left")
+        .select(
+            "__g",
+            F.when(F.col("__keep"), F.col("cat"))
+            .otherwise(F.lit("__other__"))
+            .alias("cat"),
+            "__c",
+        )
+        .groupBy("__g", "cat")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    wg = Window.partitionBy("__g")
+    pg = rolled.select(
+        "__g",
+        "cat",
+        F.round(F.col("__c") / F.sum("__c").over(wg), 9).alias("__pg"),
+        F.sum("__c").over(wg).alias("__n"),
+    )
+    corpus = rolled.groupBy("cat").agg(F.sum("__c").alias("__c"))
+    pc = corpus.select(
+        "cat",
+        F.round(
+            F.col("__c") / F.sum("__c").over(Window.partitionBy()), 9
+        ).alias("__pc"),
+    )
+    uni = (
+        pg.select("__g", "__n").distinct().crossJoin(F.broadcast(pc))
+    )
+    j = uni.join(
+        pg.select("__g", "cat", "__pg"), ["__g", "cat"], "left"
+    ).select(
+        "__g",
+        "__n",
+        F.coalesce("__pg", F.lit(0.0)).alias("__pg"),
+        "__pc",
+    )
+    eps = F.lit(1e-6)
+    gg = F.greatest(F.col("__pg"), eps)
+    cc = F.greatest(F.col("__pc"), eps)
+    return (
+        j.groupBy("__g")
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.floor(F.sum((gg - cc) * F.log(gg / cc)) * 10_000)
+            .cast("long")
+            .alias("psi_bp"),
+            F.floor(0.5 * F.sum(F.abs(F.col("__pg") - F.col("__pc"))) * 10_000)
+            .cast("long")
+            .alias("tvd_bp"),
+        )
+        .withColumnRenamed("__g", group_col)
+    )

@@ -121,6 +121,7 @@ QUERIES = [
     "check_expressions",
     "expression_violations",
     "sequence_anomalies",
+    "group_drift",
     "null_correlation",
     "mutual_information",
     "benford",

@@ -485,3 +485,48 @@ def test_suggest_constraints_int64_guard(spark):
     assert not any(c == "v" and r == "size" for c, r, _ in rows)
     assert ("id", "size", "[1,2]") in rows
     assert validate(df, suggestions_to_spec(rows), id_cols=["id"]).violations.count() == 0
+
+
+def test_group_drift_flags_the_bad_source(spark):
+    """A group distributed like the corpus reads ~0 drift; a group
+    flooding one category lights up; NULL groups/categories excluded."""
+    import math
+
+    from evalidate_spark.operators.table_checks import group_drift
+
+    rows = []
+    # 4 balanced sources: 10 'en' + 10 'de' each
+    for s in ("s1", "s2", "s3", "s4"):
+        rows += [(s, "en")] * 10 + [(s, "de")] * 10
+    # the bad source: 20 x only 'en'
+    rows += [("bad", "en")] * 20
+    rows += [(None, "en"), ("s1", None)]  # excluded
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r["source"]: r for r in group_drift(df, "source", "lang").collect()}
+    assert None not in got
+    assert got["s1"]["n"] == 20  # the NULL-lang row does not count
+    # corpus: 60 en / 40 de.  balanced source (.5/.5) vs corpus (.6/.4):
+    psi_bal = (0.5 - 0.6) * math.log(0.5 / 0.6) + (0.5 - 0.4) * math.log(0.5 / 0.4)
+    assert got["s1"]["psi_bp"] == int(math.floor(psi_bal * 10000))
+    # 0.5*(|.5-.6|+|.5-.4|) = 0.1, but |0.5-0.6| is 0.0999..98 in IEEE and
+    # the operator floors the float product (the oracle mirrors this)
+    tvd_bal = math.floor(0.5 * (abs(0.5 - 0.6) + abs(0.5 - 0.4)) * 10000)
+    assert got["s1"]["tvd_bp"] == tvd_bal == 999
+    # bad source (1.0/0.0 with eps clamp) must dominate every balanced one
+    assert got["bad"]["psi_bp"] > 10 * got["s1"]["psi_bp"]
+    assert got["bad"]["tvd_bp"] == 4000  # 0.5*(|1-.6|+|0-.4|)
+
+
+def test_group_drift_topk_rollup_and_errors(spark):
+    import pytest as _pytest
+
+    from evalidate_spark.operators.table_checks import group_drift
+
+    df = spark.createDataFrame(
+        [("a", str(i % 7)) for i in range(70)] + [("b", "0")] * 10,
+        "g string, v string",
+    )
+    out = group_drift(df, "g", "v", top_k=2).collect()
+    assert {r["g"] for r in out} == {"a", "b"}
+    with _pytest.raises(ValueError):
+        group_drift(df, "g", "v", top_k=0)
