@@ -622,3 +622,51 @@ class SnapshotLog:
         return self.commit(
             df.coalesce(int(target_files)), operation="overwrite", compaction=True
         )
+
+    def schema(self, spark: SparkSession, snapshot_id: Optional[int] = None):
+        """The resolved StructType of a snapshot's file set (default:
+        latest) — what a reader of that snapshot actually sees."""
+        return self.read(spark, snapshot_id).schema
+
+
+def schema_drift(
+    spark: SparkSession,
+    log: "SnapshotLog",
+    from_snapshot: int,
+    to_snapshot: Optional[int] = None,
+) -> DataFrame:
+    """Schema evolution between two snapshots of a :class:`SnapshotLog` —
+    one row per changed column: ``(column, change, from_type, to_type)``
+    with ``change`` ∈ ``added`` / ``removed`` / ``type_changed``.
+
+    A column silently vanishing or flipping type between ingest commits is
+    the schema-level twin of distribution drift — rules keyed on it stop
+    firing (soft mode) or everything fails at once (hard mode), and both
+    are cheaper to catch at the manifest than in the violation counts.
+    Pure metadata: two footer-level schema resolutions and an O(columns)
+    driver-side diff; no data is scanned.  Types compare by Spark simple
+    string (``bigint``, ``array<string>``, …), nested struct/array
+    changes therefore surface as a single ``type_changed`` row on the top
+    column."""
+    from pyspark.sql import types as T
+
+    a = {f.name: f.dataType.simpleString() for f in log.schema(spark, from_snapshot)}
+    to_id = to_snapshot if to_snapshot is not None else log.latest_id()
+    b = {f.name: f.dataType.simpleString() for f in log.schema(spark, to_id)}
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        if name not in b:
+            rows.append((name, "removed", a[name], None))
+        elif name not in a:
+            rows.append((name, "added", None, b[name]))
+        elif a[name] != b[name]:
+            rows.append((name, "type_changed", a[name], b[name]))
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("change", T.StringType()),
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -194,3 +194,32 @@ def test_stray_snapshots_dir_does_not_hijack_parquet_input(spark, tmp_path):
     units = list_units(src)
     assert units and all(u["files"] for u in units)
     assert read_table(spark, src).count() == 20
+
+
+def test_schema_drift_between_snapshots(spark, tmp_path):
+    """added / removed / type_changed rows between two snapshot schemas;
+    unchanged columns emit nothing; same-snapshot diff is empty."""
+    from evalidate_spark.sources import SnapshotLog, schema_drift
+
+    log = SnapshotLog(str(tmp_path / "sd"))
+    s1 = log.commit(
+        spark.createDataFrame([(1, "x", 0.5)], "a int, b string, d double"),
+        operation="overwrite",
+    )
+    s2 = log.commit(
+        spark.createDataFrame([(2, "y", 9)], "a bigint, c string, d long"),
+        operation="overwrite",
+    )
+    got = {
+        r["column"]: (r["change"], r["from_type"], r["to_type"])
+        for r in schema_drift(spark, log, s1, s2).collect()
+    }
+    assert got == {
+        "a": ("type_changed", "int", "bigint"),
+        "b": ("removed", "string", None),
+        "c": ("added", None, "string"),
+        "d": ("type_changed", "double", "bigint"),
+    }
+    assert schema_drift(spark, log, s2, s2).count() == 0
+    # default to_snapshot = latest
+    assert schema_drift(spark, log, s1).count() == 4
