@@ -485,6 +485,86 @@ def running_verdicts(
     )
 
 
+def sequence_anomalies_stream(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    max_gap_us: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`evalidate_spark.operators.sessions.sequence_anomalies` via
+    ``applyInPandasWithState`` — the custom-stateful-operator path: the
+    built-in windowed aggregates can't compare each event against its
+    PREDECESSOR across micro-batch boundaries, so per-entity state carries
+    exactly ``(last_seq, last_ts_us)`` (two longs per entity, O(#entities)
+    forever, no growth with stream length).
+
+    Within each micro-batch the entity's rows are sorted by ``(seq, ts)``
+    and every adjacency — including the carry-over against the state —
+    classifies with the batch operator's priority (duplicate_seq >
+    ts_regression > gap).  Streaming ≡ batch holds when each entity's
+    events arrive seq-ordered ACROSS batches (the snapshot-commit ingest
+    shape); within a batch any order is fine.  Arrow-batched pandas,
+    never row-at-a-time."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .operators.sessions import _micros
+
+    ent = F.col("`%s`" % entity_col)
+    seq = F.col("`%s`" % seq_col)
+    tus = _micros(stream_df, ts_col)
+    base = stream_df.filter(
+        ent.isNotNull() & seq.isNotNull() & tus.isNotNull()
+    ).select(ent.alias("entity"), seq.alias("seq"), tus.alias("__t"))
+    etype = stream_df.schema[entity_col].dataType.simpleString()
+    stype = stream_df.schema[seq_col].dataType.simpleString()
+    gap = None if max_gap_us is None else int(max_gap_us)
+
+    def update(key, pdfs, state):
+        have = state.exists
+        ls, lt = state.get if have else (0, 0)
+        out_seq, out_kind, out_meas = [], [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["seq", "__t"], kind="mergesort"
+        )
+        for s, t in zip(pdf["seq"], pdf["__t"]):
+            s, t = int(s), int(t)
+            if have:
+                kind = None
+                if s == ls:
+                    kind, meas = "duplicate_seq", t - lt
+                elif lt > t:
+                    kind, meas = "ts_regression", lt - t
+                elif gap is not None and t - lt > gap:
+                    kind, meas = "gap", t - lt
+                if kind is not None:
+                    out_seq.append(s)
+                    out_kind.append(kind)
+                    out_meas.append(meas)
+            ls, lt, have = s, t, True
+        state.update((ls, lt))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]] * len(out_seq),
+                "seq": out_seq,
+                "kind": out_kind,
+                "measure": out_meas,
+            }
+        )
+
+    return base.groupBy("entity").applyInPandasWithState(
+        update,
+        outputStructType="entity %s, seq %s, kind string, measure bigint"
+        % (etype, stype),
+        stateStructType="last_seq bigint, last_t bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_foreach_batch(
     stream_df: DataFrame,
     rules: Any,

@@ -445,3 +445,70 @@ def test_checks_stream_matches_batch_checks(spark, tmp_path):
             assert got[(w, r["check_id"])] == (
                 r["n_rows"], r["n_failed"], r["pass_bp"], r["status"]
             ), (w, r["check_id"])
+
+
+def test_sequence_anomalies_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming sequence anomalies ≡ batch operator when events
+    arrive seq-ordered across micro-batches: the duplicate/regression/gap
+    adjacent to a BATCH BOUNDARY must come from the carried (last_seq,
+    last_ts) state, which is the whole point of the custom stateful op."""
+    from evalidate_spark.operators.sessions import sequence_anomalies
+
+    src = tmp_path / "sa_in"
+    src.mkdir()
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_s string"
+        ).selectExpr(
+            "user_id", "event_id", "cast(ts_s as timestamp) ts"
+        )
+
+    first = [
+        (1, 1, "2026-01-01 10:00:00"),
+        (1, 2, "2026-01-01 10:00:30"),
+        (2, 1, "2026-01-01 09:00:00"),
+        (2, 2, "2026-01-01 09:00:10"),
+    ]
+    second = [
+        (1, 2, "2026-01-01 10:01:00"),   # duplicate_seq ACROSS the boundary
+        (1, 3, "2026-01-01 09:59:00"),   # ts_regression within batch 2
+        (2, 3, "2026-01-01 13:00:10"),   # gap ACROSS the boundary (4 h)
+        (3, 7, "2026-01-01 08:00:00"),   # new entity mid-stream: no anomaly
+    ]
+    rows_df(first).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    sa = streaming.sequence_anomalies_stream(
+        stream, max_gap_us=3600 * 1_000_000
+    )
+    assert sa.isStreaming
+    q = (
+        sa.writeStream.format("memory")
+        .queryName("sa_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_df(second).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT entity, seq, kind, measure FROM sa_out"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sequence_anomalies(
+            rows_df(first + second), max_gap_us=3600 * 1_000_000
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 3
