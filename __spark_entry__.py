@@ -3732,6 +3732,9 @@ FROM j GROUP BY g
 # category, every entropy via (ln n − Σ c·ln c / n) / ln2 with the same
 # inlined ln(2) literal, MI clamped at 0, all rounded to 6 dp.
 def _mi_pair_sql(x: str, y: str) -> str:
+    # marginal entropy sums in the operator's JOINT-ROW form
+    # (Σ_x cx·ln cx ≡ Σ_joint c·ln cx via window sums) so both engines
+    # evaluate the same per-row terms before the 6-dp rounded fold
     return f"""
 SELECT '{x}' AS col_x, '{y}' AS col_y, n,
        round(ex, 6) AS h_x_bits, round(ey, 6) AS h_y_bits,
@@ -3740,17 +3743,22 @@ SELECT '{x}' AS col_x, '{y}' AS col_y, n,
 FROM (
   WITH joint AS (
     SELECT {x} AS x, {y} AS y, count(*) AS c FROM lineitem GROUP BY 1, 2
-  ), tot AS (SELECT cast(coalesce(sum(c), 0) AS bigint) AS n FROM joint),
-  sxy AS (SELECT sum(cast(c AS double) * ln(cast(c AS double))) AS s FROM joint),
-  sx AS (SELECT sum(cast(c AS double) * ln(cast(c AS double))) AS s
-         FROM (SELECT sum(c) AS c FROM joint GROUP BY x)),
-  sy AS (SELECT sum(cast(c AS double) * ln(cast(c AS double))) AS s
-         FROM (SELECT sum(c) AS c FROM joint GROUP BY y))
-  SELECT tot.n AS n,
-    CASE WHEN tot.n > 0 THEN (ln(cast(tot.n AS double)) - sx.s / cast(tot.n AS double)) / 0.6931471805599453 ELSE 0.0 END AS ex,
-    CASE WHEN tot.n > 0 THEN (ln(cast(tot.n AS double)) - sy.s / cast(tot.n AS double)) / 0.6931471805599453 ELSE 0.0 END AS ey,
-    CASE WHEN tot.n > 0 THEN (ln(cast(tot.n AS double)) - sxy.s / cast(tot.n AS double)) / 0.6931471805599453 ELSE 0.0 END AS exy
-  FROM tot, sxy, sx, sy)"""
+  ), en AS (
+    SELECT c,
+      cast(c AS double) * ln(cast(c AS double)) AS texy,
+      cast(c AS double) * ln(cast(sum(c) OVER (PARTITION BY x) AS double)) AS tex,
+      cast(c AS double) * ln(cast(sum(c) OVER (PARTITION BY y) AS double)) AS tey
+    FROM joint
+  ), s AS (
+    SELECT cast(coalesce(sum(c), 0) AS bigint) AS n,
+           sum(texy) AS sxy, sum(tex) AS sx, sum(tey) AS sy
+    FROM en
+  )
+  SELECT n,
+    CASE WHEN n > 0 THEN (ln(cast(n AS double)) - sx / cast(n AS double)) / 0.6931471805599453 ELSE 0.0 END AS ex,
+    CASE WHEN n > 0 THEN (ln(cast(n AS double)) - sy / cast(n AS double)) / 0.6931471805599453 ELSE 0.0 END AS ey,
+    CASE WHEN n > 0 THEN (ln(cast(n AS double)) - sxy / cast(n AS double)) / 0.6931471805599453 ELSE 0.0 END AS exy
+  FROM s)"""
 
 
 ORACLE["mutual_information"] = "\nUNION ALL\n".join(

@@ -1399,33 +1399,21 @@ def mutual_information(df: DataFrame, pairs) -> DataFrame:
     to that column's entropy exactly.
 
     Via the identity ``MI = H(x) + H(y) − H(x,y)`` with every entropy from
-    the ``(ln n − Σ c·ln c / n) / ln 2`` form over exact counts.  Plan: ONE
-    data shuffle per pair — the map-side-combined ``groupBy(x, y)`` joint
-    count; both marginals and all three entropies derive from that tiny
-    joint table (≤ |X|·|Y| rows), so data volume never flows twice.
-    ``mi_bits`` clamps the tiny negative float residue of the identity to
-    0; all four entropies round to 6 dp."""
+    the ``(ln n − Σ c·ln c / n) / ln 2`` form over exact counts.  The
+    marginal sums use the joint-row form ``Σ_x cx·ln cx = Σ_joint c·ln cx``
+    with ``cx``/``cy`` attached by two window operators ON the tiny joint
+    table, so the whole computation is ONE lineage chain per pair: one
+    map-side-combined data shuffle (``groupBy(x, y)``), two windows and
+    one 1-row aggregate over ≤ |X|·|Y| rows — the input data is PROVABLY
+    scanned once (no branch ever re-derives the joint, unlike a
+    marginals-by-re-aggregation shape that leans on fragile exchange
+    reuse).  ``mi_bits`` clamps the tiny negative float residue of the
+    identity to 0; all four entropies round to 6 dp."""
     pairs = list(pairs)
     if not pairs:
         raise ValueError("mutual_information needs at least one (x, y) pair")
     names = {f.name for f in df.schema.fields}
     ln2 = F.lit(0.6931471805599453)  # repr(math.log(2)), both engines
-
-    def ent(counts: DataFrame, out: str) -> DataFrame:
-        cd = F.col("__c").cast("double")
-        a = counts.agg(
-            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n"),
-            F.sum(cd * F.log(cd)).alias("__s"),
-        )
-        nd = F.col("__n").cast("double")
-        return a.select(
-            "__n",
-            F.when(
-                F.col("__n") > 0, (F.log(nd) - F.col("__s") / nd) / ln2
-            )
-            .otherwise(F.lit(0.0))
-            .alias(out),
-        )
 
     outs: List[DataFrame] = []
     for x, y in pairs:
@@ -1435,17 +1423,32 @@ def mutual_information(df: DataFrame, pairs) -> DataFrame:
         joint = df.groupBy(
             F.col("`%s`" % x).alias("__x"), F.col("`%s`" % y).alias("__y")
         ).agg(F.count(F.lit(1)).alias("__c"))
-        hxy = ent(joint, "__hxy")
-        hx = ent(
-            joint.groupBy("__x").agg(F.sum("__c").alias("__c")), "__hx"
-        ).drop("__n")
-        hy = ent(
-            joint.groupBy("__y").agg(F.sum("__c").alias("__c")), "__hy"
-        ).drop("__n")
+        cd = F.col("__c").cast("double")
+        cx = F.sum("__c").over(Window.partitionBy("__x")).cast("double")
+        cy = F.sum("__c").over(Window.partitionBy("__y")).cast("double")
+        sums = joint.select(
+            "__c",
+            (cd * F.log(cd)).alias("__exy"),
+            (cd * F.log(cx)).alias("__ex"),
+            (cd * F.log(cy)).alias("__ey"),
+        ).agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__n"),
+            F.sum("__exy").alias("__sxy"),
+            F.sum("__ex").alias("__sx"),
+            F.sum("__ey").alias("__sy"),
+        )
+        nd = F.col("__n").cast("double")
+
+        def h(s: str):
+            return F.when(
+                F.col("__n") > 0, (F.log(nd) - F.col(s) / nd) / ln2
+            ).otherwise(F.lit(0.0))
+
         outs.append(
-            hxy.crossJoin(hx)
-            .crossJoin(hy)
-            .select(
+            sums.select(
+                "__n", h("__sx").alias("__hx"), h("__sy").alias("__hy"),
+                h("__sxy").alias("__hxy"),
+            ).select(
                 F.lit(x).alias("col_x"),
                 F.lit(y).alias("col_y"),
                 F.col("__n").alias("n"),
@@ -1589,6 +1592,12 @@ def group_drift(
         df.filter(g.isNotNull() & c.isNotNull())
         .groupBy(g.alias("__g"), c.alias("cat"))
         .agg(F.count(F.lit(1)).alias("__c"))
+        # the counts table is consumed TWICE with different downstream
+        # partitionings (top-k pick, roll-up); lazy localCheckpoint pins
+        # the tiny (groups × categories) result on executors so the DATA
+        # is guaranteed scanned once — exchange reuse alone is fragile
+        # across the branch shapes here (measured ~2× scan without it)
+        .localCheckpoint(eager=False)
     )
     top = (
         gc.groupBy("cat")
