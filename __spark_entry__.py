@@ -1509,6 +1509,26 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hotkey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter states (``hotkey_state`` / Count-Min +
+    exact per-increment candidates): events split into two increments by
+    user parity, sketched separately, folded through Spark's own JVM
+    CountMinSketch merge — estimates at this cardinality are exact and
+    DETERMINISTIC (fixed seed), so the DuckDB oracle is the true
+    count."""
+    from evalidate_spark.operators.table_checks import (
+        hotkey_state,
+        merge_hotkey_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = hotkey_state(ev.filter("user_id % 2 = 0"), ["event_type"], "u0")
+    s2 = hotkey_state(
+        ev.filter("user_id % 2 = 1 OR user_id IS NULL"), ["event_type"], "u1"
+    )
+    return merge_hotkey_states(spark, s1.unionByName(s2), top_k=5)
+
+
 def q_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language drift vs the whole corpus (``group_drift``):
     the "which feed went bad" check — one data shuffle, everything else
@@ -1769,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expression_violations": q_expression_violations,
         "sequence_anomalies": q_sequence_anomalies,
         "group_drift": q_group_drift,
+        "hotkey_topk": q_hotkey_topk,
         "null_correlation": q_null_correlation,
         "mutual_information": q_mutual_information,
         "benford": q_benford,
@@ -3725,6 +3746,22 @@ SELECT g AS source, cast(max(n) AS bigint) AS n,
                  * ln(greatest(pg,1e-6) / greatest(pc,1e-6))) * 10000) AS bigint) AS psi_bp,
   cast(floor(0.5 * sum(abs(pg - pc)) * 10000) AS bigint) AS tvd_bp
 FROM j GROUP BY g
+"""
+
+
+# hotkey oracle: exact counts — the merged Count-Min estimate equals the
+# truth when the column's distinct keys don't collide in any sketch row,
+# which at this cardinality/width is DETERMINISTIC (fixed seed, fixed
+# hash family), not probabilistic-per-run; the gate verifies it holds.
+ORACLE["hotkey_topk"] = """
+WITH c AS (
+  SELECT cast(event_type AS varchar) AS key, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+), t AS (SELECT coalesce(sum(c), 0) AS total FROM c)
+SELECT 'event_type' AS "column", key, cast(c AS bigint) AS est_count,
+       cast(t.total AS bigint) AS n_values,
+       cast(c * 10000 // t.total AS bigint) AS share_bp
+FROM c CROSS JOIN t ORDER BY c DESC, key ASC LIMIT 5
 """
 
 

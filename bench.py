@@ -222,6 +222,7 @@ def main() -> None:
         "expression_violations",
         "sequence_anomalies",
         "group_drift",
+        "hotkey_topk",
         "null_correlation",
         "mutual_information",
         "benford",

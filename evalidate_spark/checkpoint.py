@@ -51,6 +51,7 @@ VERDICTS_DIR = "verdicts"
 PROFILE_STATES_DIR = "profile_states"
 QUANTILE_STATES_DIR = "quantile_states"
 CHECK_STATES_DIR = "check_states"
+HOTKEY_STATES_DIR = "hotkey_states"
 
 
 def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]:
@@ -125,6 +126,10 @@ class CheckpointedRun:
     #: trivially mergeable and :meth:`check_results` folds them into
     #: run-level pass rates without rescanning any completed unit.
     checks: Optional[Dict[str, str]] = None
+    #: columns to sketch per unit with Count-Min + exact candidate lists
+    #: (``table_checks.hotkey_state``); :meth:`hot_keys` folds them into
+    #: run-level heavy hitters without rescanning completed units.
+    hotkey_columns: Sequence[str] = ()
 
     def _manifest_path(self) -> str:
         return os.path.join(self.out_dir, MANIFEST_DIR)
@@ -200,6 +205,15 @@ class CheckpointedRun:
                     "increment", F.lit(unit["unit_id"])
                 ).write.mode("overwrite").partitionBy("increment").parquet(
                     os.path.join(self.out_dir, CHECK_STATES_DIR)
+                )
+
+            if self.hotkey_columns:
+                from .operators.table_checks import hotkey_state
+
+                hotkey_state(
+                    df, list(self.hotkey_columns), unit["unit_id"]
+                ).write.mode("overwrite").partitionBy("increment").parquet(
+                    os.path.join(self.out_dir, HOTKEY_STATES_DIR)
                 )
 
             # stats from the verdicts JUST WRITTEN (a tiny parquet read of
@@ -331,6 +345,21 @@ class CheckpointedRun:
         )
         return folded.select(
             "check_id", "n_rows", "n_failed", *pass_rate_cols()
+        )
+
+    def hot_keys(self, top_k: int = 10) -> DataFrame:
+        """Run-level heavy hitters folded from the per-unit Count-Min
+        states — ``(column, key, est_count, n_values, share_bp)`` —
+        merged through Spark's own JVM sketch (bit-identical to a
+        whole-run sketch), no data rescan.  Same manifest cross-check as
+        :meth:`profile`."""
+        from .operators.table_checks import merge_hotkey_states
+
+        if not self.hotkey_columns:
+            raise ValueError("hotkey_columns was not set on this run")
+        states, done = self._checked_states(HOTKEY_STATES_DIR, "hotkey_columns")
+        return merge_hotkey_states(
+            self.spark, states.filter(F.col("increment").isin(done)), top_k
         )
 
     def lineage(self) -> List[Dict[str, Any]]:

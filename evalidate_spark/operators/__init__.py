@@ -36,6 +36,8 @@ from .table_checks import (
     mutual_information,
     benford,
     group_drift,
+    hotkey_state,
+    merge_hotkey_states,
     overlap_estimate,
     check_suite,
 )

@@ -1659,3 +1659,127 @@ def group_drift(
         )
         .withColumnRenamed("__g", group_col)
     )
+
+
+def hotkey_state(
+    df: DataFrame,
+    columns: Sequence[str],
+    increment: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    candidates: int = 16,
+) -> DataFrame:
+    """Mergeable heavy-hitter state per ingest increment — the
+    frequent-items member of the state family (profile→HLL,
+    quantiles→KLL, overlap→Theta, hot keys→Count-Min): per column, one
+    row ``(increment, column, n_values, sketch, candidates)`` where
+    ``sketch`` is Spark's Count-Min sketch binary (mergeable by
+    construction when (eps, confidence, seed) match — pinned here so
+    every increment's sketch is fold-compatible forever) and
+    ``candidates`` are the increment's EXACT top-``candidates`` keys
+    (TakeOrdered — the global heavy hitter must be a local heavy hitter
+    in at least one increment, so the union of per-increment candidate
+    lists always contains it).
+
+    Keys sketch as strings (cast) so any type folds uniformly; NULLs are
+    excluded (presence rules own them).  :func:`merge_hotkey_states`
+    folds any subset of increments into global top-k WITHOUT rescanning
+    data — the "did a hot key emerge across the last N ingests" question
+    at 10^12 rows for O(increments × columns) state rows."""
+    if not columns:
+        raise ValueError("hotkey_state needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    outs: List[DataFrame] = []
+    for col in columns:
+        if col not in names:
+            raise ValueError(f"hotkey_state: unknown column {col!r}")
+        k = F.col("`%s`" % col).cast("string")
+        vals = df.filter(k.isNotNull()).select(k.alias("__k"))
+        sk = vals.agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.count_min_sketch(
+                "__k", F.lit(float(eps)), F.lit(float(confidence)),
+                F.lit(int(seed)),
+            ).alias("sketch"),
+        )
+        cand = (
+            vals.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__k").asc())
+            .limit(int(candidates))
+            .agg(F.collect_list("__k").alias("candidates"))
+        )
+        outs.append(
+            sk.crossJoin(cand).select(
+                F.lit(increment).alias("increment"),
+                F.lit(col).alias("column"),
+                "n_values",
+                "sketch",
+                "candidates",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def merge_hotkey_states(
+    spark, states: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Global top-k hot keys folded from :func:`hotkey_state` rows —
+    ``(column, key, est_count, n_values, share_bp)`` — no data rescan.
+
+    The O(increments × columns) state rows are collected (bounded by
+    construction, like the KLL rank-probe envelope) and folded through
+    Spark's own JVM ``CountMinSketch.mergeInPlace`` — never a Python
+    re-implementation of the sketch's hashing, so estimates are
+    bit-identical to a single whole-data sketch.  Every increment's
+    candidate keys are point-queried against the merged sketch; the
+    winner set is deterministic (estimate-desc, key-asc).  Count-Min
+    never underestimates: ``est_count >= true count``, within
+    ``eps · total`` with the configured confidence."""
+    rows = states.collect()
+    if not rows:
+        raise ValueError("merge_hotkey_states: no state rows")
+    by_col: Dict[str, list] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], []).append(r)
+    jcms_cls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    out = []
+    for col in sorted(by_col):
+        merged = None
+        total = 0
+        cands: set = set()
+        for r in by_col[col]:
+            sk = jcms_cls.readFrom(bytes(r["sketch"]))
+            merged = sk if merged is None else merged.mergeInPlace(sk)
+            total += int(r["n_values"])
+            cands.update(r["candidates"] or [])
+        scored = sorted(
+            ((int(merged.estimateCount(c)), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[: int(top_k)]
+        for est, key in scored:
+            out.append(
+                (
+                    col,
+                    key,
+                    est,
+                    total,
+                    (est * 10000) // total if total > 0 else 0,
+                )
+            )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("share_bp", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

@@ -220,3 +220,25 @@ def test_check_results_raises_when_not_configured(spark, input_dir, tmp_path):
     # first two units completed without checks -> no state for them
     with pytest.raises(ValueError, match="no check state"):
         run.check_results()
+
+
+def test_hotkey_states_resume_and_fold(spark, input_dir, tmp_path):
+    """Count-Min hot-key states follow the idempotent per-unit contract;
+    the fold equals exact whole-input counts at this cardinality."""
+    import os
+
+    run = CheckpointedRun(
+        spark, input_dir, RULES, str(tmp_path / "h"),
+        files_per_unit=2, hotkey_columns=("lang",),
+    )
+    run.run(max_units=1)
+    mdir = str(tmp_path / "h" / "manifest")
+    os.remove(os.path.join(mdir, sorted(os.listdir(mdir))[0]))
+    run.run()
+
+    got = {r["key"]: r["est_count"] for r in run.hot_keys(top_k=2).collect()}
+    want = {
+        r["lang"]: r["count"]
+        for r in spark.read.parquet(input_dir).groupBy("lang").count().collect()
+    }
+    assert got == want  # exact at 2 distinct values, deterministic seed

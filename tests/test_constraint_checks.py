@@ -278,3 +278,47 @@ class TestSequenceAnomalies:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert plan.count("Window") == 1
+
+
+class TestHotkeyStates:
+    def test_merge_equals_whole_sketch_and_truth(self, spark):
+        from evalidate_spark.operators.table_checks import (
+            hotkey_state,
+            merge_hotkey_states,
+        )
+
+        vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5 + [None] * 3
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, k string"
+        )
+        whole = hotkey_state(df, ["k"], "all")
+        split = hotkey_state(df.filter("i % 2 = 0"), ["k"], "u0").unionByName(
+            hotkey_state(df.filter("i % 2 = 1"), ["k"], "u1")
+        )
+        got_whole = {
+            r["key"]: (r["est_count"], r["n_values"], r["share_bp"])
+            for r in merge_hotkey_states(spark, whole, top_k=4).collect()
+        }
+        got_split = {
+            r["key"]: (r["est_count"], r["n_values"], r["share_bp"])
+            for r in merge_hotkey_states(spark, split, top_k=4).collect()
+        }
+        # fold of increments ≡ whole-data sketch ≡ exact truth here
+        assert got_whole == got_split
+        assert got_whole["a"] == (50, 100, 5000)
+        assert got_whole["d"] == (5, 100, 500)
+        assert None not in got_whole and len(got_whole) == 4
+
+    def test_errors(self, spark):
+        from evalidate_spark.operators.table_checks import (
+            hotkey_state,
+            merge_hotkey_states,
+        )
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError):
+            hotkey_state(df, [], "u0")
+        with pytest.raises(ValueError):
+            hotkey_state(df, ["nope"], "u0")
+        with pytest.raises(ValueError):
+            merge_hotkey_states(spark, hotkey_state(df, ["k"], "u").limit(0))

@@ -122,6 +122,7 @@ QUERIES = [
     "expression_violations",
     "sequence_anomalies",
     "group_drift",
+    "hotkey_topk",
     "null_correlation",
     "mutual_information",
     "benford",
