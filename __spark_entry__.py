@@ -1509,6 +1509,21 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cardinality_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-cardinality audit supplier ← lineitem
+    (``cardinality_check``): childless suppliers, orphan line items,
+    fan-out min/max — counts meet at the key join, each table scanned
+    once."""
+    from evalidate_spark.operators.table_checks import cardinality_check
+
+    return cardinality_check(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        "l_suppkey",
+        "s_suppkey",
+    )
+
+
 def q_hotkey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable heavy-hitter states (``hotkey_state`` / Count-Min +
     exact per-increment candidates): events split into two increments by
@@ -1790,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_anomalies": q_sequence_anomalies,
         "group_drift": q_group_drift,
         "hotkey_topk": q_hotkey_topk,
+        "cardinality_suppliers": q_cardinality_suppliers,
         "null_correlation": q_null_correlation,
         "mutual_information": q_mutual_information,
         "benford": q_benford,
@@ -3746,6 +3762,29 @@ SELECT g AS source, cast(max(n) AS bigint) AS n,
                  * ln(greatest(pg,1e-6) / greatest(pc,1e-6))) * 10000) AS bigint) AS psi_bp,
   cast(floor(0.5 * sum(abs(pg - pc)) * 10000) AS bigint) AS tvd_bp
 FROM j GROUP BY g
+"""
+
+
+# cardinality oracle mirrors the operator's NULL contract explicitly:
+# NULL keys never equality-join, so NULL-key children are orphans and a
+# NULL parent key is childless — stated via the same full-outer shape.
+ORACLE["cardinality_suppliers"] = """
+WITH cg AS (SELECT l_suppkey AS k, count(*) AS cc FROM lineitem GROUP BY 1),
+pg AS (SELECT s_suppkey AS k, count(*) AS pc FROM supplier GROUP BY 1),
+j AS (
+  SELECT pg.pc IS NOT NULL AS is_p, cg.cc IS NOT NULL AS is_c,
+         coalesce(cg.cc, 0) AS cc
+  FROM pg FULL OUTER JOIN cg ON pg.k = cg.k
+)
+SELECT
+  cast(coalesce(sum(CASE WHEN is_p THEN 1 ELSE 0 END), 0) AS bigint) AS parents,
+  cast(coalesce(sum(cc), 0) AS bigint) AS children,
+  cast(coalesce(sum(CASE WHEN is_p AND is_c THEN 1 ELSE 0 END), 0) AS bigint) AS matched_parents,
+  cast(coalesce(sum(CASE WHEN is_p AND NOT is_c THEN 1 ELSE 0 END), 0) AS bigint) AS childless_parents,
+  cast(coalesce(sum(CASE WHEN NOT is_p THEN cc END), 0) AS bigint) AS orphan_children,
+  cast(coalesce(min(CASE WHEN is_p AND is_c THEN cc END), 0) AS bigint) AS min_children,
+  cast(coalesce(max(CASE WHEN is_p AND is_c THEN cc END), 0) AS bigint) AS max_children
+FROM j
 """
 
 

@@ -226,6 +226,7 @@ def main() -> None:
         "sequence_anomalies",
         "group_drift",
         "hotkey_topk",
+        "cardinality_suppliers",
         "null_correlation",
         "mutual_information",
         "benford",

@@ -38,6 +38,7 @@ from .table_checks import (
     group_drift,
     hotkey_state,
     merge_hotkey_states,
+    cardinality_check,
     overlap_estimate,
     check_suite,
 )

@@ -1783,3 +1783,70 @@ def merge_hotkey_states(
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+def cardinality_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Relationship-cardinality audit between a child (fact) and parent
+    (dimension) table — ONE summary row: ``(parents, children,
+    matched_parents, childless_parents, orphan_children, min_children,
+    max_children)``.
+
+    :func:`referential_violations` lists the dangling rows; this answers
+    the SHAPE questions a relationship rule needs: how many parents have
+    no children at all (dropped partition upstream?), how many child rows
+    point nowhere, and how skewed the fan-out is (``max_children``
+    exploding is the hot-key precursor the skew report then names).
+
+    Parent side is deduped by key (key multiplicity is
+    ``uniqueness_violations``' job); NULL keys never join in either
+    engine, so a NULL-key child group counts as orphans and a NULL parent
+    key as childless — the same contract SQL's own equality gives, made
+    explicit.  ``min_children``/``max_children`` are over matched parents
+    only (0 when none match).
+
+    Plan: one map-side-combined groupBy per side (counts, not rows, meet
+    at the join), a full-outer join of the two KEY tables (≤ distinct
+    keys each — AQE picks broadcast when one side is small), one 1-row
+    aggregate.  Child data and parent data are each scanned once."""
+    ck = F.col("`%s`" % child_key)
+    pk = F.col("`%s`" % parent_key)
+    cg = child.groupBy(ck.alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    pg = parent.groupBy(pk.alias("__k")).agg(F.count(F.lit(1)).alias("__pc"))
+    j = pg.join(cg, "__k", "full_outer").select(
+        F.col("__pc").isNotNull().alias("__is_p"),
+        F.col("__cc").isNotNull().alias("__is_c"),
+        F.coalesce("__cc", F.lit(0)).alias("__cc"),
+    )
+    matched = F.col("__is_p") & F.col("__is_c")
+    return j.agg(
+        F.coalesce(F.sum(F.col("__is_p").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("parents"),
+        F.coalesce(F.sum("__cc"), F.lit(0)).cast("long").alias("children"),
+        F.coalesce(F.sum(matched.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("matched_parents"),
+        F.coalesce(
+            F.sum((F.col("__is_p") & ~F.col("__is_c")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("childless_parents"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__is_p"), F.col("__cc"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("orphan_children"),
+        F.coalesce(F.min(F.when(matched, F.col("__cc"))), F.lit(0))
+        .cast("long")
+        .alias("min_children"),
+        F.coalesce(F.max(F.when(matched, F.col("__cc"))), F.lit(0))
+        .cast("long")
+        .alias("max_children"),
+    )

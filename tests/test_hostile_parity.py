@@ -123,6 +123,7 @@ QUERIES = [
     "sequence_anomalies",
     "group_drift",
     "hotkey_topk",
+    "cardinality_suppliers",
     "null_correlation",
     "mutual_information",
     "benford",

@@ -530,3 +530,33 @@ def test_group_drift_topk_rollup_and_errors(spark):
     assert {r["g"] for r in out} == {"a", "b"}
     with _pytest.raises(ValueError):
         group_drift(df, "g", "v", top_k=0)
+
+
+def test_cardinality_check_hand_built(spark):
+    from evalidate_spark.operators.table_checks import cardinality_check
+
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "pk long"
+    )
+    child = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,), (9,), (None,)], "fk long"
+    )
+    [r] = cardinality_check(child, parent, "fk", "pk").collect()
+    # parents: 4 key groups (incl. NULL); matched: 1 and 2
+    assert r["parents"] == 4 and r["children"] == 7
+    assert r["matched_parents"] == 2
+    # childless: 3 and the NULL parent key
+    assert r["childless_parents"] == 2
+    # orphans: two 9s + the NULL fk row
+    assert r["orphan_children"] == 3
+    assert (r["min_children"], r["max_children"]) == (1, 3)
+
+
+def test_cardinality_check_empty_sides(spark):
+    from evalidate_spark.operators.table_checks import cardinality_check
+
+    parent = spark.createDataFrame([(1,)], "pk long")
+    child = spark.createDataFrame([], "fk long")
+    [r] = cardinality_check(child, parent, "fk", "pk").collect()
+    assert (r["parents"], r["children"], r["childless_parents"]) == (1, 0, 1)
+    assert (r["min_children"], r["max_children"]) == (0, 0)
