@@ -1537,9 +1537,11 @@ def q_hotkey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
+    # != 0 (not = 1): Spark's % is negative for negative operands, so an
+    # "odd" test of = 1 would drop negative-user rows from BOTH halves
     s1 = hotkey_state(ev.filter("user_id % 2 = 0"), ["event_type"], "u0")
     s2 = hotkey_state(
-        ev.filter("user_id % 2 = 1 OR user_id IS NULL"), ["event_type"], "u1"
+        ev.filter("user_id % 2 != 0 OR user_id IS NULL"), ["event_type"], "u1"
     )
     return merge_hotkey_states(spark, s1.unionByName(s2), top_k=5)
 

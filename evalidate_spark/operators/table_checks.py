@@ -645,7 +645,6 @@ def drift_categorical(
     1-row final agg — no driver-side data, safe at any cardinality."""
     if not columns:
         raise ValueError("drift_categorical needs at least one column")
-    eps = 1e-6
     outs: List[DataFrame] = []
     for col in columns:
         c = F.col("`%s`" % col).cast("string")
@@ -658,14 +657,7 @@ def drift_categorical(
             )
 
         bf = freq(baseline)
-        # top-k via orderBy+limit → TakeOrdered (tree-reduced across
-        # partitions); an unpartitioned row_number window would funnel
-        # every distinct category through ONE task at high cardinality
-        top = (
-            bf.orderBy(F.col("__c").desc(), F.col("cat").asc())
-            .limit(top_k)
-            .select("cat", F.lit(True).alias("__keep"))
-        )
+        top = _top_categories(bf, "__c", top_k)
 
         def bucketed(fr0: DataFrame, name: str) -> DataFrame:
             fr = fr0.join(F.broadcast(top), "cat", "left")
@@ -694,23 +686,50 @@ def drift_categorical(
                 F.coalesce("pc", F.lit(0.0)).alias("pc"),
             )
         )
-        term = (
-            (F.greatest(F.col("pc"), F.lit(eps)) - F.greatest(F.col("pb"), F.lit(eps)))
-            * F.log(F.greatest(F.col("pc"), F.lit(eps)) / F.greatest(F.col("pb"), F.lit(eps)))
-        )
         outs.append(
             j.agg(
                 F.lit(col).alias("column"),
-                F.floor(F.sum(term) * 10_000).cast("long").alias("psi_bp"),
-                F.floor(
-                    0.5 * F.sum(F.abs(F.col("pb") - F.col("pc"))) * 10_000
-                ).cast("long").alias("tvd_bp"),
+                *_psi_tvd_bp(F.col("pc"), F.col("pb")),
             )
         )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+def _top_categories(freq: DataFrame, count_col: str, top_k: int) -> DataFrame:
+    """Deterministic top-k category list ``(cat, __keep)`` from a
+    ``(cat, <count_col>)`` frequency table — count-desc, cat-asc
+    tiebreak, via orderBy+limit → TakeOrdered (tree-reduced across
+    partitions); an unpartitioned row_number window would funnel every
+    distinct category through ONE task at high cardinality.  Shared by
+    :func:`drift_categorical` and :func:`group_drift` so their oracles
+    pin one definition."""
+    return (
+        freq.orderBy(F.col(count_col).desc(), F.col("cat").asc())
+        .limit(int(top_k))
+        .select("cat", F.lit(True).alias("__keep"))
+    )
+
+
+def _psi_tvd_bp(cur, base):
+    """The SINGLE definition of the categorical drift fold — PSI and
+    total-variation aggregate columns in integer basis points over two
+    share columns (``cur`` vs ``base``, both 9-dp rounded upstream):
+    1e-6 eps clamp inside the PSI log term, floor(·×10000).  Shared by
+    :func:`drift_categorical` (pc vs pb) and :func:`group_drift`
+    (group vs corpus) and mirrored by both oracles."""
+    eps = F.lit(1e-6)
+    a, b = F.greatest(cur, eps), F.greatest(base, eps)
+    return (
+        F.floor(F.sum((a - b) * F.log(a / b)) * 10_000)
+        .cast("long")
+        .alias("psi_bp"),
+        F.floor(0.5 * F.sum(F.abs(cur - base)) * 10_000)
+        .cast("long")
+        .alias("tvd_bp"),
+    )
 
 
 def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[float]:
@@ -1599,12 +1618,8 @@ def group_drift(
         # across the branch shapes here (measured ~2× scan without it)
         .localCheckpoint(eager=False)
     )
-    top = (
-        gc.groupBy("cat")
-        .agg(F.sum("__c").alias("__tc"))
-        .orderBy(F.col("__tc").desc(), F.col("cat").asc())
-        .limit(top_k)
-        .select("cat", F.lit(True).alias("__keep"))
+    top = _top_categories(
+        gc.groupBy("cat").agg(F.sum("__c").alias("__tc")), "__tc", top_k
     )
     rolled = (
         gc.join(F.broadcast(top), "cat", "left")
@@ -1643,19 +1658,11 @@ def group_drift(
         F.coalesce("__pg", F.lit(0.0)).alias("__pg"),
         "__pc",
     )
-    eps = F.lit(1e-6)
-    gg = F.greatest(F.col("__pg"), eps)
-    cc = F.greatest(F.col("__pc"), eps)
     return (
         j.groupBy("__g")
         .agg(
             F.max("__n").cast("long").alias("n"),
-            F.floor(F.sum((gg - cc) * F.log(gg / cc)) * 10_000)
-            .cast("long")
-            .alias("psi_bp"),
-            F.floor(0.5 * F.sum(F.abs(F.col("__pg") - F.col("__pc"))) * 10_000)
-            .cast("long")
-            .alias("tvd_bp"),
+            *_psi_tvd_bp(F.col("__pg"), F.col("__pc")),
         )
         .withColumnRenamed("__g", group_col)
     )
@@ -1677,52 +1684,94 @@ def hotkey_state(
     ``sketch`` is Spark's Count-Min sketch binary (mergeable by
     construction when (eps, confidence, seed) match — pinned here so
     every increment's sketch is fold-compatible forever) and
-    ``candidates`` are the increment's EXACT top-``candidates`` keys
-    (TakeOrdered — the global heavy hitter must be a local heavy hitter
-    in at least one increment, so the union of per-increment candidate
-    lists always contains it).
+    ``candidates`` are the increment's EXACT top-``candidates`` keys.
+
+    Candidate guarantee (pigeonhole, be honest about its edge): a key
+    with global share ``s`` has share ≥ s in at least one increment, so
+    it reaches that increment's candidate list whenever its local rank
+    there is ≤ *candidates* — guaranteed for ``s > 1/(candidates+1)``,
+    heuristic below that.  Size *candidates* ≥ the deepest global rank
+    you intend to trust from :func:`merge_hotkey_states`.
 
     Keys sketch as strings (cast) so any type folds uniformly; NULLs are
     excluded (presence rules own them).  :func:`merge_hotkey_states`
     folds any subset of increments into global top-k WITHOUT rescanning
     data — the "did a hot key emerge across the last N ingests" question
-    at 10^12 rows for O(increments × columns) state rows."""
-    if not columns:
+    at 10^12 rows for O(increments × columns) state rows.
+
+    Plan: TWO data scans total regardless of column count — one global
+    aggregate computes every column's sketch + count, and one
+    posexplode projection feeds all columns' exact key counts
+    (map-side-combined) with a per-column window top-k (parallelism =
+    #columns on the tiny distinct-key table)."""
+    cols = list(columns)
+    if not cols:
         raise ValueError("hotkey_state needs at least one column")
     names = {f.name for f in df.schema.fields}
-    outs: List[DataFrame] = []
-    for col in columns:
+    for col in cols:
         if col not in names:
             raise ValueError(f"hotkey_state: unknown column {col!r}")
-        k = F.col("`%s`" % col).cast("string")
-        vals = df.filter(k.isNotNull()).select(k.alias("__k"))
-        sk = vals.agg(
-            F.count(F.lit(1)).cast("long").alias("n_values"),
+    keyed = [F.col("`%s`" % c).cast("string").alias("__k%d" % i)
+             for i, c in enumerate(cols)]
+    base = df.select(*keyed)
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.count("__k%d" % i).cast("long").alias("__n%d" % i))
+        aggs.append(
             F.count_min_sketch(
-                "__k", F.lit(float(eps)), F.lit(float(confidence)),
+                "__k%d" % i, F.lit(float(eps)), F.lit(float(confidence)),
                 F.lit(int(seed)),
-            ).alias("sketch"),
+            ).alias("__s%d" % i)
         )
-        cand = (
-            vals.groupBy("__k")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .orderBy(F.col("__c").desc(), F.col("__k").asc())
-            .limit(int(candidates))
-            .agg(F.collect_list("__k").alias("candidates"))
-        )
-        outs.append(
-            sk.crossJoin(cand).select(
-                F.lit(increment).alias("increment"),
-                F.lit(col).alias("column"),
-                "n_values",
-                "sketch",
-                "candidates",
+    sk = base.agg(*aggs).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n%d" % i).alias("n_values"),
+                        F.col("__s%d" % i).alias("sketch"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
             )
+        ).alias("r")
+    ).select("r.*")
+    long = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"),
+                             F.col("__k%d" % i).alias("__k"))
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*").filter(F.col("__k").isNotNull())
+    wc = Window.partitionBy("column").orderBy(
+        F.col("__c").desc(), F.col("__k").asc()
+    )
+    cand = (
+        long.groupBy("column", "__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("column", "__k", F.row_number().over(wc).alias("__r"))
+        .filter(F.col("__r") <= int(candidates))
+        .groupBy("column")
+        .agg(F.sort_array(F.collect_list(F.struct("__r", "__k"))).alias("__cs"))
+        .select(
+            "column",
+            F.transform("__cs", lambda s: s["__k"]).alias("candidates"),
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+    )
+    return sk.join(cand, "column", "left").select(
+        F.lit(increment).alias("increment"),
+        "column",
+        "n_values",
+        "sketch",
+        F.coalesce("candidates", F.array().cast("array<string>")).alias(
+            "candidates"
+        ),
+    )
 
 
 def merge_hotkey_states(

@@ -651,8 +651,8 @@ def schema_drift(
     from pyspark.sql import types as T
 
     a = {f.name: f.dataType.simpleString() for f in log.schema(spark, from_snapshot)}
-    to_id = to_snapshot if to_snapshot is not None else log.latest_id()
-    b = {f.name: f.dataType.simpleString() for f in log.schema(spark, to_id)}
+    # None passes through: read()'s own default already resolves latest
+    b = {f.name: f.dataType.simpleString() for f in log.schema(spark, to_snapshot)}
     rows = []
     for name in sorted(set(a) | set(b)):
         if name not in b:

@@ -506,13 +506,26 @@ def sequence_anomalies_stream(
     ts_regression > gap).  Streaming ≡ batch holds when each entity's
     events arrive seq-ordered ACROSS batches (the snapshot-commit ingest
     shape); within a batch any order is fine.  Arrow-batched pandas,
-    never row-at-a-time."""
+    never row-at-a-time.
+
+    Unlike the batch operator (which orders by any comparable seq type),
+    the streaming twin requires an INTEGRAL *seq_col*: the carried state
+    is a fixed ``(last_seq bigint, last_t bigint)`` pair."""
     import pandas as pd
 
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .operators.sessions import _micros
 
+    seq_dt = stream_df.schema[seq_col].dataType
+    if not isinstance(
+        seq_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            "sequence_anomalies_stream needs an integral seq column "
+            "(state carries it as bigint); got %s" % seq_dt.simpleString()
+        )
     ent = F.col("`%s`" % entity_col)
     seq = F.col("`%s`" % seq_col)
     tus = _micros(stream_df, ts_col)
@@ -535,7 +548,11 @@ def sequence_anomalies_stream(
             if have:
                 kind = None
                 if s == ls:
-                    kind, meas = "duplicate_seq", t - lt
+                    # abs: the batch operator orders the clashing pair by
+                    # ts so its gap is non-negative; a duplicate arriving
+                    # in a LATER batch with an earlier ts must report the
+                    # same magnitude, not a negative carry-over
+                    kind, meas = "duplicate_seq", abs(t - lt)
                 elif lt > t:
                     kind, meas = "ts_regression", lt - t
                 elif gap is not None and t - lt > gap:
@@ -544,7 +561,15 @@ def sequence_anomalies_stream(
                     out_seq.append(s)
                     out_kind.append(kind)
                     out_meas.append(meas)
-            ls, lt, have = s, t, True
+            if have and s == ls:
+                # within a duplicate-seq group the batch operator's
+                # (seq, ts) order makes the group's MAX ts the
+                # predecessor of the next seq — keep that invariant when
+                # the duplicate arrives later with an earlier ts
+                lt = max(lt, t)
+            else:
+                ls, lt = s, t
+            have = True
         state.update((ls, lt))
         yield pd.DataFrame(
             {

@@ -473,6 +473,10 @@ def test_sequence_anomalies_stream_matches_batch(spark, tmp_path):
     second = [
         (1, 2, "2026-01-01 10:01:00"),   # duplicate_seq ACROSS the boundary
         (1, 3, "2026-01-01 09:59:00"),   # ts_regression within batch 2
+        # duplicate arriving LATER with an EARLIER ts: measure must be the
+        # positive magnitude, and the carried last_t must stay the dup
+        # group's MAX ts so the following gap measures like the batch op
+        (2, 2, "2026-01-01 09:00:00"),
         (2, 3, "2026-01-01 13:00:10"),   # gap ACROSS the boundary (4 h)
         (3, 7, "2026-01-01 08:00:00"),   # new entity mid-stream: no anomaly
     ]
@@ -511,4 +515,16 @@ def test_sequence_anomalies_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
-    assert len(got) == 3
+    assert len(got) == 4
+
+
+def test_sequence_anomalies_stream_rejects_non_integral_seq(spark, tmp_path):
+    src = tmp_path / "sa_str"
+    spark.createDataFrame(
+        [(1, "a", "2026-01-01 10:00:00")], "user_id long, tok string, ts_s string"
+    ).selectExpr("user_id", "tok", "cast(ts_s as timestamp) ts").write.parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    with pytest.raises(ValueError, match="integral seq"):
+        streaming.sequence_anomalies_stream(stream, seq_col="tok")
