@@ -1509,6 +1509,28 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uniqueness_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment key uniqueness from mergeable Theta states
+    (``uniqueness_state`` / ``merge_uniqueness_states``): events split
+    into two increments by event_id parity — user_id keys recur across
+    both halves (cross_unit_keys > 0) while event_id keys don't.
+    lg_k=15 keeps the sketches in exact mode at gate scale, so the
+    DuckDB oracle is plain COUNT(DISTINCT) arithmetic."""
+    from evalidate_spark.operators.table_checks import (
+        merge_uniqueness_states,
+        uniqueness_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_id"]
+    # != 0 + IS NULL: sign-safe parity split that loses no rows
+    s0 = uniqueness_state(ev.filter("event_id % 2 = 0"), cols, "u0", lg_k=15)
+    s1 = uniqueness_state(
+        ev.filter("event_id % 2 != 0 OR event_id IS NULL"), cols, "u1", lg_k=15
+    )
+    return merge_uniqueness_states(s0.unionByName(s1), lg_k=15)
+
+
 def q_cardinality_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-cardinality audit supplier ← lineitem
     (``cardinality_check``): childless suppliers, orphan line items,
@@ -1808,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_drift": q_group_drift,
         "hotkey_topk": q_hotkey_topk,
         "cardinality_suppliers": q_cardinality_suppliers,
+        "uniqueness_incremental": q_uniqueness_incremental,
         "null_correlation": q_null_correlation,
         "mutual_information": q_mutual_information,
         "benford": q_benford,
@@ -3765,6 +3788,29 @@ SELECT g AS source, cast(max(n) AS bigint) AS n,
   cast(floor(0.5 * sum(abs(pg - pc)) * 10000) AS bigint) AS tvd_bp
 FROM j GROUP BY g
 """
+
+
+# uniqueness_incremental oracle: plain COUNT(DISTINCT) arithmetic — the
+# Theta sketches stay in exact mode at this cardinality (lg_k=15 ≫
+# distinct keys), deterministically, so estimate ≡ truth at the gate.
+def _uniq_inc_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column",
+  cast(count({col}) AS bigint) AS n_values,
+  cast((SELECT count(DISTINCT {col}) FROM events WHERE event_id % 2 = 0)
+     + (SELECT count(DISTINCT {col}) FROM events
+        WHERE event_id % 2 != 0 OR event_id IS NULL) AS bigint) AS sum_unit_distinct,
+  cast(count(DISTINCT {col}) AS bigint) AS union_distinct,
+  cast((SELECT count(DISTINCT {col}) FROM events WHERE event_id % 2 = 0)
+     + (SELECT count(DISTINCT {col}) FROM events
+        WHERE event_id % 2 != 0 OR event_id IS NULL)
+     - count(DISTINCT {col}) AS bigint) AS cross_unit_keys
+FROM events"""
+
+
+ORACLE["uniqueness_incremental"] = "\nUNION ALL\n".join(
+    _uniq_inc_sql(c) for c in ("user_id", "event_id")
+)
 
 
 # cardinality oracle mirrors the operator's NULL contract explicitly:

@@ -227,6 +227,7 @@ def main() -> None:
         "group_drift",
         "hotkey_topk",
         "cardinality_suppliers",
+        "uniqueness_incremental",
         "null_correlation",
         "mutual_information",
         "benford",

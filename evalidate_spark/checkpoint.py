@@ -52,6 +52,7 @@ PROFILE_STATES_DIR = "profile_states"
 QUANTILE_STATES_DIR = "quantile_states"
 CHECK_STATES_DIR = "check_states"
 HOTKEY_STATES_DIR = "hotkey_states"
+UNIQUENESS_STATES_DIR = "uniqueness_states"
 
 
 def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]:
@@ -130,6 +131,11 @@ class CheckpointedRun:
     #: (``table_checks.hotkey_state``); :meth:`hot_keys` folds them into
     #: run-level heavy hitters without rescanning completed units.
     hotkey_columns: Sequence[str] = ()
+    #: key columns to Theta-sketch per unit
+    #: (``table_checks.uniqueness_state``); :meth:`uniqueness_summary`
+    #: answers "did later units reintroduce earlier units' keys" from
+    #: states alone.
+    uniqueness_columns: Sequence[str] = ()
 
     def _manifest_path(self) -> str:
         return os.path.join(self.out_dir, MANIFEST_DIR)
@@ -214,6 +220,15 @@ class CheckpointedRun:
                     df, list(self.hotkey_columns), unit["unit_id"]
                 ).write.mode("overwrite").partitionBy("increment").parquet(
                     os.path.join(self.out_dir, HOTKEY_STATES_DIR)
+                )
+
+            if self.uniqueness_columns:
+                from .operators.table_checks import uniqueness_state
+
+                uniqueness_state(
+                    df, list(self.uniqueness_columns), unit["unit_id"]
+                ).write.mode("overwrite").partitionBy("increment").parquet(
+                    os.path.join(self.out_dir, UNIQUENESS_STATES_DIR)
                 )
 
             # stats from the verdicts JUST WRITTEN (a tiny parquet read of
@@ -360,6 +375,24 @@ class CheckpointedRun:
         states, done = self._checked_states(HOTKEY_STATES_DIR, "hotkey_columns")
         return merge_hotkey_states(
             self.spark, states.filter(F.col("increment").isin(done)), top_k
+        )
+
+    def uniqueness_summary(self) -> DataFrame:
+        """Cross-unit key uniqueness folded from the per-unit Theta
+        states — ``(column, n_values, sum_unit_distinct, union_distinct,
+        cross_unit_keys)``; ``cross_unit_keys`` counts keys later units
+        reintroduced.  Exact while each column stays under the sketch
+        retention; no data rescan; same manifest cross-check as
+        :meth:`profile`."""
+        from .operators.table_checks import merge_uniqueness_states
+
+        if not self.uniqueness_columns:
+            raise ValueError("uniqueness_columns was not set on this run")
+        states, done = self._checked_states(
+            UNIQUENESS_STATES_DIR, "uniqueness_columns"
+        )
+        return merge_uniqueness_states(
+            states.filter(F.col("increment").isin(done))
         )
 
     def lineage(self) -> List[Dict[str, Any]]:

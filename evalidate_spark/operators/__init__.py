@@ -39,6 +39,8 @@ from .table_checks import (
     hotkey_state,
     merge_hotkey_states,
     cardinality_check,
+    uniqueness_state,
+    merge_uniqueness_states,
     overlap_estimate,
     check_suite,
 )

@@ -1099,17 +1099,10 @@ def overlap_estimate(
     scale path, same split as HLL vs ``countDistinct`` in
     :func:`profile`."""
     def sk(df: DataFrame) -> DataFrame:
-        qc = F.col("`%s`" % key_col)
-        t = dict((f.name, f.dataType.typeName()) for f in df.schema.fields).get(
-            key_col
+        # key typing shared with uniqueness_state via _theta_key
+        return df.agg(
+            F.theta_sketch_agg(_theta_key(df, key_col), F.lit(int(lg_k))).alias("sk")
         )
-        if t in ("integer", "long", "string", "binary"):
-            key = qc
-        elif t in ("byte", "short"):
-            key = qc.cast("int")
-        else:
-            key = qc.cast("string")
-        return df.agg(F.theta_sketch_agg(key, F.lit(int(lg_k))).alias("sk"))
 
     both = sk(a).select(F.col("sk").alias("ska")).crossJoin(
         F.broadcast(sk(b).select(F.col("sk").alias("skb")))
@@ -1898,4 +1891,103 @@ def cardinality_check(
         F.coalesce(F.max(F.when(matched, F.col("__cc"))), F.lit(0))
         .cast("long")
         .alias("max_children"),
+    )
+
+
+def _theta_key(df: DataFrame, key_col: str):
+    """Column expression theta_sketch_agg accepts for *key_col* —
+    int/long/string/binary pass through, small ints widen, everything
+    else folds as its string form (same contract as overlap_estimate)."""
+    qc = F.col("`%s`" % key_col)
+    t = dict((f.name, f.dataType.typeName()) for f in df.schema.fields).get(
+        key_col
+    )
+    if t in ("integer", "long", "string", "binary"):
+        return qc
+    if t in ("byte", "short"):
+        return qc.cast("int")
+    return qc.cast("string")
+
+
+def uniqueness_state(
+    df: DataFrame, columns: Sequence[str], increment: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable cross-increment uniqueness state — per column, one row
+    ``(increment, column, n_values, sketch)`` where ``sketch`` is a
+    DataSketches Theta sketch of the column's non-NULL key set.
+
+    :func:`merge_uniqueness_states` answers "did this ingest
+    reintroduce keys earlier increments already had?" WITHOUT rescanning
+    or joining any completed increment: ``Σ per-unit distinct − |union|``
+    counts every key's extra unit appearances.  Theta estimates are
+    EXACT below the sketch's retention (2^lg_k keys) and within ~1.6%
+    RSE beyond — the same exact-at-gate-scale / estimate-at-10^12 split
+    as :func:`overlap_estimate`.  One single-pass aggregate per call
+    computes every column's sketch (one data scan total)."""
+    cols = list(columns)
+    if not cols:
+        raise ValueError("uniqueness_state needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    aggs = []
+    for i, c in enumerate(cols):
+        if c not in names:
+            raise ValueError(f"uniqueness_state: unknown column {c!r}")
+        k = _theta_key(df, c)
+        aggs.append(F.count(k).cast("long").alias("__n%d" % i))
+        aggs.append(
+            F.theta_sketch_agg(k, F.lit(int(lg_k))).alias("__s%d" % i)
+        )
+    return (
+        df.agg(*aggs)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col("__n%d" % i).alias("n_values"),
+                            F.col("__s%d" % i).alias("sketch"),
+                        )
+                        for i, c in enumerate(cols)
+                    ]
+                )
+            ).alias("r")
+        )
+        .select(F.lit(increment).alias("increment"), "r.*")
+    )
+
+
+def merge_uniqueness_states(states: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Cross-increment uniqueness summary folded from
+    :func:`uniqueness_state` rows — per column: ``(column, n_values,
+    sum_unit_distinct, union_distinct, cross_unit_keys)`` where
+    ``cross_unit_keys = Σ per-unit distinct − |union of all units|`` —
+    0 means every increment brought only unseen keys; each repeat
+    appearance of a key in a further unit adds 1.
+
+    Pure DataFrame fold: one ``theta_union_agg`` + sums over the
+    O(increments × columns) state table — no driver-side sketch
+    handling, no data rescan."""
+    return (
+        states.groupBy("column")
+        .agg(
+            F.sum("n_values").cast("long").alias("n_values"),
+            F.sum(F.theta_sketch_estimate(F.col("sketch")))
+            .cast("long")
+            .alias("sum_unit_distinct"),
+            F.theta_sketch_estimate(
+                F.theta_union_agg(F.col("sketch"), F.lit(int(lg_k)))
+            )
+            .cast("long")
+            .alias("union_distinct"),
+        )
+        .select(
+            "column",
+            "n_values",
+            "sum_unit_distinct",
+            "union_distinct",
+            (F.col("sum_unit_distinct") - F.col("union_distinct"))
+            .cast("long")
+            .alias("cross_unit_keys"),
+        )
     )

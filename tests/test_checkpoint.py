@@ -242,3 +242,27 @@ def test_hotkey_states_resume_and_fold(spark, input_dir, tmp_path):
         for r in spark.read.parquet(input_dir).groupBy("lang").count().collect()
     }
     assert got == want  # exact at 2 distinct values, deterministic seed
+
+
+def test_uniqueness_states_cross_unit_keys(spark, input_dir, tmp_path):
+    """Theta uniqueness states: lang keys recur in every unit, doc_id
+    keys never do; crash/resume keeps counts idempotent."""
+    import os
+
+    run = CheckpointedRun(
+        spark, input_dir, RULES, str(tmp_path / "u"),
+        files_per_unit=2, uniqueness_columns=("doc_id", "lang"),
+    )
+    run.run(max_units=1)
+    mdir = str(tmp_path / "u" / "manifest")
+    os.remove(os.path.join(mdir, sorted(os.listdir(mdir))[0]))
+    run.run()
+
+    got = {r["column"]: r for r in run.uniqueness_summary().collect()}
+    assert got["doc_id"]["union_distinct"] == 200
+    assert got["doc_id"]["cross_unit_keys"] == 0  # doc ids never recur
+    # both langs appear in all 4 units: sum = 4*2, union = 2 -> 6 repeats
+    assert got["lang"]["union_distinct"] == 2
+    assert got["lang"]["sum_unit_distinct"] == 8
+    assert got["lang"]["cross_unit_keys"] == 6
+    assert got["lang"]["n_values"] == 200

@@ -322,3 +322,33 @@ class TestHotkeyStates:
             hotkey_state(df, ["nope"], "u0")
         with pytest.raises(ValueError):
             merge_hotkey_states(spark, hotkey_state(df, ["k"], "u").limit(0))
+
+
+class TestUniquenessStates:
+    def test_exact_below_retention_and_errors(self, spark):
+        from evalidate_spark.operators.table_checks import (
+            merge_uniqueness_states,
+            uniqueness_state,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y"), (None, "z")], "k long, s string"
+        )
+        b = spark.createDataFrame(
+            [(3, "x"), (4, None), (5, "y")], "k long, s string"
+        )
+        states = uniqueness_state(a, ["k", "s"], "u0").unionByName(
+            uniqueness_state(b, ["k", "s"], "u1")
+        )
+        got = {r["column"]: r for r in merge_uniqueness_states(states).collect()}
+        # k: unit distinct 3 + 3, union {1..5} = 5 -> 1 repeat (key 3);
+        # NULLs don't count
+        assert (got["k"]["sum_unit_distinct"], got["k"]["union_distinct"]) == (6, 5)
+        assert got["k"]["cross_unit_keys"] == 1
+        assert got["k"]["n_values"] == 6
+        # s: {x,y,z} + {x,y} union {x,y,z} -> 2 repeats
+        assert got["s"]["cross_unit_keys"] == 2
+        with pytest.raises(ValueError):
+            uniqueness_state(a, [], "u0")
+        with pytest.raises(ValueError):
+            uniqueness_state(a, ["nope"], "u0")

@@ -124,6 +124,7 @@ QUERIES = [
     "group_drift",
     "hotkey_topk",
     "cardinality_suppliers",
+    "uniqueness_incremental",
     "null_correlation",
     "mutual_information",
     "benford",
