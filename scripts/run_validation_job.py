@@ -46,6 +46,18 @@ def main(argv=None) -> int:
         "summary",
     )
     ap.add_argument(
+        "--hotkey-columns",
+        default="",
+        help="comma-separated columns to Count-Min-sketch per unit; the "
+        "merged run-level top hot keys print in the summary",
+    )
+    ap.add_argument(
+        "--uniqueness-columns",
+        default="",
+        help="comma-separated key columns to Theta-sketch per unit; the "
+        "merged cross-unit uniqueness summary prints in the summary",
+    )
+    ap.add_argument(
         "--checks",
         default="",
         help="JSON file of row-level SQL constraints (check_id -> boolean "
@@ -70,6 +82,8 @@ def main(argv=None) -> int:
 
     profile_cols = [c.strip() for c in args.profile_columns.split(",") if c.strip()]
     quantile_cols = [c.strip() for c in args.quantile_columns.split(",") if c.strip()]
+    hotkey_cols = [c.strip() for c in args.hotkey_columns.split(",") if c.strip()]
+    uniq_cols = [c.strip() for c in args.uniqueness_columns.split(",") if c.strip()]
     checks = None
     if args.checks:
         with open(args.checks) as fh:
@@ -91,6 +105,8 @@ def main(argv=None) -> int:
         files_per_unit=args.files_per_unit,
         profile_columns=tuple(profile_cols),
         quantile_columns=tuple(quantile_cols),
+        hotkey_columns=tuple(hotkey_cols),
+        uniqueness_columns=tuple(uniq_cols),
         checks=checks,
     )
     summary = run.run(max_units=args.max_units)
@@ -100,6 +116,12 @@ def main(argv=None) -> int:
         summary["quantiles"] = [r.asDict() for r in run.quantiles().collect()]
     if checks and not run.pending_units():
         summary["checks"] = [r.asDict() for r in run.check_results().collect()]
+    if hotkey_cols and not run.pending_units():
+        summary["hot_keys"] = [r.asDict() for r in run.hot_keys().collect()]
+    if uniq_cols and not run.pending_units():
+        summary["uniqueness"] = [
+            r.asDict() for r in run.uniqueness_summary().collect()
+        ]
     print(json.dumps(summary))
     return 0
 

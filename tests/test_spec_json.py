@@ -102,7 +102,8 @@ class TestSubmitJob:
         checks_file = tmp_path / "checks.json"
         checks_file.write_text(json.dumps({"n_nonneg": "n >= 0", "n_small": "n < 90"}))
         common = ["--profile-columns", "doc_id,text", "--quantile-columns", "n",
-                  "--checks", str(checks_file)]
+                  "--checks", str(checks_file),
+                  "--hotkey-columns", "text", "--uniqueness-columns", "doc_id"]
         first = run(["--max-units", "1", *common])
         assert len(first["processed_now"]) == 1
         assert "profile" not in first  # incomplete run: no run-level stats
@@ -116,6 +117,11 @@ class TestSubmitJob:
         chk = {c["check_id"]: c for c in second["checks"]}
         assert chk["n_nonneg"]["n_failed"] == 0 and chk["n_nonneg"]["status"] == "pass"
         assert chk["n_small"]["n_failed"] == 10 and chk["n_small"]["pass_bp"] == 9000
+        hk = {h["key"]: h["est_count"] for h in second["hot_keys"]}
+        assert hk["valid text"] > hk.get("no", 0)
+        [u] = second["uniqueness"]
+        assert u["column"] == "doc_id" and u["cross_unit_keys"] == 0
+        assert u["union_distinct"] == 100
         prof = {p["column"]: p for p in second["profile"]}
         assert prof["doc_id"]["n_rows"] == 100 and prof["doc_id"]["n_nulls"] == 0
         assert prof["text"]["min_repr"] == "no"
