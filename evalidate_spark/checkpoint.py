@@ -235,9 +235,13 @@ class CheckpointedRun:
             # one row per input partition) — not by re-running the whole
             # validation as a second action, which would double per-unit
             # cost and could diverge from the written data if inputs change
-            # between the two actions
+            # between the two actions.  Schema passed EXPLICITLY: an
+            # empty unit (a zero-row input file is legal parquet) writes
+            # no footer, and a schema-less read of a footer-less dir
+            # fails with UNABLE_TO_INFER_SCHEMA instead of counting 0
             stats = (
-                self.spark.read.parquet(os.path.join(self.out_dir, VERDICTS_DIR))
+                self.spark.read.schema(verd.schema)
+                .parquet(os.path.join(self.out_dir, VERDICTS_DIR))
                 .filter(F.col("unit_id") == unit["unit_id"])
                 .agg(
                     F.sum("rows").alias("rows"),
@@ -393,6 +397,64 @@ class CheckpointedRun:
         )
         return merge_uniqueness_states(
             states.filter(F.col("increment").isin(done))
+        )
+
+    def rule_trends(self, spike_bp: int = 5000) -> DataFrame:
+        """Per-unit, per-rule violation counts with a spike flag —
+        ``(unit_id, rule_id, n_violations, ratio_bp, spike)`` where
+        ``ratio_bp`` compares the unit's count to the MEAN of all other
+        units' counts for the same rule (integer basis points, 10000 =
+        exactly the others' mean) and ``spike`` fires above
+        ``10000 + spike_bp``.
+
+        "Rule X suddenly fires 3× more in this ingest" is the
+        per-increment alert the run-level totals hide.  Reads ONLY the
+        violations output already written per unit (partitioned by
+        unit_id) — never the input data; cost is O(written violations)
+        once, then integer math on O(units × rules) rows.  Single-unit
+        runs report ratio_bp NULL (no baseline, never a spike) — same
+        contract as ``profile_anomalies``.  A fully-clean run (no
+        violations written anywhere → footer-less output dir) returns an
+        empty frame rather than failing."""
+        from pyspark.sql import types as T
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            viol = self.violations()
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("unit_id", T.StringType()),
+                        T.StructField("rule_id", T.StringType()),
+                        T.StructField("n_violations", T.LongType()),
+                        T.StructField("ratio_bp", T.LongType()),
+                        T.StructField("spike", T.BooleanType()),
+                    ]
+                ),
+            )
+        v = viol.groupBy("unit_id", "rule_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        )
+        tot = v.groupBy("rule_id").agg(
+            F.sum("n_violations").alias("__tn"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        j = v.join(F.broadcast(tot), "rule_id")
+        ratio = F.expr(
+            "CASE WHEN __k > 1 THEN"
+            " n_violations * (__k - 1) * 10000L div greatest(__tn - n_violations, 1L)"
+            " END"
+        )
+        return j.select(
+            "unit_id",
+            "rule_id",
+            "n_violations",
+            ratio.cast("long").alias("ratio_bp"),
+            F.coalesce(  # single-unit run: NULL ratio, never a spike
+                ratio > F.lit(10000 + int(spike_bp)), F.lit(False)
+            ).alias("spike"),
         )
 
     def lineage(self) -> List[Dict[str, Any]]:

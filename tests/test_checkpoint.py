@@ -266,3 +266,62 @@ def test_uniqueness_states_cross_unit_keys(spark, input_dir, tmp_path):
     assert got["lang"]["sum_unit_distinct"] == 8
     assert got["lang"]["cross_unit_keys"] == 6
     assert got["lang"]["n_values"] == 200
+
+
+def test_rule_trends_flags_the_spiking_unit(spark, tmp_path):
+    """One unit with 3x the text-size violations of the others must flag;
+    balanced rules must not; single-rule-single-unit gives NULL ratio."""
+    src = str(tmp_path / "tr_in")
+    # four separate single-file ingests: 5/5/5/35 text violations,
+    # lang violations even (10 each) — unit naming order is irrelevant,
+    # only the spike pattern is asserted
+    for i, bad in enumerate([5, 5, 5, 35]):
+        (
+            spark.range(50)
+            .selectExpr(
+                f"concat('u{i}d', id) doc_id",
+                f"case when id < {bad} then 'x' else 'valid text here' end text",
+                "case when id % 5 = 0 then 'zz' else 'en' end lang",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    run = CheckpointedRun(
+        spark, src, RULES, str(tmp_path / "tr"), files_per_unit=1
+    )
+    run.run()
+    rows = run.rule_trends().collect()
+    text_rows = [r for r in rows if r["rule_id"] == "rule:text"]
+    assert len(text_rows) == 4
+    spikes = [r for r in text_rows if r["spike"]]
+    assert len(spikes) == 1 and spikes[0]["n_violations"] == 35
+    # 35 vs others' mean 5 -> 70000 bp
+    assert spikes[0]["ratio_bp"] == 70000
+    # the allowed-lang rule fires evenly -> ratio 10000, no spikes
+    lang_rows = [r for r in rows if r["rule_id"] == "rule:lang"]
+    assert len(lang_rows) == 4
+    assert all(r["ratio_bp"] == 10000 and not r["spike"] for r in lang_rows)
+    assert all(r["ratio_bp"] is not None for r in rows)
+
+
+def test_empty_unit_and_clean_run_contracts(spark, tmp_path):
+    """A ZERO-ROW input file is legal parquet and must not wedge the run
+    (regression: schema-less read of a footer-less verdicts dir); a fully
+    clean run returns an empty rule_trends frame."""
+    src = str(tmp_path / "e_in")
+    spark.range(0).selectExpr(
+        "cast(null as string) doc_id", "cast(null as string) text",
+        "cast(null as string) lang",
+    ).coalesce(1).write.parquet(src)
+    spark.range(20).selectExpr(
+        "concat('d', id) doc_id", "'valid text here' text", "'en' lang",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run = CheckpointedRun(
+        spark, src, RULES, str(tmp_path / "e"), files_per_unit=1
+    )
+    summary = run.run()
+    assert summary["total_units_done"] == 2
+    assert summary["rows"] == 20 and summary["failed_rows"] == 0
+    assert run.rule_trends().count() == 0  # clean run -> empty, not error
