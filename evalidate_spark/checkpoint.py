@@ -411,7 +411,11 @@ class CheckpointedRun:
         per-increment alert the run-level totals hide.  Reads ONLY the
         violations output already written per unit (partitioned by
         unit_id) — never the input data; cost is O(written violations)
-        once, then integer math on O(units × rules) rows.  Single-unit
+        once, then integer math on O(units × rules) rows.  The baseline
+        unit count is ALL completed units (from the manifest), so a unit
+        that is clean for a rule still counts as a zero in the others'
+        mean — a rule firing in exactly one of ten ingests is the
+        loudest possible spike, not a "no baseline" NULL.  Single-unit
         runs report ratio_bp NULL (no baseline, never a spike) — same
         contract as ``profile_anomalies``.  A fully-clean run (no
         violations written anywhere → footer-less output dir) returns an
@@ -419,6 +423,7 @@ class CheckpointedRun:
         from pyspark.sql import types as T
         from pyspark.sql.utils import AnalysisException
 
+        done = sorted(self.completed_units())
         try:
             viol = self.violations()
         except AnalysisException:
@@ -434,18 +439,22 @@ class CheckpointedRun:
                     ]
                 ),
             )
-        v = viol.groupBy("unit_id", "rule_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_violations")
+        v = (
+            # only manifested units: a crashed unit's partial violation
+            # rows (written, never published) must not skew the baseline
+            viol.filter(F.col("unit_id").isin(done))
+            .groupBy("unit_id", "rule_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
         )
-        tot = v.groupBy("rule_id").agg(
-            F.sum("n_violations").alias("__tn"),
-            F.count(F.lit(1)).alias("__k"),
-        )
+        tot = v.groupBy("rule_id").agg(F.sum("n_violations").alias("__tn"))
         j = v.join(F.broadcast(tot), "rule_id")
+        # units clean for a rule are zeros in the others' mean: the unit
+        # count is the manifest's, NOT the count of units with violations
+        n_units = len(done)
         ratio = F.expr(
-            "CASE WHEN __k > 1 THEN"
-            " n_violations * (__k - 1) * 10000L div greatest(__tn - n_violations, 1L)"
-            " END"
+            "CASE WHEN %d > 1 THEN"
+            " n_violations * %dL * 10000L div greatest(__tn - n_violations, 1L)"
+            " END" % (n_units, n_units - 1)
         )
         return j.select(
             "unit_id",

@@ -273,13 +273,19 @@ def test_rule_trends_flags_the_spiking_unit(spark, tmp_path):
     balanced rules must not; single-rule-single-unit gives NULL ratio."""
     src = str(tmp_path / "tr_in")
     # four separate single-file ingests: 5/5/5/35 text violations,
-    # lang violations even (10 each) — unit naming order is irrelevant,
-    # only the spike pattern is asserted
+    # lang violations even (10 each), doc_id violations ONLY in the last
+    # ingest — unit naming order is irrelevant, only the spike pattern
+    # is asserted
     for i, bad in enumerate([5, 5, 5, 35]):
+        doc_id = (
+            "case when id >= 48 then null else concat('u3d', id) end"
+            if i == 3
+            else f"concat('u{i}d', id)"
+        )
         (
             spark.range(50)
             .selectExpr(
-                f"concat('u{i}d', id) doc_id",
+                f"{doc_id} doc_id",
                 f"case when id < {bad} then 'x' else 'valid text here' end text",
                 "case when id % 5 = 0 then 'zz' else 'en' end lang",
             )
@@ -302,6 +308,12 @@ def test_rule_trends_flags_the_spiking_unit(spark, tmp_path):
     lang_rows = [r for r in rows if r["rule_id"] == "rule:lang"]
     assert len(lang_rows) == 4
     assert all(r["ratio_bp"] == 10000 and not r["spike"] for r in lang_rows)
+    # a rule firing in exactly ONE unit is the loudest spike, not a
+    # "no baseline" NULL: clean units count as zeros in the others' mean
+    id_rows = [r for r in rows if r["rule_id"] == "rule:doc_id"]
+    assert len(id_rows) == 1
+    assert id_rows[0]["n_violations"] == 2 and id_rows[0]["spike"]
+    assert id_rows[0]["ratio_bp"] == 2 * 3 * 10000  # vs greatest(0,1)
     assert all(r["ratio_bp"] is not None for r in rows)
 
 
