@@ -1616,6 +1616,23 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates_md5(d, num_hashes=16, bands=8)
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment near-dup state: the corpus is ingested as three
+    increments (doc_id mod 3); the last increment is deduped against the
+    two historical ones reading ONLY their stored MinHash signatures —
+    the 10^12-doc shape where historical text is never rescanned.  The
+    md5 hash family makes signature, banding, the bipartite bucket join,
+    and the slot-match Jaccard estimate all replayable in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    st = lambda pred, inc: dedup.minhash_state(  # noqa: E731
+        d.filter(pred), inc, num_hashes=16, hash_fn="md5"
+    )
+    old = st(did % 3 == 1, "u0").unionByName(st(did % 3 == 2, "u1"))
+    new = st(did % 3 == 0, "u2")
+    return dedup.dedup_against_state(new, old, bands=8, num_hashes=16)
+
+
 # -------------------------------------------- rows-only (no SQL oracle)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (xxhash64 not available in DuckDB —
@@ -1849,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_features": q_asof_features,
         "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "incremental_minhash": q_incremental_minhash,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "media_features": q_media_features,
@@ -2763,6 +2781,57 @@ WITH toks AS (
 )
 SELECT id_a, id_b, cast(count(*) AS bigint) AS n_bands, max(tr) AS truncated
 FROM p GROUP BY 1, 2
+"""
+
+ORACLE["incremental_minhash"] = """
+WITH base AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 1 THEN 'u0' WHEN 2 THEN 'u1' ELSE 'u2' END AS inc,
+    string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), sh AS (
+  SELECT doc_id, inc, list_transform(
+    generate_series(1, greatest(len(tk) - 2, 1)),
+    i -> array_to_string(tk[i:i+2], ' ')) AS sh
+  FROM base
+), sig AS (
+  SELECT doc_id, inc, list_transform(
+    generate_series(0, 15),
+    i -> list_min(list_transform(sh,
+           s -> substr(md5(cast(i AS varchar) || ':' || s), 1, 16)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, inc, band,
+    md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS h
+  FROM sig, generate_series(0, 7) t(band)
+), capped AS (
+  -- each SIDE capped independently (new = u2; history = u0 ∪ u1 as one
+  -- window), ordered by id — mirrors cap_per_group(..., min_size=1)
+  SELECT inc, band, h, doc_id,
+    row_number() OVER (PARTITION BY (inc = 'u2'), band, h
+                       ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY (inc = 'u2'), band, h) AS gsz
+  FROM banded
+), kept AS (
+  SELECT * FROM capped WHERE rn <= 64
+), p AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id, o.inc AS old_increment,
+         (n.gsz > 64 OR o.gsz > 64) AS tr
+  FROM kept n JOIN kept o ON n.band = o.band AND n.h = o.h
+  WHERE n.inc = 'u2' AND o.inc <> 'u2'
+), agg AS (
+  SELECT new_id, old_id, old_increment,
+         cast(count(*) AS bigint) AS n_bands, max(tr) AS truncated
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT a.new_id, a.old_id, a.old_increment, a.n_bands,
+  cast(len(list_filter(generate_series(1, 16),
+                       i -> sn.sig[i] = so.sig[i])) * 10000 // 16
+       AS bigint) AS jacc_bp,
+  a.truncated
+FROM agg a
+JOIN sig sn ON sn.doc_id = a.new_id AND sn.inc = 'u2'
+JOIN sig so ON so.doc_id = a.old_id AND so.inc = a.old_increment
 """
 
 ORACLE["ivf_topk"] = ORACLE["ann_topk"]  # full-probe IVF == brute force

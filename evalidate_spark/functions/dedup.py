@@ -502,6 +502,181 @@ def minhash_candidates_md5(
     return _bucket_pairs(banded, max_bucket)
 
 
+# ------------------------------------- cross-increment near-dup state
+def minhash_state(
+    df: DataFrame,
+    increment: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Mergeable near-dup state for one ingest increment — per non-NULL
+    doc, one row ``(increment, doc_id, sig)`` where ``sig`` is the doc's
+    MinHash signature (``array<bigint>`` for the xxhash64 production
+    family, ``array<string>`` of 16-hex md5 prefixes for the
+    cross-engine-verifiable ``hash_fn='md5'`` family).
+
+    This is the near-dup sibling of :func:`incremental_dedup`'s exact
+    fingerprint index: append each increment's state to a parquet table
+    (``partitionBy(increment)``) and :func:`dedup_against_state` checks a
+    NEW ingest against the whole corpus history reading ONLY this state —
+    at 10^12 docs the signatures are ~0.1% of the text payload, and the
+    historical text is never rescanned.  NULL-text and NULL-id rows are
+    excluded (no content / no identity to match on)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+    ids = F.col("`%s`" % id_col)
+    tc = F.col("`%s`" % text_col)
+    sig_fn = minhash_signature_md5 if hash_fn == "md5" else minhash_signature
+    return df.filter(tc.isNotNull() & ids.isNotNull()).select(
+        F.lit(increment).alias("increment"),
+        ids.alias("doc_id"),
+        sig_fn(tc, num_hashes, shingle_k).alias("sig"),
+    )
+
+
+def _state_bands(
+    state: DataFrame, bands: int, rows: int, id_alias: str
+) -> DataFrame:
+    """(increment, doc_id, sig) state rows → exploded LSH bucket rows
+    ``(band, h, <id_alias>, increment)`` with *rows* signature slots per
+    band.  The band-hash family follows the sig element type (bigint →
+    xxhash64, string → md5 over the '|'-joined slice) so it matches how
+    the signature was built.  The sig column is let-bound through a
+    single-element-array ``transform`` so its tree appears ONCE in the
+    plan even if Catalyst collapses the state projection into this one."""
+    use_md5 = state.schema["sig"].dataType.elementType.typeName() == "string"
+
+    def band_structs(s):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                (
+                    F.md5(F.concat_ws("|", F.slice(s, b * rows + 1, rows)))
+                    if use_md5
+                    else F.xxhash64(F.slice(s, b * rows + 1, rows)).cast("string")
+                ).alias("h"),
+            ),
+        )
+
+    per = F.flatten(F.transform(F.array(F.col("sig")), band_structs))
+    return state.select(
+        F.col("doc_id").alias(id_alias),
+        F.col("increment"),
+        F.explode(per).alias("b"),
+    ).select("b.band", "b.h", id_alias, "increment")
+
+
+def dedup_against_state(
+    new_state: DataFrame,
+    old_states: DataFrame,
+    bands: int,
+    num_hashes: int,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW increment's docs against the
+    historical corpus, from :func:`minhash_state` rows alone — no text is
+    read on either side.  Returns ``(new_id, old_id, old_increment,
+    n_bands, jacc_bp, truncated)`` where ``jacc_bp`` is the MinHash
+    Jaccard estimate in integer basis points (matching signature slots ×
+    10000 div num_hashes) and ``n_bands`` counts co-bucketed LSH bands.
+    A re-ingested doc (same id in history) IS reported — that is the
+    "this exact document was already ingested" signal.
+
+    Plan: both sides explode to ``bands`` bucket rows per doc, each side
+    is capped at *max_bucket* per (band, h) BEFORE the join (window
+    row_number — the boilerplate-bucket guard, same as
+    :func:`minhash_candidates`), one hash join on (band, h), a pair-level
+    groupBy, then two slim id-keyed joins back to the signatures for the
+    slot comparison.  Cost is driven by bucket collisions, never by
+    |history| × |new|; at 10^12 docs store the state bucketed on doc_id
+    (``sources.write_bucketed``) so the sig-lookup joins are
+    exchange-free on the state side."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            "bands (%d) must divide num_hashes (%d)" % (bands, num_hashes)
+        )
+    rows = num_hashes // bands
+    nb = _state_bands(new_state, bands, rows, "new_id").drop("increment")
+    ob = _state_bands(old_states, bands, rows, "old_id").withColumnRenamed(
+        "increment", "old_increment"
+    )
+    # cap each side independently; min_size=1 — a 1-member bucket on one
+    # side still matches the other side (bipartite, unlike self-join LSH)
+    nc = cap_per_group(nb, ["band", "h"], "new_id", max_bucket, min_size=1)
+    oc = cap_per_group(ob, ["band", "h"], "old_id", max_bucket, min_size=1)
+    pairs = (
+        nc.select("band", "h", "new_id", (F.col("__gsz") > max_bucket).alias("__tn"))
+        .join(
+            oc.select(
+                "band", "h", "old_id", "old_increment",
+                (F.col("__gsz") > max_bucket).alias("__to"),
+            ),
+            ["band", "h"],
+        )
+        .groupBy("new_id", "old_id", "old_increment")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.max(F.col("__tn") | F.col("__to")).alias("truncated"),
+        )
+    )
+    ns = new_state.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("__sa"))
+    os_ = old_states.select(
+        F.col("doc_id").alias("old_id"),
+        F.col("increment").alias("old_increment"),
+        F.col("sig").alias("__sb"),
+    )
+    matched = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"), lambda x, y: (x == y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(ns, "new_id")
+        .join(os_, ["old_id", "old_increment"])
+        .select(
+            "new_id", "old_id", "old_increment", "n_bands", "truncated",
+            matched.alias("__m"),
+        )
+        # integer bp via `div` (DuckDB `//`), not floor(double division)
+        .select(
+            "new_id",
+            "old_id",
+            "old_increment",
+            "n_bands",
+            F.expr("__m * 10000L div %dL" % num_hashes)
+            .cast("long")
+            .alias("jacc_bp"),
+            "truncated",
+        )
+    )
+
+
+def drop_history_dups(
+    new_df: DataFrame,
+    matches: DataFrame,
+    threshold_bp: int = 8000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter a new ingest down to docs NOT near-duplicating history:
+    LEFT ANTI join of *new_df* against :func:`dedup_against_state`
+    matches at ``jacc_bp ≥ threshold_bp``.  NULL-id rows pass through
+    (they had no identity to match — same contract as
+    :func:`incremental_dedup`)."""
+    hit = matches.filter(F.col("jacc_bp") >= int(threshold_bp)).select(
+        F.col("new_id").alias("__hit")
+    ).distinct()
+    ids = F.col("`%s`" % id_col)
+    return (
+        new_df.join(hit, ids == F.col("__hit"), "left_anti")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -1026,3 +1026,72 @@ def test_c4_filters_contract(spark):
     assert got[4]["keep_doc"] is False and got[4]["n_kept_lines"] is None
     assert got[5]["keep_doc"] is False and got[5]["n_lines"] is None
     assert got[6]["keep_doc"] is False and got[6]["cleaned"] == ""
+
+
+class TestMinHashState:
+    """Cross-increment near-dup state: signatures stored per ingest
+    increment, a new batch deduped against history without re-reading
+    historical text."""
+
+    def _states(self, spark, hash_fn="xxhash64"):
+        hist = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different content about spark engines"),
+                (None, "no identity, excluded from state"),
+                (3, None),  # NULL text excluded
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+                (11, "an entirely novel document about volcanoes"),
+                (1, "the quick brown fox jumps over the lazy dog"),   # re-ingest
+                (12, None),
+                (None, "still no identity"),
+            ],
+            "doc_id long, text string",
+        )
+        s_old = dedup.minhash_state(hist, "u0", num_hashes=16, hash_fn=hash_fn)
+        s_new = dedup.minhash_state(new, "u1", num_hashes=16, hash_fn=hash_fn)
+        return new, s_old, s_new
+
+    @pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+    def test_exact_copy_matches_full_signature(self, spark, hash_fn):
+        new, s_old, s_new = self._states(spark, hash_fn)
+        m = {
+            (r["new_id"], r["old_id"]): r
+            for r in dedup.dedup_against_state(
+                s_new, s_old, bands=8, num_hashes=16
+            ).collect()
+        }
+        # verbatim copy: every slot matches -> 10000 bp, all 8 bands
+        assert m[(10, 1)]["jacc_bp"] == 10000
+        assert m[(10, 1)]["n_bands"] == 8
+        assert m[(10, 1)]["old_increment"] == "u0"
+        assert m[(10, 1)]["truncated"] is False
+        # re-ingested same id IS reported
+        assert m[(1, 1)]["jacc_bp"] == 10000
+        # novel doc matches nothing
+        assert not any(k[0] == 11 for k in m)
+
+    def test_state_excludes_null_rows(self, spark):
+        _, s_old, _ = self._states(spark)
+        rows = s_old.collect()
+        assert {r["doc_id"] for r in rows} == {1, 2}
+        assert all(r["increment"] == "u0" for r in rows)
+        assert all(len(r["sig"]) == 16 for r in rows)
+
+    def test_drop_history_dups(self, spark):
+        new, s_old, s_new = self._states(spark)
+        matches = dedup.dedup_against_state(s_new, s_old, bands=8, num_hashes=16)
+        kept = dedup.drop_history_dups(new, matches, threshold_bp=8000)
+        got = {r["doc_id"] for r in kept.collect()}
+        # dups of history dropped; novel, NULL-text, NULL-id pass through
+        assert got == {11, 12, None}
+
+    def test_bands_must_divide(self, spark):
+        _, s_old, s_new = self._states(spark)
+        with pytest.raises(ValueError, match="divide"):
+            dedup.dedup_against_state(s_new, s_old, bands=5, num_hashes=16)

@@ -48,6 +48,7 @@ QUERIES = [
     "leakage_split",
     "lm_scores",
     "minhash_pairs_md5",
+    "incremental_minhash",
     "top_ngrams",
     "tfidf_terms",
     "bm25_topk",
