@@ -707,6 +707,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (epoch 1, 8 shards): every doc gets a
+    (shard, pos) read coordinate from md5(salt:epoch:id) — the trainer's
+    pseudo-random order, bit-reproducible across runs/engines/cluster
+    sizes, unlike orderBy(rand()).  One exchange (the per-shard rank
+    window); shards stay task-sized because md5 spreads ids uniformly."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.shuffle_plan(d, n_shards=8, epoch=1)
+
+
 def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence packing: concatenate docs per language shard
     in doc_id order, cut every 512 tokens, roll up (n_docs, seq_tokens)
@@ -1810,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_validator": q_custom_validator,
         "sampled_docs": q_sampled_docs,
         "stratified_sample": q_stratified_sample,
+        "shard_plan": q_shard_plan,
         "packed_sequences": q_packed_sequences,
         "budget_selection": q_budget_selection,
         "leakage_split": q_leakage_split,
@@ -2593,6 +2606,25 @@ SELECT doc_id, lang, source FROM (
          ) AS rn
   FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rn <= 40
+"""
+
+ORACLE["shard_plan"] = """
+WITH h AS (
+  SELECT doc_id,
+    substr(md5('shuffle-v1:e1' || cast(doc_id AS varchar)), 1, 8) AS hx
+  FROM documents WHERE doc_id IS NOT NULL
+), v AS (
+  SELECT doc_id, hx,
+    cast(list_reduce(list_prepend('0', string_split(hx, '')),
+      (acc, ch) -> cast(cast(acc AS bigint) * 16
+                        + strpos('0123456789abcdef', ch) - 1 AS varchar))
+      AS bigint) AS hv
+  FROM h
+)
+SELECT doc_id, cast(hv % 8 AS int) AS shard,
+  cast(row_number() OVER (PARTITION BY hv % 8 ORDER BY hx, doc_id)
+       AS int) AS pos
+FROM v
 """
 
 ORACLE["packed_sequences"] = """

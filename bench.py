@@ -236,6 +236,8 @@ def main() -> None:
         "image_near_dups",
         "audio_near_dups",
         "video_near_dups",
+        "incremental_minhash",
+        "shard_plan",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -31,6 +31,11 @@ these are north-rule pipeline additions.)
 * :func:`split_by_cluster` — leakage-free train/holdout split: the split
   is hashed from the duplicate-cluster representative, so near-dups of
   training docs can never leak into holdout.
+* :func:`shuffle_plan` / :func:`shuffled_export` — deterministic global
+  epoch shuffle: every row gets a ``(shard, pos)`` coordinate derived
+  from ``md5(salt:epoch:id)``, so the trainer's read order is
+  pseudo-random yet bit-reproducible across runs, engines, and cluster
+  sizes; bumping ``epoch`` re-deals the whole corpus.
 """
 
 from __future__ import annotations
@@ -320,6 +325,96 @@ def select_until_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__pid", "__run", "__off")
     )
+
+
+def shuffle_plan(
+    df: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global-shuffle coordinates for one training epoch:
+    per non-NULL id one row ``(<id_col>, shard, pos)`` where ``shard =
+    hex8(md5(salt:epoch:id)) mod n_shards`` and ``pos`` ranks the doc
+    inside its shard by the same hash.  Reading shards in index order and
+    rows in ``pos`` order yields a pseudo-random permutation of the
+    corpus that is bit-reproducible across runs, engines, partitionings,
+    and cluster sizes — unlike ``df.orderBy(rand())``, whose output
+    depends on seed plumbing and partition layout.  Bumping *epoch*
+    re-deals everything (the epoch is folded into the hash salt).
+
+    Plan: pure hash exprs + one ``row_number`` window hash-partitioned on
+    ``shard`` — a single exchange.  Each shard is ranked inside one task,
+    so choose *n_shards* to keep shards task-sized (e.g. corpus_bytes /
+    256 MB); md5 spreads ids uniformly, so shards are balanced within
+    ~sqrt(n/n_shards) regardless of id skew.  NULL ids are excluded
+    (unhashable — same contract as :func:`sample_deterministic`).
+    Duplicate ids share a hash and tie-break arbitrarily, but since the
+    output carries nothing else, the result multiset is still
+    deterministic."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    ids = F.col("`%s`" % id_col)
+    h = _bucket_hash(ids, "%s:e%d" % (salt, int(epoch)))
+    shard = (F.conv(h, 16, 10).cast("long") % n_shards).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy("__shard").orderBy("__h", id_col)
+    )
+    return (
+        df.filter(ids.isNotNull())
+        .select(ids.alias(id_col), h.alias("__h"), shard.alias("__shard"))
+        .select(
+            F.col(id_col),
+            F.col("__shard").alias("shard"),
+            pos.alias("pos"),
+        )
+    )
+
+
+def shuffled_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    rows_per_file: Optional[int] = None,
+) -> None:
+    """Write *df* as a deterministically shuffled training layout:
+    ``path/shard=K/`` directories whose parquet rows are stored in
+    :func:`shuffle_plan` order (``pos`` ascending; the column is kept so
+    loaders — and tests — can verify the order after any reader-side
+    re-split).  One exchange total: the rank window's hash partitioning
+    by ``shard`` is exactly the layout ``partitionBy('shard')`` writes,
+    and ``sortWithinPartitions`` adds no second shuffle.  With
+    *rows_per_file* the writer rolls files every N rows
+    (``maxRecordsPerFile``), so file k of a shard holds positions
+    ``[k*N, (k+1)*N)`` — seekable by (shard, file, offset).
+
+    Rows whose id is NULL are excluded, matching :func:`shuffle_plan`.
+    Duplicate ids get distinct ``pos`` values but WHICH payload row takes
+    which pos is arbitrary — ids are assumed unique upstream (enforce
+    with the engine's uniqueness check)."""
+    ids = F.col("`%s`" % id_col)
+    h = _bucket_hash(ids, "%s:e%d" % (salt, int(epoch)))
+    shard = (F.conv(h, 16, 10).cast("long") % int(n_shards)).cast("int")
+    pos = F.row_number().over(Window.partitionBy("shard").orderBy("__h", id_col))
+    out = (
+        df.filter(ids.isNotNull())
+        .withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", pos)
+        .drop("__h")
+        # shard first: the dynamic-partition writer needs its input sorted
+        # on the partition column or it inserts its OWN sort, which would
+        # not be obliged to keep pos order
+        .sortWithinPartitions("shard", "pos")
+    )
+    w = out.write.mode("overwrite").partitionBy("shard")
+    if rows_per_file:
+        w = w.option("maxRecordsPerFile", int(rows_per_file))
+    w.parquet(path)
 
 
 def split_by_cluster(

@@ -38,6 +38,7 @@ QUERIES = [
     "token_counts",
     "sampled_docs",
     "stratified_sample",
+    "shard_plan",
     "domain_caps",
     "incremental_dedup",
     "mixture_rebalance",

@@ -323,3 +323,83 @@ class TestCapPerKey:
         assert asc == {("a", 1), ("a", 3), ("b", 5), (None, 6), (None, 7)}
         with pytest.raises(ValueError):
             cap_per_key(df, "source", 0, "score")
+
+
+class TestShufflePlan:
+    """Deterministic epoch shuffle: (shard, pos) coordinates from
+    md5(salt:epoch:id) — reproducible, epoch-sensitive, partition- and
+    cluster-size-invariant, exported in readable pos order."""
+
+    def test_permutation_and_determinism(self, spark):
+        docs = _docs(spark)
+        p1 = sampling.shuffle_plan(docs, n_shards=4, epoch=0)
+        rows = p1.collect()
+        n = docs.filter(F.col("doc_id").isNotNull()).count()
+        assert len(rows) == n
+        # every doc exactly once; pos is 1..|shard| dense per shard
+        assert len({r["doc_id"] for r in rows}) == n
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(4))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # identical re-run, identical result (no RNG state anywhere)
+        p2 = sampling.shuffle_plan(docs, n_shards=4, epoch=0)
+        assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, rows))
+        # partitioning must not change the plan (cluster-size invariance)
+        p3 = sampling.shuffle_plan(docs.repartition(13), n_shards=4, epoch=0)
+        assert sorted(map(tuple, p3.collect())) == sorted(map(tuple, rows))
+
+    def test_epoch_redeals(self, spark):
+        docs = _docs(spark)
+        e0 = {(r["doc_id"], r["shard"], r["pos"])
+              for r in sampling.shuffle_plan(docs, 4, epoch=0).collect()}
+        e1 = {(r["doc_id"], r["shard"], r["pos"])
+              for r in sampling.shuffle_plan(docs, 4, epoch=1).collect()}
+        # same docs, different deal: a large majority of coordinates move
+        assert {d for d, _, _ in e0} == {d for d, _, _ in e1}
+        assert len(e0 & e1) < len(e0) * 0.2
+
+    def test_single_exchange(self, spark):
+        docs = _docs(spark)
+        plan = sampling.shuffle_plan(docs, 8, epoch=0)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+    def test_null_ids_excluded_and_bad_args(self, spark):
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "doc_id string"
+        )
+        got = sampling.shuffle_plan(df, 2).collect()
+        assert {r["doc_id"] for r in got} == {"a", "b"}
+        with pytest.raises(ValueError, match="positive"):
+            sampling.shuffle_plan(df, 0)
+
+    def test_shuffled_export_order(self, spark, tmp_path):
+        docs = _docs(spark).select("doc_id", "text")
+        out = str(tmp_path / "shuffled")
+        sampling.shuffled_export(docs, out, n_shards=4, epoch=2,
+                                 rows_per_file=50)
+        plan = {
+            (r["doc_id"]): (r["shard"], r["pos"])
+            for r in sampling.shuffle_plan(docs, 4, epoch=2).collect()
+        }
+        back = spark.read.parquet(out)
+        assert back.count() == len(plan)
+        # coordinates match the plan exactly
+        for r in back.select("doc_id", "shard", "pos").collect():
+            assert plan[r["doc_id"]] == (r["shard"], r["pos"])
+        # physical row order within each shard dir IS pos order, and
+        # rolled files respect it (file k = positions [k*50, (k+1)*50))
+        import glob
+        for s in range(4):
+            files = sorted(glob.glob(f"{out}/shard={s}/*.parquet"))
+            assert files, f"shard {s} missing"
+            seen = []
+            for fp in files:
+                import pyarrow.parquet as pq
+                part = pq.read_table(fp, columns=["pos"])["pos"].to_pylist()
+                assert part == sorted(part)
+                assert len(part) <= 50
+                seen += part
+            assert seen == sorted(seen) == list(range(1, len(seen) + 1))
