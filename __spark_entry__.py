@@ -719,6 +719,31 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shuffle_plan(d, n_shards=8, epoch=1)
 
 
+def q_file_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit: per-table file count + row total from
+    sources.file_stats (binaryFile status listing for sizes — no content
+    read — plus a footer-only row count).  The oracle pins n_files=1 via
+    the fixture contract (TESTDATA.md single-file tables; hostile tables
+    are coalesce(1)); the multi-file path and the small-file compaction
+    verdict are pinned in pytest against DuckDB read_parquet(filename=
+    true) on a deliberately fragmented table."""
+    from evalidate_spark import sources
+
+    parts = []
+    for t in ("documents", "lineitem", "events"):
+        st = sources.file_stats(spark, f"{sf_dir}/{t}.parquet", with_rows=True)
+        parts.append(
+            st.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("n_rows").alias("total_rows"),
+            ).select(F.lit(t).alias("tbl"), "n_files", "total_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence packing: concatenate docs per language shard
     in doc_id order, cut every 512 tokens, roll up (n_docs, seq_tokens)
@@ -1823,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs": q_sampled_docs,
         "stratified_sample": q_stratified_sample,
         "shard_plan": q_shard_plan,
+        "file_health": q_file_health,
         "packed_sequences": q_packed_sequences,
         "budget_selection": q_budget_selection,
         "leakage_split": q_leakage_split,
@@ -2606,6 +2632,15 @@ SELECT doc_id, lang, source FROM (
          ) AS rn
   FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rn <= 40
+"""
+
+ORACLE["file_health"] = """
+SELECT 'documents' AS tbl, cast(1 AS bigint) AS n_files,
+       cast(count(*) AS bigint) AS total_rows FROM documents
+UNION ALL
+SELECT 'lineitem', 1, count(*) FROM lineitem
+UNION ALL
+SELECT 'events', 1, count(*) FROM events
 """
 
 ORACLE["shard_plan"] = """

@@ -238,6 +238,7 @@ def main() -> None:
         "video_near_dups",
         "incremental_minhash",
         "shard_plan",
+        "file_health",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -360,6 +360,86 @@ def write_training_shards(
     )
 
 
+def file_stats(
+    spark: SparkSession, path: str, with_rows: bool = False
+) -> DataFrame:
+    """Per-file layout stats for a parquet table: one row ``(file, bytes
+    [, n_rows])`` per data file.  Sizes come from the ``binaryFile``
+    source with only ``path``/``length`` projected — a pure file-status
+    listing, NO file content is read, so at 10^12 docs this costs
+    O(#files) driver-free metadata work, not a data scan.  ``with_rows``
+    adds per-file row counts via a ``groupBy(input_file_name())`` count —
+    that IS a full scan (columnless, so parquet reads only footers+
+    rowgroup headers); keep it off for routine health sweeps.
+
+    The small-file problem this feeds is the top operational failure mode
+    of a 100 TB table: a day of streaming commits can leave millions of
+    KB-sized files whose per-file open/footer cost dwarfs the data read.
+    Pair with :func:`storage_health` to get the compaction verdict, and
+    :meth:`SnapshotLog.compact` to fix it."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file"),
+            F.col("length").alias("bytes"),
+        )
+    )
+    if not with_rows:
+        return files
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    # both sides are one row per FILE — tiny; let AQE broadcast
+    return files.join(rows, "file", "left").select(
+        "file", "bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
+
+
+def storage_health(
+    stats: DataFrame, target_bytes: int = 256 << 20
+) -> DataFrame:
+    """One-row compaction verdict from :func:`file_stats` output:
+    ``(n_files, total_bytes, min_bytes, max_bytes, small_files,
+    recommended_files, needs_compaction)``.  A file is "small" under half
+    the *target_bytes* (the classic Iceberg/Delta compaction trigger);
+    ``recommended_files = ceil(total/target)`` is the file count a
+    rewrite should aim for, and ``needs_compaction`` fires when more than
+    half the files are small AND a rewrite would at least halve the file
+    count.  Single aggregate over file-level rows — metadata-scale."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    half = target_bytes // 2
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.min("bytes").alias("min_bytes"),
+        F.max("bytes").alias("max_bytes"),
+        F.sum((F.col("bytes") < half).cast("long")).alias("small_files"),
+    )
+    rec = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("total_bytes") / F.lit(int(target_bytes))).cast("long"),
+    )
+    return agg.select(
+        "n_files",
+        "total_bytes",
+        "min_bytes",
+        "max_bytes",
+        "small_files",
+        rec.alias("recommended_files"),
+        (
+            (F.col("small_files") * 2 > F.col("n_files"))
+            & (rec * 2 <= F.col("n_files"))
+        ).alias("needs_compaction"),
+    )
+
+
 def zorder_bounds(df: DataFrame, columns):
     """1-row bounds DataFrame ``(__lo_<c>, __hi_<c>, …)`` for
     :func:`zorder_key` — crossJoin-broadcast it onto the data first."""

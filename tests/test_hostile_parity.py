@@ -39,6 +39,7 @@ QUERIES = [
     "sampled_docs",
     "stratified_sample",
     "shard_plan",
+    "file_health",
     "domain_caps",
     "incremental_dedup",
     "mixture_rebalance",

@@ -289,3 +289,63 @@ class TestJsonlSource:
             clean.collect()
         with pytest.raises(ValueError, match="mode"):
             sources.read_jsonl(spark, p, ddl, mode="WHATEVER")
+
+
+class TestFileStats:
+    """Storage-layout stats: binaryFile status listing (no content read)
+    + footer row counts, small-file compaction verdict."""
+
+    def _fragmented(self, spark, tmp_path, n_parts=8):
+        out = str(tmp_path / "frag")
+        spark.range(1000).selectExpr(
+            "id", "cast(id % 7 as string) AS k"
+        ).repartition(n_parts).write.mode("overwrite").parquet(out)
+        return out
+
+    def test_stats_match_duckdb_and_fs(self, spark, tmp_path):
+        import duckdb
+        import glob
+        import os
+
+        out = self._fragmented(spark, tmp_path)
+        got = {
+            r["file"]: (r["bytes"], r["n_rows"])
+            for r in sources.file_stats(spark, out, with_rows=True).collect()
+        }
+        oracle = duckdb.sql(
+            "SELECT parse_filename(filename) f, count(*) n "
+            f"FROM read_parquet('{out}/*.parquet', filename=true) GROUP BY 1"
+        ).fetchall()
+        assert len(got) == 8 == len(oracle)
+        for f, n in oracle:
+            assert got[f][1] == n
+        for fp in glob.glob(f"{out}/*.parquet"):
+            assert got[os.path.basename(fp)][0] == os.path.getsize(fp)
+        # sum of per-file rows is the table row count
+        assert sum(v[1] for v in got.values()) == 1000
+
+    def test_sizes_only_mode_lists_without_scan(self, spark, tmp_path):
+        out = self._fragmented(spark, tmp_path)
+        st = sources.file_stats(spark, out)
+        assert st.columns == ["file", "bytes"]
+        assert st.count() == 8
+        # _SUCCESS and other non-parquet artifacts are excluded
+        assert all(r["file"].endswith(".parquet") for r in st.collect())
+
+    def test_storage_health_verdict(self, spark, tmp_path):
+        out = self._fragmented(spark, tmp_path)
+        st = sources.file_stats(spark, out)
+        # tiny files vs a 1 MiB target -> all small, 1 recommended file
+        h = sources.storage_health(st, target_bytes=1 << 20).collect()[0]
+        assert h["n_files"] == 8 and h["small_files"] == 8
+        assert h["recommended_files"] == 1
+        assert h["needs_compaction"] is True
+        # compacted layout passes the same check
+        comp = str(tmp_path / "comp")
+        spark.read.parquet(out).coalesce(1).write.parquet(comp)
+        h2 = sources.storage_health(
+            sources.file_stats(spark, comp), target_bytes=1 << 20
+        ).collect()[0]
+        assert h2["n_files"] == 1 and h2["needs_compaction"] is False
+        with pytest.raises(ValueError, match="positive"):
+            sources.storage_health(st, target_bytes=0)
