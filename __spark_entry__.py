@@ -386,6 +386,33 @@ def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed_verdicts(docs, _doc_rules(), unit)
 
 
+def q_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule triage sample: 2 example violations per rule_id, chosen
+    by md5-hash rank of the offending id (a deterministic spread, not
+    scan-order first-N) — output stays O(#rules × 2) however bad the
+    table is."""
+    from evalidate_spark.operators import table_checks
+
+    docs = _t(spark, sf_dir, "documents")
+    v = validate(docs, _doc_rules(), id_cols=["doc_id"]).violations
+    return table_checks.violation_examples(
+        v.select("doc_id", "rule_seq", "rule_id", "key_path", "message"),
+        per_rule=2,
+    )
+
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table freshness: newest event's epoch seconds, lag behind an
+    explicit as-of instant, and a within-24h verdict — the "is data
+    arriving?" probe, one partial-combined max() at any scale."""
+    from evalidate_spark.operators import table_checks
+
+    ev = _t(spark, sf_dir, "events")
+    return table_checks.freshness(
+        ev, "ts", "2024-01-31 12:00:00", max_lag_hours=24
+    )
+
+
 def q_rule_firing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-coverage report: violations per rule_id + distinct offending
     docs — the spec-lint signal (a rule that never fires is dead weight;
@@ -1826,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_reconstruct": q_span_reconstruct,
         "partition_verdicts": q_partition_verdicts,
         "rule_firing_stats": q_rule_firing_stats,
+        "violation_examples": q_violation_examples,
+        "freshness": q_freshness,
         "ngram_dup_spans": q_ngram_dup_spans,
         "rule_or": q_rule_or,
         "lib_validators": q_lib_validators,
@@ -3233,6 +3262,29 @@ SELECT CASE WHEN doc_id IS NULL THEN -1 ELSE doc_id % 8 END AS unit_id,
                  THEN 1 ELSE 0 END) = 0
             THEN 'pass' ELSE 'fail' END AS verdict
 FROM documents GROUP BY 1
+"""
+
+ORACLE["violation_examples"] = f"""
+WITH viol AS ({ORACLE["validate_documents"]})
+SELECT doc_id, rule_seq, rule_id, key_path, message FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY rule_id
+    ORDER BY md5('ex:' || coalesce(cast(doc_id AS varchar), '')) ASC,
+             doc_id ASC NULLS LAST, rule_seq ASC NULLS LAST,
+             key_path ASC NULLS LAST, message ASC NULLS LAST
+  ) AS rn
+  FROM viol
+) WHERE rn <= 2
+"""
+
+ORACLE["freshness"] = """
+WITH m AS (SELECT epoch_us(max(ts)) // 1000000 AS max_ts_s FROM events)
+SELECT cast(max_ts_s AS bigint) AS max_ts_s,
+  cast(epoch_us(TIMESTAMP '2024-01-31 12:00:00') // 1000000 - max_ts_s
+       AS bigint) AS lag_s,
+  coalesce(epoch_us(TIMESTAMP '2024-01-31 12:00:00') // 1000000 - max_ts_s
+           <= 86400, false) AS fresh
+FROM m
 """
 
 ORACLE["rule_firing_stats"] = f"""

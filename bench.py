@@ -239,6 +239,8 @@ def main() -> None:
         "incremental_minhash",
         "shard_plan",
         "file_health",
+        "violation_examples",
+        "freshness",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -1991,3 +1991,88 @@ def merge_uniqueness_states(states: DataFrame, lg_k: int = 12) -> DataFrame:
             .alias("cross_unit_keys"),
         )
     )
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    as_of: str,
+    max_lag_hours: float = 24.0,
+) -> DataFrame:
+    """Table freshness check (the Deequ/Soda "is data arriving?" probe):
+    one row ``(max_ts_s, lag_s, fresh)`` where ``max_ts_s`` is the newest
+    event's epoch seconds, ``lag_s`` its distance behind *as_of* (an
+    explicit ``'YYYY-MM-DD HH:MM:SS'`` wall-clock instant — passed in, so
+    runs are reproducible and replayable; never the engine's clock), and
+    ``fresh`` whether the lag is within *max_lag_hours*.  NULL timestamps
+    are ignored; an all-NULL or empty table reports NULL ``max_ts_s`` and
+    ``fresh = false`` (no data is stale data).
+
+    Single ``max()`` aggregate — partial-combined, one sketch-sized row
+    per partition, no full shuffle at any scale.  TIMESTAMP_NTZ and
+    TIMESTAMP both read as wall-clock-UTC (the sessionization convention,
+    :mod:`~evalidate_spark.operators.sessions`)."""
+    import re
+
+    from .sessions import _micros
+
+    if max_lag_hours <= 0:
+        raise ValueError("max_lag_hours must be positive")
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}", as_of):
+        raise ValueError("as_of must be 'YYYY-MM-DD HH:MM:SS'")
+    # NTZ literal arithmetic: wall-clock-UTC seconds, independent of the
+    # session timezone on BOTH the literal and the column side
+    as_of_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "TIMESTAMP_NTZ'%s')" % as_of
+    )
+    mx = F.floor(_micros(df, ts_col) / F.lit(1000000)).cast("long")
+    lag = as_of_s - F.col("max_ts_s")
+    return (
+        df.agg(F.max(mx).alias("max_ts_s"))
+        .select(
+            "max_ts_s",
+            lag.cast("long").alias("lag_s"),
+            F.coalesce(
+                lag <= F.lit(int(max_lag_hours * 3600)), F.lit(False)
+            ).alias("fresh"),
+        )
+    )
+
+
+def violation_examples(
+    violations: DataFrame,
+    per_rule: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic triage sample: for every ``rule_id`` in a violations
+    table, keep *per_rule* example rows chosen by md5-hash rank of the
+    violating id — the "show me a few failing rows per rule" view every
+    DQ dashboard needs.  Hash rank (not first-N) makes the examples a
+    spread over the id space, identical across runs, partitionings, and
+    ties are broken by the remaining columns so the pick is
+    total and deterministic even for NULL ids.
+
+    One window partitioned by ``rule_id``: a rule with millions of
+    violations streams through rank and keeps *per_rule* rows — the
+    output is O(#rules × per_rule) however bad the data is."""
+    if per_rule < 1:
+        raise ValueError("per_rule must be positive")
+    key = F.md5(
+        F.concat(F.lit("ex:"), F.coalesce(F.col("`%s`" % id_col).cast("string"), F.lit("")))
+    )
+    rest = [
+        F.col("`%s`" % c).asc_nulls_last()
+        for c in violations.columns
+        if c not in (id_col, "rule_id")
+    ]
+    rn = F.row_number().over(
+        Window.partitionBy("rule_id").orderBy(
+            key, F.col("`%s`" % id_col).asc_nulls_last(), *rest
+        )
+    )
+    return (
+        violations.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= per_rule)
+        .drop("__rn")
+    )

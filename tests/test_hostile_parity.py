@@ -40,6 +40,8 @@ QUERIES = [
     "stratified_sample",
     "shard_plan",
     "file_health",
+    "violation_examples",
+    "freshness",
     "domain_caps",
     "incremental_dedup",
     "mixture_rebalance",

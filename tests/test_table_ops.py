@@ -560,3 +560,80 @@ def test_cardinality_check_empty_sides(spark):
     [r] = cardinality_check(child, parent, "fk", "pk").collect()
     assert (r["parents"], r["children"], r["childless_parents"]) == (1, 0, 1)
     assert (r["min_children"], r["max_children"]) == (0, 0)
+
+
+class TestFreshness:
+    def test_fresh_and_stale(self, spark):
+        from evalidate_spark.operators.table_checks import freshness
+
+        df = spark.createDataFrame(
+            [("2024-03-01 10:00:00",), ("2024-03-02 08:30:00",), (None,)],
+            "ts_s string",
+        ).selectExpr("cast(ts_s AS timestamp) AS ts")
+        [r] = freshness(df, "ts", "2024-03-02 12:00:00", max_lag_hours=6).collect()
+        assert r["lag_s"] == 12600 and r["fresh"] is True
+        [r2] = freshness(df, "ts", "2024-03-03 12:00:00", max_lag_hours=6).collect()
+        assert r2["fresh"] is False and r2["lag_s"] == 12600 + 86400
+        assert r["max_ts_s"] == r2["max_ts_s"]
+
+    def test_empty_and_all_null_are_stale(self, spark):
+        from evalidate_spark.operators.table_checks import freshness
+
+        empty = spark.createDataFrame([], "ts timestamp")
+        [r] = freshness(empty, "ts", "2024-03-02 12:00:00").collect()
+        assert r["max_ts_s"] is None and r["lag_s"] is None and r["fresh"] is False
+        nulls = spark.createDataFrame([(None,), (None,)], "x int").selectExpr(
+            "cast(NULL AS timestamp) AS ts"
+        )
+        [r2] = freshness(nulls, "ts", "2024-03-02 12:00:00").collect()
+        assert r2["fresh"] is False
+
+    def test_bad_args(self, spark):
+        from evalidate_spark.operators.table_checks import freshness
+
+        df = spark.createDataFrame([], "ts timestamp")
+        with pytest.raises(ValueError, match="as_of"):
+            freshness(df, "ts", "yesterday")
+        with pytest.raises(ValueError, match="positive"):
+            freshness(df, "ts", "2024-03-02 12:00:00", max_lag_hours=0)
+
+
+class TestViolationExamples:
+    def _viol(self, spark):
+        rows = [(i, 1, "r_size", "text", f"m{i}") for i in range(100)]
+        rows += [(i, 2, "r_type", "lang", f"t{i}") for i in range(5)]
+        rows += [(None, 3, "r_req", "doc_id", "missing")] * 2
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, rule_seq int, rule_id string, key_path string, "
+            "message string",
+        )
+
+    def test_cap_and_determinism(self, spark):
+        from evalidate_spark.operators.table_checks import violation_examples
+
+        v = self._viol(spark)
+        got = violation_examples(v, per_rule=3).collect()
+        by_rule = {}
+        for r in got:
+            by_rule.setdefault(r["rule_id"], []).append(tuple(r))
+        assert len(by_rule["r_size"]) == 3
+        assert len(by_rule["r_type"]) == 3
+        assert len(by_rule["r_req"]) == 2  # only 2 exist
+        # partitioning must not change the picks
+        again = violation_examples(v.repartition(7), per_rule=3).collect()
+        assert sorted(map(tuple, again), key=str) == sorted(map(tuple, got), key=str)
+        with pytest.raises(ValueError, match="positive"):
+            violation_examples(v, per_rule=0)
+
+    def test_hash_spread_not_scan_order(self, spark):
+        from evalidate_spark.operators.table_checks import violation_examples
+
+        v = self._viol(spark)
+        picks = {
+            r["doc_id"]
+            for r in violation_examples(v, per_rule=3).collect()
+            if r["rule_id"] == "r_size"
+        }
+        # md5 rank over 0..99 is (vanishingly) unlikely to pick {0,1,2}
+        assert picks != {0, 1, 2}
