@@ -1121,6 +1121,20 @@ def q_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-QA probe: measured recall/precision of the (16-hash, 8-band)
+    md5 MinHash-LSH pipeline against the EXACT ssjoin ground truth at
+    Jaccard >= 0.8 — the "is this LSH config good enough for this
+    corpus?" answer, one row, reproducible in both engines."""
+    return dedup.lsh_recall_report(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        num_hashes=16,
+        bands=8,
+        hash_fn="md5",
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over duplicate pairs (iterative min-label
     propagation) → (id, cluster_id).  Deterministic chain pairs
@@ -1899,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "jaccard_pairs": q_jaccard_pairs,
         "ssjoin_pairs": q_ssjoin_pairs,
+        "lsh_recall": q_lsh_recall,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3832,6 +3847,28 @@ SELECT id_a, id_b,
        round(cast(i AS double) / (na + nb - i), 6) AS jaccard
 FROM inter
 WHERE cast(i AS double) / (na + nb - i) >= 0.8
+"""
+
+# LSH QA composes the two already-oracled sub-pipelines: exact ssjoin
+# ground truth x md5-minhash candidates, same shingle definition
+ORACLE["lsh_recall"] = f"""
+WITH truth AS ({ORACLE["ssjoin_pairs"]}),
+cand AS ({ORACLE["minhash_pairs_md5"]}),
+tt AS (SELECT id_a, id_b FROM truth),
+cc AS (SELECT id_a, id_b FROM cand),
+h AS (SELECT count(*) AS n_hit FROM tt JOIN cc USING (id_a, id_b)),
+n AS (SELECT (SELECT count(*) FROM tt) AS n_true_pairs,
+             (SELECT count(*) FROM cc) AS n_candidate_pairs,
+             (SELECT n_hit FROM h) AS n_hit)
+SELECT cast(n_true_pairs AS bigint) AS n_true_pairs,
+       cast(n_candidate_pairs AS bigint) AS n_candidate_pairs,
+       cast(n_hit AS bigint) AS n_hit,
+       CASE WHEN n_true_pairs > 0
+            THEN cast(n_hit * 10000 // n_true_pairs AS bigint) END AS recall_bp,
+       CASE WHEN n_candidate_pairs > 0
+            THEN cast(n_hit * 10000 // n_candidate_pairs AS bigint)
+       END AS precision_bp
+FROM n
 """
 
 

@@ -241,6 +241,7 @@ def main() -> None:
         "file_health",
         "violation_examples",
         "freshness",
+        "lsh_recall",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -996,6 +996,76 @@ def hamming_candidates(
 
 
 # ---------------------------------------------------- cluster resolution
+def lsh_recall_report(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    sample_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "lshqa-v1",
+) -> DataFrame:
+    """Measured quality of the MinHash-LSH candidate pipeline — the QA
+    probe that answers "is (num_hashes, bands) good enough for THIS
+    corpus?" before a full dedup run.  One row::
+
+        (n_true_pairs, n_candidate_pairs, n_hit, recall_bp, precision_bp)
+
+    Ground truth is :func:`ssjoin_pairs` (EXACT shingle-Jaccard >=
+    *threshold*, zero false negatives), candidates are
+    :func:`minhash_candidates` (or the md5 family) with the SAME shingle
+    definition; both are evaluated on a deterministic hash sample
+    (:func:`~evalidate_spark.functions.sampling.sample_deterministic`) so
+    the probe costs a *sample_fraction* slice of the corpus and is
+    reproducible across runs and engines.  ``recall_bp`` = hits / true
+    pairs, ``precision_bp`` = hits / candidates (candidates below the
+    exact threshold are false positives the verify stage will pay for),
+    both in integer basis points; NULL when the denominator is 0.
+    Bucket-cap truncation (boilerplate buckets) shows up honestly as
+    missed recall.  Plan: the two sub-pipelines' own scale shapes + one
+    full-outer pair join + a single-row aggregate."""
+    from .sampling import sample_deterministic
+
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+    s = (
+        sample_deterministic(df, sample_fraction, id_col=id_col, salt=salt)
+        if sample_fraction < 1.0
+        else df
+    )
+    truth = ssjoin_pairs(
+        s, threshold=threshold, shingle_k=shingle_k, id_col=id_col,
+        text_col=text_col,
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    cand_fn = minhash_candidates_md5 if hash_fn == "md5" else minhash_candidates
+    cand = cand_fn(
+        s, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k,
+    ).select("id_a", "id_b", F.lit(1).alias("__c"))
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum("__t").cast("long").alias("n_true_pairs"),
+        F.sum("__c").cast("long").alias("n_candidate_pairs"),
+        F.sum(F.col("__t") * F.col("__c")).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+        F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.when(
+            F.coalesce("n_true_pairs", F.lit(0)) > 0,
+            F.expr("coalesce(n_hit, 0L) * 10000L div n_true_pairs"),
+        ).cast("long").alias("recall_bp"),
+        F.when(
+            F.coalesce("n_candidate_pairs", F.lit(0)) > 0,
+            F.expr("coalesce(n_hit, 0L) * 10000L div n_candidate_pairs"),
+        ).cast("long").alias("precision_bp"),
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1095,3 +1095,50 @@ class TestMinHashState:
         _, s_old, s_new = self._states(spark)
         with pytest.raises(ValueError, match="divide"):
             dedup.dedup_against_state(s_new, s_old, bands=5, num_hashes=16)
+
+
+class TestLshRecallReport:
+    """Dedup QA: LSH candidate recall/precision vs exact ssjoin truth."""
+
+    def _corpus(self, spark):
+        uniq = [
+            (i, f"document number {i} about topic {i * 7} with words "
+                f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+            for i in range(40)
+        ]
+        dups = [(100 + i, uniq[i][1]) for i in range(6)]  # 6 exact copies
+        return spark.createDataFrame(uniq + dups, "doc_id long, text string")
+
+    @pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+    def test_exact_dups_full_recall(self, spark, hash_fn):
+        d = self._corpus(spark)
+        [r] = dedup.lsh_recall_report(
+            d, threshold=0.8, num_hashes=16, bands=8, hash_fn=hash_fn
+        ).collect()
+        # exact copies share every band -> all 6 truth pairs are caught
+        assert r["n_true_pairs"] == 6
+        assert r["n_hit"] == 6 and r["recall_bp"] == 10000
+        assert r["n_candidate_pairs"] >= 6
+        assert 0 < r["precision_bp"] <= 10000
+
+    def test_no_dups_gives_null_recall(self, spark):
+        d = spark.createDataFrame(
+            [(i, f"totally unique text {i} {i*3} {i*11} {i*13} {i*17}")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        [r] = dedup.lsh_recall_report(d, num_hashes=16, bands=8).collect()
+        assert r["n_true_pairs"] == 0 and r["recall_bp"] is None
+        if r["n_candidate_pairs"] == 0:
+            assert r["precision_bp"] is None
+
+    def test_sample_and_bad_args(self, spark):
+        d = self._corpus(spark)
+        [full] = dedup.lsh_recall_report(d, num_hashes=16, bands=8).collect()
+        [half] = dedup.lsh_recall_report(
+            d, num_hashes=16, bands=8, sample_fraction=0.5
+        ).collect()
+        # sampled probe sees a subset of the truth pairs
+        assert half["n_true_pairs"] <= full["n_true_pairs"]
+        with pytest.raises(ValueError, match="hash_fn"):
+            dedup.lsh_recall_report(d, hash_fn="sha1")

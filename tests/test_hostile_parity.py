@@ -53,6 +53,7 @@ QUERIES = [
     "lm_scores",
     "minhash_pairs_md5",
     "incremental_minhash",
+    "lsh_recall",
     "top_ngrams",
     "tfidf_terms",
     "bm25_topk",
