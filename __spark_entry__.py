@@ -1724,6 +1724,18 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
 
 
+def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash pipeline — shingling → per-bit majority vote →
+    16-bit-chunk bucketing → capped pair generation → exact Hamming —
+    with an md5-keyed hash family so every stage is replayable in DuckDB
+    (same pattern as `minhash_pairs_md5`; the xxhash64 production variant
+    `simhash_docs` stays rows-only).  DuckDB rebuilds the signature
+    bit-for-bit from md5 + arithmetic shifts, including the wrapping
+    bit-63 sign bit."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates_md5(d)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over the deterministic
     synthetic media table.  Decode is REAL for every image format in the
@@ -1952,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "image_near_dups": q_image_near_dups,
@@ -2891,6 +2904,63 @@ WITH toks AS (
                          AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, cast(count(*) AS bigint) AS n_bands, max(tr) AS truncated
+FROM p GROUP BY 1, 2
+"""
+
+# Full SimHash pipeline with the md5 hash family: DuckDB rebuilds the
+# 64-bit signature bit-for-bit (two 32-bit halves from the md5 hex prefix,
+# per-bit ±1 majority vote, HUGEINT assembly with an explicit two's-
+# complement wrap for bit 63), then replays the 16-bit-chunk bucketing,
+# the 64-member bucket cap, and the exact bit_count(xor) Hamming distance.
+ORACLE["simhash_pairs_md5"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(tk) - 1, 1)),
+    i -> array_to_string(tk[i:i+1], ' ')) AS sh
+  FROM toks
+), hl AS (
+  SELECT doc_id,
+    cast('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hi,
+    cast('0x' || substr(md5(s), 9, 8) AS BIGINT) AS lo
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+), votes AS (
+  SELECT doc_id, b,
+    sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b)
+                        ELSE (hi >> (b - 32)) END) & 1 = 1
+        THEN 1 ELSE -1 END) AS cnt
+  FROM hl, generate_series(0, 63) t(b)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+    cast(CASE WHEN u >= 9223372036854775808
+              THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sig
+  FROM (
+    SELECT doc_id,
+      sum(CASE WHEN cnt > 0 THEN (cast(1 AS HUGEINT) << b)
+               ELSE cast(0 AS HUGEINT) END) AS u
+    FROM votes GROUP BY 1)
+), chunks AS (
+  SELECT doc_id, sig, c AS chunk, (sig >> (16 * c)) & 65535 AS v
+  FROM sig, generate_series(0, 3) t(c)
+), capped AS (
+  SELECT chunk, v, doc_id, sig,
+    row_number() OVER (PARTITION BY chunk, v ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY chunk, v) AS gsz
+  FROM chunks
+), kept AS (
+  SELECT * FROM capped WHERE gsz >= 2 AND rn <= 64
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    bit_count(xor(a.sig, b.sig)) AS hamming,
+    (a.gsz > 64 OR b.gsz > 64) AS tr
+  FROM kept a JOIN kept b ON a.chunk = b.chunk AND a.v = b.v
+                         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cast(min(hamming) AS integer) AS hamming,
+  max(tr) AS truncated
 FROM p GROUP BY 1, 2
 """
 

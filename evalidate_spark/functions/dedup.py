@@ -925,6 +925,83 @@ def simhash_candidates(
     )
 
 
+def simhash64_md5(col: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash keyed by md5 — the cross-engine-verifiable sibling of
+    :func:`simhash64` (which uses xxhash64, absent in DuckDB).
+
+    Per shingle the hash is the first 16 hex chars of ``md5(shingle)``,
+    split into two 32-bit halves (``conv`` of 8 hex chars each — never
+    materialising the full unsigned 64-bit value, which doesn't fit a
+    signed bigint); bit *b* of the hash votes ±1 from the low half for
+    b < 32 and the high half above.  Majority vote per bit, bit 63 set via
+    Java's wrapping ``shiftleft`` exactly like :func:`simhash64`.  Costlier
+    than the production path (string md5 + two ``conv`` per shingle vs one
+    xxhash64): use for cross-engine verification, keep xxhash64 for bulk.
+
+    The md5 hex string is let-bound via an inner ``transform`` so it is
+    computed ONCE per shingle, not once per half."""
+    hx = F.transform(shingles(col, shingle_k), lambda s: F.md5(s))
+    hs = F.transform(
+        hx,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        ),
+    )
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    F.when(b < 32, F.call_function("shiftright", h["lo"], b.cast("int")))
+                    .otherwise(F.call_function("shiftright", h["hi"], (b - 32).cast("int")))
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda cnt, b: F.when(
+                cnt > 0,
+                F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int")),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_candidates_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """:func:`simhash_candidates` with the md5-keyed signature — makes the
+    ENTIRE SimHash pipeline (shingling, per-bit majority vote, 16-bit chunk
+    bucketing, capped pair generation, exact Hamming) replayable as an
+    ANSI-SQL oracle: DuckDB reproduces the signature bit-for-bit from
+    ``md5`` + arithmetic shifts, so the driver's hash gate covers the whole
+    path end-to-end (the xxhash64 production variant stays rows-only)."""
+    ids = F.col("`%s`" % id_col)
+    tc = F.col("`%s`" % text_col)
+    sig = simhash64_md5(tc, shingle_k)
+    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
+    return hamming_candidates(
+        sigs, id_col="__id", sig_col="__sig", n_chunks=4, max_bucket=max_bucket
+    )
+
+
 def hamming_candidates(
     sigs: DataFrame,
     id_col: str,

@@ -361,6 +361,49 @@ def test_minhash_md5_signature_matches_python_oracle(spark):
         assert got[did] == oracle(text_), did
 
 
+def test_simhash_md5_signature_matches_python_oracle(spark):
+    """md5-keyed SimHash ≡ pure-Python hashlib oracle: first 16 hex chars
+    of md5(shingle) as the 64-bit hash, per-bit ±1 majority vote, signed
+    two's-complement wrap for bit 63."""
+    df = docs_df(spark, DOCS)
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", dedup.simhash64_md5(F.col("text"), 2).alias("s")
+        ).collect()
+    }
+
+    def oracle(s, k=2):
+        t = s.split()
+        sh = (
+            [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else [" ".join(t)]
+        )
+        counts = [0] * 64
+        for x in sh:
+            h = int(hashlib.md5(x.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                counts[b] += 1 if (h >> b) & 1 else -1
+        u = sum(1 << b for b in range(64) if counts[b] > 0)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for did, text_ in DOCS:
+        assert got[did] == oracle(text_), did
+
+
+def test_simhash_candidates_md5_finds_dups(spark):
+    df = docs_df(spark, DOCS)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates_md5(df).collect()
+    }
+    # exact dup pair has Hamming 0; d3/d5 (unrelated noise docs) pair
+    # with nothing
+    assert pairs.get(("d1", "d4")) == 0
+    assert all("d3" not in p and "d5" not in p for p in pairs)
+
+
 def test_minhash_candidates_md5_finds_dups(spark):
     df = docs_df(spark, DOCS)
     pairs = {
