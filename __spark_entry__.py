@@ -1804,9 +1804,10 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-only Arrow stage over real decoded pixels — JPEG/PNG/BMP) banded
     through the capped Hamming bucketing shared with SimHash
     (``functions/perceptual.py``).  The corpus injects a PNG transcode of
-    every image, so expected recall is exactly one pair per image at
-    Hamming 0.  No SQL oracle (pixel decode isn't SQL-expressible); hash
-    properties and recall are pytest-verified (``tests/test_perceptual.py``)."""
+    every image, so the true near-dup set is EXACTLY one Hamming-0 pair
+    per image — a construction oracle (see ``ORACLE['image_near_dups']``)
+    gates recall AND precision through the real JPEG/PNG/BMP decode path;
+    hash properties are pytest-verified (``tests/test_perceptual.py``)."""
     media = multimodal.synth_media(spark, 90)
     images = media.filter(F.col("media_kind") == "image")
     copies = perceptual.transcode_images(images, "png").withColumn(
@@ -1822,9 +1823,10 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gain / resample / duration invariant, ``functions/perceptual.py``)
     over real decoded WAV samples, banded through the shared capped
     Hamming bucketing.  The corpus injects a 0.25×-gain re-encode of every
-    audio row — expected recall exactly one pair per audio at Hamming 0.
-    No SQL oracle (FFT isn't SQL-expressible); invariances and separation
-    are pytest-verified (``TestSpechash``, ``TestAudioNearDups``)."""
+    audio row — the true near-dup set is exactly one Hamming-0 pair per
+    audio (gain cancels in the per-band energy ranks), gated end-to-end by
+    the construction oracle ``ORACLE['audio_near_dups']``; invariances and
+    separation are pytest-verified (``TestSpechash``, ``TestAudioNearDups``)."""
     media = multimodal.synth_media(spark, 60)
     audio = media.filter(F.col("media_kind") == "audio")
     copies = perceptual.audio_gain(audio, gain=0.25).withColumn(
@@ -1840,9 +1842,11 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode AVI frames (map-only Arrow stage — one 8-byte dHash per frame
     leaves), band through the shared capped Hamming bucketing, roll up
     matched frames per video pair.  The corpus injects an MJPEG transcode
-    of every DIB video — expected recall exactly one pair per video at
-    score 1.0.  No SQL oracle (frame decode isn't SQL-expressible);
-    recall/separation pytest-verified (``TestVideoNearDups``)."""
+    of every DIB video — the true near-dup set is exactly one
+    score-1.0 pair per video (smooth gradients survive JPEG quantisation
+    frame-for-frame), gated by the construction oracle
+    ``ORACLE['video_near_dups']``; separation pytest-verified
+    (``TestVideoNearDups``)."""
     media = multimodal.synth_smooth_videos(spark, 12)
     copies = perceptual.transcode_video(media, "mjpeg", quality=88).withColumn(
         "media_ref", F.concat(F.col("media_ref"), F.lit("::mj"))
@@ -4217,6 +4221,46 @@ CROSS JOIN (
 ORACLE["benford"] = "\nUNION ALL\n".join(
     _benford_col_sql(c) for c in ("l_extendedprice", "l_quantity")
 )
+
+# Construction oracles for the perceptual near-dup queries: the corpus is a
+# deterministic synthetic media table (seed 42, sf-independent size) unioned
+# with a re-encode of every item, so the true near-dup set is EXACTLY the
+# injected (original, copy) pairs — PNG re-encode of a decoded image is
+# pixel-identical (dHash Hamming 0), gain-scaling preserves the spectral
+# fingerprint (Hamming 0), and an MJPEG re-encode of smooth DIB frames
+# matches frame-for-frame (score 1.0).  Distinct items are independent
+# noise/gradients: a chance pair within the Hamming radius has probability
+# ~C(64,6)/2^64 ≈ 4e-12 per pair and the fixed seed makes even that
+# deterministic — verified exact at the gate scale.  The oracle enumerates
+# the construction's ground truth from the id scheme (m-{3i} images,
+# m-{3i+1} audio, v-{i} videos); the Spark side must reproduce it through
+# REAL decode (JPEG/PNG/BMP pixels, WAV samples, AVI frames) + perceptual
+# hashing + capped LSH banding, so recall AND precision are both gated.
+ORACLE["image_near_dups"] = """
+SELECT 'm-' || cast(3*i AS varchar) AS id_a,
+       'm-' || cast(3*i AS varchar) || '::png' AS id_b,
+       cast(0 AS integer) AS hamming,
+       false AS truncated
+FROM generate_series(0, 29) t(i)
+"""
+
+ORACLE["audio_near_dups"] = """
+SELECT 'm-' || cast(3*i+1 AS varchar) AS id_a,
+       'm-' || cast(3*i+1 AS varchar) || '::q' AS id_b,
+       cast(0 AS integer) AS hamming,
+       false AS truncated
+FROM generate_series(0, 19) t(i)
+"""
+
+ORACLE["video_near_dups"] = """
+SELECT 'v-' || cast(i AS varchar) AS id_a,
+       'v-' || cast(i AS varchar) || '::mj' AS id_b,
+       cast(3 AS bigint) AS shared_frames,
+       cast(3 AS integer) AS n_a,
+       cast(3 AS integer) AS n_b,
+       cast(1.0 AS double) AS score
+FROM generate_series(0, 11) t(i)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
