@@ -1760,6 +1760,36 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-derivable projection of `media_features`: per payload the
+    REAL decoded dimensions / duration / sample rate (baseline-JPEG, PNG,
+    BMP pixels; WAV headers+samples; AVI stream probe).  Every value is a
+    closed-form function of the deterministic generator's id scheme, so a
+    SQL oracle replays the expected dims from the formula — the decode path
+    itself enters the driver's hash gate (payload sha/RMS stay in the
+    rows-only `media_features` superset)."""
+    feats = multimodal.extract_features(multimodal.synth_media(spark, 200))
+    return feats.select(
+        "media_ref", "media_kind", "width", "height",
+        "duration_ms", "sample_rate", "decoded",
+    )
+
+
+def q_video_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structural projection of `video_frames`: REAL AVI frame sampling
+    (MJPEG + uncompressed-DIB decode) on a 250 ms grid, minus the
+    SQL-inexpressible frame sha.  Sample index, resolved frame index,
+    timestamp, and true frame dims are all closed-form in the generator's
+    id scheme (n_frames = 2 + (i//3) % 3 at 4 fps), so the oracle replays
+    the full 1→N expansion contract — every video present, every grid
+    point emitted, every frame decoded at its true size."""
+    media = multimodal.synth_media(spark, 120)
+    return multimodal.frame_sample(media, every_ms=250).select(
+        "media_ref", "sample_ix", "frame_ix", "ts_ms",
+        "width", "height", "decoded",
+    )
+
+
 def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free trailing-window feature generation
     (``sessions.trailing_window_features``): per event, the same user's
@@ -1971,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "media_dims": q_media_dims,
+        "video_frame_grid": q_video_frame_grid,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
         "video_near_dups": q_video_near_dups,
@@ -4250,6 +4282,39 @@ SELECT 'm-' || cast(3*i+1 AS varchar) AS id_a,
        cast(0 AS integer) AS hamming,
        false AS truncated
 FROM generate_series(0, 19) t(i)
+"""
+
+# media_dims / video_frame_grid: the generator's closed-form id scheme
+# (synth_media: kind = id % 3; image dims 8+i%16 × 8+(i//3)%16; audio
+# 4 kHz, 1.0+(i%5)*0.5 s; video dims 8+i%8 × 8+(i//3)%8, 2+(i//3)%3
+# frames at 4 fps) replayed in SQL — the Spark side must recover every
+# value through REAL container decode.
+ORACLE["media_dims"] = """
+SELECT 'm-' || cast(i AS varchar) AS media_ref,
+  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_kind,
+  CASE i % 3 WHEN 0 THEN cast(8 + i % 16 AS integer)
+             WHEN 2 THEN cast(8 + i % 8 AS integer) END AS width,
+  CASE i % 3 WHEN 0 THEN cast(8 + (i // 3) % 16 AS integer)
+             WHEN 2 THEN cast(8 + (i // 3) % 8 AS integer) END AS height,
+  CASE i % 3 WHEN 1 THEN cast(1000 + (i % 5) * 500 AS integer)
+             WHEN 2 THEN cast((2 + (i // 3) % 3) * 250 AS integer) END
+    AS duration_ms,
+  CASE i % 3 WHEN 1 THEN cast(4000 AS integer) END AS sample_rate,
+  true AS decoded
+FROM generate_series(0, 199) t(i)
+"""
+
+ORACLE["video_frame_grid"] = """
+SELECT 'm-' || cast(3*k+2 AS varchar) AS media_ref,
+  cast(s AS integer) AS sample_ix,
+  cast(s AS integer) AS frame_ix,
+  cast(250 * s AS integer) AS ts_ms,
+  cast(8 + (3*k+2) % 8 AS integer) AS width,
+  cast(8 + k % 8 AS integer) AS height,
+  true AS decoded
+FROM generate_series(0, 39) t(k), generate_series(0, 3) u(s)
+WHERE s <= 1 + k % 3
 """
 
 ORACLE["video_near_dups"] = """
