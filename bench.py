@@ -237,6 +237,9 @@ def main() -> None:
         "audio_near_dups",
         "video_near_dups",
         "incremental_minhash",
+        "simhash_pairs_md5",
+        "media_dims",
+        "video_frame_grid",
         "shard_plan",
         "file_health",
         "violation_examples",
