@@ -1731,9 +1731,11 @@ def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same pattern as `minhash_pairs_md5`; the xxhash64 production variant
     `simhash_docs` stays rows-only).  DuckDB rebuilds the signature
     bit-for-bit from md5 + arithmetic shifts, including the wrapping
-    bit-63 sign bit."""
+    bit-63 sign bit.  Runs the Arrow-batched vote (bit-identical to the
+    expression fold, pinned in pytest) — the interpreted 64-slot HOF
+    aggregate is ~10× the cost of the numpy unpack."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_candidates_md5(d)
+    return dedup.simhash_candidates_md5(d, arrow=True)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -980,22 +980,67 @@ def simhash64_md5(col: Column, shingle_k: int = 2) -> Column:
     )
 
 
+def simhash64_md5_arrow(col: Column, shingle_k: int = 2) -> Column:
+    """:func:`simhash64_md5` with the majority vote in an Arrow-batched
+    pandas UDF (the :func:`simhash64_arrow` pattern): md5 + the two
+    ``conv`` halves stay JVM-side; numpy reassembles the unsigned 64-bit
+    hash and unpacks all bits of a batch at once.  Bit-identical to the
+    expression fold (pinned in pytest), ~10× faster — the interpreted
+    64-slot HOF ``aggregate`` dominates the expression variant's cost."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def vote(his: pd.Series, los: pd.Series) -> pd.Series:
+        out = np.zeros(len(his), dtype=np.int64)
+        for i, (hi, lo) in enumerate(zip(his, los)):
+            if hi is None or len(hi) == 0:
+                continue
+            h = (
+                np.asarray(hi, dtype=np.int64).astype(np.uint64)
+                << np.uint64(32)
+            ) | np.asarray(lo, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            counts = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+            sig = np.uint64(0)
+            for b in np.nonzero(counts > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    # udf_safe + capture-free single-level lambdas (see shingles()); md5 is
+    # evaluated once per half — cheaper than shipping hex strings through
+    # Arrow and parsing them in Python
+    sh = shingles(col, shingle_k, udf_safe=True)
+    his = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+    los = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint")
+    )
+    return vote(his, los)
+
+
 def simhash_candidates_md5(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 2,
     max_bucket: int = 64,
+    arrow: bool = False,
 ) -> DataFrame:
     """:func:`simhash_candidates` with the md5-keyed signature — makes the
     ENTIRE SimHash pipeline (shingling, per-bit majority vote, 16-bit chunk
     bucketing, capped pair generation, exact Hamming) replayable as an
     ANSI-SQL oracle: DuckDB reproduces the signature bit-for-bit from
     ``md5`` + arithmetic shifts, so the driver's hash gate covers the whole
-    path end-to-end (the xxhash64 production variant stays rows-only)."""
+    path end-to-end (the xxhash64 production variant stays rows-only).
+    ``arrow=True`` swaps in the bit-identical Arrow-batched vote
+    (:func:`simhash64_md5_arrow`) — same pairs, ~10× cheaper signature."""
     ids = F.col("`%s`" % id_col)
     tc = F.col("`%s`" % text_col)
-    sig = simhash64_md5(tc, shingle_k)
+    sig_fn = simhash64_md5_arrow if arrow else simhash64_md5
+    sig = sig_fn(tc, shingle_k)
     sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
     return hamming_candidates(
         sigs, id_col="__id", sig_col="__sig", n_chunks=4, max_bucket=max_bucket

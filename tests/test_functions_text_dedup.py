@@ -392,6 +392,24 @@ def test_simhash_md5_signature_matches_python_oracle(spark):
         assert got[did] == oracle(text_), did
 
 
+def test_simhash_md5_arrow_bit_identical(spark):
+    """Arrow-batched md5 vote ≡ the pure-expression fold on every doc."""
+    df = docs_df(spark, DOCS)
+    expr = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", dedup.simhash64_md5(F.col("text"), 2).alias("s")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", dedup.simhash64_md5_arrow(F.col("text"), 2).alias("s")
+        ).collect()
+    }
+    assert expr == arrow
+
+
 def test_simhash_candidates_md5_finds_dups(spark):
     df = docs_df(spark, DOCS)
     pairs = {
