@@ -89,7 +89,16 @@ def main() -> None:
         return (f"| local[{c}] | {r['sec']} | {r['docs_per_sec']:,} "
                 f"| {f['sec']} | {f['docs_per_sec']:,} |")
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve appended per-session notes (everything from the first
+    # "## Round-" header on) across regenerations of the scaling block
+    bench_path = os.path.join(REPO, "BENCH.md")
+    notes = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        ix = old.find("\n## Round-")
+        if ix != -1:
+            notes = old[ix:]
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
 
 Full rule-set validation with per-partition verdict roll-up (`validate`
@@ -129,6 +138,7 @@ no skewed key, so efficiency is bounded only by scheduling overhead.
 Headline per-round numbers live in BENCH_r{{N}}.json (driver-run
 `bench.py`).
 """)
+        f.write(notes)
 
 
 if __name__ == "__main__":
