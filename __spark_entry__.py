@@ -864,6 +864,26 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival accounting under the SAME keep rule as
+    `dedup_corpus` (min doc_id per first-5-token prefix fingerprint,
+    NULL-text pass-through): docs in / docs kept / survival ratio plus
+    char weight per source — the cross-source cannibalisation report a
+    pipeline owner reads after dedup.  One map-side-combinable aggregate
+    over (fp, id, source, chars); the doc payload never moves and there
+    is no semi-join back against the corpus."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    key = F.when(
+        F.col("text").isNotNull(), F.md5(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    )
+    return dedup.dedup_attrition(
+        d, group_col="source", key=key, weight_col="n_chars"
+    )
+
+
 def q_resolve_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup apply: same first-5-token fingerprint groups
     as dedup_corpus, but keep the LONGEST member (n_chars as the quality
@@ -1998,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "incremental_minhash": q_incremental_minhash,
+        "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "simhash_pairs_md5": q_simhash_pairs_md5,
@@ -2850,6 +2871,37 @@ WHERE text IS NULL
   SELECT min(doc_id) FROM documents WHERE text IS NOT NULL
   GROUP BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
 )
+"""
+
+# Per-source dedup attrition under the dedup_corpus keep rule: keeper =
+# min doc_id per prefix fingerprint (global across sources), NULL-text
+# rows pass through; survival attributed to the KEEPER's source.
+ORACLE["dedup_attrition"] = """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN text IS NOT NULL
+              THEN md5(array_to_string(string_split(text, ' ')[1:5], ' '))
+         END AS fp
+  FROM documents
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM k
+  WHERE fp IS NOT NULL AND doc_id IS NOT NULL GROUP BY fp
+), kept AS (
+  SELECT source, count(*) AS docs_kept, sum(n_chars) AS w_kept
+  FROM k
+  WHERE fp IS NULL OR doc_id IN (SELECT doc_id FROM keep)
+  GROUP BY source
+), tot AS (
+  SELECT source, count(*) AS docs_in, sum(n_chars) AS w_in
+  FROM k GROUP BY source
+)
+SELECT t.source,
+       cast(t.docs_in AS bigint) AS docs_in,
+       cast(coalesce(kk.docs_kept, 0) AS bigint) AS docs_kept,
+       cast(coalesce(kk.docs_kept, 0) AS double) / t.docs_in AS kept_ratio,
+       cast(t.w_in AS bigint) AS w_in,
+       cast(coalesce(kk.w_kept, 0) AS bigint) AS w_kept
+FROM tot t LEFT JOIN kept kk ON t.source = kk.source
 """
 
 ORACLE["profile_quantiles"] = """

@@ -180,6 +180,7 @@ def main() -> None:
         "asof_features",
         "packed_sequences",
         "dedup_corpus",
+        "dedup_attrition",
         "drift_quantile",
         "quantized_topk",
         "centroid_outliers",

@@ -99,6 +99,44 @@ class TestDedup:
         kept = {r["doc_id"] for r in dedup.distinct_by_fingerprint(df).collect()}
         assert kept == {"d1", "d2", "d3", "d5"}
 
+    def test_dedup_attrition(self, spark):
+        # s1 owns the keeper of the duplicated text (min id "a1"); s2's
+        # copy "b1" is cannibalised; NULL text ("b3") passes through;
+        # NULL id ("a3") counts in but is never a keeper so never kept
+        rows = [
+            ("a1", "same text here", "s1", 10),
+            ("a2", "unique alpha doc", "s1", 20),
+            ("a3", None, "s1", 5),
+            ("b1", "same text here", "s2", 10),
+            ("b2", "unique beta doc", "s2", 30),
+            (None, "unique beta doc", "s2", 30),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, source string, n_chars long"
+        )
+        got = {
+            r["source"]: r.asDict()
+            for r in dedup.dedup_attrition(df, weight_col="n_chars").collect()
+        }
+        # a3: NULL text -> NULL fingerprint -> pass-through (kept)
+        assert got["s1"]["docs_in"] == 3 and got["s1"]["docs_kept"] == 3
+        assert got["s1"]["w_in"] == 35 and got["s1"]["w_kept"] == 35
+        # b1 lost to a1's keeper; NULL-id row lost (never a keeper)
+        assert got["s2"]["docs_in"] == 3 and got["s2"]["docs_kept"] == 1
+        assert got["s2"]["w_in"] == 70 and got["s2"]["w_kept"] == 30
+        assert got["s2"]["kept_ratio"] == pytest.approx(1 / 3)
+        # attrition agrees row-for-row with the apply step itself
+        kept_ids = {
+            r["doc_id"] for r in dedup.distinct_by_fingerprint(df).collect()
+        }
+        by_src = {"s1": 0, "s2": 0}
+        for did, _t, src, _w in rows:
+            if did is not None and did in kept_ids:
+                by_src[src] += 1
+        assert by_src == {
+            s: got[s]["docs_kept"] for s in by_src
+        }
+
     def test_minhash_near_dups(self, spark):
         df = docs_df(spark, DOCS)
         pairs = dedup.near_duplicates(df, threshold=0.5, num_hashes=32, bands=16)
