@@ -2901,7 +2901,7 @@ SELECT t.source,
        cast(coalesce(kk.docs_kept, 0) AS double) / t.docs_in AS kept_ratio,
        cast(t.w_in AS bigint) AS w_in,
        cast(coalesce(kk.w_kept, 0) AS bigint) AS w_kept
-FROM tot t LEFT JOIN kept kk ON t.source = kk.source
+FROM tot t LEFT JOIN kept kk ON t.source IS NOT DISTINCT FROM kk.source
 """
 
 ORACLE["profile_quantiles"] = """

@@ -192,9 +192,11 @@ def dedup_attrition(
         .agg(F.sum("k").alias("docs_kept"), F.sum("wk").alias("__w_kept"))
     )
     out = (
-        tot.join(kept, on="__g", how="left")
+        # null-safe: a NULL group is a real group (e.g. source unknown),
+        # its survivors must not be zeroed by null-unsafe equality
+        tot.join(kept, on=tot["__g"].eqNullSafe(kept["__g"]), how="left")
         .select(
-            F.col("__g").alias(group_col),
+            tot["__g"].alias(group_col),
             F.col("docs_in").cast("bigint").alias("docs_in"),
             F.coalesce(F.col("docs_kept"), F.lit(0)).cast("bigint").alias("docs_kept"),
             (

@@ -23,6 +23,7 @@ import __spark_entry__ as entry
 
 QUERIES = [
     "dedup_corpus",
+    "dedup_attrition",
     "exact_dup_groups",
     "contamination",
     "pii_redaction",
@@ -52,6 +53,14 @@ QUERIES = [
     "leakage_split",
     "lm_scores",
     "minhash_pairs_md5",
+    "simhash_pairs_md5",
+    # construction-oracled media queries: read no corpus tables (synth
+    # media only), included to keep QUERIES ≡ oracle_sql() lockstep
+    "media_dims",
+    "video_frame_grid",
+    "image_near_dups",
+    "audio_near_dups",
+    "video_near_dups",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
