@@ -157,7 +157,12 @@ def dedup_attrition(
     Scale shape: the doc payload is never touched — one map-side-
     combinable aggregate over ``(fp, id, group[, weight])`` (the same
     single shuffle the dedup apply itself needs), two #groups-sized
-    roll-ups, and a tiny join.  No semi-join back against the corpus."""
+    roll-ups, and a tiny join.  No semi-join back against the corpus.
+    The ``min(struct(id, group, weight))`` compiles to a SortAggregate
+    (struct buffers are not hash-mutable; scalar ``min_by`` sorts too) —
+    the per-partition sort is deliberate: the alternative, hash-agg
+    ``min(id)`` then joining the slim table back to fetch the keeper's
+    group, would shuffle the corpus-sized slim table a SECOND time."""
     kexpr = key if key is not None else fingerprint(F.col("`%s`" % text_col))
     ids = F.col("`%s`" % id_col)
     grp = F.col("`%s`" % group_col)
