@@ -1170,6 +1170,28 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def q_near_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival after CLUSTER-based near-dedup: the same
+    deterministic chain-pair clusters as `dup_clusters` / `leakage_split`
+    (oracle-replayable via recursive CTE), one representative (min id)
+    kept per cluster, unclustered docs survive.  Composes
+    `duplicate_clusters` → `cluster_attrition`; the corpus payload never
+    moves — two id-keyed joins on the slim (id, source, chars)
+    projection and one group-sized aggregate."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 10 < 3)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    cl = dedup.duplicate_clusters(pairs)
+    return dedup.cluster_attrition(d, cl, weight_col="n_chars")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for 5 probe vectors (ranked on the
     6-dp-rounded similarity + id tiebreak → cross-engine stable)."""
@@ -1979,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
+        "near_dedup_attrition": q_near_dedup_attrition,
         "jaccard_pairs": q_jaccard_pairs,
         "ssjoin_pairs": q_ssjoin_pairs,
         "lsh_recall": q_lsh_recall,
@@ -2871,6 +2894,43 @@ WHERE text IS NULL
   SELECT min(doc_id) FROM documents WHERE text IS NOT NULL
   GROUP BY md5(array_to_string(string_split(text, ' ')[1:5], ' '))
 )
+"""
+
+# Cluster-based near-dedup attrition: same chain-pair clusters as
+# dup_clusters (recursive CTE), keep min id per cluster, unclustered
+# docs survive; survival rolled up per source.
+ORACLE["near_dedup_attrition"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+), cl AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+), reps AS (
+  SELECT cluster_id, min(id) AS rep FROM cl GROUP BY cluster_id
+), m AS (
+  SELECT d.source, d.n_chars,
+         (c.id IS NULL OR d.doc_id = r.rep) AS kept
+  FROM documents d
+  LEFT JOIN cl c ON d.doc_id = c.id
+  LEFT JOIN reps r ON c.cluster_id = r.cluster_id
+)
+SELECT source,
+       cast(count(*) AS bigint) AS docs_in,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS docs_kept,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS double) / count(*)
+         AS kept_ratio,
+       cast(sum(n_chars) AS bigint) AS w_in,
+       cast(coalesce(sum(CASE WHEN kept THEN n_chars END), 0) AS bigint)
+         AS w_kept
+FROM m GROUP BY source
 """
 
 # Per-source dedup attrition under the dedup_corpus keep rule: keeper =

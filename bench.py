@@ -181,6 +181,7 @@ def main() -> None:
         "packed_sequences",
         "dedup_corpus",
         "dedup_attrition",
+        "near_dedup_attrition",
         "drift_quantile",
         "quantized_topk",
         "centroid_outliers",

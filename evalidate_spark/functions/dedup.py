@@ -219,6 +219,68 @@ def dedup_attrition(
     )
 
 
+def cluster_attrition(
+    df: DataFrame,
+    clusters: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    cluster_member_col: str = "id",
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """:func:`dedup_attrition`'s sibling for CLUSTER-based (near-dup)
+    dedup: given a ``(member_id, cluster_id)`` table (e.g. from
+    :func:`duplicate_clusters`), keep one representative per cluster
+    (min member id); documents in no cluster survive untouched.  Returns
+    the same ``(group, docs_in, docs_kept, kept_ratio[, w_in, w_kept])``
+    report — which sources lose documents once near-duplicates collapse
+    to a single representative.
+
+    Scale shape: the cluster table is tiny relative to the corpus (only
+    clustered docs appear), so both joins hit a corpus-slim projection
+    ``(id, group[, weight])`` keyed by id — broadcastable cluster side
+    when it fits — followed by ONE group-sized aggregate.  The payload
+    never moves."""
+    ids = F.col("`%s`" % id_col)
+    grp = F.col("`%s`" % group_col)
+    wcol = (
+        F.col("`%s`" % weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(0).cast("bigint")
+    )
+    slim = df.select(ids.alias("__id"), grp.alias("__g"), wcol.alias("__w"))
+    cl = clusters.select(
+        F.col("`%s`" % cluster_member_col).alias("__m"),
+        F.col("`%s`" % cluster_id_col).alias("__cl"),
+    )
+    # reps derives from cl: rename its columns so the second join's
+    # condition isn't an ambiguous self-join lineage
+    reps = (
+        cl.groupBy("__cl")
+        .agg(F.min("__m").alias("__rep"))
+        .select(F.col("__cl").alias("__rcl"), "__rep")
+    )
+    marked = slim.join(cl, slim["__id"] == cl["__m"], "left").join(
+        reps,
+        (F.col("__cl") == F.col("__rcl")) & (F.col("__id") == F.col("__rep")),
+        "left",
+    )
+    kept = F.col("__cl").isNull() | F.col("__rep").isNotNull()
+    out = marked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+        (
+            F.sum(F.when(kept, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("kept_ratio"),
+        F.sum("__w").alias("w_in"),
+        F.coalesce(F.sum(F.when(kept, F.col("__w"))), F.lit(0)).alias("w_kept"),
+    )
+    if weight_col is None:
+        return out.drop("w_in", "w_kept")
+    return out
+
+
 def incremental_dedup(
     new_df: DataFrame,
     index_df: Optional[DataFrame],

@@ -137,6 +137,27 @@ class TestDedup:
             s: got[s]["docs_kept"] for s in by_src
         }
 
+    def test_cluster_attrition(self, spark):
+        # cluster {a1,b1,b2} -> rep a1; a2/b3 unclustered -> survive
+        docs = spark.createDataFrame(
+            [
+                ("a1", "s1", 10), ("a2", "s1", 20),
+                ("b1", "s2", 10), ("b2", "s2", 30), ("b3", "s2", 40),
+            ],
+            "doc_id string, source string, n_chars long",
+        )
+        cl = spark.createDataFrame(
+            [("a1", "a1"), ("b1", "a1"), ("b2", "a1")], "id string, cluster_id string"
+        )
+        got = {
+            r["source"]: r.asDict()
+            for r in dedup.cluster_attrition(docs, cl, weight_col="n_chars").collect()
+        }
+        assert got["s1"]["docs_in"] == 2 and got["s1"]["docs_kept"] == 2
+        assert got["s2"]["docs_in"] == 3 and got["s2"]["docs_kept"] == 1
+        assert got["s2"]["w_in"] == 80 and got["s2"]["w_kept"] == 40
+        assert got["s2"]["kept_ratio"] == pytest.approx(1 / 3)
+
     def test_minhash_near_dups(self, spark):
         df = docs_df(spark, DOCS)
         pairs = dedup.near_duplicates(df, threshold=0.5, num_hashes=32, bands=16)

@@ -24,6 +24,7 @@ import __spark_entry__ as entry
 QUERIES = [
     "dedup_corpus",
     "dedup_attrition",
+    "near_dedup_attrition",
     "exact_dup_groups",
     "contamination",
     "pii_redaction",
