@@ -1736,6 +1736,22 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates_md5(d, num_hashes=16, bands=8)
 
 
+def q_minhash_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE near-dedup pipeline as one hash-gated query: raw text →
+    md5-keyed MinHash signatures → LSH banding → candidate pairs →
+    connected components (`duplicate_clusters`) → min-id representative
+    per component → per-source survival report (`cluster_attrition`).
+    Every stage is replayed by the DuckDB oracle (the minhash_pairs_md5
+    CTE + recursive-CTE components + the attrition rollup), so the
+    driver's hash gate covers raw text to business report end-to-end."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidates_md5(d, num_hashes=16, bands=8)
+    cl = dedup.duplicate_clusters(cand.select("id_a", "id_b"))
+    return dedup.cluster_attrition(d, cl, weight_col="n_chars")
+
+
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-increment near-dup state: the corpus is ingested as three
     increments (doc_id mod 3); the last increment is deduped against the
@@ -2002,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
         "near_dedup_attrition": q_near_dedup_attrition,
+        "minhash_dedup_attrition": q_minhash_dedup_attrition,
         "jaccard_pairs": q_jaccard_pairs,
         "ssjoin_pairs": q_ssjoin_pairs,
         "lsh_recall": q_lsh_recall,
@@ -4091,6 +4108,40 @@ SELECT cast(n_true_pairs AS bigint) AS n_true_pairs,
 FROM n
 """
 
+
+# End-to-end near-dedup pipeline report: md5-MinHash LSH candidates
+# (reused CTE) -> recursive-CTE connected components -> min-id
+# representative per component -> per-source survival rollup.
+ORACLE["minhash_dedup_attrition"] = f"""
+WITH RECURSIVE cand AS ({ORACLE["minhash_pairs_md5"]}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+), cl AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+), reps AS (
+  SELECT cluster_id, min(id) AS rep FROM cl GROUP BY cluster_id
+), m AS (
+  SELECT d.source, d.n_chars,
+         (c.id IS NULL OR d.doc_id = r.rep) AS kept
+  FROM documents d
+  LEFT JOIN cl c ON d.doc_id = c.id
+  LEFT JOIN reps r ON c.cluster_id = r.cluster_id
+)
+SELECT source,
+       cast(count(*) AS bigint) AS docs_in,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS docs_kept,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS double) / count(*)
+         AS kept_ratio,
+       cast(sum(n_chars) AS bigint) AS w_in,
+       cast(coalesce(sum(CASE WHEN kept THEN n_chars END), 0) AS bigint)
+         AS w_kept
+FROM m GROUP BY source
+"""
 
 # entropy oracle mirrors table_checks.column_entropy term-for-term:
 # NULL is its own category, H = (ln(n) - sum(c*ln c)/n) / ln2 with ln(2)

@@ -182,6 +182,7 @@ def main() -> None:
         "dedup_corpus",
         "dedup_attrition",
         "near_dedup_attrition",
+        "minhash_dedup_attrition",
         "drift_quantile",
         "quantized_topk",
         "centroid_outliers",

@@ -25,6 +25,7 @@ QUERIES = [
     "dedup_corpus",
     "dedup_attrition",
     "near_dedup_attrition",
+    "minhash_dedup_attrition",
     "exact_dup_groups",
     "contamination",
     "pii_redaction",
