@@ -181,7 +181,9 @@ def main() -> None:
         "packed_sequences",
         "dedup_corpus",
         "dedup_attrition",
-        "near_dedup_attrition",
+        # near_dedup_attrition is gate-checked but not benched: its cluster
+        # stage duplicates leakage_split's (same chain pairs) and its rollup
+        # is dedup_attrition's — benching it would double-count ~10 s
         "minhash_dedup_attrition",
         "drift_quantile",
         "quantized_topk",
