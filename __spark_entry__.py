@@ -1360,6 +1360,29 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_FUNNEL_ORDER = (
+    "no_text",
+    "word_count",
+    "mean_word_len",
+    "alpha_words",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "stopwords",
+)
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-filter funnel: the `gopher_rules` verdicts
+    applied in a fixed stage order — per stage, documents surviving
+    rules 1..k and documents the stage dropped.  One aggregate over the
+    per-doc verdict table (k disjointness sums fused in a single pass) +
+    a constant-size explode."""
+    from evalidate_spark.functions.text import filter_funnel
+
+    return filter_funnel(q_gopher_rules(spark, sf_dir), GOPHER_FUNNEL_ORDER)
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 page cleaning over documents: page-level lorem-ipsum/brace
     drops, line-level terminal-punctuation + min-words + javascript
@@ -2027,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "gopher_rules": q_gopher_rules,
+        "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
         "classifier_scores": q_classifier_scores,
         "functional_deps": q_functional_deps,
@@ -4142,6 +4166,39 @@ SELECT source,
          AS w_kept
 FROM m GROUP BY source
 """
+
+def _funnel_oracle_sql() -> str:
+    """Funnel over the gopher_rules oracle: per-stage survivor counts as
+    FILTER'd aggregates in one scan, then a constant UNION ALL unpivot
+    (stage k survivors = fails set disjoint from the first k rules)."""
+    cols = ["count(*) AS n0"]
+    for i in range(len(GOPHER_FUNNEL_ORDER)):
+        lst = ", ".join("'%s'" % r for r in GOPHER_FUNNEL_ORDER[: i + 1])
+        cols.append(
+            "count(*) FILTER (WHERE NOT list_has_any(fl, [%s])) AS n%d"
+            % (lst, i + 1)
+        )
+    rows = [
+        "SELECT 0 AS stage_ix, 'input' AS rule, cast(n0 AS bigint) AS "
+        "docs_surviving, cast(0 AS bigint) AS docs_dropped FROM c"
+    ]
+    for i, r in enumerate(GOPHER_FUNNEL_ORDER, 1):
+        rows.append(
+            "SELECT %d, '%s', cast(n%d AS bigint), cast(n%d - n%d AS bigint) "
+            "FROM c" % (i, r, i, i - 1, i)
+        )
+    return f"""
+WITH g AS ({ORACLE["gopher_rules"]}),
+s AS (
+  SELECT list_filter(string_split(fails, ','), x -> x <> '') AS fl FROM g
+), c AS (
+  SELECT {', '.join(cols)} FROM s
+)
+{' UNION ALL '.join(rows)}
+"""
+
+
+ORACLE["filter_funnel"] = _funnel_oracle_sql()
 
 # entropy oracle mirrors table_checks.column_entropy term-for-term:
 # NULL is its own category, H = (ln(n) - sum(c*ln c)/n) / ln2 with ln(2)

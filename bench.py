@@ -212,6 +212,7 @@ def main() -> None:
         "profile_incremental",
         "semantic_dedup",
         "gopher_rules",
+        "filter_funnel",
         "c4_filters",
         "classifier_scores",
         "functional_deps",

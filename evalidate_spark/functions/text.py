@@ -1080,6 +1080,52 @@ def gopher_rules(
     ).drop("__no_text")
 
 
+def filter_funnel(
+    flags: DataFrame,
+    rules: Sequence[str],
+    fails_col: str = "fails",
+) -> DataFrame:
+    """Cumulative filter funnel over a per-doc rule-verdict table (e.g.
+    :func:`gopher_rules` output, whose ``fails`` is a comma-joined sorted
+    rule-name list): apply *rules* in the given order and report, per
+    stage, how many documents survive rules ``1..k`` and how many the
+    stage dropped — the funnel chart a pipeline owner reads to see which
+    filter does the cutting.  A stage-0 ``input`` row carries the corpus
+    size.
+
+    Survivors at stage k = docs whose fails set is disjoint from
+    ``rules[:k]`` — ONE aggregate over the flags table (k disjointness
+    sums fused into a single pass), then a constant-size explode; nothing
+    iterative, nothing collected."""
+    fl = F.split(F.coalesce(F.col("`%s`" % fails_col), F.lit("")), ",")
+    aggs = [F.count(F.lit(1)).alias("__in")]
+    for i in range(len(rules)):
+        prefix = F.array(*[F.lit(r) for r in rules[: i + 1]])
+        aggs.append(
+            F.sum((~F.arrays_overlap(fl, prefix)).cast("long")).alias("__s%d" % i)
+        )
+    one = flags.agg(*aggs)
+    stages = [
+        F.struct(
+            F.lit(0).alias("stage_ix"),
+            F.lit("input").alias("rule"),
+            F.col("__in").alias("docs_surviving"),
+            F.lit(0).cast("long").alias("docs_dropped"),
+        )
+    ]
+    for i, r in enumerate(rules):
+        prev = F.col("__in") if i == 0 else F.col("__s%d" % (i - 1))
+        stages.append(
+            F.struct(
+                F.lit(i + 1).alias("stage_ix"),
+                F.lit(r).alias("rule"),
+                F.col("__s%d" % i).alias("docs_surviving"),
+                (prev - F.col("__s%d" % i)).cast("long").alias("docs_dropped"),
+            )
+        )
+    return one.select(F.explode(F.array(*stages)).alias("x")).select("x.*")
+
+
 def c4_filters(
     df: DataFrame,
     text_col: str = "text",

@@ -88,6 +88,28 @@ class TestText:
         assert got["b"] == ["w1"]
 
 
+class TestFilterFunnel:
+    def test_funnel_counts_and_monotonicity(self, spark):
+        from evalidate_spark.functions.text import filter_funnel
+
+        flags = spark.createDataFrame(
+            [("d1", ""), ("d2", "r1"), ("d3", "r1,r2"), ("d4", "r2"), ("d5", "r3")],
+            "doc_id string, fails string",
+        )
+        rows = {
+            r["stage_ix"]: r.asDict()
+            for r in filter_funnel(flags, ["r1", "r2", "r3"]).collect()
+        }
+        assert rows[0] == {"stage_ix": 0, "rule": "input",
+                           "docs_surviving": 5, "docs_dropped": 0}
+        # r1 drops d2,d3; r2 then drops d4; r3 then drops d5
+        assert (rows[1]["docs_surviving"], rows[1]["docs_dropped"]) == (3, 2)
+        assert (rows[2]["docs_surviving"], rows[2]["docs_dropped"]) == (2, 1)
+        assert (rows[3]["docs_surviving"], rows[3]["docs_dropped"]) == (1, 1)
+        surv = [rows[i]["docs_surviving"] for i in range(4)]
+        assert surv == sorted(surv, reverse=True)
+
+
 class TestDedup:
     def test_exact_duplicates(self, spark):
         df = docs_df(spark, DOCS)

@@ -34,6 +34,7 @@ QUERIES = [
     "quality_topk",
     "quality_documents",
     "gopher_rules",
+    "filter_funnel",
     "c4_filters",
     "classifier_scores",
     "chunked_docs",
