@@ -239,6 +239,57 @@ def checks_stream(
     return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
 
 
+def funnel_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    rules,
+    fails_col: str = "fails",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed quality-filter funnel — the streaming twin of
+    :func:`evalidate_spark.functions.text.filter_funnel`: per window and
+    stage, ``(window, stage_ix, rule, docs_surviving, docs_dropped)``
+    with the same disjoint-from-``rules[:k]`` survivor rule over the
+    per-doc ``fails`` list.
+
+    All k disjointness sums are fused into ONE watermarked incremental
+    aggregate (state O(windows × stages), never O(rows)), then unpivoted
+    with the shared struct-explode — the arriving-corpus funnel dashboard
+    costs the same plan shape as the batch report.  Batch equivalence per
+    window is pinned in ``tests/test_streaming.py``."""
+    from .operators.table_checks import explode_structs
+
+    rules = list(rules)
+    if not rules:
+        raise ValueError("funnel_stream needs at least one rule")
+    fl = F.split(F.coalesce(F.col("`%s`" % fails_col), F.lit("")), ",")
+    aggs = [F.count(F.lit(1)).alias("__in")]
+    for i in range(len(rules)):
+        prefix = F.array(*[F.lit(r) for r in rules[: i + 1]])
+        aggs.append(
+            F.sum((~F.arrays_overlap(fl, prefix)).cast("long")).alias("__s%d" % i)
+        )
+    row = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col("`%s`" % ts_col), window).alias("window"))
+        .agg(*aggs)
+    )
+    parts = [
+        "struct(0 as stage_ix, 'input' as rule, "
+        "cast(__in as bigint) as docs_surviving, 0L as docs_dropped)"
+    ]
+    for i, r in enumerate(rules):
+        prev = "__in" if i == 0 else "`__s%d`" % (i - 1)
+        r_sql = str(r).replace("'", "''")
+        parts.append(
+            f"struct({i + 1} as stage_ix, '{r_sql}' as rule, "
+            f"`__s{i}` as docs_surviving, "
+            f"{prev} - `__s{i}` as docs_dropped)"
+        )
+    return explode_structs(row, parts, keep=("window",)).select("window", "s.*")
+
+
 def asof_join_stream(
     stream_df: DataFrame,
     right: DataFrame,

@@ -447,6 +447,49 @@ def test_checks_stream_matches_batch_checks(spark, tmp_path):
             ), (w, r["check_id"])
 
 
+def test_funnel_stream_matches_batch_funnel(spark, tmp_path):
+    """Windowed streaming quality funnel ≡ batch filter_funnel per
+    window — same disjoint-from-rules[:k] survivor rule and drop counts."""
+    from evalidate_spark.functions.text import filter_funnel
+
+    path = str(tmp_path / "fn_in")
+    (
+        spark.range(240)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+            "CASE WHEN id % 7 = 0 THEN 'r1' "
+            "WHEN id % 7 = 1 THEN 'r1,r2' "
+            "WHEN id % 7 = 2 THEN 'r3' "
+            "WHEN id % 7 = 3 THEN NULL ELSE '' END fails",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    RULES = ["r1", "r2", "r3"]
+    fs = streaming.funnel_stream(
+        _stream(spark, path), "ts", RULES, window="30 minutes"
+    )
+    assert fs.isStreaming
+    _run_to_memory(fs, "fn_out", mode="complete")
+    got = {
+        (r["window"]["start"], r["stage_ix"]): (
+            r["rule"], r["docs_surviving"], r["docs_dropped"]
+        )
+        for r in spark.table("fn_out").collect()
+    }
+    assert len(got) == 4 * (len(RULES) + 1)  # 4 windows x (input + stages)
+
+    batch = spark.read.parquet(path).withColumn(
+        "w", F.window(F.col("ts"), "30 minutes")["start"]
+    )
+    for w in [r["w"] for r in batch.select("w").distinct().collect()]:
+        sub = batch.filter(F.col("w") == w).drop("w")
+        for r in filter_funnel(sub, RULES).collect():
+            assert got[(w, r["stage_ix"])] == (
+                r["rule"], r["docs_surviving"], r["docs_dropped"]
+            ), (w, r["stage_ix"])
+
+
 def test_sequence_anomalies_stream_matches_batch(spark, tmp_path):
     """Stateful streaming sequence anomalies ≡ batch operator when events
     arrive seq-ordered across micro-batches: the duplicate/regression/gap
