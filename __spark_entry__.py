@@ -413,6 +413,17 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health: one row of integer counters (NULL/empty/
+    wrong-width/NaN-Inf/zero-norm vectors + observed width envelope) —
+    the gate a vector corpus passes before any ANN/dedup stage.  ONE
+    partial-combined aggregate; vectors never shuffle."""
+    from evalidate_spark.operators import table_checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return table_checks.embedding_health(emb, "embedding", expected_dim=64)
+
+
 def q_rule_firing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-coverage report: violations per rule_id + distinct offending
     docs — the spec-lint signal (a rule that never fires is dead weight;
@@ -2096,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "bm25_topk": q_bm25_topk,
         "trailing_features": q_trailing_features,
+        "embedding_health": q_embedding_health,
     }
 
 
@@ -4547,6 +4559,30 @@ SELECT 'v-' || cast(i AS varchar) AS id_a,
        cast(3 AS integer) AS n_b,
        cast(1.0 AS double) AS score
 FROM generate_series(0, 11) t(i)
+"""
+
+
+ORACLE["embedding_health"] = """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_null_vec,
+  CAST(coalesce(sum(CASE WHEN len(embedding) = 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_empty_vec,
+  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_wrong_dim,
+  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+  CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+  CAST(coalesce(sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_elem,
+  CAST(coalesce(sum(CASE WHEN len(list_filter(embedding,
+                         x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonfinite,
+  CAST(coalesce(sum(CASE WHEN len(embedding) > 0
+                         AND len(list_filter(embedding,
+                             x -> x IS DISTINCT FROM 0)) = 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero_norm
+FROM embeddings
 """
 
 

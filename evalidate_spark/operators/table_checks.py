@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def explode_structs(
@@ -2075,4 +2075,75 @@ def violation_examples(
         violations.withColumn("__rn", rn)
         .filter(F.col("__rn") <= per_rule)
         .drop("__rn")
+    )
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int = 0,
+) -> DataFrame:
+    """Embedding-column health report — ONE row of integer counters:
+
+    ``n_rows, n_null_vec, n_empty_vec, n_wrong_dim, min_dim, max_dim,
+    n_null_elem, n_nonfinite, n_zero_norm``
+
+    The validation probe a vector corpus needs before any similarity /
+    dedup / ANN stage runs (a single NaN poisons every dot product it
+    touches; a wrong-width vector crashes a blocked matmul; zero vectors
+    make cosine undefined):
+
+    * ``n_null_vec`` / ``n_empty_vec`` — NULL column vs zero-length array.
+    * ``n_wrong_dim`` — non-NULL vectors whose length ≠ *expected_dim*
+      (the model's known output width — passed in, never inferred, so the
+      check is reproducible and a corrupted majority can't vote itself
+      healthy).
+    * ``min_dim`` / ``max_dim`` — observed width envelope (NULL vectors
+      excluded; NULL on an all-NULL table).
+    * ``n_null_elem`` — vectors containing a NULL element.
+    * ``n_nonfinite`` — vectors containing NaN or ±Inf.
+    * ``n_zero_norm`` — non-empty all-zero vectors (cosine undefined; the
+      similarity operators score them 0.0 by contract).  A vector of
+      zeros-and-NULLs is NOT zero-norm — it is counted in
+      ``n_null_elem``.
+
+    All counters are conditional sums in ONE aggregate: partial-combined
+    map-side, so only one counter row per partition moves — the vectors
+    themselves never shuffle at any scale.  Every output is an integer
+    (bit-stable cross-engine; no float summaries)."""
+    if expected_dim <= 0:
+        raise ValueError("expected_dim must be a positive int")
+    v = F.col("`%s`" % vec_col)
+    dim = F.size(v)
+
+    def cnt(cond: Column, name: str) -> Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).cast("long").alias(name)
+
+    zero = F.lit(0.0)
+    inf = F.lit(float("inf"))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        cnt(v.isNull(), "n_null_vec"),
+        cnt(dim == 0, "n_empty_vec"),
+        cnt(v.isNotNull() & (dim != F.lit(expected_dim)), "n_wrong_dim"),
+        F.min(dim).cast("long").alias("min_dim"),
+        F.max(dim).cast("long").alias("max_dim"),
+        cnt(
+            F.coalesce(F.exists(v, lambda x: x.isNull()), F.lit(False)),
+            "n_null_elem",
+        ),
+        cnt(
+            F.coalesce(
+                F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == inf)),
+                F.lit(False),
+            ),
+            "n_nonfinite",
+        ),
+        cnt(
+            (dim > 0)
+            & F.coalesce(F.forall(v, lambda x: x == zero), F.lit(False)),
+            "n_zero_norm",
+        ),
     )

@@ -64,6 +64,7 @@ QUERIES = [
     "image_near_dups",
     "audio_near_dups",
     "video_near_dups",
+    "embedding_health",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
