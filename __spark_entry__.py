@@ -413,6 +413,17 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher repetition signals (top-2/3-gram char coverage,
+    duplicated-5-gram char coverage, integer bp) — one fused projection,
+    zero shuffles; the per-doc degenerate-repetition gate."""
+    from evalidate_spark.functions import text
+
+    return text.repetition_signals(
+        _t(spark, sf_dir, "documents"), top_ns=(2, 3), dup_n=5
+    )
+
+
 def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column health: one row of integer counters (NULL/empty/
     wrong-width/NaN-Inf/zero-norm vectors + observed width envelope) —
@@ -2108,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "trailing_features": q_trailing_features,
         "embedding_health": q_embedding_health,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -4583,6 +4595,63 @@ SELECT
                              x -> x IS DISTINCT FROM 0)) = 0
                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero_norm
 FROM embeddings
+"""
+
+
+def _rep_gram_sql(n: int) -> str:
+    """Gram list for order *n* over the let-bound token list ``tk``."""
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN list_transform("
+        f"generate_series(1, len(tk) - {n - 1}), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def _rep_bp_sql(expr: str) -> str:
+    """bp clamp identical to the engine: least(10000, floor(10000.0·x/L))."""
+    return (
+        f"CASE WHEN text IS NULL THEN NULL "
+        f"WHEN norm_len > 0 THEN least(10000, "
+        f"CAST(floor(10000.0 * {expr} / norm_len) AS BIGINT)) "
+        f"ELSE 0 END"
+    )
+
+
+# Quadratic-but-tiny per-row replay of the engine's sorted-run fold: for
+# each DISTINCT gram g, cover(g) = occurrences(g) × chars(g); top = max
+# cover, dup = Σ cover over grams occurring more than once.  Pure list
+# lambdas — no unnest/GROUP BY, so NULL doc_ids never collapse (the
+# engine is a per-row projection and must stay row-for-row comparable).
+ORACLE["repetition_signals"] = f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, text,
+         length(array_to_string(tk, ' ')) AS norm_len,
+         {_rep_gram_sql(2)} AS g2,
+         {_rep_gram_sql(3)} AS g3,
+         {_rep_gram_sql(5)} AS g5
+  FROM tok
+), m AS (
+  SELECT doc_id, text, norm_len,
+    coalesce(list_max(list_transform(list_distinct(g2),
+      x -> len(list_filter(g2, y -> y = x)) * length(x))), 0) AS top2,
+    coalesce(list_max(list_transform(list_distinct(g3),
+      x -> len(list_filter(g3, y -> y = x)) * length(x))), 0) AS top3,
+    coalesce(list_aggregate(list_transform(list_distinct(g5),
+      x -> CASE WHEN len(list_filter(g5, y -> y = x)) > 1
+                THEN len(list_filter(g5, y -> y = x)) * length(x)
+                ELSE 0 END), 'sum'), 0) AS dup5
+  FROM g
+)
+SELECT doc_id,
+       {_rep_bp_sql('top2')} AS top2_bp,
+       {_rep_bp_sql('top3')} AS top3_bp,
+       {_rep_bp_sql('dup5')} AS dup5_bp
+FROM m
 """
 
 

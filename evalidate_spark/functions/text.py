@@ -1179,3 +1179,114 @@ def c4_filters(
             ~page_drop & (F.size(lc["kept"]) > 0), F.lit(False)
         ).alias("keep_doc"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: Sequence[int] = (2, 3),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Within-document repetition signals (Rae et al. 2021 "Gopher",
+    Appendix A.1.2 — the repetitious-document filters), in integer basis
+    points of the token-normalised text length:
+
+    * ``top{n}_bp`` for each *n* in *top_ns* — chars covered by the
+      single n-gram with the LARGEST total char coverage
+      (``occurrences × gram_chars``; a strictly stronger variant of
+      Gopher's most-frequent-n-gram fraction — max-coverage needs no
+      count tie-break, so the value is engine-independent).
+    * ``dup{dup_n}_bp`` — chars covered by ALL dup_n-grams occurring
+      more than once (every occurrence counted; overlaps uncapped, so
+      the value is clamped to 10 000).
+
+    Contracts: NULL text → NULL metrics; zero-token text → all 0;
+    a doc shorter than *n* tokens has no n-grams → 0.  The denominator
+    is ``len(join(tokens, ' '))`` — whitespace-normalised, so multi-space
+    runs don't dilute the signal.
+
+    Plan: ONE fused per-row projection, zero shuffles at any scale.
+    Tokens are LET-BOUND once via the 1-element ``transform`` (the
+    :func:`shingles` trick); per n the gram array is ``array_sort``-ed
+    and folded with a single ``aggregate`` over adjacent runs — O(G log
+    G) per doc, no explode, nothing leaves the row.  (The corpus-level
+    siblings :func:`ngram_dup_stats` / :func:`top_ngrams` answer the
+    cross-doc question; this is the per-doc degenerate-repetition gate.)
+    """
+    for n in tuple(top_ns) + (dup_n,):
+        if n < 2:
+            raise ValueError("n-gram orders must be >= 2")
+    did, txt = F.col("`%s`" % id_col), F.col("`%s`" % text_col)
+
+    def grams(tk: Column, n: int) -> Column:
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def run_fold(g: Column) -> Column:
+        """(best_cover, dup_chars) over the sorted gram array: one linear
+        pass; a run of length r covering gram p contributes r·len(p)."""
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+
+        def close(acc):  # contribution of the run that just ended
+            prod = acc["run"] * F.length(acc["prev"]).cast("long")
+            return (
+                F.greatest(acc["best"], prod),
+                acc["dup"]
+                + F.when(acc["run"] > 1, prod).otherwise(F.lit(0).cast("long")),
+            )
+
+        def merge(acc, x):
+            best, dup = close(acc)
+            boundary = x != acc["prev"]
+            return F.struct(
+                x.alias("prev"),
+                F.when(boundary, F.lit(1).cast("long"))
+                .otherwise(acc["run"] + 1)
+                .alias("run"),
+                F.when(boundary, best).otherwise(acc["best"]).alias("best"),
+                F.when(boundary, dup).otherwise(acc["dup"]).alias("dup"),
+            )
+
+        def finish(acc):
+            best, dup = close(acc)
+            return F.struct(best.alias("best"), dup.alias("dup"))
+
+        return F.aggregate(F.array_sort(g), init, merge, finish)
+
+    def one_bp(n: int, field: str) -> Column:
+        """One output column = one let-bound tokenize + ONE fold.  A shared
+        struct would be re-inlined once per selected field by projection
+        collapse — tripling every fold (the :func:`shingles` lesson);
+        per-column trees keep total work at one fold per metric."""
+
+        def body(tk: Column) -> Column:
+            norm = F.length(F.array_join(tk, " ")).cast("long")
+            chars = run_fold(grams(tk, n))[field]
+            return F.when(
+                norm > 0,
+                F.least(
+                    F.lit(10000).cast("long"),
+                    F.floor(F.lit(10000.0) * chars / norm).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.when(
+            txt.isNotNull(),
+            F.element_at(F.transform(F.array(tokens(txt)), body), 1),
+        )
+
+    out = [did.alias(id_col)]
+    out += [one_bp(n, "best").alias("top%d_bp" % n) for n in top_ns]
+    out.append(one_bp(dup_n, "dup").alias("dup%d_bp" % dup_n))
+    return df.select(*out)

@@ -65,6 +65,7 @@ QUERIES = [
     "audio_near_dups",
     "video_near_dups",
     "embedding_health",
+    "repetition_signals",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
