@@ -424,6 +424,15 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script mix (Latin/Cyrillic/Greek/Arabic/CJK char
+    counts + mixed-script flag) — the homoglyph-spam signal; pure
+    regexp_replace projection, zero shuffles."""
+    from evalidate_spark.functions import text
+
+    return text.script_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column health: one row of integer counters (NULL/empty/
     wrong-width/NaN-Inf/zero-norm vectors + observed width envelope) —
@@ -2120,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_features": q_trailing_features,
         "embedding_health": q_embedding_health,
         "repetition_signals": q_repetition_signals,
+        "script_mix": q_script_mix,
     }
 
 
@@ -4653,6 +4663,41 @@ SELECT doc_id,
        {_rep_bp_sql('dup5')} AS dup5_bp
 FROM m
 """
+
+
+# Script classes shared with the engine (literal codepoint ranges, valid
+# under Java regex and RE2 alike) — imported so the two sides can never
+# drift apart.
+def _script_mix_sql() -> str:
+    from evalidate_spark.functions.text import SCRIPT_CLASSES
+
+    cnt = {
+        name: (
+            "coalesce(length(text) - "
+            f"length(regexp_replace(text, '{cls}', '', 'g')), NULL)"
+        )
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    cols = ",\n  ".join(
+        f"CAST({c} AS BIGINT) AS {name}_n" for name, c in cnt.items()
+    )
+    ns = " + ".join(
+        f"CASE WHEN {name}_n > 0 THEN 1 ELSE 0 END" for name in cnt
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, text,
+  {cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join(f'{n}_n' for n in cnt)},
+       CAST(({ns}) AS INTEGER) AS n_scripts,
+       ({ns}) >= 2 AS mixed
+FROM c
+"""
+
+
+ORACLE["script_mix"] = _script_mix_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1290,3 +1290,58 @@ def repetition_signals(
     out += [one_bp(n, "best").alias("top%d_bp" % n) for n in top_ns]
     out.append(one_bp(dup_n, "dup").alias("dup%d_bp" % dup_n))
     return df.select(*out)
+
+
+# Script classes as LITERAL codepoint-range character classes (the Python
+# \u escapes resolve to literal chars before either engine sees them, so
+# one class string is valid under Java regex AND RE2 — the
+# encoding_anomalies portability rule).  Letter ranges only: the Latin
+# class skips × (U+00D7) and ÷ (U+00F7).
+SCRIPT_CLASSES: Dict[str, str] = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "cjk": "[一-鿿぀-ヿ가-힯]",
+}
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode script mix — the mixed-script / homoglyph
+    spam signal (a "Latin" document whose vowels are Cyrillic lookalikes
+    defeats exact dedup and poisons language ID; script counts catch it
+    in one pass):
+
+    ``(id, latin_n, cyrillic_n, greek_n, arabic_n, cjk_n, n_scripts,
+    mixed)`` — per-script char counts over :data:`SCRIPT_CLASSES`,
+    ``n_scripts`` = how many scripts appear at all, ``mixed`` =
+    ``n_scripts >= 2``.  NULL text → NULL row metrics (sibling
+    convention); chars outside every class (digits, punctuation,
+    whitespace) count toward nothing.
+
+    Counts are ``length(x) − length(regexp_replace(x, class, ''))`` —
+    pure JVM-codegen'd projection, no UDF, no shuffle; each class is one
+    single-char character class so the count is exactly the number of
+    chars in that script."""
+    did, txt = F.col("`%s`" % id_col), F.col("`%s`" % text_col)
+
+    def count(cls: str) -> Column:
+        return (
+            F.length(txt) - F.length(F.regexp_replace(txt, cls, ""))
+        ).cast("long")
+
+    counts = {name: count(cls) for name, cls in SCRIPT_CLASSES.items()}
+    n_scripts = sum(
+        (F.when(c > 0, 1).otherwise(0) for c in counts.values()),
+        F.lit(0),
+    ).cast("int")
+    return df.select(
+        did.alias(id_col),
+        *[c.alias("%s_n" % name) for name, c in counts.items()],
+        n_scripts.alias("n_scripts"),
+        (n_scripts >= 2).alias("mixed"),
+    )

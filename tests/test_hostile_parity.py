@@ -66,6 +66,7 @@ QUERIES = [
     "video_near_dups",
     "embedding_health",
     "repetition_signals",
+    "script_mix",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
