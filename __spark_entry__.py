@@ -424,6 +424,17 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-volume anomaly vs the mean of all other days —
+    stalled/flooded-feed detection; one tiny count shuffle + a broadcast
+    totals crossJoin, integer-div bp math."""
+    from evalidate_spark.operators import table_checks
+
+    return table_checks.rate_anomalies(
+        _t(spark, sf_dir, "events"), "ts", bucket_s=86400
+    )
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Unicode script mix (Latin/Cyrillic/Greek/Arabic/CJK char
     counts + mixed-script flag) — the homoglyph-spam signal; pure
@@ -2130,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "repetition_signals": q_repetition_signals,
         "script_mix": q_script_mix,
+        "rate_anomalies": q_rate_anomalies,
     }
 
 
@@ -4698,6 +4710,25 @@ FROM c
 
 
 ORACLE["script_mix"] = _script_mix_sql()
+
+ORACLE["rate_anomalies"] = """
+WITH c AS (
+  SELECT e - e % 86400 AS bucket_s, CAST(count(*) AS BIGINT) AS n_events
+  FROM (SELECT epoch_us(ts) // 1000000 AS e FROM events WHERE ts IS NOT NULL)
+  GROUP BY 1
+), t AS (SELECT sum(n_events) AS tn, count(*) AS k FROM c),
+r AS (
+  SELECT bucket_s, n_events,
+    CAST(CASE WHEN k > 1 AND tn - n_events > 0
+              THEN n_events * (k - 1) * 10000 // greatest(tn - n_events, 1)
+         END AS BIGINT) AS rate_bp
+  FROM c, t
+)
+SELECT CAST(bucket_s AS BIGINT) AS bucket_s, n_events, rate_bp,
+       coalesce(rate_bp >= 20000, false) AS spike,
+       coalesce(rate_bp <= 5000, false) AS "drop"
+FROM r
+"""
 
 
 def oracle_sql() -> dict[str, str]:

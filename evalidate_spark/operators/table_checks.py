@@ -2147,3 +2147,66 @@ def embedding_health(
             "n_zero_norm",
         ),
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    spike_bp: int = 10000,
+    drop_bp: int = 5000,
+) -> DataFrame:
+    """Event-rate anomaly per fixed time bucket — the "did a feed stall
+    or flood?" probe: one row per *bucket_s*-second window with
+    ``(bucket_s, n_events, rate_bp, spike, drop)`` where ``rate_bp`` is
+    this window's volume vs the MEAN of all OTHER windows in integer
+    basis points (10000 = equal), ``spike`` fires at
+    ``>= 10000 + spike_bp`` and ``drop`` at ``<= 10000 - drop_bp``.
+
+    Bucketing is pure integer epoch math (``epoch_s − epoch_s mod
+    bucket_s``) — no calendar truncation, no session-timezone
+    dependence (the sessionization convention).  NULL timestamps are
+    excluded.  A single-bucket table has no "others": NULL ``rate_bp``,
+    flags false.
+
+    Plan: one map-side-combined count per bucket (the only shuffle, on
+    O(time-range / bucket_s) keys), then a broadcast crossJoin with its
+    own 1-row totals — the :func:`profile_anomalies` shape; integer
+    ``div`` arithmetic throughout so any SQL engine replays it
+    bit-for-bit."""
+    from .sessions import _micros
+
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    if spike_bp <= 0 or not (0 < drop_bp <= 10000):
+        raise ValueError("spike_bp must be > 0 and drop_bp in (0, 10000]")
+    epoch_s = F.floor(_micros(df, ts_col) / F.lit(1000000)).cast("long")
+    bucket = (epoch_s - F.pmod(epoch_s, F.lit(bucket_s))).cast("long")
+    counts = (
+        df.filter(F.col("`%s`" % ts_col).isNotNull())
+        .groupBy(bucket.alias("bucket_s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = counts.agg(
+        F.sum("n_events").alias("__tn"), F.count(F.lit(1)).alias("__k")
+    )
+    rate_bp = F.when(
+        (F.col("__k") > 1) & (F.col("__tn") - F.col("n_events") > 0),
+        F.expr(
+            "n_events * (__k - 1) * 10000L div greatest(__tn - n_events, 1L)"
+        ),
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_s",
+            "n_events",
+            rate_bp.alias("rate_bp"),
+            F.coalesce(
+                rate_bp >= F.lit(10000 + spike_bp), F.lit(False)
+            ).alias("spike"),
+            F.coalesce(
+                rate_bp <= F.lit(10000 - drop_bp), F.lit(False)
+            ).alias("drop"),
+        )
+    )

@@ -67,6 +67,7 @@ QUERIES = [
     "embedding_health",
     "repetition_signals",
     "script_mix",
+    "rate_anomalies",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
