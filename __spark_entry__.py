@@ -424,6 +424,40 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The documents contract, written as the JSON Schema a real data producer
+# would publish.  Maps via spec_json.schema_to_rules onto the SAME rule
+# semantics as _doc_rules(): property order fixes rule_seq, required+NULL
+# fires presence, and the extra type validators can never fire on a typed
+# parquet column — so the flagship oracle doubles as the importer's gate.
+DOC_JSON_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "title": "document",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer"},
+        "text": {"type": "string", "minLength": 50, "maxLength": 500},
+        "lang": {"enum": ALLOWED_LANGS},
+        "source": {"type": "string", "pattern": SOURCE_RE},
+        "n_chars": {"type": "integer", "minimum": 60, "maximum": 400},
+    },
+}
+
+
+def q_jsonschema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate documents against a draft-07 JSON Schema data contract:
+    schema → spec_json.schema_to_rules → the same fused validation pass.
+    Hash-gated against the hand-built flagship oracle, proving the
+    importer reproduces the exact rule semantics."""
+    from evalidate_spark.spec_json import schema_to_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, schema_to_rules(DOC_JSON_SCHEMA), id_cols=["doc_id"])
+    return res.violations.select(
+        "doc_id", "rule_seq", "rule_id", "key_path", "message"
+    )
+
+
 def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day event-volume anomaly vs the mean of all other days —
     stalled/flooded-feed detection; one tiny count shuffle + a broadcast
@@ -2142,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "script_mix": q_script_mix,
         "rate_anomalies": q_rate_anomalies,
+        "jsonschema_validate": q_jsonschema_validate,
     }
 
 
@@ -4710,6 +4745,11 @@ FROM c
 
 
 ORACLE["script_mix"] = _script_mix_sql()
+
+# the JSON-Schema-imported rule set is semantically identical to the
+# hand-built flagship spec — same oracle, by construction (see
+# DOC_JSON_SCHEMA)
+ORACLE["jsonschema_validate"] = ORACLE["validate_documents"]
 
 ORACLE["rate_anomalies"] = """
 WITH c AS (

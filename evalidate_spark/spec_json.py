@@ -15,7 +15,7 @@ library validator instead when the spec must be serialized.
 from __future__ import annotations
 
 import json
-from typing import Any, Callable, Dict, List
+from typing import Any, Callable, Dict, List, Optional
 
 from . import lib
 from .spec import (
@@ -194,3 +194,211 @@ def rules_from_json(s: str) -> List[Any]:
     if not isinstance(data, list):
         raise SpecError("rules JSON must be a list")
     return [node_from_dict(d) for d in data]
+
+
+# --------------------------------------------------------- JSON Schema
+# Import a draft-07 JSON Schema subset as a rule spec: real-world data
+# contracts are written as JSON Schema far more often than as bespoke
+# rule files, and the mapping is near-exact because evalidate's validator
+# kernel covers the same ground (type / presence / size / pattern / enum).
+
+_JSON_TYPE_MAP = {
+    "string": "binary",
+    "integer": "integer",
+    "number": "number",
+    "boolean": "boolean",
+    "array": "list",
+}
+
+# benign annotation keywords: carry no validation semantics
+_ANNOTATIONS = frozenset(
+    {"title", "description", "examples", "$schema", "$id", "$comment",
+     "deprecated", "readOnly", "writeOnly"}
+)
+
+# structural keywords this importer cannot honor — refusing loudly beats
+# silently validating less than the contract says
+_UNSUPPORTED = frozenset(
+    {"$ref", "allOf", "oneOf", "not", "if", "then", "else",
+     "patternProperties", "propertyNames", "dependencies",
+     "dependentSchemas", "dependentRequired", "exclusiveMinimum",
+     "exclusiveMaximum", "multipleOf", "contains", "prefixItems",
+     "additionalItems", "minProperties", "maxProperties"}
+)
+
+_FORMAT_MAP = {
+    "uri": "v_url",
+    "email": "v_email",
+    "uuid": "v_uuid_v4",
+}
+
+
+def _int_bound(v: Any, kw: str) -> Optional[int]:
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise SpecError("JSON Schema %s must be numeric" % kw)
+    if isinstance(v, float):
+        if not v.is_integer():
+            raise SpecError(
+                "JSON Schema %s=%r: non-integer bounds are not supported "
+                "(size bounds are integers)" % (kw, v)
+            )
+        v = int(v)
+    return v
+
+
+def _check_keywords(s: Dict[str, Any], path: str) -> None:
+    bad = sorted(set(s) & _UNSUPPORTED)
+    if bad:
+        raise SpecError(
+            "JSON Schema keyword(s) %s at '%s' are not supported" % (bad, path)
+        )
+
+
+def _schema_validators(s: Dict[str, Any], path: str) -> List[Any]:
+    """Validators for one (sub-)schema; nested objects are handled by the
+    caller via childs."""
+    _check_keywords(s, path)
+    vals: List[Any] = []
+    t = s.get("type")
+    types = [t] if isinstance(t, str) else list(t or [])
+    # JSON 'null' alternatives map to nothing: the engine treats a NULL
+    # value as a MISSING key (reference presence semantics), so validators
+    # never see nulls — dropping the alternative is exact
+    types = [x for x in types if x != "null"]
+    for x in types:
+        if x not in _JSON_TYPE_MAP and x != "object":
+            raise SpecError("JSON Schema type '%s' at '%s' is not supported" % (x, path))
+    plain = [x for x in types if x not in ("object", "array")]
+    if len(plain) == 1:
+        vals.append(Type(_JSON_TYPE_MAP[plain[0]]))
+    elif len(plain) > 1:
+        vals.append(Type([_JSON_TYPE_MAP[x] for x in plain]))
+    if "array" in types:
+        items = s.get("items")
+        if isinstance(items, dict) and "properties" not in items:
+            _check_keywords(items, path + "/items")
+            vals.append(Type(("list", _schema_validators(items, path + "/items"))))
+        elif items is None:
+            if not s.get("uniqueItems"):
+                vals.append(Type("list"))
+        elif not isinstance(items, dict):
+            raise SpecError("tuple-form 'items' at '%s' is not supported" % path)
+        if s.get("uniqueItems"):
+            vals.append(Type("uniq_list"))
+        lo = _int_bound(s.get("minItems"), "minItems")
+        hi = _int_bound(s.get("maxItems"), "maxItems")
+        if lo is not None or hi is not None:
+            vals.append(Size(lo, hi))
+    if "minLength" in s or "maxLength" in s:
+        vals.append(
+            Size(_int_bound(s.get("minLength"), "minLength"),
+                 _int_bound(s.get("maxLength"), "maxLength"))
+        )
+    if "minimum" in s or "maximum" in s:
+        vals.append(
+            Size(_int_bound(s.get("minimum"), "minimum"),
+                 _int_bound(s.get("maximum"), "maximum"))
+        )
+    if "pattern" in s:
+        # JSON Schema patterns are unanchored contains-matches — exactly
+        # the reference's regexp semantics (evv.erl:187-194)
+        vals.append(Regexp(s["pattern"]))
+    if "enum" in s:
+        vals.append(Allowed(list(s["enum"])))
+    if "const" in s:
+        vals.append(Allowed([s["const"]]))
+    if "format" in s:
+        fmt = s["format"]
+        if fmt not in _FORMAT_MAP:
+            raise SpecError("JSON Schema format '%s' at '%s' is not supported" % (fmt, path))
+        vals.append(LIB_REGISTRY[_FORMAT_MAP[fmt]]())
+    if "anyOf" in s:
+        alts = []
+        for i, branch in enumerate(s["anyOf"]):
+            bv = _schema_validators(branch, "%s/anyOf[%d]" % (path, i))
+            if len(bv) != 1:
+                raise SpecError(
+                    "anyOf branch %d at '%s' must map to exactly one "
+                    "validator (got %d)" % (i, path, len(bv))
+                )
+            alts.append(bv[0])
+        vals.append(OrV(alts))
+    return vals
+
+
+def _object_rules(s: Dict[str, Any], path: str) -> List[Rule]:
+    _check_keywords(s, path)
+    props: Dict[str, Any] = s.get("properties", {}) or {}
+    required = list(s.get("required", []) or [])
+    for r in required:
+        if not isinstance(r, str):
+            raise SpecError("'required' entries must be strings at '%s'" % path)
+    rules: List[Rule] = []
+    for name in list(props) + [r for r in required if r not in props]:
+        sub = props.get(name, {})
+        if not isinstance(sub, dict):
+            raise SpecError(
+                "boolean property schemas at '%s/%s' are not supported" % (path, name)
+            )
+        presence: Any = "required" if name in required else "optional"
+        if "default" in sub:
+            presence = Default(sub["default"])
+        childs: List[Rule] = []
+        sub_t = sub.get("type")
+        if sub_t == "object" or ("properties" in sub and sub_t is None):
+            childs = _object_rules(sub, "%s/%s" % (path, name))
+        items = sub.get("items")
+        if isinstance(items, dict) and "properties" in items:
+            # array of objects: element structure via the childs scope
+            # (the compiler's array-of-struct HOF path, SURVEY §2 S8)
+            childs = _object_rules(items, "%s/%s/items" % (path, name))
+        rules.append(
+            Rule(
+                key=name,
+                presence=presence,
+                validators=_schema_validators(sub, "%s/%s" % (path, name)),
+                childs=childs,
+            )
+        )
+    return rules
+
+
+def schema_to_rules(schema: Dict[str, Any]) -> List[Rule]:
+    """Convert a draft-07 JSON Schema (object subset) into a rule spec.
+
+    Supported: ``type`` (incl. unions; ``"null"`` alternatives drop out —
+    the engine's presence layer owns NULLs), ``required``, ``default``
+    (→ ``{optional, Default}``), ``minLength``/``maxLength`` and
+    ``minimum``/``maximum`` (→ ``Size``; integer bounds only),
+    ``pattern`` (→ ``Regexp`` — both are unanchored contains-matches),
+    ``enum``/``const`` (→ ``Allowed``), ``format`` uri/email/uuid (→
+    library validators), ``items`` + ``minItems``/``maxItems``/
+    ``uniqueItems`` (→ ``{list, elem}`` / ``uniq_list`` / ``Size``),
+    nested ``properties`` (→ ``childs``, incl. array-of-object), and
+    single-validator ``anyOf`` branches (→ validator-level ``or``).
+
+    Refused loudly (``SpecError``): ``$ref``, combinators this kernel
+    can't express (``allOf``/``oneOf``/``not``/``if``), exclusive bounds,
+    ``multipleOf``, pattern/boolean property schemas, tuple ``items``.
+    ``additionalProperties`` is intentionally IGNORED: unruled-key
+    passthrough is an engine option (``keep_unruled``), not a rule —
+    pass ``keep_unruled=False`` to ``validate`` for
+    ``additionalProperties: false`` contracts.
+
+    Annotation keywords (title/description/examples/…) are skipped."""
+    if not isinstance(schema, dict):
+        raise SpecError("JSON Schema must be an object")
+    t = schema.get("type", "object")
+    if t != "object":
+        raise SpecError("top-level JSON Schema must have type 'object'")
+    extra = set(schema) - _ANNOTATIONS - {
+        "type", "properties", "required", "additionalProperties", "definitions",
+    }
+    bad = sorted(extra & _UNSUPPORTED)
+    if bad:
+        raise SpecError("JSON Schema keyword(s) %s are not supported" % bad)
+    return _object_rules(
+        {k: v for k, v in schema.items() if k != "additionalProperties"}, "$"
+    )

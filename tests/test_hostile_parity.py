@@ -68,6 +68,7 @@ QUERIES = [
     "repetition_signals",
     "script_mix",
     "rate_anomalies",
+    "jsonschema_validate",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
