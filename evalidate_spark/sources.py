@@ -83,19 +83,31 @@ def has_snapshot_log(path: str) -> bool:
 
 
 def read_table(
-    spark: SparkSession, ref: str, snapshot_id: Optional[int] = None
+    spark: SparkSession,
+    ref: str,
+    snapshot_id: Optional[int] = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """E5 — the engine's only scan.  Iceberg table identifier or parquet
-    path; ``snapshot_id`` pins a snapshot (time-travel read) — Iceberg's
-    ``snapshot-id`` read option, or the :class:`SnapshotLog` manifest
-    chain when the path is a snapshot-logged parquet directory."""
+    """E5 — the engine's only scan.  Iceberg table identifier or
+    parquet/ORC path; ``snapshot_id`` pins a snapshot (time-travel read)
+    — Iceberg's ``snapshot-id`` read option, or the :class:`SnapshotLog`
+    manifest chain when the path is a snapshot-logged parquet directory.
+    ``fmt='orc'`` reads an ORC path (columnar like parquet — predicate
+    pushdown and column pruning work the same; snapshot logging stays
+    parquet-only)."""
     import os
 
+    if fmt not in ("parquet", "orc"):
+        raise ValueError("fmt must be 'parquet' or 'orc'")
     if _is_iceberg_ref(ref, spark):
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(_strip(ref))
+    if fmt == "orc":
+        if snapshot_id is not None:
+            raise ValueError("snapshot reads are not supported for ORC paths")
+        return spark.read.orc(ref)
     if has_snapshot_log(ref):
         return SnapshotLog(ref).read(spark, snapshot_id)
     if snapshot_id is not None:
@@ -112,9 +124,13 @@ def write_table(
     ref: str,
     mode: str = "append",
     partition_by: Sequence[str] = (),
+    fmt: str = "parquet",
 ) -> None:
     """E6 — violations/verdicts/metrics sink.  ``mode`` is ``append`` |
-    ``overwrite`` (dynamic partition overwrite on both formats)."""
+    ``overwrite`` (dynamic partition overwrite on every format);
+    ``fmt`` is ``parquet`` (default) | ``orc``."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError("fmt must be 'parquet' or 'orc'")
     spark = df.sparkSession
     if _is_iceberg_ref(ref, spark):
         name = _strip(ref)
@@ -149,7 +165,10 @@ def write_table(
         writer = writer.partitionBy(*partition_by).option(
             "partitionOverwriteMode", "dynamic"
         )
-    writer.parquet(ref)
+    if fmt == "orc":
+        writer.orc(ref)
+    else:
+        writer.parquet(ref)
 
 
 def read_jsonl(
