@@ -469,6 +469,17 @@ def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type column completeness vs pooled-others baseline —
+    which feed stopped sending a field; one groupBy shuffle + broadcast
+    totals, integer-div bp math."""
+    from evalidate_spark.operators import table_checks
+
+    return table_checks.group_completeness(
+        _t(spark, sf_dir, "events"), "event_type", ["user_id", "value", "props"]
+    )
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Unicode script mix (Latin/Cyrillic/Greek/Arabic/CJK char
     counts + mixed-script flag) — the homoglyph-spam signal; pure
@@ -2177,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "rate_anomalies": q_rate_anomalies,
         "jsonschema_validate": q_jsonschema_validate,
+        "group_completeness": q_group_completeness,
     }
 
 
@@ -4750,6 +4762,35 @@ ORACLE["script_mix"] = _script_mix_sql()
 # hand-built flagship spec — same oracle, by construction (see
 # DOC_JSON_SCHEMA)
 ORACLE["jsonschema_validate"] = ORACLE["validate_documents"]
+
+ORACLE["group_completeness"] = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+         CAST(sum(CASE WHEN value   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+         CAST(sum(CASE WHEN props   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT sum(n_rows) AS tn, sum(nu) AS tu, sum(nv) AS tv, sum(np) AS tp FROM per
+), e AS (
+  SELECT event_type, n_rows, 'user_id' AS "column", nu AS n_nulls, tu AS tnulls, tn FROM per, t
+  UNION ALL
+  SELECT event_type, n_rows, 'value', nv, tv, tn FROM per, t
+  UNION ALL
+  SELECT event_type, n_rows, 'props', np, tp, tn FROM per, t
+), r AS (
+  SELECT event_type, "column", n_rows, n_nulls,
+    CAST(n_nulls * 10000 // greatest(n_rows, 1) AS BIGINT) AS null_bp,
+    CAST(CASE WHEN tn - n_rows > 0
+              THEN (tnulls - n_nulls) * 10000 // greatest(tn - n_rows, 1)
+         END AS BIGINT) AS base_null_bp
+  FROM e
+)
+SELECT event_type, "column", n_rows, n_nulls, null_bp, base_null_bp,
+       coalesce(null_bp - base_null_bp >= 500, false) AS null_anomaly
+FROM r
+"""
 
 ORACLE["rate_anomalies"] = """
 WITH c AS (

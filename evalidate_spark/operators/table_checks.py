@@ -2210,3 +2210,89 @@ def rate_anomalies(
             ).alias("drop"),
         )
     )
+
+
+def group_completeness(
+    df: DataFrame,
+    group_col: str,
+    columns: Sequence[str],
+    jump_bp: int = 500,
+) -> DataFrame:
+    """Per-group column completeness — WHICH feed is missing fields: one
+    row per (group, column) with ``(group, column, n_rows, n_nulls,
+    null_bp, base_null_bp, null_anomaly)`` where ``null_bp`` is the
+    group's null rate in integer basis points, ``base_null_bp`` the
+    pooled rate of all OTHER groups, and ``null_anomaly`` fires when the
+    jump reaches *jump_bp*.
+
+    The group-resolved sibling of :func:`profile_anomalies`' null check
+    (which compares ingest increments): a single source emitting NULLs
+    barely moves the corpus null rate but lights up its own row here.
+    NULL group keys are excluded, like :func:`group_drift` (a NULL key
+    would never join its own baseline back).  A single-group table has
+    no others: NULL ``base_null_bp``, never flagged.
+
+    Plan: ONE data shuffle — the map-side-combined ``groupBy(group)``
+    carrying all k null counters as conditional sums; the long-format
+    explode and the broadcast totals crossJoin run on the tiny
+    O(groups) table.  Integer ``div`` bp math throughout."""
+    if not columns:
+        raise ValueError("group_completeness needs at least one column")
+    if jump_bp <= 0:
+        raise ValueError("jump_bp must be positive")
+    g = F.col("`%s`" % group_col)
+    per = (
+        df.filter(g.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(
+                    F.when(F.col("`%s`" % c).isNull(), 1).otherwise(0)
+                ).cast("long").alias("__nulls_%s" % c)
+                for c in columns
+            ],
+        )
+        # the tiny O(groups) counts table feeds BOTH the totals row and
+        # the per-group side of the crossJoin: pin it (lazy) so the data
+        # is guaranteed scanned once — the group_drift lesson
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(
+        F.sum("__n").alias("__tn"),
+        *[
+            F.sum("`__nulls_%s`" % c).alias("__tnulls_%s" % c)
+            for c in columns
+        ],
+    )
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("`__nulls_%s`" % c).alias("__nulls"),
+                F.col("`__tnulls_%s`" % c).alias("__tnulls"),
+            )
+            for c in columns
+        ]
+    )
+    e = (
+        per.crossJoin(F.broadcast(tot))
+        .select(F.col("__g"), F.col("__n"), F.col("__tn"), F.explode(parts).alias("s"))
+        .select("__g", "__n", "__tn", "s.*")
+    )
+    null_bp = F.expr("__nulls * 10000L div greatest(__n, 1L)").cast("long")
+    base_bp = F.when(
+        F.col("__tn") - F.col("__n") > 0,
+        F.expr("(__tnulls - __nulls) * 10000L div greatest(__tn - __n, 1L)"),
+    ).cast("long")
+    return e.select(
+        F.col("__g").alias(group_col),
+        "column",
+        F.col("__n").alias("n_rows"),
+        F.col("__nulls").alias("n_nulls"),
+        null_bp.alias("null_bp"),
+        base_bp.alias("base_null_bp"),
+        F.coalesce(null_bp - base_bp >= F.lit(jump_bp), F.lit(False)).alias(
+            "null_anomaly"
+        ),
+    )

@@ -69,6 +69,7 @@ QUERIES = [
     "script_mix",
     "rate_anomalies",
     "jsonschema_validate",
+    "group_completeness",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
