@@ -469,6 +469,18 @@ def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top value-shape classes per column (digits→9, lower→a, upper→A,
+    non-ASCII→u, runs collapsed) — mixed-format discovery over the
+    documents contract columns; one scan, counts shuffle on the tiny
+    (column × shape) space."""
+    from evalidate_spark.operators import table_checks
+
+    return table_checks.value_shapes(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], top_k=5
+    )
+
+
 def q_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type column completeness vs pooled-others baseline —
     which feed stopped sending a field; one groupBy shuffle + broadcast
@@ -2189,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomalies": q_rate_anomalies,
         "jsonschema_validate": q_jsonschema_validate,
         "group_completeness": q_group_completeness,
+        "value_shapes": q_value_shapes,
     }
 
 
@@ -4762,6 +4775,47 @@ ORACLE["script_mix"] = _script_mix_sql()
 # hand-built flagship spec — same oracle, by construction (see
 # DOC_JSON_SCHEMA)
 ORACLE["jsonschema_validate"] = ORACLE["validate_documents"]
+
+def _value_shapes_sql(cols, top_k) -> str:
+    """DuckDB replay of value_shapes over *cols* — the shape chain is
+    built from the ENGINE's own _SHAPE_STEPS so the two sides cannot
+    drift."""
+    from evalidate_spark.operators.table_checks import (
+        _SHAPE_MAXLEN,
+        _SHAPE_STEPS,
+    )
+
+    def chain(c):
+        e = f"CAST({c} AS VARCHAR)"
+        for pat, rep in _SHAPE_STEPS:
+            e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+        return f"substr({e}, 1, {_SHAPE_MAXLEN})"
+
+    shapes = "\n  UNION ALL\n".join(
+        f"""SELECT '{c}' AS "column",
+    CASE WHEN {c} IS NULL THEN '<null>'
+         WHEN {chain(c)} = '' THEN '<empty>'
+         ELSE {chain(c)} END AS shape
+  FROM documents"""
+        for c in cols
+    )
+    return f"""
+WITH s AS (
+  {shapes}
+), c AS (
+  SELECT "column", shape, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+), r AS (
+  SELECT "column", shape, n,
+         row_number() OVER (PARTITION BY "column" ORDER BY n DESC, shape ASC) AS rn,
+         sum(n) OVER (PARTITION BY "column") AS t
+  FROM c
+)
+SELECT "column", shape, n, CAST(n * 10000 // greatest(t, 1) AS BIGINT) AS share_bp
+FROM r WHERE rn <= {top_k}
+"""
+
+
+ORACLE["value_shapes"] = _value_shapes_sql(["lang", "source"], 5)
 
 ORACLE["group_completeness"] = """
 WITH per AS (

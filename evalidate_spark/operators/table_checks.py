@@ -2296,3 +2296,92 @@ def group_completeness(
             "null_anomaly"
         ),
     )
+
+
+# value-shape mapping, applied in this exact order (each step is a
+# single-char class so the composition is engine-portable: no
+# backreferences, no lookarounds — the RE2 rule):
+#   digits→9, a-z→a, A-Z→A, anything outside printable ASCII→u,
+#   then each class run collapses to '<c>+'; punctuation and space
+#   survive verbatim.  '[^ -~]' = NOT space..tilde.
+_SHAPE_STEPS: Sequence = (
+    ("[0-9]", "9"), ("[a-z]", "a"), ("[A-Z]", "A"), ("[^ -~]", "u"),
+    ("9{2,}", "9+"), ("a{2,}", "a+"), ("A{2,}", "A+"), ("u{2,}", "u+"),
+)
+_SHAPE_MAXLEN = 32
+
+
+def value_shapes(
+    df: DataFrame, columns: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Value-pattern profile — the "what does this column actually look
+    like" discovery check (the profiler view that surfaces mixed id
+    formats, stray timestamps in a code column, mojibake): per column the
+    *top_k* shape classes with ``(column, shape, n, share_bp)``.
+
+    A value's *shape* maps digits→``9``, lowercase→``a``, uppercase→``A``,
+    non-printable-ASCII→``u``, collapses each run to ``<c>+``, keeps
+    punctuation/space verbatim, and caps at 32 chars — so
+    ``'src7'``→``'a+9'``, ``'2024-01-01'``→``'9+-9+-9+'``,
+    ``'Ã©'``→``'u+'``.  NULL→``'<null>'``, ``''``→``'<empty>'`` (both are
+    real shape classes: completeness shows up in the same view).
+    ``share_bp`` is the class share of ALL rows, integer basis points.
+    String columns only — cast formatting of numerics is engine-specific.
+
+    Plan: one scan fanning each row into k (column, shape) pairs via a
+    single ``explode`` (partial aggregation combines map-side in the same
+    stage), one groupBy on the tiny (column × shapes) space, then top-k
+    + shares via windows over that result — O(columns × distinct shapes)
+    rows ever shuffle.  Ordering tie-break: count desc, shape asc."""
+    if not columns:
+        raise ValueError("value_shapes needs at least one column")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def shape(c: str) -> Column:
+        s = F.col("`%s`" % c).cast("string")
+        for pat, rep in _SHAPE_STEPS:
+            s = F.regexp_replace(s, pat, rep)
+        s = F.substring(s, 1, _SHAPE_MAXLEN)
+        return (
+            F.when(F.col("`%s`" % c).isNull(), F.lit("<null>"))
+            .when(s == "", F.lit("<empty>"))
+            .otherwise(s)
+        )
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("column"), shape(c).alias("shape"))
+                for c in columns
+            ]
+        )
+    )
+    counts = (
+        df.select(pairs.alias("s"))
+        .select("s.*")
+        .groupBy("column", "shape")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("column")
+    rn = F.row_number().over(
+        w.orderBy(F.col("n").desc(), F.col("shape").asc())
+    )
+    total = F.sum("n").over(w)
+    return (
+        counts.select(
+            "column",
+            "shape",
+            "n",
+            F.expr("n * 10000L").cast("long").alias("__nbp"),
+            total.alias("__t"),
+            rn.alias("__rn"),
+        )
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            "column",
+            "shape",
+            "n",
+            F.expr("__nbp div greatest(__t, 1L)").cast("long").alias("share_bp"),
+        )
+    )

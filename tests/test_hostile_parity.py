@@ -70,6 +70,7 @@ QUERIES = [
     "rate_anomalies",
     "jsonschema_validate",
     "group_completeness",
+    "value_shapes",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
