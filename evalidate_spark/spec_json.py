@@ -402,3 +402,161 @@ def schema_to_rules(schema: Dict[str, Any]) -> List[Rule]:
     return _object_rules(
         {k: v for k, v in schema.items() if k != "additionalProperties"}, "$"
     )
+
+
+# ------------------------------------------------------- spec diffing
+# The docstring's third promise (spec diffing across runs), plus contract
+# evolution: given last run's rules and this run's, what changed, and is
+# previously-clean data still clean?
+
+def _expand_nodes(rules: Any) -> Dict[str, Dict[str, Any]]:
+    """Normalize to one serialized node per key.  Multi-key rules expand
+    (S7 semantics); top-level rules key as ``<top-level>``; combinators
+    (RuleAnd/RuleOr) key as ``<and:i>``/``<or:i>`` by position — their
+    internals are opaque to the per-key diff and always rate 'review'
+    when they change."""
+    out: Dict[str, Dict[str, Any]] = {}
+    and_i = or_i = 0
+    for node in normalize_rules(rules):
+        if isinstance(node, Rule):
+            keys = (
+                ["<top-level>"]
+                if node.key is None
+                else ([node.key] if isinstance(node.key, str) else list(node.key))
+            )
+            for k in keys:
+                d = node_to_dict(node)
+                d["key"] = k
+                if k in out:
+                    raise SpecError("rules_diff: duplicate rule key '%s'" % k)
+                out[k] = d
+        elif isinstance(node, RuleAnd):
+            out["<and:%d>" % and_i] = node_to_dict(node)
+            and_i += 1
+        else:
+            out["<or:%d>" % or_i] = node_to_dict(node)
+            or_i += 1
+    return out
+
+
+def rules_diff(old: Any, new: Any) -> List[Dict[str, Any]]:
+    """Per-key diff of two rule specs → ``[{key, change, old, new}]``
+    with ``change`` ∈ added | removed | changed, sorted by key.  Rules
+    whose serialized form is identical don't appear."""
+    o, n = _expand_nodes(old), _expand_nodes(new)
+    diffs: List[Dict[str, Any]] = []
+    for k in sorted(set(o) | set(n)):
+        if k not in n:
+            diffs.append({"key": k, "change": "removed", "old": o[k], "new": None})
+        elif k not in o:
+            diffs.append({"key": k, "change": "added", "old": None, "new": n[k]})
+        elif o[k] != n[k]:
+            diffs.append({"key": k, "change": "changed", "old": o[k], "new": n[k]})
+    return diffs
+
+
+def _bound(v: Any, side: str, default: float) -> float:
+    return default if v is None else v
+
+
+def _validator_impact(old_v: List[Dict], new_v: List[Dict]) -> (str, str):
+    """Impact of a validator-list change on previously-CLEAN data:
+    tightened → breaking, loosened → relaxed, ambiguous → review."""
+    if old_v == new_v:
+        return "compatible", "validators unchanged"
+    ok = {json.dumps(v, sort_keys=True) for v in old_v}
+    nk = {json.dumps(v, sort_keys=True) for v in new_v}
+    if nk < ok:
+        return "relaxed", "validators removed"
+    # pairwise same-kind comparisons for the order-insensitive remainder
+    added = [json.loads(s) for s in nk - ok]
+    removed = [json.loads(s) for s in ok - nk]
+    if len(added) == 1 and len(removed) == 1 and added[0].get("kind") == removed[0].get("kind"):
+        a, r = added[0], removed[0]
+        kind = a.get("kind")
+        if kind == "size":
+            lo_t = _bound(a.get("min"), "min", float("-inf")) > _bound(
+                r.get("min"), "min", float("-inf")
+            )
+            hi_t = _bound(a.get("max"), "max", float("inf")) < _bound(
+                r.get("max"), "max", float("inf")
+            )
+            lo_l = _bound(a.get("min"), "min", float("-inf")) < _bound(
+                r.get("min"), "min", float("-inf")
+            )
+            hi_l = _bound(a.get("max"), "max", float("inf")) > _bound(
+                r.get("max"), "max", float("inf")
+            )
+            if (lo_t or hi_t) and not (lo_l or hi_l):
+                return "breaking", "size bounds tightened"
+            if (lo_l or hi_l) and not (lo_t or hi_t):
+                return "relaxed", "size bounds widened"
+            return "review", "size bounds moved in both directions"
+        if kind == "allowed":
+            av, rv = a.get("values", []), r.get("values", [])
+            try:
+                a_set, r_set = set(av), set(rv)
+            except TypeError:
+                return "review", "allowed values changed (unhashable)"
+            if a_set >= r_set:
+                return "relaxed", "allowed set widened"
+            if a_set <= r_set:
+                return "breaking", "allowed set narrowed"
+            return "review", "allowed set replaced"
+        if kind == "regexp":
+            return "review", "pattern changed (no containment check)"
+        if kind == "type":
+            return "review", "type changed"
+    if not removed:
+        return "breaking", "validators added"
+    return "review", "validator set replaced"
+
+
+def schema_compat(old: Any, new: Any) -> List[Dict[str, Any]]:
+    """Classify :func:`rules_diff` entries by their impact on data that
+    passed the OLD spec → ``[{key, change, impact, detail}]`` with
+    ``impact`` ∈ breaking | relaxed | compatible | review:
+
+    * added required rule → breaking; added optional → compatible.
+    * removed rule → relaxed (less is validated).
+    * presence optional→required → breaking; required→optional → relaxed.
+    * Size/Allowed tightened → breaking; widened → relaxed.
+    * Regexp/Type/combinator/converter changes → review (acceptance
+      can't be compared structurally).
+    * message-only changes (``on_error``) → compatible.
+
+    Pair with :func:`schema_to_rules` to vet a JSON Schema contract bump
+    before a run: ``schema_compat(schema_to_rules(v1),
+    schema_to_rules(v2))``."""
+    out: List[Dict[str, Any]] = []
+    for d in rules_diff(old, new):
+        k, change = d["key"], d["change"]
+        if change == "added":
+            req = d["new"].get("presence") == "required" if d["new"].get("kind") == "rule" else True
+            impact = "breaking" if req else "compatible"
+            detail = "new %s rule" % ("required" if req else "optional")
+        elif change == "removed":
+            impact, detail = "relaxed", "rule removed"
+        elif d["old"].get("kind") != "rule" or d["new"].get("kind") != "rule":
+            impact, detail = "review", "combinator changed"
+        else:
+            op, np_ = d["old"].get("presence"), d["new"].get("presence")
+            if op != np_:
+                if np_ == "required":
+                    impact, detail = "breaking", "presence tightened to required"
+                elif op == "required":
+                    impact, detail = "relaxed", "presence loosened from required"
+                else:
+                    impact, detail = "compatible", "default changed"
+            elif d["old"].get("validators") != d["new"].get("validators"):
+                impact, detail = _validator_impact(
+                    d["old"].get("validators", []), d["new"].get("validators", [])
+                )
+            elif d["old"].get("converter") != d["new"].get("converter"):
+                impact, detail = "review", "converter changed"
+            elif d["old"].get("childs") != d["new"].get("childs"):
+                impact, detail = "review", "nested rules changed"
+            else:
+                impact, detail = "compatible", "message-only change"
+        out.append({"key": k, "change": change, "impact": impact, "detail": detail})
+    return out
