@@ -2187,6 +2187,17 @@ def rate_anomalies(
         .groupBy(bucket.alias("bucket_s"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return rate_from_counts(counts, spike_bp=spike_bp, drop_bp=drop_bp)
+
+
+def rate_from_counts(
+    counts: DataFrame, spike_bp: int = 10000, drop_bp: int = 5000
+) -> DataFrame:
+    """The anomaly math of :func:`rate_anomalies` over an already-counted
+    ``(bucket_s, n_events)`` table — shared with the streaming twin
+    (:func:`evalidate_spark.streaming.rate_stream` emits exactly this
+    shape), because "vs all OTHER windows" is a whole-history aggregate,
+    not per-window stream state."""
     tot = counts.agg(
         F.sum("n_events").alias("__tn"), F.count(F.lit(1)).alias("__k")
     )

@@ -670,3 +670,39 @@ def run_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rate_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the COUNTING stage of
+    :func:`~evalidate_spark.operators.table_checks.rate_anomalies`:
+    watermarked tumbling-window counts emitting ``(bucket_s, n_events)``
+    per closed *bucket_s*-second bucket (epoch-aligned, exactly the batch
+    op's integer bucketing — ``window()`` tumbling windows align at epoch
+    0).  NULL timestamps are excluded; state is one counter per open
+    window, expired by the watermark.
+
+    The anomaly layer stays a batch post-pass —
+    :func:`~evalidate_spark.operators.table_checks.rate_from_counts`
+    over the accumulated counts — because "this window vs the mean of
+    ALL OTHER windows" is a whole-history aggregate: folding it into
+    per-window state would freeze the baseline at whatever had streamed
+    by each window's close and disagree with the batch verdict."""
+    from .operators.sessions import _micros
+
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    nn = stream_df.filter(F.col("`%s`" % ts_col).isNotNull()).withWatermark(
+        ts_col, watermark
+    )
+    agg = (
+        nn.groupBy(F.window(F.col("`%s`" % ts_col), "%d seconds" % bucket_s))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("window.start").alias("__ws"), "n_events")
+    )
+    bucket = F.floor(_micros(agg, "__ws") / F.lit(1000000)).cast("long")
+    return agg.select(bucket.alias("bucket_s"), "n_events")

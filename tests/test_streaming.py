@@ -571,3 +571,52 @@ def test_sequence_anomalies_stream_rejects_non_integral_seq(spark, tmp_path):
     ).parquet(str(src))
     with pytest.raises(ValueError, match="integral seq"):
         streaming.sequence_anomalies_stream(stream, seq_col="tok")
+
+
+def test_rate_stream_matches_batch_rate_anomalies(spark, tmp_path):
+    """Streaming windowed counts + the shared rate_from_counts post-pass
+    ≡ batch rate_anomalies on the same files, including NULL-ts
+    exclusion and the spike/drop verdicts."""
+    from evalidate_spark.operators import table_checks
+
+    path = str(tmp_path / "rs_in")
+    (
+        spark.range(300)
+        .selectExpr(
+            # 4 hourly buckets with volumes 240, 40, 12, 8 (spike + drops)
+            "CASE WHEN id < 240 THEN timestamp'2026-01-01 10:00:00'"
+            "          + make_interval(0,0,0,0,0,0,id*10) "
+            "     WHEN id < 280 THEN timestamp'2026-01-01 11:00:00'"
+            "          + make_interval(0,0,0,0,0,0,(id-240)*60) "
+            "     WHEN id < 292 THEN timestamp'2026-01-01 12:00:00'"
+            "          + make_interval(0,0,0,0,0,0,(id-280)*60) "
+            "     WHEN id < 299 THEN timestamp'2026-01-01 13:00:00'"
+            "          + make_interval(0,0,0,0,0,0,(id-292)*60) "
+            "     ELSE NULL END AS ts",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    rs = streaming.rate_stream(_stream(spark, path), "ts", bucket_s=3600)
+    _run_to_memory(rs, "rs_out", mode="complete")
+    streamed = spark.table("rs_out")
+    got = {
+        r.bucket_s: tuple(r)
+        for r in table_checks.rate_from_counts(streamed).collect()
+    }
+    want = {
+        r.bucket_s: tuple(r)
+        for r in table_checks.rate_anomalies(
+            spark.read.parquet(path), "ts", bucket_s=3600
+        ).collect()
+    }
+    assert got == want and len(want) == 4
+    assert any(r[3] for r in want.values())      # a spike fired
+    assert any(r[4] for r in want.values())      # a drop fired
+
+
+def test_rate_stream_bad_bucket(spark, tmp_path):
+    path = str(tmp_path / "rb_in")
+    spark.range(1).selectExpr("timestamp'2026-01-01 00:00:00' ts").write.parquet(path)
+    with pytest.raises(ValueError):
+        streaming.rate_stream(_stream(spark, path), "ts", bucket_s=0)
