@@ -469,6 +469,17 @@ def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit over the (lang, source) quasi-identifier
+    combination — re-identifiable small groups counted in one groupBy +
+    one tiny aggregate."""
+    from evalidate_spark.operators import table_checks
+
+    return table_checks.k_anonymity(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=5
+    )
+
+
 def q_value_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top value-shape classes per column (digits→9, lower→a, upper→A,
     non-ASCII→u, runs collapsed) — mixed-format discovery over the
@@ -1267,6 +1278,29 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return dedup.duplicate_clusters(pairs)
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — how big do near-dup groups get
+    (the dedup-savings / pathological-boilerplate signal): cluster sizes
+    from the same chain-pair components as `dup_clusters`, rolled up to
+    (cluster_size, n_clusters, n_docs).  Two tiny aggregates over the
+    O(clustered docs) component table."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    per = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        per.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
 
 
 def q_near_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2202,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonschema_validate": q_jsonschema_validate,
         "group_completeness": q_group_completeness,
         "value_shapes": q_value_shapes,
+        "k_anonymity": q_k_anonymity,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
     }
 
 
@@ -4816,6 +4852,32 @@ FROM r WHERE rn <= {top_k}
 
 
 ORACLE["value_shapes"] = _value_shapes_sql(["lang", "source"], 5)
+
+ORACLE["dup_cluster_sizes"] = f"""
+WITH comp AS ({ORACLE["dup_clusters"]}), per AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM per GROUP BY 1
+"""
+
+ORACLE["k_anonymity"] = """
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n) AS BIGINT) AS min_group_size,
+       CAST(coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_small_groups,
+       CAST(coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) = 0 AS k_anonymous
+FROM g
+"""
 
 ORACLE["group_completeness"] = """
 WITH per AS (

@@ -2396,3 +2396,42 @@ def value_shapes(
             F.expr("__nbp div greatest(__t, 1L)").cast("long").alias("share_bp"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy gate a training corpus passes before release: one row
+    ``(n_rows, n_groups, min_group_size, n_small_groups,
+    n_rows_at_risk, k_anonymous)`` where a *group* is one distinct
+    combination of *quasi_cols* values and "small" means fewer than *k*
+    members (re-identifiable).  Rows with a NULL in ANY quasi column
+    form their own NULL-combination groups (SQL GROUP BY semantics —
+    NULL is a visible value to an attacker, not an exemption).
+
+    Plan: one map-side-combined ``groupBy(quasi_cols)`` count (the only
+    data shuffle), then a single aggregate over the O(groups) counts
+    table.  All-integer output."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = df.groupBy(
+        *[F.col("`%s`" % c) for c in quasi_cols]
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    small = F.col("__n") < k
+    return groups.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.coalesce(F.sum(F.when(small, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("__n")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    ).select(
+        "*",
+        (F.col("n_small_groups") == 0).alias("k_anonymous"),
+    )

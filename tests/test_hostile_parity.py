@@ -71,6 +71,8 @@ QUERIES = [
     "jsonschema_validate",
     "group_completeness",
     "value_shapes",
+    "k_anonymity",
+    "dup_cluster_sizes",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
