@@ -469,6 +469,15 @@ def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion: marker-hit argmax guess
+    vs the lang column, counted per combination — the metadata audit
+    for per-language quotas; projection + one tiny groupBy."""
+    from evalidate_spark.functions import text
+
+    return text.lang_agreement(_t(spark, sf_dir, "documents"))
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity privacy audit over the (lang, source) quasi-identifier
     combination — re-identifiable small groups counted in one groupBy +
@@ -2238,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_shapes": q_value_shapes,
         "k_anonymity": q_k_anonymity,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "lang_agreement": q_lang_agreement,
     }
 
 
@@ -4862,6 +4872,48 @@ SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(cluster_size * count(*) AS BIGINT) AS n_docs
 FROM per GROUP BY 1
 """
+
+def _lang_agreement_sql() -> str:
+    """DuckDB replay of lang_id's argmax (marker lists imported from the
+    ENGINE's LANG_MARKERS; ties prefer marker-table order, zero hits →
+    'und', NULL text → NULL guess) + the confusion roll-up."""
+    from evalidate_spark.functions.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)  # insertion order = tie-break priority
+    hit_cols = ",\n    ".join(
+        "len(list_filter(tk, t -> lower(t) IN ({}))) AS h_{}".format(
+            ", ".join("'%s'" % w for w in LANG_MARKERS[l]), l
+        )
+        for l in langs
+    )
+    # ties prefer earlier languages: each branch only needs >= later ones
+    branches = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{l} >= h_{m}" for m in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{l}'")
+    guess = f"""CASE WHEN text IS NULL THEN NULL
+       WHEN greatest({', '.join('h_' + l for l in langs)}) = 0 THEN 'und'
+       {' '.join(branches)}
+       ELSE '{langs[-1]}' END"""
+    return f"""
+WITH tok AS (
+  SELECT lang, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), h AS (
+  SELECT lang, text,
+    {hit_cols}
+  FROM tok
+), g AS (
+  SELECT lang, {guess} AS lang_guess FROM h
+)
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n,
+       lang IS NOT DISTINCT FROM lang_guess AS agree
+FROM g GROUP BY 1, 2
+"""
+
+
+ORACLE["lang_agreement"] = _lang_agreement_sql()
 
 ORACLE["k_anonymity"] = """
 WITH g AS (

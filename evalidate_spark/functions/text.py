@@ -1345,3 +1345,33 @@ def script_profile(
         n_scripts.alias("n_scripts"),
         (n_scripts >= 2).alias("mixed"),
     )
+
+
+def lang_agreement(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    markers: Optional[Dict[str, Sequence[str]]] = None,
+) -> DataFrame:
+    """Declared-vs-detected language confusion counts — the metadata
+    audit for a multilingual corpus (a feed that labels Spanish text
+    ``en`` poisons per-language sampling quotas): one row per
+    ``(lang, lang_guess)`` combination with ``n`` and a null-safe
+    ``agree`` flag.  ``lang_guess`` comes from :func:`lang_id` (``und``
+    = no marker hit, NULL = NULL text).
+
+    Plan: the heuristic is a pure projection riding the scan; the only
+    shuffle is the map-side-combined groupBy over the tiny
+    (langs × guesses) key space."""
+    g = lang_id(df, text_col, markers)
+    lc = F.col("`%s`" % lang_col)
+    return (
+        g.groupBy(lc.alias(lang_col), F.col("lang_guess"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            lang_col,
+            "lang_guess",
+            "n",
+            F.col("`%s`" % lang_col).eqNullSafe(F.col("lang_guess")).alias("agree"),
+        )
+    )

@@ -73,6 +73,7 @@ QUERIES = [
     "value_shapes",
     "k_anonymity",
     "dup_cluster_sizes",
+    "lang_agreement",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",

@@ -50,3 +50,27 @@ def test_projection_only_plan(spark):
         text.script_profile(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_lang_agreement(spark):
+    """Confusion counts: declared label vs marker-hit argmax, including
+    und (no hits), NULL text, and the null-safe agree flag."""
+    rows = [
+        (0, "the cat and the dog", "en"),    # en guess, en label
+        (1, "the cat and the dog", "es"),    # en guess, es label -> disagree
+        (2, "el perro y la casa de", "es"),  # es guess
+        (3, "zz qq xx", "en"),               # no markers -> und
+        (4, None, None),                     # NULL text -> NULL guess; agree
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.lang, r.lang_guess): (r.n, r.agree)
+        for r in text.lang_agreement(df).collect()
+    }
+    assert got == {
+        ("en", "en"): (1, True),
+        ("es", "en"): (1, False),
+        ("es", "es"): (1, True),
+        ("en", "und"): (1, False),
+        (None, None): (1, True),
+    }
