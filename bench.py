@@ -251,6 +251,17 @@ def main() -> None:
         "violation_examples",
         "freshness",
         "lsh_recall",
+        "embedding_health",
+        "repetition_signals",
+        "script_mix",
+        "rate_anomalies",
+        "jsonschema_validate",
+        "group_completeness",
+        "value_shapes",
+        "k_anonymity",
+        # dup_cluster_sizes is gate-checked but not benched: it re-runs
+        # dup_clusters' chain-cluster stage (already paid via leakage_split)
+        "lang_agreement",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 
