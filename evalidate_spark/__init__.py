@@ -17,6 +17,7 @@ Public surface:
 from .engine import (
     ValidationError,
     ValidationResult,
+    golden_check,
     validate,
     validate_and_convert,
     validate_zipped,

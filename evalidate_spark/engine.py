@@ -288,3 +288,50 @@ def validate_and_convert(df: DataFrame, rules: Any, **kw: Any) -> DataFrame:
     ``/root/reference/src/evalidate.erl:19-34``): hard mode — raises on the
     first violation, returns the converted clean DataFrame otherwise."""
     return validate(df, rules, **kw).enforce()
+
+
+def golden_check(
+    df: DataFrame,
+    rules: Any,
+    expect_col: str = "expect_pass",
+    id_cols: Optional[Sequence[str]] = None,
+    **opts: Any,
+) -> DataFrame:
+    """Deploy-time golden-row self-test: run *rules* over a small pinned
+    corpus whose boolean *expect_col* says whether each row MUST pass,
+    and return the mismatches — empty result = the engine + spec still
+    behave exactly as pinned.  The operational guard a validation
+    pipeline runs before processing real data after ANY change (spec
+    edit, engine upgrade, Spark version bump): golden rows encode the
+    contract's accepted and rejected examples, so a silently-loosened
+    rule or a regressed validator surfaces as a one-row diff instead of
+    a corrupted corpus.
+
+    Output per mismatching golden row: ``(id_cols…, expect_pass,
+    got_pass, n_violations, first_message)``.  A NULL *expect_col* is
+    itself a mismatch (an unlabelled golden row is a broken fixture).
+    *expect_col* is excluded from validation (it is harness metadata,
+    not data); all other ``validate`` options pass through."""
+    if expect_col not in df.columns:
+        raise ValueError("golden_check: missing expect column '%s'" % expect_col)
+    ec = F.col("`%s`" % expect_col)
+    # validate the WHOLE df (annotated preserves input rows 1:1, so the
+    # expectation reads straight from its own column — no id-join, no
+    # uniqueness requirement on golden ids); expect_col has no rule, so
+    # it is never validated itself
+    res2 = validate(df, rules, id_cols=id_cols, **opts)
+    ann = res2.annotated
+    got = F.size(F.col(VIOLATIONS_COL)) == 0
+    # F.get, not element_at: NULL (never an ANSI error) on the empty
+    # violations array of an unexpectedly-passing row
+    first = F.get(F.col(VIOLATIONS_COL), 0)
+    return (
+        ann.filter(ec.isNull() | (ec != got))
+        .select(
+            *(res2.id_cols or []),
+            ec.alias("expect_pass"),
+            got.alias("got_pass"),
+            F.size(F.col(VIOLATIONS_COL)).cast("int").alias("n_violations"),
+            first["message"].alias("first_message"),
+        )
+    )
