@@ -1397,11 +1397,19 @@ def duplicate_clusters(
     ``on_nonconverged='raise'`` (default) raises instead; pass
     ``'ignore'`` to accept the partial merge."""
     a, b = F.col("`%s`" % id_a), F.col("`%s`" % id_b)
+    # pin the incoming pairs FIRST: nodes and the edge set both derive
+    # from them, and without this the whole upstream candidate pipeline
+    # (LSH banding, bucket joins, …) executes once per derivation —
+    # measured ~2× the signature cost on the end-to-end dedup report
+    src = pairs.select(a.alias("__pa"), b.alias("__pb")).localCheckpoint(
+        eager=True
+    )
+    pa, pb = F.col("__pa"), F.col("__pb")
     nodes = (
-        pairs.select(a.alias("id")).union(pairs.select(b.alias("id"))).distinct()
+        src.select(pa.alias("id")).union(src.select(pb.alias("id"))).distinct()
     ).localCheckpoint(eager=True)
     e = (
-        pairs.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        src.select(F.least(pa, pb).alias("lo"), F.greatest(pa, pb).alias("hi"))
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     ).localCheckpoint(eager=True)
