@@ -469,6 +469,22 @@ def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line dedup WITH text rewrite: multi-line docs are
+    built as text\\nlang\\nsource, so the lang/source lines are corpus
+    boilerplate (dropped everywhere) while unique text lines survive —
+    count pass + rewrite pass, the two-scan shape of a global rewrite."""
+    from evalidate_spark.functions import dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.col("lang"), F.lit("\n"), F.col("source")
+        ).alias("text"),
+    )
+    return dedup.line_dedup(d)
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-detected language confusion: marker-hit argmax guess
     vs the lang column, counted per combination — the metadata audit
@@ -2248,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "lang_agreement": q_lang_agreement,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -4914,6 +4931,29 @@ FROM g GROUP BY 1, 2
 
 
 ORACLE["lang_agreement"] = _lang_agreement_sql()
+
+ORACLE["line_dedup"] = """
+WITH src AS (
+  SELECT doc_id, text || chr(10) || lang || chr(10) || source AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM src WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS l
+  FROM base, unnest(generate_series(1, len(ls))) t(i)
+), dup AS (
+  SELECT l FROM lines WHERE l <> '' GROUP BY l HAVING count(*) >= 2
+), flagged AS (
+  SELECT doc_id, pos, l, l IN (SELECT l FROM dup) AS isdup FROM lines
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN isdup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  coalesce(string_agg(CASE WHEN isdup THEN NULL ELSE l END, chr(10)
+                      ORDER BY pos, l), '') AS text_clean
+FROM flagged GROUP BY doc_id
+"""
 
 ORACLE["k_anonymity"] = """
 WITH g AS (

@@ -262,6 +262,7 @@ def main() -> None:
         # dup_cluster_sizes is gate-checked but not benched: it re-runs
         # dup_clusters' chain-cluster stage (already paid via leakage_split)
         "lang_agreement",
+        "line_dedup",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

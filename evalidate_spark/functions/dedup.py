@@ -1686,3 +1686,75 @@ def semantic_dedup(
     return kept.join(flagged, on=qid == F.col("__tid"), how="left").withColumn(
         truncated_col, F.col("__tid").isNotNull()
     ).drop("__tid")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-level LINE dedup with text rewrite — the C4 cleanup rule
+    (Raffel et al. 2020: "we removed any line that occurred more than
+    once in the corpus"): drop every occurrence of any non-empty line
+    appearing >= *min_occurrences* times corpus-wide, and reassemble each
+    document's remaining lines in order.
+
+    One row per ``doc_id``: ``(doc_id, n_lines, n_kept, n_dropped,
+    text_clean)``.  Contracts: NULL-text rows are excluded (presence
+    problem); empty lines (``''``) are STRUCTURE, never counted or
+    dropped; duplicate/NULL doc_ids collapse into one group exactly like
+    SQL GROUP BY, lines interleaved in total ``(pos, line)`` order so
+    the result is engine-independent; a doc whose every line is
+    boilerplate rewrites to ``''``.
+
+    Plan: posexplode lines → map-side-combined count per line (hot
+    boilerplate lines bounded by partial aggregation) → LEFT ANTI join
+    of the exploded lines against the >=k line set → per-doc
+    ``collect_list`` reassembly (bounded by document size).  Three
+    shuffles — the honest price of a corpus-global rewrite; pre-bucketing
+    by line hash removes the join exchange at PB scale."""
+    import re as _re
+
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2")
+    did, txt = F.col("`%s`" % id_col), F.col("`%s`" % text_col)
+    lines = (
+        df.filter(txt.isNotNull())
+        .select(did.alias("__id"), F.posexplode(F.split(txt, _re.escape(delim))))
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__line")
+    )
+    dup = (
+        lines.filter(F.col("__line") != "")
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("__line")
+    )
+    # flag-join instead of anti-join so ONE reassembly aggregate carries
+    # totals and kept lines together (collect_list skips the NULLs the
+    # when() leaves for dropped lines); the explode lineage still runs
+    # twice — the count pass and the rewrite pass — the unavoidable
+    # two-pass shape of any corpus-global rewrite
+    flagged = lines.join(
+        dup.withColumn("__isdup", F.lit(True)), "__line", "left"
+    )
+    keep = F.col("__isdup").isNull()
+    return flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("__pos", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("text_clean"),
+    ).withColumnRenamed("__id", id_col)

@@ -74,6 +74,7 @@ QUERIES = [
     "k_anonymity",
     "dup_cluster_sizes",
     "lang_agreement",
+    "line_dedup",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
