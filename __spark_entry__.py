@@ -370,6 +370,28 @@ def q_span_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconstruct_text(_derived_spans(spark, sf_dir))
 
 
+def q_span_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality stats over the RENDERED interleaved doc — reconstruct the
+    span sequence to linear text (media placeholders inline), then count
+    tokens/chars and the media density per doc: the pre-tokenization
+    audit of the interleaved corpus.  Still one fused per-row projection
+    (render + counters), zero shuffles."""
+    from evalidate_spark.functions.text import tokens
+    from evalidate_spark.operators.spans import reconstruct_text
+
+    r = reconstruct_text(_derived_spans(spark, sf_dir))
+    spans_total = F.col("n_text_spans") + F.col("n_media_spans")
+    return r.select(
+        "doc_id",
+        F.size(tokens(F.col("rendered"))).cast("long").alias("n_tokens"),
+        F.length("rendered").cast("long").alias("n_chars"),
+        F.when(
+            spans_total > 0,
+            F.expr("n_media_spans * 10000L div greatest(n_text_spans + n_media_spans, 1L)"),
+        ).otherwise(F.lit(0)).cast("long").alias("media_density_bp"),
+    )
+
+
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-unit pass/fail + row metrics (north rule: "per-partition
     pass/fail ... per-partition lineage + metrics rows") over a
@@ -2265,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "lang_agreement": q_lang_agreement,
         "line_dedup": q_line_dedup,
+        "span_text_quality": q_span_text_quality,
     }
 
 
@@ -4931,6 +4954,18 @@ FROM g GROUP BY 1, 2
 
 
 ORACLE["lang_agreement"] = _lang_agreement_sql()
+
+ORACLE["span_text_quality"] = f"""
+WITH rec AS ({ORACLE["span_reconstruct"]})
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(rendered, '\\s+'), x -> x <> ''))
+       AS BIGINT) AS n_tokens,
+  CAST(length(rendered) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN n_text_spans + n_media_spans > 0
+            THEN n_media_spans * 10000 // greatest(n_text_spans + n_media_spans, 1)
+            ELSE 0 END AS BIGINT) AS media_density_bp
+FROM rec
+"""
 
 ORACLE["line_dedup"] = """
 WITH src AS (

@@ -263,6 +263,7 @@ def main() -> None:
         # dup_clusters' chain-cluster stage (already paid via leakage_split)
         "lang_agreement",
         "line_dedup",
+        "span_text_quality",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

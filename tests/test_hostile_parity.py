@@ -75,6 +75,7 @@ QUERIES = [
     "dup_cluster_sizes",
     "lang_agreement",
     "line_dedup",
+    "span_text_quality",
     "incremental_minhash",
     "lsh_recall",
     "top_ngrams",
