@@ -264,6 +264,16 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outliers(ev, "value", k=1.5, exact=True).select("event_id", "value")
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel / modified-z-score outliers on the events value column
+    (exact medians for the oracle; the production default is the GK
+    sketch) — the 50%-breakdown companion to the Tukey fence."""
+    from evalidate_spark.operators.table_checks import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", t=3.5, exact=True).select("event_id", "value")
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, value) — the
     multi-dimensional data-skipping layout: range-partitioning by this
@@ -2170,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggested_constraints": q_suggested_constraints,
         "profile_incremental": q_profile_incremental,
         "iqr_outliers": q_iqr_outliers,
+        "mad_outliers": q_mad_outliers,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -3422,6 +3433,21 @@ SELECT event_id, value FROM events, q
 WHERE value IS NOT NULL
   AND (cast(value AS double) < q.q1 - (q.q3 - q.q1) * 1.5
        OR cast(value AS double) > q.q3 + (q.q3 - q.q1) * 1.5)
+"""
+
+ORACLE["mad_outliers"] = """
+WITH m AS (
+  SELECT quantile_cont(cast(value AS double), 0.5) AS med
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT any_value(m.med) AS med,
+         quantile_cont(abs(cast(value AS double) - m.med), 0.5) AS mad
+  FROM events, m WHERE value IS NOT NULL
+)
+SELECT event_id, value FROM events, s
+WHERE value IS NOT NULL
+  AND (CASE WHEN s.mad = 0 THEN cast(value AS double) <> s.med
+       ELSE abs(cast(value AS double) - s.med) * 0.6745 > s.mad * 3.5 END)
 """
 
 ORACLE["quantized_topk"] = f"""

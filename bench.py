@@ -264,6 +264,7 @@ def main() -> None:
         "lang_agreement",
         "line_dedup",
         "span_text_quality",
+        "mad_outliers",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -43,6 +43,7 @@ from .table_checks import (
     merge_uniqueness_states,
     overlap_estimate,
     check_suite,
+    mad_outliers,
 )
 from .spans import span_rules, span_structure_violations
 from .sessions import sequence_anomalies, session_bounds, sessionize

@@ -472,6 +472,54 @@ def iqr_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    t: float = 3.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Rows whose *col* fails the Hampel / modified-z-score test
+    ``0.6745·|x − median| > t·MAD`` (Iglewicz & Hoaglin's 3.5 default) —
+    the robust companion to :func:`iqr_outliers` for asymmetric or
+    heavy-tailed columns, since MAD has a 50% breakdown point where the
+    IQR fence's is 25%.  NULL values are never outliers (presence checks
+    own them).
+
+    The comparison is cross-multiplied (never ``/mad``) so the degenerate
+    ``MAD == 0`` column (a majority of identical values) needs no
+    division guard: it is pinned to flag every value different from the
+    median, which is exactly what the limit of the z-score test says.
+
+    Plan: TWO tiny 1-row aggregates — the median, then the median of
+    absolute deviations with the first result broadcast — then one
+    stateless broadcast filter over the data.  Two scans of a single
+    pruned column and no data shuffle, the same 10^12-row shape as
+    :func:`iqr_outliers`/:func:`winsorize` (one extra scan is the price
+    of the nested median; a one-pass sketch of BOTH levels does not
+    exist)."""
+    c = F.col("`%s`" % col).cast("double")
+    pfn = F.percentile if exact else F.percentile_approx
+    base = df.filter(c.isNotNull())
+    med = base.agg(pfn(c, F.lit(0.5)).alias("__med"))
+    stats = (
+        base.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("__med").alias("__med"),
+            pfn(F.abs(c - F.col("__med")), F.lit(0.5)).alias("__mad"),
+        )
+    )
+    flag = F.when(
+        F.col("__mad") == 0.0, c != F.col("__med")
+    ).otherwise(
+        F.abs(c - F.col("__med")) * 0.6745 > F.col("__mad") * t
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(flag)
+        .drop("__med", "__mad")
+    )
+
+
 def check_suite(checks) -> DataFrame:
     """Unified report over a whole validation config: *checks* is a
     sequence of ``(check_id, violations_df)`` pairs — any mix of engine

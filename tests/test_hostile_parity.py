@@ -94,6 +94,7 @@ QUERIES = [
     "drift_event_types",
     "uniqueness_composite",
     "iqr_outliers",
+    "mad_outliers",
     "functional_deps",
     "skew_report",
     "encoding_anomalies",

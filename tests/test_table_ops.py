@@ -376,6 +376,42 @@ def test_composite_uniqueness_and_iqr(spark):
     assert out == [-1e6, 1e6]
 
 
+def test_mad_outliers(spark):
+    from evalidate_spark.operators.table_checks import mad_outliers
+
+    # bulk 0..99 uniform, two planted extremes: median 49.5+eps, MAD 25
+    # → threshold |x-med| > 3.5*25/0.6745 ≈ 129.7, only the extremes fire
+    vals = spark.range(100).selectExpr("cast(id AS double) AS v").union(
+        spark.createDataFrame([(1e6,), (-1e6,), (None,)], "v double")
+    )
+    out = sorted(r["v"] for r in mad_outliers(vals, "v", exact=True).collect())
+    assert out == [-1e6, 1e6]
+
+    # MAD has a 50% breakdown point: one third contaminated at 1000 still
+    # flags only the contamination, where the Tukey fence (k=1.5) of the
+    # same data has already widened past it
+    from evalidate_spark.operators.table_checks import iqr_outliers
+
+    third = spark.range(20).selectExpr("cast(id AS double) AS v").union(
+        spark.createDataFrame([(1000.0,)] * 10, "v double")
+    )
+    got = sorted(r["v"] for r in mad_outliers(third, "v", exact=True).collect())
+    assert got == [1000.0] * 10
+    assert iqr_outliers(third, "v", exact=True).count() == 0
+
+    # degenerate MAD == 0 (majority identical): pinned to flag every
+    # value different from the median — no division-by-zero path exists
+    deg = spark.createDataFrame(
+        [(5.0,)] * 8 + [(5.1,), (7.0,), (None,)], "v double"
+    )
+    got = sorted(r["v"] for r in mad_outliers(deg, "v", exact=True).collect())
+    assert got == [5.1, 7.0]
+
+    # all-NULL column: empty result, no crash
+    nul = spark.createDataFrame([(None,), (None,)], "v double")
+    assert mad_outliers(nul, "v", exact=True).count() == 0
+
+
 def test_suggest_constraints_round_trip(spark):
     """The suggested spec is, by construction, satisfied by the data that
     produced it: suggestions_to_spec -> validate -> zero violations."""
