@@ -2048,6 +2048,19 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte container sniff vs declared kind over the synthetic
+    media table — the decode-free 100 TB media gate.  The generator's id
+    scheme fixes every TRUE container (image variant (i//3)%3 rotates
+    png/bmp/jpeg; audio is WAV; video is AVI), so the oracle enumerates
+    the expected sniff results in closed form and any mis-identified
+    magic sequence hash-fails."""
+    m = multimodal.synth_media(spark, 200)
+    return multimodal.media_format_check(m).select(
+        "media_ref", "media_kind", "sniffed", "format_ok"
+    )
+
+
 def q_video_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The structural projection of `video_frames`: REAL AVI frame sampling
     (MJPEG + uncompressed-DIB decode) on a 250 ms grid, minus the
@@ -2280,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "media_dims": q_media_dims,
+        "media_format_check": q_media_format_check,
         "video_frame_grid": q_video_frame_grid,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
@@ -4742,6 +4756,18 @@ SELECT 'm-' || cast(i AS varchar) AS media_ref,
     AS duration_ms,
   CASE i % 3 WHEN 1 THEN cast(4000 AS integer) END AS sample_rate,
   true AS decoded
+FROM generate_series(0, 199) t(i)
+"""
+
+ORACLE["media_format_check"] = """
+SELECT 'm-' || cast(i AS varchar) AS media_ref,
+  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_kind,
+  CASE i % 3
+    WHEN 0 THEN (CASE (i // 3) % 3 WHEN 0 THEN 'png'
+                 WHEN 1 THEN 'bmp' ELSE 'jpeg' END)
+    WHEN 1 THEN 'wav' ELSE 'avi' END AS sniffed,
+  true AS format_ok
 FROM generate_series(0, 199) t(i)
 """
 

@@ -372,6 +372,78 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+#: magic-byte container signatures (hex of the leading bytes; RIFF
+#: containers disambiguate on the form-type at bytes 9-12).  Public file
+#: layouts: PNG (RFC 2083 §12.11), JPEG/JFIF SOI, BMP 'BM', RIFF/WAVE,
+#: RIFF/'AVI ', GIF87a/89a.
+_RIFF = "52494646"
+
+
+def sniff_format(
+    media: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "sniffed",
+) -> DataFrame:
+    """Identify each binary payload's REAL container format from its
+    magic bytes — ``'jpeg' | 'png' | 'bmp' | 'gif' | 'wav' | 'avi' |
+    'empty' | 'unknown'`` (NULL payload stays NULL: presence checks own
+    it).  This is the cheap 100 TB media-column gate: a pure Column
+    projection over the first 12 bytes, no decode, no Python — run it
+    over everything, and spend the Arrow decode path
+    (:func:`extract_features`) only on rows whose container is wrong or
+    unknown.  Parquet cannot prune a binary column's *content*, but the
+    scan stays one fused codegen stage with zero shuffles."""
+    p = F.col("`%s`" % payload_col)
+    head = F.hex(F.substring(p, 1, 8))
+    riff_type = F.hex(F.substring(p, 9, 4))
+    sniffed = (
+        F.when(p.isNull(), F.lit(None).cast("string"))
+        .when(F.length(p) == 0, F.lit("empty"))
+        .when(head.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(head.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(
+            head.startswith(_RIFF),
+            F.when(riff_type == "57415645", F.lit("wav"))
+            .when(riff_type == "41564920", F.lit("avi"))
+            .otherwise(F.lit("unknown")),
+        )
+        .when(head.startswith("424D"), F.lit("bmp"))
+        .when(
+            head.startswith("474946383761") | head.startswith("474946383961"),
+            F.lit("gif"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+    return media.withColumn(out_col, sniffed)
+
+
+#: which sniffed containers are legitimate for each declared media kind
+KIND_FORMATS = {
+    "image": ("jpeg", "png", "bmp", "gif"),
+    "audio": ("wav",),
+    "video": ("avi",),
+}
+
+
+def media_format_check(
+    media: DataFrame,
+    kind_col: str = "media_kind",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Declared-vs-sniffed consistency over a media table: adds
+    ``sniffed`` (:func:`sniff_format`) and ``format_ok`` — true iff the
+    payload's real container is one :data:`KIND_FORMATS` allows for the
+    declared kind.  NULL payload or NULL/unknown kind → ``format_ok``
+    false (a media row whose bytes cannot be vouched for fails the
+    gate).  Same zero-shuffle projection shape as the sniffer."""
+    k = F.col("`%s`" % kind_col)
+    out = sniff_format(media, payload_col=payload_col)
+    ok = F.lit(False)
+    for kind, fmts in KIND_FORMATS.items():
+        ok = F.when((k == kind) & F.col("sniffed").isin(*fmts), F.lit(True)).otherwise(ok)
+    return out.withColumn("format_ok", ok)
+
+
 def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads where a
     library-free codec exists: images rotate through true baseline JPEGs

@@ -885,3 +885,48 @@ def test_embedding_near_dups_empty_batch_is_empty_not_error(spark):
     assert set(out.columns) == {"id_a", "id_b", "cosine", "truncated"}
     allnull = spark.createDataFrame([("x", None)], "vec_id string, embedding array<double>")
     assert embedding_near_dups(allnull).count() == 0
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Every real container is identified from its magic bytes alone;
+    corrupted, truncated, and mislabeled payloads degrade honestly."""
+    from evalidate_spark.functions import avi, codecs, multimodal
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    wav = codecs.encode_wav(np.zeros(16, dtype=np.int16), 4000)
+    rows = [
+        ("png", "image", bytes(codecs.encode_png(px))),
+        ("bmp", "image", bytes(codecs.encode_bmp(px))),
+        ("jpeg", "image", bytes(codecs.encode_jpeg(px, quality=85))),
+        ("wav", "audio", bytes(wav)),
+        ("avi", "video", bytes(avi.encode_avi_dib([px], fps=4))),
+        ("gif", "image", b"GIF89a" + b"\x00" * 10),
+        # RIFF container whose form type is neither WAVE nor 'AVI '
+        ("riff-alien", "audio", b"RIFF\x10\x00\x00\x00WEBP" + b"\x00" * 8),
+        ("truncated-png", "image", b"\x89PN"),      # magic cut mid-signature
+        ("garbage", "image", b"\x00\x01\x02\x03\x04\x05\x06\x07\x08"),
+        ("empty", "image", b""),
+        ("null", "image", None),
+        # right bytes, wrong declared kind
+        ("wav-as-image", "image", bytes(wav)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, media_kind string, payload binary"
+    )
+    got = {
+        r["media_ref"]: (r["sniffed"], r["format_ok"])
+        for r in multimodal.media_format_check(df).collect()
+    }
+    assert got["png"] == ("png", True)
+    assert got["bmp"] == ("bmp", True)
+    assert got["jpeg"] == ("jpeg", True)
+    assert got["wav"] == ("wav", True)
+    assert got["avi"] == ("avi", True)
+    assert got["gif"] == ("gif", True)
+    assert got["riff-alien"] == ("unknown", False)
+    assert got["truncated-png"] == ("unknown", False)
+    assert got["garbage"] == ("unknown", False)
+    assert got["empty"] == ("empty", False)
+    assert got["null"] == (None, False)
+    assert got["wav-as-image"] == ("wav", False)

@@ -60,6 +60,7 @@ QUERIES = [
     # construction-oracled media queries: read no corpus tables (synth
     # media only), included to keep QUERIES ≡ oracle_sql() lockstep
     "media_dims",
+    "media_format_check",
     "video_frame_grid",
     "image_near_dups",
     "audio_near_dups",
