@@ -264,6 +264,19 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outliers(ev, "value", k=1.5, exact=True).select("event_id", "value")
 
 
+def q_column_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent md5-sum content fingerprint per documents
+    column — the k-tiny-rows table-version comparison; the decimal sum
+    is replayed exactly in DuckDB (hex-prefix fold to a 60-bit int,
+    HUGEINT sum)."""
+    from evalidate_spark.operators.table_checks import column_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return column_fingerprints(
+        d, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel / modified-z-score outliers on the events value column
     (exact medians for the oracle; the production default is the GK
@@ -2194,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_incremental": q_profile_incremental,
         "iqr_outliers": q_iqr_outliers,
         "mad_outliers": q_mad_outliers,
+        "column_fingerprints": q_column_fingerprints,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -3448,6 +3462,17 @@ WHERE value IS NOT NULL
   AND (cast(value AS double) < q.q1 - (q.q3 - q.q1) * 1.5
        OR cast(value AS double) > q.q3 + (q.q3 - q.q1) * 1.5)
 """
+
+ORACLE["column_fingerprints"] = "\nUNION ALL\n".join(
+    """
+SELECT '{c}' AS column, count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  coalesce(sum(cast(cast('0x' || substr(md5(cast({c} AS varchar)), 1, 15)
+                     AS bigint) AS hugeint)), 0) AS fingerprint
+FROM documents
+""".format(c=c)
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)
 
 ORACLE["mad_outliers"] = """
 WITH m AS (

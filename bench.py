@@ -265,6 +265,8 @@ def main() -> None:
         "line_dedup",
         "span_text_quality",
         "mad_outliers",
+        "column_fingerprints",
+        "media_format_check",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

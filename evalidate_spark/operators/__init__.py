@@ -44,6 +44,8 @@ from .table_checks import (
     overlap_estimate,
     check_suite,
     mad_outliers,
+    column_fingerprints,
+    merge_column_fingerprints,
 )
 from .spans import span_rules, span_structure_violations
 from .sessions import sequence_anomalies, session_bounds, sessionize

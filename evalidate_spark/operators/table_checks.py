@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def explode_structs(
@@ -2482,4 +2483,75 @@ def k_anonymity(
     ).select(
         "*",
         (F.col("n_small_groups") == 0).alias("k_anonymous"),
+    )
+
+
+def column_fingerprints(
+    df: DataFrame, columns: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Order-independent per-column content fingerprint — one row per
+    column: ``(column, n_rows, n_nulls, fingerprint)`` where
+    ``fingerprint`` is the exact decimal SUM over non-null rows of the
+    60-bit integer folded from ``md5(cast(value AS string))``.  Any cell
+    changing, appearing, or disappearing moves the sum (a multiset
+    commitment — unlike XOR, a pair of identical edits cannot cancel),
+    so two table versions compare by k tiny rows instead of a full diff
+    join, and the check is layout/partitioning-independent by
+    construction.
+
+    The states are MERGEABLE: sums add, so per-increment fingerprints
+    fold with :func:`merge_column_fingerprints` and never rescan history
+    — the same stance as the HLL/KLL/Theta state families.  decimal(38)
+    holds 10^12 rows × 2^60 with 7 digits to spare; md5 keeps the
+    fingerprint replayable in any SQL engine (xxhash64 has no DuckDB
+    twin).
+
+    Plan: ONE partial+final aggregate over a single projection — no
+    shuffle of the data, k fingerprints in one scan."""
+    cols = list(columns) if columns is not None else [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if not cols:
+        raise ValueError("column_fingerprints needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"column_fingerprints: unknown column {c!r}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        v = F.col("`%s`" % c).cast("string")
+        hv = F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("decimal(38,0)")
+        aggs.append(
+            F.coalesce(F.sum(hv), F.lit(0).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__fp%d" % i)
+        )
+        aggs.append(
+            F.coalesce(F.sum(v.isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias("__u%d" % i)
+        )
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col("__u%d" % i).alias("n_nulls"),
+            F.col("__fp%d" % i).alias("fingerprint"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def merge_column_fingerprints(states: DataFrame) -> DataFrame:
+    """Fold per-increment :func:`column_fingerprints` states into the
+    whole-corpus state: counters and fingerprint sums just add (exact
+    decimal arithmetic, order-insensitive).  O(increments × columns)
+    rows in, O(columns) out — history data is never rescanned."""
+    return states.groupBy("column").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_nulls").cast("long").alias("n_nulls"),
+        F.sum("fingerprint").cast("decimal(38,0)").alias("fingerprint"),
     )

@@ -96,6 +96,7 @@ QUERIES = [
     "uniqueness_composite",
     "iqr_outliers",
     "mad_outliers",
+    "column_fingerprints",
     "functional_deps",
     "skew_report",
     "encoding_anomalies",

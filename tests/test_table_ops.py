@@ -412,6 +412,65 @@ def test_mad_outliers(spark):
     assert mad_outliers(nul, "v", exact=True).count() == 0
 
 
+def test_column_fingerprints_merge_and_sensitivity(spark):
+    from decimal import Decimal
+
+    from evalidate_spark.operators.table_checks import (
+        column_fingerprints,
+        merge_column_fingerprints,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "z")], "id long, t string"
+    )
+    b = spark.createDataFrame([(4, None), (5, "x")], "id long, t string")
+    whole = a.union(b)
+
+    direct = {r["column"]: r for r in column_fingerprints(whole).collect()}
+    merged = {
+        r["column"]: r
+        for r in merge_column_fingerprints(
+            column_fingerprints(a).union(column_fingerprints(b))
+        ).collect()
+    }
+    for c in ("id", "t"):
+        assert merged[c]["n_rows"] == direct[c]["n_rows"] == 5
+        assert merged[c]["fingerprint"] == direct[c]["fingerprint"]
+    assert direct["id"]["n_nulls"] == 1 and direct["t"]["n_nulls"] == 1
+
+    # one cell change moves exactly that column's fingerprint
+    changed = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "z"), (4, None), (5, "X")],
+        "id long, t string",
+    )
+    after = {r["column"]: r for r in column_fingerprints(changed).collect()}
+    assert after["id"]["fingerprint"] == direct["id"]["fingerprint"]
+    assert after["t"]["fingerprint"] != direct["t"]["fingerprint"]
+
+    # a PAIR of identical inserted rows still changes the sum (an XOR
+    # fingerprint would cancel them)
+    padded = whole.union(
+        spark.createDataFrame([(9, "d"), (9, "d")], "id long, t string")
+    )
+    pad = {r["column"]: r for r in column_fingerprints(padded).collect()}
+    assert pad["id"]["fingerprint"] != direct["id"]["fingerprint"]
+
+    # empty table: zero counters, zero fingerprint, never NULL
+    empty = spark.createDataFrame([], "id long, t string")
+    for r in column_fingerprints(empty).collect():
+        assert (r["n_rows"], r["n_nulls"], r["fingerprint"]) == (
+            0, 0, Decimal(0),
+        )
+
+    # complex columns are excluded from the default column set
+    witharr = spark.createDataFrame([(1, ["a"])], "id long, arr array<string>")
+    assert [r["column"] for r in column_fingerprints(witharr).collect()] == ["id"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        column_fingerprints(a, ["nope"])
+
+
 def test_suggest_constraints_round_trip(spark):
     """The suggested spec is, by construction, satisfied by the data that
     produced it: suggestions_to_spec -> validate -> zero violations."""
