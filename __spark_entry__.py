@@ -1026,6 +1026,27 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster", "split")
 
 
+def q_multiway_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test carve-out (12.5% + 12.5%): the k-way
+    split over the same duplicate clusters as leakage_split — splits
+    occupy contiguous md5 hash intervals so the oracle replays the CASE
+    chain verbatim."""
+    from evalidate_spark.functions import dedup, sampling
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 10 < 3)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    cl = dedup.duplicate_clusters(pairs)
+    return sampling.split_multiway(
+        d.select("doc_id"), cl, {"test": 0.125, "val": 0.125}
+    ).select("doc_id", "cluster", "split")
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup APPLY step: keep one representative (min doc_id) per
     first-5-token prefix fingerprint, everything else drops — aggregate
@@ -2208,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": q_iqr_outliers,
         "mad_outliers": q_mad_outliers,
         "column_fingerprints": q_column_fingerprints,
+        "multiway_split": q_multiway_split,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -3157,6 +3179,35 @@ SELECT d.doc_id,
        THEN 'holdout' ELSE 'train' END AS split
 FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
 WHERE d.doc_id IS NOT NULL
+"""
+
+ORACLE["multiway_split"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+), clusters AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+), hashed AS (
+  SELECT d.doc_id,
+    coalesce(c.cluster_id, d.doc_id) AS cluster,
+    substr(md5('split-v1'
+           || cast(coalesce(c.cluster_id, d.doc_id) AS varchar)), 1, 8) AS hx
+  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+  WHERE d.doc_id IS NOT NULL
+)
+SELECT doc_id, cluster,
+  CASE WHEN hx < '20000000' THEN 'test'
+       WHEN hx < '40000000' THEN 'val'
+       ELSE 'train' END AS split
+FROM hashed
 """
 
 ORACLE["dedup_corpus"] = """

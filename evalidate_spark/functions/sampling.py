@@ -457,3 +457,54 @@ def split_by_cluster(
         .withColumn("split", split)
         .drop("__lab_id", "__lab_cluster")
     )
+
+
+def split_multiway(
+    df: DataFrame,
+    clusters: DataFrame,
+    fractions: dict,
+    rest: str = "train",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """K-way generalization of :func:`split_by_cluster`: *fractions* maps
+    split names to hash-space shares (e.g. ``{"test": 0.1, "val": 0.1}``)
+    and every remaining cluster lands in *rest* — so a train/val/test
+    carve-out stays leakage-free (whole duplicate clusters move
+    together), deterministic, and nested: for a fixed *salt*, growing a
+    split's fraction only ever MOVES clusters into it from *rest*, never
+    reshuffles the existing assignment (splits occupy contiguous,
+    insertion-ordered hash intervals — the :func:`sample_deterministic`
+    nesting argument interval by interval).
+
+    Same plan as the two-way form: one id-keyed equi-join against the
+    (duplicates-only) cluster map + pure hash exprs, no extra shuffle."""
+    if rest in fractions:
+        raise ValueError("rest split %r must not appear in fractions" % rest)
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    if sum(fractions.values()) > 1.0 + 1e-12:
+        raise ValueError("fractions must sum to <= 1")
+    ids = F.col("`%s`" % id_col)
+    lab = clusters.select(
+        F.col("id").alias("__lab_id"), F.col("cluster_id").alias("__lab_cluster")
+    )
+    j = df.filter(ids.isNotNull()).join(lab, ids == F.col("__lab_id"), "left")
+    cluster = F.coalesce(F.col("__lab_cluster"), ids)
+    h = _bucket_hash(cluster, salt)
+    split = None
+    lo = 0.0
+    for name, frac in fractions.items():
+        lo += frac
+        b = int(lo * (1 << 32))
+        bound = F.lit("g" if b >= (1 << 32) else "%08x" % b)
+        cond = h < bound
+        split = F.when(cond, F.lit(str(name))) if split is None else split.when(
+            cond, F.lit(str(name))
+        )
+    split = F.lit(rest) if split is None else split.otherwise(F.lit(rest))
+    return (
+        j.withColumn("cluster", cluster)
+        .withColumn("split", split)
+        .drop("__lab_id", "__lab_cluster")
+    )

@@ -54,6 +54,7 @@ QUERIES = [
     "packed_sequences",
     "budget_selection",
     "leakage_split",
+    "multiway_split",
     "lm_scores",
     "minhash_pairs_md5",
     "simhash_pairs_md5",

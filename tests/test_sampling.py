@@ -403,3 +403,59 @@ class TestShufflePlan:
                 assert len(part) <= 50
                 seen += part
             assert seen == sorted(seen) == list(range(1, len(seen) + 1))
+
+
+def test_split_multiway_semantics_and_nesting(spark):
+    from evalidate_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    cl = dedup.duplicate_clusters(pairs)
+
+    out = sampling.split_multiway(
+        docs, cl, {"test": 0.2, "val": 0.2}
+    ).collect()
+    by_id = {r["doc_id"]: (r["cluster"], r["split"]) for r in out}
+    assert len(by_id) == 200  # NULL id excluded
+    assert by_id[1] == by_id[2] == by_id[3]  # whole cluster together
+    assert {s for _, s in by_id.values()} == {"test", "val", "train"}
+
+    # two-way form is the degenerate case of the multiway form
+    two = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_by_cluster(docs, cl, 0.25).collect()
+    }
+    multi = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_multiway(docs, cl, {"holdout": 0.25}).collect()
+    }
+    assert two == multi
+
+    # nesting: growing a leading fraction only moves docs from REST into
+    # it — the existing test/val assignment never reshuffles
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_multiway(
+            docs, cl, {"test": 0.3, "val": 0.2}
+        ).collect()
+    }
+    for i, s in by_id.items():
+        if s[1] == "test":
+            assert grown[i] == "test"
+    # val shifts window when test grows (documented: intervals are
+    # contiguous in insertion order) — but train never invades test/val
+    assert sum(1 for v in grown.values() if v == "test") >= sum(
+        1 for _, v in by_id.values() if v == "test"
+    )
+
+    # fractions summing to 1 leave rest empty; invalid args raise
+    full = sampling.split_multiway(docs, cl, {"a": 0.5, "b": 0.5})
+    assert {r["split"] for r in full.collect()} == {"a", "b"}
+    with pytest.raises(ValueError):
+        sampling.split_multiway(docs, cl, {"train": 0.5})
+    with pytest.raises(ValueError):
+        sampling.split_multiway(docs, cl, {"a": 0.6, "b": 0.6})
+    with pytest.raises(ValueError):
+        sampling.split_multiway(docs, cl, {"a": -0.1})
