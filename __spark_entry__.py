@@ -1047,6 +1047,19 @@ def q_multiway_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster", "split")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: 100 docs
+    with inclusion odds ∝ n_chars, from one md5-derived priority key per
+    row and a TakeOrdered top-k — the weighted-mixture selection step,
+    replayed row-for-row by the oracle's ORDER BY ... LIMIT."""
+    from evalidate_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(d, 100, "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup APPLY step: keep one representative (min doc_id) per
     first-5-token prefix fingerprint, everything else drops — aggregate
@@ -2230,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "column_fingerprints": q_column_fingerprints,
         "multiway_split": q_multiway_split,
+        "weighted_sample": q_weighted_sample,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -3208,6 +3222,17 @@ SELECT doc_id, cluster,
        WHEN hx < '40000000' THEN 'val'
        ELSE 'train' END AS split
 FROM hashed
+"""
+
+ORACLE["weighted_sample"] = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    ln((cast('0x' || substr(md5('ws-v1' || cast(doc_id AS varchar)), 1, 13)
+         AS BIGINT) + 0.5) / 4503599627370496.0)
+      / cast(n_chars AS double) AS k
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+) ORDER BY k DESC, doc_id LIMIT 100
 """
 
 ORACLE["dedup_corpus"] = """

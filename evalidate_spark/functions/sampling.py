@@ -31,6 +31,9 @@ these are north-rule pipeline additions.)
 * :func:`split_by_cluster` — leakage-free train/holdout split: the split
   is hashed from the duplicate-cluster representative, so near-dups of
   training docs can never leak into holdout.
+* :func:`weighted_sample` — Efraimidis–Spirakis priority sampling: a
+  weighted sample WITHOUT replacement (inclusion odds ∝ weight) from one
+  hash-derived key per row and a top-k, globally or per stratum.
 * :func:`shuffle_plan` / :func:`shuffled_export` — deterministic global
   epoch shuffle: every row gets a ``(shard, pos)`` coordinate derived
   from ``md5(salt:epoch:id)``, so the trainer's read order is
@@ -507,4 +510,63 @@ def split_multiway(
         j.withColumn("cluster", cluster)
         .withColumn("split", split)
         .drop("__lab_id", "__lab_cluster")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    by=None,
+    id_col: str = "doc_id",
+    salt: str = "ws-v1",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement — *k* rows whose
+    inclusion odds are proportional to *weight_col* (quality scores,
+    domain priors, token counts), the selection step of a weighted
+    training-data mixture.
+
+    Algorithm: Efraimidis & Spirakis (IPL 2006) A-ES priority sampling —
+    each row gets the key ``ln(u)/w`` with ``u`` uniform in (0,1), and
+    the k LARGEST keys are the sample, which is distribution-identical
+    to sequential weighted draws without replacement.  As everywhere in
+    this module, ``u`` is HASH-derived, not RNG-derived: the first 13
+    hex chars of ``md5(salt || id)`` read as a 52-bit integer (exact in
+    a double), so the sample is reproducible across runs, engines, and
+    cluster sizes, and any SQL engine with ``md5()`` replays it row for
+    row.
+
+    With ``by=[cols]`` the top-k is per stratum (e.g. "300 docs per
+    language, quality-weighted").
+
+    Rows with NULL id, NULL weight, or weight <= 0 are never sampled
+    (``ln(u)/w`` is undefined or order-inverted there; zero-weight rows
+    have zero inclusion odds by definition).
+
+    Plan: global form — one pure projection + ``orderBy().limit(k)``,
+    which Spark executes as TakeOrdered (per-partition top-k, tree
+    reduce): no full sort, no data shuffle, k rows move.  Stratified
+    form — one shuffle on the stratum key with a streaming row_number,
+    the :func:`sample_stratified` shape."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ids = F.col("`%s`" % id_col)
+    w = F.col("`%s`" % weight_col).cast("double")
+    hx = F.substring(F.md5(F.concat(F.lit(salt), ids.cast("string"))), 1, 13)
+    u = (F.conv(hx, 16, 10).cast("double") + F.lit(0.5)) / float(1 << 52)
+    key = F.log(u) / w
+    base = df.filter(ids.isNotNull() & w.isNotNull() & (w > 0))
+    if by is None:
+        return (
+            base.withColumn("__wkey", key)
+            .orderBy(F.col("__wkey").desc(), ids.asc())
+            .limit(k)
+            .drop("__wkey")
+        )
+    by_cols = [F.col("`%s`" % c) for c in by]
+    win = Window.partitionBy(*by_cols).orderBy(key.desc(), ids.asc())
+    return (
+        base.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -55,6 +55,7 @@ QUERIES = [
     "budget_selection",
     "leakage_split",
     "multiway_split",
+    "weighted_sample",
     "lm_scores",
     "minhash_pairs_md5",
     "simhash_pairs_md5",

@@ -459,3 +459,69 @@ def test_split_multiway_semantics_and_nesting(spark):
         sampling.split_multiway(docs, cl, {"a": 0.6, "b": 0.6})
     with pytest.raises(ValueError):
         sampling.split_multiway(docs, cl, {"a": -0.1})
+
+
+class TestWeightedSample:
+    def _docs(self, spark):
+        rows = [(i, float(1 if i < 80 else 100)) for i in range(100)]
+        rows += [(None, 5.0), (200, None), (201, 0.0), (202, -3.0)]
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_determinism_and_exclusions(self, spark):
+        d = self._docs(spark)
+        a = sampling.weighted_sample(d, 10, "w").collect()
+        b = sampling.weighted_sample(d.repartition(7), 10, "w").collect()
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+        assert len(a) == 10
+        ids = {r["doc_id"] for r in a}
+        assert None not in ids and not ids & {200, 201, 202}
+
+    def test_weight_bias(self, spark):
+        # 20 heavy docs (w=100) vs 80 light (w=1): heavies carry ~20% of
+        # rows but ~96% of mass — across salts they must dominate the
+        # k=10 sample on average
+        d = self._docs(spark)
+        heavy = 0
+        for s in range(8):
+            got = sampling.weighted_sample(d, 10, "w", salt="t%d" % s)
+            heavy += sum(1 for r in got.collect() if r["doc_id"] >= 80)
+        assert heavy >= 8 * 10 * 0.6  # binomially safe bound
+
+    def test_matches_pure_python_replay(self, spark):
+        import hashlib, math
+
+        d = self._docs(spark)
+        got = sorted(
+            r["doc_id"] for r in sampling.weighted_sample(d, 7, "w").collect()
+        )
+
+        def key(i, w):
+            hx = hashlib.md5(("ws-v1%d" % i).encode()).hexdigest()[:13]
+            u = (int(hx, 16) + 0.5) / float(1 << 52)
+            return math.log(u) / w
+
+        rows = [(i, 1.0 if i < 80 else 100.0) for i in range(100)]
+        exp = sorted(
+            i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:7]
+        )
+        assert got == exp
+
+    def test_k_exceeds_population_and_stratified(self, spark):
+        d = self._docs(spark)
+        assert sampling.weighted_sample(d, 10_000, "w").count() == 100
+        d2 = d.withColumn("g", (F.col("doc_id") % 2).cast("int"))
+        out = sampling.weighted_sample(d2, 5, "w", by=["g"]).collect()
+        from collections import Counter
+
+        c = Counter(r["g"] for r in out)
+        assert c[0] == 5 and c[1] == 5
+        with pytest.raises(ValueError):
+            sampling.weighted_sample(d, 0, "w")
+
+    def test_global_plan_is_take_ordered(self, spark):
+        d = self._docs(spark)
+        plan = (
+            sampling.weighted_sample(d, 10, "w")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
