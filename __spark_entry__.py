@@ -1047,6 +1047,28 @@ def q_multiway_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster", "split")
 
 
+def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-candidate discovery over the TPC-H-ish join graph: containment
+    of each child column's distinct values in its candidate parent —
+    true FKs (lineitem→part/supplier, supplier→nation, nation→region), a
+    reversed pair, and a nonsense pair that discovery must reject."""
+    from evalidate_spark.operators.table_checks import inclusion_deps
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    ev = _t(spark, sf_dir, "events")
+    return inclusion_deps([
+        ("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey", su, "s_suppkey"),
+        ("supplier.s_suppkey->lineitem.l_suppkey", su, "s_suppkey", li, "l_suppkey"),
+        ("nation.n_regionkey->region.r_regionkey", na, "n_regionkey", re_, "r_regionkey"),
+        ("region.r_regionkey->nation.n_regionkey", re_, "r_regionkey", na, "n_regionkey"),
+        ("events.user_id->supplier.s_suppkey", ev, "user_id", su, "s_suppkey"),
+        ("nation.n_nationkey->region.r_regionkey", na, "n_nationkey", re_, "r_regionkey"),
+    ])
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample without replacement: 100 docs
     with inclusion odds ∝ n_chars, from one md5-derived priority key per
@@ -2244,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_fingerprints": q_column_fingerprints,
         "multiway_split": q_multiway_split,
         "weighted_sample": q_weighted_sample,
+        "inclusion_deps": q_inclusion_deps,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -3223,6 +3246,38 @@ SELECT doc_id, cluster,
        ELSE 'train' END AS split
 FROM hashed
 """
+
+def _incl_oracle(label: str, child: str, c: str, parent: str, p: str) -> str:
+    return f"""
+SELECT '{label}' AS pair,
+  cast(nd AS BIGINT) AS n_child_distinct,
+  cast(missing AS BIGINT) AS n_missing,
+  CASE WHEN nd > 0 THEN cast((nd - missing) * 10000 // nd AS BIGINT) END
+    AS containment_bp,
+  coalesce(nd > 0 AND missing = 0, false) AS fk_candidate
+FROM (
+  SELECT count(*) AS nd,
+         coalesce(sum(CASE WHEN pv.v IS NULL THEN 1 ELSE 0 END), 0) AS missing
+  FROM (SELECT DISTINCT {c} AS v FROM {child} WHERE {c} IS NOT NULL) cv
+  LEFT JOIN (SELECT DISTINCT {p} AS v FROM {parent} WHERE {p} IS NOT NULL) pv
+    ON cv.v = pv.v
+)"""
+
+
+ORACLE["inclusion_deps"] = " UNION ALL ".join([
+    _incl_oracle("lineitem.l_suppkey->supplier.s_suppkey",
+                 "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    _incl_oracle("supplier.s_suppkey->lineitem.l_suppkey",
+                 "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    _incl_oracle("nation.n_regionkey->region.r_regionkey",
+                 "nation", "n_regionkey", "region", "r_regionkey"),
+    _incl_oracle("region.r_regionkey->nation.n_regionkey",
+                 "region", "r_regionkey", "nation", "n_regionkey"),
+    _incl_oracle("events.user_id->supplier.s_suppkey",
+                 "events", "user_id", "supplier", "s_suppkey"),
+    _incl_oracle("nation.n_nationkey->region.r_regionkey",
+                 "nation", "n_nationkey", "region", "r_regionkey"),
+])
 
 ORACLE["weighted_sample"] = """
 SELECT doc_id, lang, n_chars FROM (

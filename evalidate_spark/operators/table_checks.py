@@ -2555,3 +2555,66 @@ def merge_column_fingerprints(states: DataFrame) -> DataFrame:
         F.sum("n_nulls").cast("long").alias("n_nulls"),
         F.sum("fingerprint").cast("decimal(38,0)").alias("fingerprint"),
     )
+
+
+def inclusion_deps(pairs) -> DataFrame:
+    """Inclusion-dependency discovery — the referential check turned into
+    a MEASUREMENT: *pairs* is a sequence of ``(pair_label, child_df,
+    child_col, parent_df, parent_col)`` candidates, and each output row
+    reports how much of the child column's distinct value set is
+    contained in the parent's::
+
+        (pair, n_child_distinct, n_missing, containment_bp, fk_candidate)
+
+    ``containment_bp = (nd - missing) * 10000 div nd`` in exact int64
+    arithmetic (NULL when the child column has no non-NULL values);
+    ``fk_candidate`` is true only at full containment — the pairs a
+    schema-constraint miner would promote to a foreign-key rule and hand
+    to :func:`referential_violations` for enforcement.  NULLs on either
+    side are excluded (SQL FK semantics: a NULL reference is a presence
+    question, not a referential one).
+
+    Plan per pair: distinct on each side (map-side combined partial
+    aggregates), one equi-join of the two DISTINCT sets — cardinality
+    bounded by value cardinality, not row count, so a 10^12-row fact
+    table joins at the size of its key space — then a 1-row count
+    aggregate.  Pairs are independent branches unioned after their 1-row
+    collapse; AQE schedules them in parallel under one action."""
+    pairs = list(pairs)
+    if not pairs:
+        raise ValueError("inclusion_deps needs at least one candidate pair")
+    outs = []
+    for label, child, c_col, parent, p_col in pairs:
+        c = F.col("`%s`" % c_col)
+        p = F.col("`%s`" % p_col)
+        cd = child.filter(c.isNotNull()).select(c.alias("__v")).distinct()
+        pd_ = (
+            parent.filter(p.isNotNull())
+            .select(p.alias("__v"), F.lit(True).alias("__hit"))
+            .distinct()
+        )
+        j = cd.join(pd_, "__v", "left")
+        agg = j.agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.coalesce(F.sum(F.col("__hit").isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias("missing"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(str(label)).alias("pair"),
+                F.col("nd").alias("n_child_distinct"),
+                F.col("missing").alias("n_missing"),
+                F.when(
+                    F.col("nd") > 0,
+                    F.expr("(nd - missing) * 10000L div nd").cast("long"),
+                ).alias("containment_bp"),
+                ((F.col("nd") > 0) & (F.col("missing") == 0)).alias(
+                    "fk_candidate"
+                ),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result

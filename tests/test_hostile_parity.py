@@ -56,6 +56,7 @@ QUERIES = [
     "leakage_split",
     "multiway_split",
     "weighted_sample",
+    "inclusion_deps",
     "lm_scores",
     "minhash_pairs_md5",
     "simhash_pairs_md5",

@@ -732,3 +732,56 @@ class TestViolationExamples:
         }
         # md5 rank over 0..99 is (vanishingly) unlikely to pick {0,1,2}
         assert picks != {0, 1, 2}
+
+
+class TestInclusionDeps:
+    def test_containment_math_and_verdicts(self, spark):
+        from evalidate_spark.operators.table_checks import inclusion_deps
+
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,), (4,), (None,)], "k long"
+        )
+        parent = spark.createDataFrame(
+            [(1,), (2,), (2,), (None,)], "k long"
+        )
+        out = inclusion_deps([
+            ("c->p", child, "k", parent, "k"),
+            ("p->c", parent, "k", child, "k"),
+            ("c->c", child, "k", child, "k"),
+        ]).collect()
+        rows = {r["pair"]: r for r in out}
+        # child distinct {1,2,3,4}; parent distinct {1,2} -> 2 missing
+        r = rows["c->p"]
+        assert (r["n_child_distinct"], r["n_missing"]) == (4, 2)
+        assert r["containment_bp"] == 5000 and r["fk_candidate"] is False
+        # parent {1,2} fully inside child
+        r = rows["p->c"]
+        assert (r["n_child_distinct"], r["n_missing"]) == (2, 0)
+        assert r["containment_bp"] == 10000 and r["fk_candidate"] is True
+        # reflexive is always a full containment
+        assert rows["c->c"]["fk_candidate"] is True
+
+    def test_empty_child_and_bad_args(self, spark):
+        from evalidate_spark.operators.table_checks import inclusion_deps
+        import pytest as _pytest
+
+        empty = spark.createDataFrame([(None,)], "k long")
+        parent = spark.createDataFrame([(1,)], "k long")
+        r = inclusion_deps([("e->p", empty, "k", parent, "k")]).collect()[0]
+        assert (r["n_child_distinct"], r["n_missing"]) == (0, 0)
+        assert r["containment_bp"] is None and r["fk_candidate"] is False
+        with _pytest.raises(ValueError):
+            inclusion_deps([])
+
+    def test_join_is_on_distinct_sets(self, spark):
+        from evalidate_spark.operators.table_checks import inclusion_deps
+
+        child = spark.range(0, 1000).withColumnRenamed("id", "k")
+        parent = spark.range(0, 500).withColumnRenamed("id", "k")
+        df = inclusion_deps([("c->p", child, "k", parent, "k")])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both sides aggregate to distinct BEFORE the join: the join input
+        # is bounded by key cardinality, never raw row count
+        assert plan.count("HashAggregate") >= 4
+        r = df.collect()[0]
+        assert r["containment_bp"] == 5000
