@@ -1069,6 +1069,18 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation (basis points) over lineitem's three
+    numeric measures in ONE raw-moment aggregate — all six moments per
+    pair from a single scan, replayed verbatim by the oracle."""
+    from evalidate_spark.operators.table_checks import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample without replacement: 100 docs
     with inclusion odds ∝ n_chars, from one md5-derived priority key per
@@ -2267,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiway_split": q_multiway_split,
         "weighted_sample": q_weighted_sample,
         "inclusion_deps": q_inclusion_deps,
+        "correlation_matrix": q_correlation_matrix,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
@@ -3277,6 +3290,33 @@ ORACLE["inclusion_deps"] = " UNION ALL ".join([
                  "events", "user_id", "supplier", "s_suppkey"),
     _incl_oracle("nation.n_nationkey->region.r_regionkey",
                  "nation", "n_nationkey", "region", "r_regionkey"),
+])
+
+def _corr_oracle(table: str, cx: str, cy: str) -> str:
+    both = f"{cx} IS NOT NULL AND {cy} IS NOT NULL"
+    return f"""
+SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+  cast(n AS BIGINT) AS n_pairs,
+  CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+       THEN cast(round((n*sxy - sx*sy)
+                 / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) * 10000) AS BIGINT)
+  END AS corr_bp
+FROM (
+  SELECT
+    cast(count(CASE WHEN {both} THEN 1 END) AS double) AS n,
+    sum(CASE WHEN {both} THEN cast({cx} AS double) END) AS sx,
+    sum(CASE WHEN {both} THEN cast({cy} AS double) END) AS sy,
+    sum(CASE WHEN {both} THEN cast({cx} AS double) * cast({cx} AS double) END) AS sxx,
+    sum(CASE WHEN {both} THEN cast({cy} AS double) * cast({cy} AS double) END) AS syy,
+    sum(CASE WHEN {both} THEN cast({cx} AS double) * cast({cy} AS double) END) AS sxy
+  FROM {table}
+)"""
+
+
+ORACLE["correlation_matrix"] = " UNION ALL ".join([
+    _corr_oracle("lineitem", "l_quantity", "l_extendedprice"),
+    _corr_oracle("lineitem", "l_quantity", "l_discount"),
+    _corr_oracle("lineitem", "l_extendedprice", "l_discount"),
 ])
 
 ORACLE["weighted_sample"] = """

@@ -2618,3 +2618,70 @@ def inclusion_deps(pairs) -> DataFrame:
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation over the numeric *columns* — the
+    profiling companion to :func:`mutual_information` for LINEAR
+    dependence: near-±1 pairs are redundant-column / derived-column
+    signals a constraint miner should flag, near-0 pairs justify
+    independence assumptions downstream.
+
+    One row per unordered pair ``(col_x, col_y, n_pairs, corr_bp)`` with
+    ``corr_bp = round(corr * 10000)`` as int64 — basis points make the
+    result hash-stable across engines (a raw double corr inherits the
+    sum's partition-order ulp noise).  Pairs use PAIRWISE deletion
+    (rows where both sides are non-NULL), the standard profiler stance;
+    ``corr_bp`` is NULL when a pair has <2 rows or a zero-variance side
+    (division by zero is a non-answer, not a 0 correlation).
+
+    Plan: ONE aggregate over the data computes all six raw moments
+    (n, Σx, Σy, Σx², Σy², Σxy) for every pair — a single scan + 1-row
+    map-side-combined agg whatever the row count; the O(C²) pair
+    explosion happens on that single row.  The raw-moment formula is
+    deliberate: it replays verbatim in any SQL engine, where a
+    streaming one-pass ``corr()`` builtin does not."""
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    aggs = []
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x = F.col("`%s`" % cols[i]).cast("double")
+            y = F.col("`%s`" % cols[j]).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            xm = F.when(both, x)
+            ym = F.when(both, y)
+            p = len(pairs)
+            aggs += [
+                F.count(xm).alias("__n%d" % p),
+                F.sum(xm).alias("__sx%d" % p),
+                F.sum(ym).alias("__sy%d" % p),
+                F.sum(xm * xm).alias("__sxx%d" % p),
+                F.sum(ym * ym).alias("__syy%d" % p),
+                F.sum(xm * ym).alias("__sxy%d" % p),
+            ]
+            pairs.append((cols[i], cols[j]))
+    one = df.agg(*aggs)
+    rows = []
+    for p, (cx, cy) in enumerate(pairs):
+        n = F.col("__n%d" % p).cast("double")
+        sx, sy = F.col("__sx%d" % p), F.col("__sy%d" % p)
+        sxx, syy = F.col("__sxx%d" % p), F.col("__syy%d" % p)
+        sxy = F.col("__sxy%d" % p)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = (n * sxy - sx * sy) / F.sqrt(vx * vy)
+        rows.append(
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col("__n%d" % p).cast("long").alias("n_pairs"),
+                F.when(
+                    (n >= 2) & (vx > 0) & (vy > 0),
+                    F.round(corr * 10000).cast("long"),
+                ).alias("corr_bp"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

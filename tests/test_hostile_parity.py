@@ -57,6 +57,7 @@ QUERIES = [
     "multiway_split",
     "weighted_sample",
     "inclusion_deps",
+    "correlation_matrix",
     "lm_scores",
     "minhash_pairs_md5",
     "simhash_pairs_md5",

@@ -785,3 +785,54 @@ class TestInclusionDeps:
         assert plan.count("HashAggregate") >= 4
         r = df.collect()[0]
         assert r["containment_bp"] == 5000
+
+
+class TestCorrelationMatrix:
+    def test_known_correlations(self, spark):
+        from evalidate_spark.operators.table_checks import correlation_matrix
+
+        rows = [(float(i), 2.0 * i + 3.0, -1.0 * i, 7.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+        out = {
+            (r["col_x"], r["col_y"]): r
+            for r in correlation_matrix(df, ["a", "b", "c", "k"]).collect()
+        }
+        assert len(out) == 6
+        assert out[("a", "b")]["corr_bp"] == 10000   # perfect linear
+        assert out[("a", "c")]["corr_bp"] == -10000  # perfect inverse
+        assert out[("a", "k")]["corr_bp"] is None    # zero variance side
+        assert out[("a", "b")]["n_pairs"] == 50
+
+    def test_pairwise_deletion_and_degenerate(self, spark):
+        from evalidate_spark.operators.table_checks import correlation_matrix
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, None), (None, 3.0), (4.0, 4.0), (None, None)],
+            "a double, b double",
+        )
+        r = correlation_matrix(df, ["a", "b"]).collect()[0]
+        assert r["n_pairs"] == 2 and r["corr_bp"] == 10000
+        # a single overlapping row -> no correlation defined
+        one = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, None)], "a double, b double"
+        )
+        assert correlation_matrix(one, ["a", "b"]).collect()[0]["corr_bp"] is None
+        with _pytest.raises(ValueError):
+            correlation_matrix(df, ["a"])
+
+    def test_single_aggregate_plan(self, spark):
+        from evalidate_spark.operators.table_checks import correlation_matrix
+
+        df = spark.range(100).select(
+            (F.col("id") * 1.0).alias("a"),
+            (F.col("id") * 2.0).alias("b"),
+            (F.col("id") % 7 * 1.0).alias("c"),
+        )
+        plan = (
+            correlation_matrix(df, ["a", "b", "c"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one partial + one final aggregate, one exchange: a single scan
+        # computes every pair's moments
+        assert plan.count("Exchange") == 1
