@@ -2253,6 +2253,30 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over part names ∪ injected one-char-deleted
+    typo copies: prefix blocking (one equi-join shuffle), deterministic
+    md5-ordered block cap, length-bound prune, Levenshtein ≤ 2 verify.
+    Every injected typo deletes a char PAST the 4-char block prefix, so
+    each (original, copy) pair is a guaranteed candidate at dist 1 unless
+    the block cap drops it — and the oracle replays blocking, cap, and
+    distance exactly, so the contract is row-for-row."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    typos = p.filter(
+        (F.col("p_partkey") % 7 == 0) & (F.length("p_name") >= 10)
+    ).select(
+        (F.col("p_partkey") + 10000000).alias("p_partkey"),
+        F.expr(
+            "concat(substring(p_name, 1, cast(5 + p_partkey % 4 AS int)), "
+            "substring(p_name, cast(7 + p_partkey % 4 AS int), length(p_name)))"
+        ).alias("p_name"),
+    )
+    return dedup.fuzzy_matches(
+        p.unionByName(typos), "p_partkey", "p_name",
+        max_dist=2, block_len=4, cap=50,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2371,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_features": q_asof_features,
         "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "fuzzy_matches": q_fuzzy_matches,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
@@ -5301,6 +5326,41 @@ SELECT CAST(bucket_s AS BIGINT) AS bucket_s, n_events, rate_bp,
        coalesce(rate_bp <= 5000, false) AS "drop"
 FROM r
 """
+
+
+ORACLE["fuzzy_matches"] = r"""
+WITH typos AS (
+  SELECT p_partkey + 10000000 AS p_partkey,
+         substr(p_name, 1, 5 + (p_partkey % 4)) ||
+         substr(p_name, 7 + (p_partkey % 4), length(p_name)) AS p_name
+  FROM part WHERE p_partkey % 7 = 0 AND length(p_name) >= 10
+), names AS (
+  SELECT p_partkey, p_name FROM part
+  UNION ALL SELECT p_partkey, p_name FROM typos
+), n AS (
+  SELECT p_partkey AS id,
+         trim(regexp_replace(regexp_replace(
+           translate(lower(p_name), 'DIAC_FROM', 'DIAC_TO'),
+           '[^\x20-\x7e]', '', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM names WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+), nb AS (
+  SELECT id, norm, substr(norm, 1, 4) AS block,
+         md5(norm || '|' || cast(id AS varchar)) AS ord
+  FROM n WHERE length(norm) > 0
+), capped AS (
+  SELECT id, norm, block FROM (
+    SELECT id, norm, block,
+           row_number() OVER (PARTITION BY block ORDER BY ord) AS rn,
+           count(*) OVER (PARTITION BY block) AS gsz
+    FROM nb)
+  WHERE gsz >= 2 AND rn <= 50
+)
+SELECT a.id AS id_a, b.id AS id_b, a.block AS block,
+       cast(levenshtein(a.norm, b.norm) AS int) AS dist
+FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
+WHERE abs(length(a.norm) - length(b.norm)) <= 2
+  AND levenshtein(a.norm, b.norm) <= 2
+""".replace("DIAC_FROM", dedup._DIAC_FROM).replace("DIAC_TO", dedup._DIAC_TO)
 
 
 def oracle_sql() -> dict[str, str]:

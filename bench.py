@@ -244,6 +244,7 @@ def main() -> None:
         "video_near_dups",
         "incremental_minhash",
         "simhash_pairs_md5",
+        "fuzzy_matches",
         "media_dims",
         "video_frame_grid",
         "shard_plan",

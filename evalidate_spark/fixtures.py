@@ -182,6 +182,19 @@ HOSTILE_PART = [
     (10, "n10", "Brand#5", "SMALL", None, 950.0),
     (11, "n11", "Brand#5", "SMALL", 10, None),
     (None, "n12", "Brand#5", "SMALL", 10, 950.0),
+    # fuzzy_matches hostile cluster: shared "fuzz" block, case/whitespace
+    # folds, a >max_dist member, NULL/blank names, short-name block, a
+    # typo-injection hit (21 % 7 == 0) and a double-space deletion (28)
+    (20, "fuzzy Block Alpha one", "Brand#5", "SMALL", 10, 950.0),
+    (21, "  fuzzy   block alpha one ", "Brand#5", "SMALL", 10, 950.0),
+    (22, "fuzzy block alpha oXe", "Brand#5", "SMALL", 10, 950.0),
+    (23, "fuzzy block beta", "Brand#5", "SMALL", 10, 950.0),
+    (24, None, "Brand#5", "SMALL", 10, 950.0),
+    (25, "    ", "Brand#5", "SMALL", 10, 950.0),
+    (26, "fuzz", "Brand#5", "SMALL", 10, 950.0),
+    (27, "fuzzy", "Brand#5", "SMALL", 10, 950.0),
+    (28, "fuzzy  block  gamma two", "Brand#5", "SMALL", 10, 950.0),
+    (29, "fuzzy blöck alpha one", "Brand#5", "SMALL", 10, 950.0),
 ]
 HOSTILE_NATION = [
     (1, "alpha", 1),

@@ -152,6 +152,7 @@ QUERIES = [
     "dup_clusters",
     # part/nation/region surface (NULL per rule branch; NULL join keys)
     "validate_part",
+    "fuzzy_matches",
     "nation_region_rollup",
     "ssjoin_pairs",
     "column_entropy",
