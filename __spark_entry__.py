@@ -2277,6 +2277,16 @@ def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (CCNet/Dolma heuristic) per doc:
+    zlib deflate size vs raw UTF-8 size in integer bp, repetitive/random
+    flags.  One Arrow-batched pandas UDF, map-only (no shuffle).  DuckDB
+    has no deflate, so this is rows-only; the byte-level contract is
+    pinned in tests/test_compression.py against direct zlib calls."""
+    d = _t(spark, sf_dir, "documents")
+    return text.compression_signals(d)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2396,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles": q_profile_quantiles,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "fuzzy_matches": q_fuzzy_matches,
+        "compression_quality": q_compression_quality,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,

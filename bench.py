@@ -245,6 +245,7 @@ def main() -> None:
         "incremental_minhash",
         "simhash_pairs_md5",
         "fuzzy_matches",
+        "compression_quality",
         "media_dims",
         "video_frame_grid",
         "shard_plan",
