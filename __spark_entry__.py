@@ -2287,6 +2287,19 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_signals(d)
 
 
+def q_cooccurring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori co-occurrence mining: top-30 token pairs supported by
+    ≥300 docs.  Pass-1 document-frequency prune (downward closure),
+    deterministic per-doc cap BEFORE collect, explode-free HOF pair
+    generation, TakeOrdered on (count desc, pair).  The oracle replays
+    both passes and the cap; its pair join runs on the capped rows, so
+    every stage is hash-gated."""
+    d = _t(spark, sf_dir, "documents")
+    return text.cooccurring_pairs(
+        d, min_support=300, top_k=30, max_tokens_per_doc=30
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2407,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "fuzzy_matches": q_fuzzy_matches,
         "compression_quality": q_compression_quality,
+        "cooccurring_pairs": q_cooccurring_pairs,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
@@ -5372,6 +5386,31 @@ FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
 WHERE abs(length(a.norm) - length(b.norm)) <= 2
   AND levenshtein(a.norm, b.norm) <= 2
 """.replace("DIAC_FROM", dedup._DIAC_FROM).replace("DIAC_TO", dedup._DIAC_TO)
+
+
+ORACLE["cooccurring_pairs"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), tok2 AS (
+  SELECT doc_id, t FROM tok WHERE t <> ''
+), freq AS (
+  SELECT t FROM tok2 GROUP BY t HAVING count(*) >= 300
+), kept AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn,
+           count(*) OVER (PARTITION BY doc_id) AS gsz
+    FROM tok2 WHERE t IN (SELECT t FROM freq))
+  WHERE rn <= 30 AND gsz >= 2
+), pairs AS (
+  SELECT a.t AS t_a, b.t AS t_b
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+)
+SELECT t_a, t_b, cast(count(*) AS bigint) AS n_docs
+FROM pairs GROUP BY t_a, t_b HAVING count(*) >= 300
+ORDER BY n_docs DESC, t_a, t_b LIMIT 30
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -246,6 +246,7 @@ def main() -> None:
         "simhash_pairs_md5",
         "fuzzy_matches",
         "compression_quality",
+        "cooccurring_pairs",
         "media_dims",
         "video_frame_grid",
         "shard_plan",

@@ -1452,3 +1452,81 @@ def compression_signals(
             F.lit(False),
         ).alias("too_random"),
     )
+
+
+def cooccurring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_support: int = 50,
+    top_k: int = 30,
+    max_tokens_per_doc: int = 30,
+) -> DataFrame:
+    """Frequent co-occurring token pairs: a-priori two-pass market-basket
+    mining over documents (doc = basket, distinct tokens = items).
+
+    Pass 1 counts document frequency per distinct token and keeps tokens
+    with support ≥ *min_support* — the a-priori downward-closure prune
+    (a pair can only be frequent if both members are).  Pass 2 keeps the
+    frequent tokens of each doc, bounds them to the first
+    *max_tokens_per_doc* in token order BEFORE any aggregation buffer
+    exists (:func:`~evalidate_spark.functions.similarity.cap_per_group`
+    on the doc key — same shuffle as the collect that follows), then
+    generates ordered pairs with an explode-free nested
+    ``transform``/``slice`` HOF, so the quadratic blow-up is a bounded
+    C(cap,2) per doc and never a join.  One final groupBy on the pair
+    key counts supporting docs; HAVING + TakeOrdered (count desc, then
+    lexicographic) make the top-k engine-independent.
+
+    Shuffles: token-count (pass 1, map-side combined), doc-key window +
+    collect (pass 2, shared partitioning), pair-count (bounded rows).
+    The frequent-token semi-join is broadcast under AQE at real scale.
+    """
+    from .similarity import cap_per_group
+
+    tok = (
+        df.filter(
+            F.col("`%s`" % id_col).isNotNull()
+            & F.col("`%s`" % text_col).isNotNull()
+        )
+        .select(
+            F.col("`%s`" % id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("`%s`" % text_col)), " "))
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_support)
+        .select("t")
+    )
+    kept = tok.join(freq, "t", "left_semi")
+    capped = cap_per_group(
+        kept, ["__id"], "t", max_tokens_per_doc, min_size=2
+    )
+    toks = capped.groupBy("__id").agg(
+        F.array_sort(F.collect_list("t")).alias("toks")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("toks"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("toks"), i + F.lit(2), F.size("toks")),
+                        lambda y: F.struct(x.alias("t_a"), y.alias("t_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.t_a", "p.t_b")
+    return (
+        pairs.groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_support)
+        .orderBy(F.col("n_docs").desc(), "t_a", "t_b")
+        .limit(top_k)
+    )

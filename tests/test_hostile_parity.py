@@ -153,6 +153,7 @@ QUERIES = [
     # part/nation/region surface (NULL per rule branch; NULL join keys)
     "validate_part",
     "fuzzy_matches",
+    "cooccurring_pairs",
     "nation_region_rollup",
     "ssjoin_pairs",
     "column_entropy",
