@@ -2300,6 +2300,15 @@ def q_cooccurring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease class per doc from exact integer counts (words,
+    sentence-terminator runs, vowel-group syllables); every class
+    threshold a cross-multiplied integer comparison — no float ever
+    crosses the engine boundary.  One fused projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return text.readability(d)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2421,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_matches": q_fuzzy_matches,
         "compression_quality": q_compression_quality,
         "cooccurring_pairs": q_cooccurring_pairs,
+        "readability": q_readability,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
@@ -5410,6 +5420,32 @@ WITH tok AS (
 SELECT t_a, t_b, cast(count(*) AS bigint) AS n_docs
 FROM pairs GROUP BY t_a, t_b HAVING count(*) >= 300
 ORDER BY n_docs DESC, t_a, t_b LIMIT 30
+"""
+
+
+ORACLE["readability"] = """
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE len(list_filter(string_split(text, ' '), x -> x <> '')) END AS w,
+    length(regexp_replace(lower(text), '[.!?]+', chr(1), 'g'))
+      - length(regexp_replace(lower(text), '[.!?]+', '', 'g')) AS sent_raw,
+    length(regexp_replace(lower(text), '[aeiouy]+', chr(1), 'g'))
+      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS y
+  FROM documents
+), c AS (
+  SELECT doc_id, w, greatest(sent_raw, 1) AS s, y FROM b
+)
+SELECT doc_id,
+  cast(w AS bigint) AS n_words,
+  CASE WHEN w > 0 THEN cast(s AS bigint) END AS n_sentences,
+  cast(y AS bigint) AS n_syllables,
+  CASE WHEN w IS NULL OR w = 0 THEN NULL
+       WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 70000*s*w THEN 'easy'
+       WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 50000*s*w THEN 'standard'
+       WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 30000*s*w THEN 'difficult'
+       ELSE 'very_difficult' END AS reading_class
+FROM c
 """
 
 

@@ -247,6 +247,7 @@ def main() -> None:
         "fuzzy_matches",
         "compression_quality",
         "cooccurring_pairs",
+        "readability",
         "media_dims",
         "video_frame_grid",
         "shard_plan",

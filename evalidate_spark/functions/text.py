@@ -1530,3 +1530,61 @@ def cooccurring_pairs(
         .orderBy(F.col("n_docs").desc(), "t_a", "t_b")
         .limit(top_k)
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease readability signal per doc — the classic
+    text-difficulty quality dimension (Flesch 1948; used alongside
+    Gopher/C4 rules in corpus filtering).
+
+    Emits the exact integer inputs — ``n_words`` (space-split, empties
+    dropped), ``n_sentences`` (runs of ``[.!?]``, floored at 1 for
+    non-empty text), ``n_syllables`` (runs of ``[aeiouy]`` in the
+    lowercased text, the standard vowel-group heuristic) — plus
+    ``reading_class``.  The Flesch score ``206.835 − 1.015·W/S −
+    84.6·Y/W`` is never materialised as a float: each class threshold
+    ``FRE ≥ T`` is evaluated as the cross-multiplied integer comparison
+    ``206835·S·W − 1015·W² − 84600·Y·S ≥ 1000·T·S·W``, so no engine ever
+    rounds at a boundary.  One fused projection: no UDF, no shuffle.
+    NULL text → NULL counts and class; zero words → NULL class.
+    """
+    low = F.lower(F.col("`%s`" % text_col))
+    words = F.filter(F.split(F.col("`%s`" % text_col), " "), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    # runs of X = len(after collapsing each run to one char) - len(after
+    # deleting runs); pure length arithmetic, identical in both engines
+    def runs(pat: str) -> Column:
+        collapsed = F.length(F.regexp_replace(low, pat, "\x01"))
+        deleted = F.length(F.regexp_replace(low, pat, ""))
+        return (collapsed - deleted).cast("long")
+
+    n_sent_raw = runs(r"[.!?]+")
+    n_sentences = F.greatest(n_sent_raw, F.lit(1).cast("long"))
+    n_syllables = runs(r"[aeiouy]+")
+    w, s, y = n_words, n_sentences, n_syllables
+    # N/D = Flesch score; class thresholds compared as N >= T*D (D > 0)
+    n = (
+        F.lit(206835) * s * w
+        - F.lit(1015) * w * w
+        - F.lit(84600) * y * s
+    )
+    d = F.lit(1000) * s * w
+    cls = (
+        F.when(w == 0, F.lit(None).cast("string"))
+        .when(n >= F.lit(70) * d, F.lit("easy"))
+        .when(n >= F.lit(50) * d, F.lit("standard"))
+        .when(n >= F.lit(30) * d, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    has = F.col("`%s`" % text_col).isNotNull()
+    return df.select(
+        F.col("`%s`" % id_col),
+        F.when(has, n_words).alias("n_words"),
+        F.when(has & (n_words > 0), n_sentences).alias("n_sentences"),
+        F.when(has, n_syllables).alias("n_syllables"),
+        F.when(has, cls).alias("reading_class"),
+    )

@@ -154,6 +154,7 @@ QUERIES = [
     "validate_part",
     "fuzzy_matches",
     "cooccurring_pairs",
+    "readability",
     "nation_region_rollup",
     "ssjoin_pairs",
     "column_entropy",
