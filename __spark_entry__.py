@@ -2309,6 +2309,17 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.readability(d)
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules from the frequent pairs: integer-div
+    confidence (never a float), cross-multiplied lift flag against the
+    basket-universe size, TakeOrdered on (conf desc, rule).  Every stage
+    of the a-priori pipeline plus the rule step is DuckDB-replayed."""
+    d = _t(spark, sf_dir, "documents")
+    return text.association_rules(
+        d, min_support=300, min_conf_bp=5000, top_k=30, max_tokens_per_doc=30
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2431,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": q_compression_quality,
         "cooccurring_pairs": q_cooccurring_pairs,
         "readability": q_readability,
+        "association_rules": q_association_rules,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
@@ -5446,6 +5458,45 @@ SELECT doc_id,
        WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 30000*s*w THEN 'difficult'
        ELSE 'very_difficult' END AS reading_class
 FROM c
+"""
+
+
+ORACLE["association_rules"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), tok2 AS (
+  SELECT doc_id, t FROM tok WHERE t <> ''
+), freq AS (
+  SELECT t, cast(count(*) AS bigint) AS df
+  FROM tok2 GROUP BY t HAVING count(*) >= 300
+), kept AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn,
+           count(*) OVER (PARTITION BY doc_id) AS gsz
+    FROM tok2 WHERE t IN (SELECT t FROM freq))
+  WHERE rn <= 30 AND gsz >= 2
+), pc AS (
+  SELECT a.t AS t_a, b.t AS t_b, cast(count(*) AS bigint) AS n
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY t_a, t_b HAVING count(*) >= 300
+), dirs AS (
+  SELECT t_a AS ante, t_b AS cons, n FROM pc
+  UNION ALL SELECT t_b AS ante, t_a AS cons, n FROM pc
+), tot AS (
+  SELECT cast(count(*) AS bigint) AS nn FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)
+SELECT ante, cons, n AS n_pair, fa.df AS n_ante,
+       (10000 * n) // fa.df AS conf_bp,
+       tot.nn * n > fa.df * fc.df AS lift_gt1
+FROM dirs
+JOIN freq fa ON fa.t = dirs.ante
+JOIN freq fc ON fc.t = dirs.cons
+CROSS JOIN tot
+WHERE (10000 * n) // fa.df >= 5000
+ORDER BY conf_bp DESC, ante, cons LIMIT 30
 """
 
 

@@ -248,6 +248,7 @@ def main() -> None:
         "compression_quality",
         "cooccurring_pairs",
         "readability",
+        "association_rules",
         "media_dims",
         "video_frame_grid",
         "shard_plan",

@@ -1482,6 +1482,26 @@ def cooccurring_pairs(
     collect (pass 2, shared partitioning), pair-count (bounded rows).
     The frequent-token semi-join is broadcast under AQE at real scale.
     """
+    pc, _ = _pair_counts(df, id_col, text_col, min_support, max_tokens_per_doc)
+    return (
+        pc.filter(F.col("n_docs") >= min_support)
+        .orderBy(F.col("n_docs").desc(), "t_a", "t_b")
+        .limit(top_k)
+    )
+
+
+def _pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_support: int,
+    max_tokens_per_doc: int,
+):
+    """Shared a-priori pipeline: (pair-doc-counts, frequent-token DF counts).
+
+    Pair counts are NOT support-filtered here (association_rules filters
+    on the pair, cooccurring_pairs on its own threshold); token document
+    frequencies are the pass-1 output and carry ``__df``."""
     from .similarity import cap_per_group
 
     tok = (
@@ -1499,11 +1519,10 @@ def cooccurring_pairs(
     )
     freq = (
         tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
         .filter(F.col("__df") >= min_support)
-        .select("t")
     )
-    kept = tok.join(freq, "t", "left_semi")
+    kept = tok.join(freq.select("t"), "t", "left_semi")
     capped = cap_per_group(
         kept, ["__id"], "t", max_tokens_per_doc, min_size=2
     )
@@ -1523,13 +1542,63 @@ def cooccurring_pairs(
             )
         ).alias("p")
     ).select("p.t_a", "p.t_b")
-    return (
-        pairs.groupBy("t_a", "t_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_support)
-        .orderBy(F.col("n_docs").desc(), "t_a", "t_b")
-        .limit(top_k)
+    pc = pairs.groupBy("t_a", "t_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    return pc, freq
+
+
+def association_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_support: int = 50,
+    min_conf_bp: int = 5000,
+    top_k: int = 30,
+    max_tokens_per_doc: int = 30,
+) -> DataFrame:
+    """Association rules over co-occurring tokens: for each frequent pair
+    both directed rules ``ante → cons`` with exact integer confidence and
+    a lift flag (Agrawal–Srikant a-priori, the rule-generation step).
+
+    ``conf_bp = (10000·n_pair) div df(ante)`` — integer division, never a
+    float; ``lift_gt1`` is the cross-multiplied comparison
+    ``N·n_pair > df(ante)·df(cons)`` where ``N`` is the basket-universe
+    size (docs with id and text), a single broadcast 1-row aggregate.
+    The pair table is tiny after the support filter, so both
+    doc-frequency joins broadcast under AQE; TakeOrdered on
+    (conf desc, ante, cons) pins the output across engines.
+    """
+    pc, freq = _pair_counts(df, id_col, text_col, min_support, max_tokens_per_doc)
+    pc = pc.filter(F.col("n_docs") >= min_support)
+    both = pc.select(
+        F.col("t_a").alias("ante"), F.col("t_b").alias("cons"), "n_docs"
+    ).unionByName(
+        pc.select(
+            F.col("t_b").alias("ante"), F.col("t_a").alias("cons"), "n_docs"
+        )
+    )
+    fa = freq.select(F.col("t").alias("ante"), F.col("__df").alias("n_ante"))
+    fc = freq.select(F.col("t").alias("cons"), F.col("__df").alias("n_cons"))
+    n_total = df.filter(
+        F.col("`%s`" % id_col).isNotNull() & F.col("`%s`" % text_col).isNotNull()
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    out = (
+        both.join(fa, "ante")
+        .join(fc, "cons")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_docs").alias("n_pair"),
+            "n_ante",
+            F.expr("(10000 * n_docs) div n_ante").alias("conf_bp"),
+            (F.col("__n") * F.col("n_docs") > F.col("n_ante") * F.col("n_cons"))
+            .alias("lift_gt1"),
+        )
+        .filter(F.col("conf_bp") >= min_conf_bp)
+    )
+    return out.orderBy(F.col("conf_bp").desc(), "ante", "cons").limit(top_k)
 
 
 def readability(

@@ -66,3 +66,54 @@ class TestCooccurringPairs:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAssociationRules:
+    ROWS = [
+        (1, "red apple pie with red cherry"),
+        (2, "apple pie and cherry tart"),
+        (3, "apple pie again apple"),
+        (4, "cherry pie forever"),
+    ]
+
+    def _rules(self, spark, **kw):
+        from evalidate_spark.functions.text import association_rules
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        return {
+            (r.ante, r.cons): (r.n_pair, r.n_ante, r.conf_bp, r.lift_gt1)
+            for r in association_rules(df, **kw).collect()
+        }
+
+    def test_confidence_exact_integer(self, spark):
+        got = self._rules(spark, min_support=2, min_conf_bp=1, top_k=20)
+        # apple in 3 docs, pie in 4; apple+pie in 3
+        assert got[("apple", "pie")] == (3, 3, 10000, False)  # lift == 1
+        assert got[("pie", "apple")] == (3, 4, 7500, False)
+        # apple+cherry 2; lift = 4*2 / (3*3) < 1
+        assert got[("apple", "cherry")] == (2, 3, 6666, False)
+
+    def test_lift_flag_fires(self, spark):
+        rows = self.ROWS + [(5, "zzz yyy"), (6, "zzz yyy"), (7, "unrelated word")]
+        from evalidate_spark.functions.text import association_rules
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.ante, r.cons): r.lift_gt1
+            for r in association_rules(df, min_support=2, min_conf_bp=1).collect()
+        }
+        # zzz,yyy co-occur always and nowhere else: N*n=7*2 > 2*2 -> lift>1
+        assert got[("zzz", "yyy")] is True and got[("yyy", "zzz")] is True
+
+    def test_min_conf_filters(self, spark):
+        got = self._rules(spark, min_support=2, min_conf_bp=8000, top_k=20)
+        assert set(got) == {("apple", "pie"), ("cherry", "pie")}
+
+    def test_top_k_order(self, spark):
+        from evalidate_spark.functions.text import association_rules
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        rows = association_rules(df, min_support=2, min_conf_bp=1, top_k=3).collect()
+        key = [(r.conf_bp, r.ante, r.cons) for r in rows]
+        assert key == sorted(key, key=lambda k: (-k[0], k[1], k[2]))
+        assert len(rows) == 3

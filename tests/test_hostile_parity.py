@@ -155,6 +155,7 @@ QUERIES = [
     "fuzzy_matches",
     "cooccurring_pairs",
     "readability",
+    "association_rules",
     "nation_region_rollup",
     "ssjoin_pairs",
     "column_entropy",
