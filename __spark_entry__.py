@@ -2320,6 +2320,20 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suppress_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry repeat-suppression verdict per event: kept=false iff the
+    previous same-user event (ts, event_id order) has the same event_type
+    within one hour.  One shuffle + one sort; NULL-ts/key/value contracts
+    replayed verbatim (see operators/sessions.py:suppress_repeats)."""
+    from evalidate_spark.operators.sessions import suppress_repeats
+
+    e = _t(spark, sf_dir, "events")
+    return suppress_repeats(
+        e, key_cols=("user_id",), ts_col="ts", value_col="event_type",
+        window_s=3600,
+    ).select("event_id", "user_id", "event_type", "kept")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2443,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurring_pairs": q_cooccurring_pairs,
         "readability": q_readability,
         "association_rules": q_association_rules,
+        "suppress_repeats": q_suppress_repeats,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
@@ -5497,6 +5512,25 @@ JOIN freq fc ON fc.t = dirs.cons
 CROSS JOIN tot
 WHERE (10000 * n) // fa.df >= 5000
 ORDER BY conf_bp DESC, ante, cons LIMIT 30
+"""
+
+
+ORACLE["suppress_repeats"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+), l AS (
+  SELECT event_id, user_id, event_type, tus,
+         lag(event_type) OVER w AS pv,
+         lag(tus) OVER w AS pt
+  FROM e
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY tus ASC NULLS FIRST, event_id ASC NULLS FIRST)
+)
+SELECT event_id, user_id, event_type,
+  NOT coalesce(pt IS NOT NULL AND tus IS NOT NULL
+               AND (event_type IS NOT DISTINCT FROM pv)
+               AND tus - pt <= 3600000000, false) AS kept
+FROM l
 """
 
 

@@ -249,6 +249,7 @@ def main() -> None:
         "cooccurring_pairs",
         "readability",
         "association_rules",
+        "suppress_repeats",
         "media_dims",
         "video_frame_grid",
         "shard_plan",

@@ -25,7 +25,7 @@ unsplit path (equivalence-tested).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
@@ -326,3 +326,48 @@ def sequence_anomalies(
         .filter(F.col("__ps").isNotNull() & F.col("kind").isNotNull())
         .drop("__ps")
     )
+
+
+def suppress_repeats(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Telemetry repeat-suppression: flag events that repeat the previous
+    event's *value_col* within *window_s* seconds for the same key — the
+    standard at-source dedup/compaction pass for event streams (retries,
+    double-clicks, heartbeat spam).
+
+    Consecutive semantics: an event is ``kept = false`` iff its immediate
+    predecessor in ``(ts, event_id)`` order within the key partition has
+    a null-safe-equal value and lies within the window.  One hash shuffle
+    on the key + one sort — the same single-window shape as
+    :func:`sessionize`; at corpus scale the partition key spreads by
+    user, and a pathological single-key stream is pre-split exactly like
+    ``sessionize(split_hours=...)`` upstream.
+
+    NULL contracts (replayed verbatim by the oracle): NULL-ts events are
+    always kept and never suppress a successor (no timeline position);
+    NULL keys form their own partition like SQL window PARTITION BY;
+    NULL values compare null-safe, so two consecutive NULL values within
+    the window DO suppress.
+    """
+    tus = _micros(df, ts_col)
+    keys = [F.col("`%s`" % k) for k in key_cols]
+    order_id = F.col("event_id") if "event_id" in df.columns else F.col(ts_col)
+    w = Window.partitionBy(*keys).orderBy(
+        tus.asc_nulls_first(), order_id.asc_nulls_first()
+    )
+    val = F.col("`%s`" % value_col)
+    pv = F.lag(val).over(w)
+    pt = F.lag(tus).over(w)
+    suppressed = F.coalesce(
+        pt.isNotNull()
+        & tus.isNotNull()
+        & val.eqNullSafe(pv)
+        & (tus - pt <= F.lit(int(window_s) * 1_000_000)),
+        F.lit(False),
+    )
+    return df.withColumn("kept", ~suppressed)

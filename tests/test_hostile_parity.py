@@ -91,6 +91,7 @@ QUERIES = [
     "jaccard_pairs",
     "zorder_events",
     "sessions",
+    "suppress_repeats",
     "trailing_features",
     "asof_features",
     "histogram_events_value",

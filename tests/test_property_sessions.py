@@ -125,3 +125,76 @@ class TestTrailingFeatures:
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         # all three aggregates share one Window operator (one shuffle+sort)
         assert plan.count("Window [") == 1
+
+
+class TestSuppressRepeats:
+    """Telemetry repeat-suppression: consecutive semantics, window
+    boundary, NULL ts/key/value contracts, single-window plan."""
+
+    def _kept(self, spark, rows):
+        import datetime as dt  # noqa: F401
+
+        from evalidate_spark.operators.sessions import suppress_repeats
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = suppress_repeats(df)
+        return {r.event_id: r.kept for r in out.collect()}
+
+    def test_contract_matrix(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        sec = dt.timedelta(seconds=1)
+        rows = [
+            (1, t0, 10, "click"),
+            (2, t0 + 10 * sec, 10, "click"),      # repeat in window -> drop
+            (3, t0 + 20 * sec, 10, "view"),       # value change -> keep
+            (4, t0 + 3621 * sec, 10, "view"),     # 3601s after #3 -> keep
+            (5, t0 + 3622 * sec, 10, "view"),     # 1s after #4 -> drop
+            (6, None, 10, "view"),                # NULL ts -> keep
+            (7, t0, None, "click"),               # NULL key partition
+            (8, t0 + sec, None, "click"),         # repeat in NULL part -> drop
+            (9, t0 + 2 * sec, 11, None),
+            (10, t0 + 3 * sec, 11, None),         # NULL value null-safe -> drop
+        ]
+        got = self._kept(spark, rows)
+        assert got == {1: True, 2: False, 3: True, 4: True, 5: False,
+                       6: True, 7: True, 8: False, 9: True, 10: False}
+
+    def test_window_boundary_inclusive(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, t0, 1, "a"),
+            (2, t0 + dt.timedelta(seconds=3600), 1, "a"),  # exactly W -> drop
+            (3, t0 + dt.timedelta(seconds=7201), 1, "a"),  # W+1 after #2 -> keep
+        ]
+        got = self._kept(spark, rows)
+        assert got == {1: True, 2: False, 3: True}
+
+    def test_null_ts_never_suppresses_successor(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, None, 1, "a"),  # sorts first, no timeline position
+            (2, t0, 1, "a"),    # predecessor is NULL-ts -> keep
+        ]
+        got = self._kept(spark, rows)
+        assert got == {1: True, 2: True}
+
+    def test_single_window_plan(self, spark):
+        import datetime as dt
+
+        from evalidate_spark.operators.sessions import suppress_repeats
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1), 1, "a")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        plan = suppress_repeats(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+        assert plan.count("Window") == 1
