@@ -5401,9 +5401,9 @@ WITH typos AS (
   UNION ALL SELECT p_partkey, p_name FROM typos
 ), n AS (
   SELECT p_partkey AS id,
-         trim(regexp_replace(regexp_replace(
+         trim(regexp_replace(regexp_replace(regexp_replace(
            translate(lower(p_name), 'DIAC_FROM', 'DIAC_TO'),
-           '[^\x20-\x7e]', '', 'g'), '\s+', ' ', 'g')) AS norm
+           'WS_CLASS', ' ', 'g'), '[^\x20-\x7e]', '', 'g'), ' +', ' ', 'g')) AS norm
   FROM names WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
 ), nb AS (
   SELECT id, norm, substr(norm, 1, 4) AS block,
@@ -5422,7 +5422,9 @@ SELECT a.id AS id_a, b.id AS id_b, a.block AS block,
 FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
 WHERE abs(length(a.norm) - length(b.norm)) <= 2
   AND levenshtein(a.norm, b.norm) <= 2
-""".replace("DIAC_FROM", dedup._DIAC_FROM).replace("DIAC_TO", dedup._DIAC_TO)
+""".replace("DIAC_FROM", dedup._DIAC_FROM).replace(
+    "DIAC_TO", dedup._DIAC_TO
+).replace("WS_CLASS", dedup._WS_CLASS)
 
 
 ORACLE["cooccurring_pairs"] = """

@@ -1765,6 +1765,13 @@ def line_dedup(
 _DIAC_FROM = "àáâãäåèéêëìíîïòóôõöøùúûüçñýÿ"
 _DIAC_TO = "aaaaaaeeeeiiiioooooouuuucnyy"
 
+# Whitespace fold class: an EXPLICIT codepoint list (not \s) because Java
+# regex and RE2 disagree on \s (\x0B is whitespace to Java only) — the
+# oracle passes this identical literal to DuckDB.  Includes NBSP so
+# whitespace-VARIANT names (tab vs space vs U+00A0) normalize to the same
+# block instead of having the variant deleted by the non-ASCII strip.
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B\u00a0]+"
+
 
 def fuzzy_matches(
     df: DataFrame,
@@ -1806,14 +1813,24 @@ def fuzzy_matches(
     codepoints, so 'ö'→'o' would otherwise be distance 2 on one side and
     1 on the other; on pure ASCII the two definitions coincide.
     """
+    # Order matters: fold whitespace variants (tab/newline/NBSP) to a
+    # single space FIRST, then strip remaining non-printables — the
+    # reverse would DELETE a tab between words, putting 'ab\tcd' in a
+    # different block than 'ab cd' despite differing only in whitespace.
+    # (the final ' +' collapse handles the double space left when a
+    # stripped codepoint sat between two spaces, e.g. 'a 中 b')
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(
-                F.translate(F.lower(F.col(name_col)), _DIAC_FROM, _DIAC_TO),
+                F.regexp_replace(
+                    F.translate(F.lower(F.col(name_col)), _DIAC_FROM, _DIAC_TO),
+                    _WS_CLASS,
+                    " ",
+                ),
                 r"[^\x20-\x7e]",
                 "",
             ),
-            r"\s+",
+            " +",
             " ",
         )
     )

@@ -441,24 +441,20 @@ def split_by_cluster(
     id — reproducible across runs/engines and stable under re-clustering
     as long as the component minimum is unchanged.  Plan: one id-keyed
     equi-join (the clusters side only holds docs that HAVE duplicates, so
-    AQE usually broadcasts it) + pure hash exprs."""
+    AQE usually broadcasts it) + pure hash exprs.
+
+    This is exactly ``split_multiway(df, clusters, {"holdout": f})`` —
+    one shared implementation, so the NULL-id filter, cluster-map join,
+    and hash-interval scheme cannot drift between the two forms."""
     if not (0.0 <= holdout_fraction <= 1.0):
         raise ValueError("holdout_fraction must be in [0, 1]")
-    ids = F.col("`%s`" % id_col)
-    lab = clusters.select(
-        F.col("id").alias("__lab_id"), F.col("cluster_id").alias("__lab_cluster")
-    )
-    j = df.filter(ids.isNotNull()).join(lab, ids == F.col("__lab_id"), "left")
-    cluster = F.coalesce(F.col("__lab_cluster"), ids)
-    b = int(holdout_fraction * (1 << 32))
-    bound = "g" if b >= (1 << 32) else "%08x" % b
-    split = F.when(
-        _bucket_hash(cluster, salt) < F.lit(bound), F.lit("holdout")
-    ).otherwise(F.lit("train"))
-    return (
-        j.withColumn("cluster", cluster)
-        .withColumn("split", split)
-        .drop("__lab_id", "__lab_cluster")
+    return split_multiway(
+        df,
+        clusters,
+        {"holdout": holdout_fraction},
+        rest="train",
+        id_col=id_col,
+        salt=salt,
     )
 
 
@@ -474,11 +470,15 @@ def split_multiway(
     split names to hash-space shares (e.g. ``{"test": 0.1, "val": 0.1}``)
     and every remaining cluster lands in *rest* — so a train/val/test
     carve-out stays leakage-free (whole duplicate clusters move
-    together), deterministic, and nested: for a fixed *salt*, growing a
-    split's fraction only ever MOVES clusters into it from *rest*, never
-    reshuffles the existing assignment (splits occupy contiguous,
-    insertion-ordered hash intervals — the :func:`sample_deterministic`
-    nesting argument interval by interval).
+    together) and deterministic.  Splits occupy contiguous,
+    insertion-ordered hash intervals, so the nesting guarantee is
+    POSITIONAL: for a fixed *salt*, growing the LAST-listed split's
+    fraction only moves clusters into it from *rest*; growing an earlier
+    split shifts every later split's interval and reassigns clusters at
+    those boundaries.  To keep a frozen holdout stable while other
+    splits grow, list the frozen split FIRST (its interval start is 0,
+    so it never moves) and grow only the last one — or carve the frozen
+    split out under a dedicated salt via :func:`split_by_cluster`.
 
     Same plan as the two-way form: one id-keyed equi-join against the
     (duplicates-only) cluster map + pure hash exprs, no extra shuffle."""
@@ -536,8 +536,8 @@ def weighted_sample(
     cluster sizes, and any SQL engine with ``md5()`` replays it row for
     row.
 
-    With ``by=[cols]`` the top-k is per stratum (e.g. "300 docs per
-    language, quality-weighted").
+    With ``by='col'`` (or a list of columns) the top-k is per stratum
+    (e.g. "300 docs per language, quality-weighted").
 
     Rows with NULL id, NULL weight, or weight <= 0 are never sampled
     (``ln(u)/w`` is undefined or order-inverted there; zero-weight rows
@@ -563,6 +563,9 @@ def weighted_sample(
             .limit(k)
             .drop("__wkey")
         )
+    # a bare column name is the natural call (matching sample_stratified);
+    # iterating its characters would stratify on 1-char pseudo-columns
+    by = [by] if isinstance(by, str) else list(by)
     by_cols = [F.col("`%s`" % c) for c in by]
     win = Window.partitionBy(*by_cols).orderBy(key.desc(), ids.asc())
     return (

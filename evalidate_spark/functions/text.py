@@ -1593,8 +1593,16 @@ def association_rules(
             F.col("n_docs").alias("n_pair"),
             "n_ante",
             F.expr("(10000 * n_docs) div n_ante").alias("conf_bp"),
-            (F.col("__n") * F.col("n_docs") > F.col("n_ante") * F.col("n_cons"))
-            .alias("lift_gt1"),
+            # decimal(19,0) operands: the products reach N·n_pair ≈ 10^24
+            # at corpus scale, past Long.MAX — int64 would wrap silently
+            # under non-ANSI mode and flip the flag (DuckDB's HUGEINT
+            # side is already exact, so only the Spark side needs width)
+            (
+                F.col("__n").cast("decimal(19,0)")
+                * F.col("n_docs").cast("decimal(19,0)")
+                > F.col("n_ante").cast("decimal(19,0)")
+                * F.col("n_cons").cast("decimal(19,0)")
+            ).alias("lift_gt1"),
         )
         .filter(F.col("conf_bp") >= min_conf_bp)
     )

@@ -43,12 +43,31 @@ from .table_checks import (
     merge_uniqueness_states,
     overlap_estimate,
     check_suite,
+    iqr_outliers,
     mad_outliers,
+    winsorize,
     column_fingerprints,
     merge_column_fingerprints,
+    inclusion_deps,
+    correlation_matrix,
+    freshness,
+    violation_examples,
+    embedding_health,
+    rate_anomalies,
+    rate_from_counts,
+    group_completeness,
+    value_shapes,
+    k_anonymity,
+    bloom_build,
 )
 from .spans import span_rules, span_structure_violations
-from .sessions import sequence_anomalies, session_bounds, sessionize
+from .sessions import (
+    sequence_anomalies,
+    session_bounds,
+    sessionize,
+    suppress_repeats,
+    trailing_window_features,
+)
 from .asof import asof_join
 from .suggest import (
     functional_dependencies,

@@ -334,6 +334,7 @@ def suppress_repeats(
     ts_col: str = "ts",
     value_col: str = "event_type",
     window_s: int = 3600,
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Telemetry repeat-suppression: flag events that repeat the previous
     event's *value_col* within *window_s* seconds for the same key — the
@@ -341,8 +342,11 @@ def suppress_repeats(
     double-clicks, heartbeat spam).
 
     Consecutive semantics: an event is ``kept = false`` iff its immediate
-    predecessor in ``(ts, event_id)`` order within the key partition has
-    a null-safe-equal value and lies within the window.  One hash shuffle
+    predecessor in ``(ts, order_col)`` order within the key partition has
+    a null-safe-equal value and lies within the window.  *order_col*
+    breaks same-timestamp ties deterministically; it must name an
+    existing (unique-per-key) column — a silent fallback to ordering by
+    ts twice would make equal-ts results partition-order dependent.  One hash shuffle
     on the key + one sort — the same single-window shape as
     :func:`sessionize`; at corpus scale the partition key spreads by
     user, and a pathological single-key stream is pre-split exactly like
@@ -354,11 +358,15 @@ def suppress_repeats(
     NULL values compare null-safe, so two consecutive NULL values within
     the window DO suppress.
     """
+    if order_col not in df.columns:
+        raise ValueError(
+            "suppress_repeats: tie-break column %r not in input; pass "
+            "order_col=<your unique event id column>" % order_col
+        )
     tus = _micros(df, ts_col)
     keys = [F.col("`%s`" % k) for k in key_cols]
-    order_id = F.col("event_id") if "event_id" in df.columns else F.col(ts_col)
     w = Window.partitionBy(*keys).orderBy(
-        tus.asc_nulls_first(), order_id.asc_nulls_first()
+        tus.asc_nulls_first(), F.col("`%s`" % order_col).asc_nulls_first()
     )
     val = F.col("`%s`" % value_col)
     pv = F.lag(val).over(w)

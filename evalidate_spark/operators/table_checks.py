@@ -2506,11 +2506,28 @@ def column_fingerprints(
     fingerprint replayable in any SQL engine (xxhash64 has no DuckDB
     twin).
 
+    Cross-engine replay holds for the DEFAULT column set — integer,
+    decimal, string, boolean, date, timestamp — whose cast-to-string
+    renderings engines agree on.  float/double and binary are EXCLUDED
+    by default: Spark prints ``1.0E7`` where DuckDB prints
+    ``10000000.0``, and binary→string is a charset gamble, so their
+    fingerprints would differ across engines on identical data.  Pass
+    them via *columns* explicitly to fingerprint them within ONE engine
+    (the sums stay self-consistent and mergeable there).
+
     Plan: ONE partial+final aggregate over a single projection — no
     shuffle of the data, k fingerprints in one scan."""
+    _excluded = (
+        T.ArrayType,
+        T.MapType,
+        T.StructType,
+        T.FloatType,
+        T.DoubleType,
+        T.BinaryType,
+    )
     cols = list(columns) if columns is not None else [
         f.name for f in df.schema.fields
-        if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        if not isinstance(f.dataType, _excluded)
     ]
     if not cols:
         raise ValueError("column_fingerprints needs at least one column")

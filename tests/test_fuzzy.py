@@ -30,6 +30,26 @@ class TestFuzzyMatches:
         got = _pairs(spark, rows, max_dist=2, block_len=4, cap=50)
         assert got == {(1, 2): 0}
 
+    def test_whitespace_variants_fold_to_same_block(self, spark):
+        # tab / newline / NBSP between words fold to ' ' BEFORE the
+        # non-ASCII strip — they must land in the SAME block as the
+        # space-separated spelling, not have the separator deleted
+        rows = [
+            (1, "ab\tcd ef"),
+            (2, "ab cd ef"),
+            (3, "ab\ncd ef"),
+            (4, "ab\u00a0cd ef"),  # NBSP separator
+        ]
+        got = _pairs(spark, rows, max_dist=2, block_len=4, cap=50)
+        assert got == {(1, 2): 0, (1, 3): 0, (1, 4): 0,
+                       (2, 3): 0, (2, 4): 0, (3, 4): 0}
+
+    def test_stripped_codepoint_between_spaces_single_space(self, spark):
+        # 'a 中 b' -> strip leaves 'a  b' -> final collapse gives 'a b'
+        rows = [(1, "name a 中 b"), (2, "name a b")]
+        got = _pairs(spark, rows, max_dist=2, block_len=4, cap=50)
+        assert got == {(1, 2): 0}
+
     def test_ascii_normal_form(self, spark):
         # diacritics fold to base letters; other non-ASCII drops — the
         # explicit cross-engine contract (DuckDB levenshtein is byte-based)

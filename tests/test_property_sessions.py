@@ -198,3 +198,35 @@ class TestSuppressRepeats:
         plan = suppress_repeats(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1
         assert plan.count("Window") == 1
+
+
+class TestSuppressRepeatsOrderCol:
+    def test_missing_tie_break_column_raises(self, spark):
+        import datetime as dt
+
+        from evalidate_spark.operators.sessions import suppress_repeats
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2026, 1, 1), 1, "a")],
+            "ts timestamp, user_id long, event_type string",
+        )
+        with pytest.raises(ValueError, match="tie-break"):
+            suppress_repeats(df)
+
+    def test_renamed_id_column_is_honoured(self, spark):
+        import datetime as dt
+
+        from evalidate_spark.operators.sessions import suppress_repeats
+
+        t0 = dt.datetime(2026, 1, 1)
+        # two same-ts events with values (a, b) then a third 'a': with
+        # evt_id order the predecessor chain is a->b->a (all kept); an
+        # unparameterized ts-only order could pick a->a (suppressed)
+        df = spark.createDataFrame(
+            [(1, t0, 1, "a"), (2, t0, 1, "b"),
+             (3, t0 + dt.timedelta(seconds=1), 1, "a")],
+            "evt_id long, ts timestamp, user_id long, event_type string",
+        )
+        out = suppress_repeats(df, order_col="evt_id")
+        got = {r.evt_id: r.kept for r in out.collect()}
+        assert got == {1: True, 2: True, 3: True}

@@ -466,6 +466,16 @@ def test_column_fingerprints_merge_and_sensitivity(spark):
     witharr = spark.createDataFrame([(1, ["a"])], "id long, arr array<string>")
     assert [r["column"] for r in column_fingerprints(witharr).collect()] == ["id"]
 
+    # float/double/binary are excluded by default (engine-dependent
+    # cast-to-string renderings: '1.0E7' vs '10000000.0'), but still
+    # fingerprintable when named explicitly
+    mixed = spark.createDataFrame(
+        [(1, 1.0e7, bytearray(b"\x00"))], "id long, v double, raw binary"
+    )
+    assert [r["column"] for r in column_fingerprints(mixed).collect()] == ["id"]
+    named = column_fingerprints(mixed, ["v"]).collect()
+    assert [r["column"] for r in named] == ["v"] and named[0]["n_rows"] == 1
+
     import pytest as _pytest
     with _pytest.raises(ValueError):
         column_fingerprints(a, ["nope"])
