@@ -2334,6 +2334,167 @@ def q_suppress_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "kept")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-regression diff (``reconcile.table_diff``): orders vs a
+    deterministically mutated version — keys %97==0 removed, %89==0
+    repriced+reprioritised, %101==0 re-added under key+10^8.  One
+    full-outer join; empty diff = the green gate."""
+    from evalidate_spark.operators.reconcile import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    kept = o.filter(F.col("o_orderkey") % 97 != 0)
+    changed = F.col("o_orderkey") % 89 == 0
+    after = kept.withColumn(
+        "o_totalprice",
+        F.when(changed, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).withColumn(
+        "o_orderpriority",
+        F.when(changed, F.lit("9-RECHECK")).otherwise(F.col("o_orderpriority")),
+    )
+    added = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    return table_diff(o, after.unionByName(added), ["o_orderkey"]).select(
+        "o_orderkey", "change", "changed_cols"
+    )
+
+
+def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting-identity reconciliation (``reconcile.reconcile_sums``):
+    Σ line-item extendedprice per order vs the stored o_totalprice, in
+    exact decimal(38,2) — order-independent sums, so the mismatch report
+    can't flap with parallelism.  Top-200 biggest absolute diffs
+    (deterministic: |diff| desc, key asc)."""
+    from evalidate_spark.operators.reconcile import reconcile_sums
+
+    out = reconcile_sums(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        "l_extendedprice",
+        "o_totalprice",
+        scale=2,
+    )
+    return (
+        out.filter(F.col("diff").isNotNull())
+        .orderBy(F.abs(F.col("diff")).desc(), F.col("o_orderkey").asc())
+        .limit(200)
+    )
+
+
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (``reconcile.changelog_compact``): the latest event
+    per user by (ts, event_id), with users whose latest event is an
+    'error' dropped (delete-marker semantics).  One shuffle + one
+    window with partial top-1 pushdown."""
+    from evalidate_spark.operators.reconcile import changelog_compact
+
+    e = _t(spark, sf_dir, "events")
+    return changelog_compact(
+        e.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()),
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    ).select("user_id", "event_id", "event_type")
+
+
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record merge (``reconcile.survivorship``) over exact-dup
+    clusters (cluster id = min doc_id per duplicated text): survivor by
+    (n_chars desc, doc_id asc), ``lang``/``source`` filled with the
+    first non-NULL in the same order."""
+    from evalidate_spark.operators.reconcile import survivorship
+
+    d = _t(spark, sf_dir, "documents")
+    dup = (
+        d.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("__cl"), F.count(F.lit(1)).alias("__n")
+        )
+        .filter(F.col("__n") >= 2)
+    )
+    clusters = (
+        d.join(dup, "text")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("__cl").cast("string").alias("cluster_id"),
+        )
+    )
+    out = survivorship(
+        d,
+        clusters,
+        "doc_id",
+        precedence=[
+            F.col("n_chars").desc_nulls_last(),
+            F.col("doc_id").asc(),
+        ],
+        fill_cols=["lang", "source"],
+    )
+    return out.select(
+        "cluster_id", "n_members", "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_promo_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join (``asof.range_join`` bucketed
+    plan): orders whose date falls inside any 14-day promo window
+    (promos = orders with key %499==0, deterministic).  The bucket
+    equi-join replaces the broadcast-nested-loop a naive non-equi join
+    degenerates to; counts per promo."""
+    from evalidate_spark.operators.asof import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    promos = o.filter(F.col("o_orderkey") % 499 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").alias("p_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("p_end"),
+    )
+    hits = range_join(
+        o.select("o_orderkey", "o_orderdate"),
+        promos,
+        "o_orderdate",
+        "p_start",
+        "p_end",
+        value_cols=["promo_id"],
+        bucket=14 * 86400,
+    )
+    return (
+        hits.groupBy("promo_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("promo_id")
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (``behavior.funnel_steps``)
+    signup→view→click→purchase: each step anchored at the entity's
+    earliest qualifying time for the previous step (strict sequence,
+    ties inclusive); conversions in integer bp."""
+    from evalidate_spark.operators.behavior import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (``behavior.cohort_retention``): users
+    grouped by first-activity epoch-week, active-user counts per week
+    offset, retention in integer bp — pure integer epoch math, no
+    calendar."""
+    from evalidate_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), period_s=7 * 86400
+    ).orderBy("cohort_bucket", "period_offset")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2458,6 +2619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "association_rules": q_association_rules,
         "suppress_repeats": q_suppress_repeats,
+        "table_diff": q_table_diff,
+        "reconcile_totals": q_reconcile_totals,
+        "changelog_compact": q_changelog_compact,
+        "survivorship": q_survivorship,
+        "promo_attribution": q_promo_attribution,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "incremental_minhash": q_incremental_minhash,
         "dedup_attrition": q_dedup_attrition,
         "minhash_pairs": q_minhash_pairs,
@@ -5533,6 +5701,187 @@ SELECT event_id, user_id, event_type,
                AND (event_type IS NOT DISTINCT FROM pv)
                AND tus - pt <= 3600000000, false) AS kept
 FROM l
+"""
+
+
+ORACLE["table_diff"] = """
+WITH after AS (
+  SELECT o_orderkey,
+         o_custkey,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 89 = 0 THEN '9-RECHECK'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+), j AS (
+  SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+         b.o_orderkey IS NOT NULL AS b_present,
+         a.o_orderkey IS NOT NULL AS a_present,
+         concat_ws(',',
+           CASE WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+                THEN 'o_custkey' END,
+           CASE WHEN b.o_orderdate IS DISTINCT FROM a.o_orderdate
+                THEN 'o_orderdate' END,
+           CASE WHEN b.o_orderpriority IS DISTINCT FROM a.o_orderpriority
+                THEN 'o_orderpriority' END,
+           CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+                THEN 'o_totalprice' END) AS diffs
+  FROM orders b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+)
+SELECT coalesce(bk, ak) AS o_orderkey,
+       CASE WHEN NOT b_present THEN 'added'
+            WHEN NOT a_present THEN 'removed'
+            WHEN diffs <> '' THEN 'changed' END AS change,
+       CASE WHEN NOT b_present OR NOT a_present THEN '' ELSE diffs END
+         AS changed_cols
+FROM j
+WHERE (NOT b_present) OR (NOT a_present) OR diffs <> ''
+"""
+
+ORACLE["reconcile_totals"] = """
+WITH agg AS (
+  SELECT l_orderkey AS k, count(*) AS n,
+         sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS s
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT o_orderkey,
+         CAST(coalesce(n, 0) AS BIGINT) AS n_fact_rows,
+         CAST(s AS DECIMAL(38,2)) AS fact_sum,
+         CAST(o_totalprice AS DECIMAL(38,2)) AS stored_value,
+         CAST(s - CAST(o_totalprice AS DECIMAL(38,2)) AS DECIMAL(38,2))
+           AS diff,
+         CASE WHEN s IS NULL THEN false
+              ELSE abs(s - CAST(o_totalprice AS DECIMAL(38,2))) <= 0
+         END AS matched
+  FROM orders LEFT JOIN agg ON o_orderkey = k
+  WHERE o_orderkey IS NOT NULL
+)
+SELECT * FROM r WHERE diff IS NOT NULL
+ORDER BY abs(diff) DESC, o_orderkey ASC LIMIT 200
+"""
+
+ORACLE["changelog_compact"] = """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC NULLS LAST,
+                                     event_id DESC NULLS LAST) AS rn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, event_id, event_type FROM r
+WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
+"""
+
+ORACLE["survivorship"] = """
+WITH dup AS (
+  SELECT text, CAST(min(doc_id) AS VARCHAR) AS cl
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 2
+), lab AS (
+  SELECT d.doc_id AS id, dup.cl FROM documents d JOIN dup ON d.text = dup.text
+), j AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         coalesce(lab.cl, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+  WHERE d.doc_id IS NOT NULL
+), w AS (
+  SELECT cluster_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members,
+         row_number() OVER ord AS rn,
+         doc_id,
+         first_value(lang IGNORE NULLS) OVER full_w AS lang,
+         first_value(source IGNORE NULLS) OVER full_w AS source,
+         n_chars
+  FROM j
+  WINDOW ord AS (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC NULLS LAST, doc_id ASC),
+         full_w AS (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+)
+SELECT cluster_id, n_members, doc_id, lang, source, n_chars
+FROM w WHERE rn = 1
+"""
+
+ORACLE["promo_attribution"] = """
+WITH promos AS (
+  SELECT o_orderkey AS promo_id, o_orderdate AS s,
+         o_orderdate + INTERVAL 14 DAY AS e
+  FROM orders WHERE o_orderkey % 499 = 0 AND o_orderdate IS NOT NULL
+)
+SELECT p.promo_id, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN promos p
+  ON o.o_orderdate >= p.s AND o.o_orderdate <= p.e
+WHERE o.o_orderdate IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["funnel"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), f1 AS (
+  SELECT user_id, min(t) AS at FROM e WHERE event_type = 'signup' GROUP BY 1
+), f2 AS (
+  SELECT e.user_id, min(e.t) AS at FROM e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.t >= f1.at GROUP BY 1
+), f3 AS (
+  SELECT e.user_id, min(e.t) AS at FROM e JOIN f2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.t >= f2.at GROUP BY 1
+), f4 AS (
+  SELECT e.user_id, min(e.t) AS at FROM e JOIN f3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t >= f3.at GROUP BY 1
+), c AS (
+  SELECT 1 AS step_ix, 'signup' AS step, (SELECT count(*) FROM f1) AS n
+  UNION ALL
+  SELECT 2, 'view', (SELECT count(*) FROM f2)
+  UNION ALL
+  SELECT 3, 'click', (SELECT count(*) FROM f3)
+  UNION ALL
+  SELECT 4, 'purchase', (SELECT count(*) FROM f4)
+), w AS (
+  SELECT step_ix, step, n,
+         lag(n) OVER (ORDER BY step_ix) AS prev,
+         first_value(n) OVER (ORDER BY step_ix) AS head
+  FROM c
+)
+SELECT step_ix, step, CAST(n AS BIGINT) AS n_entities,
+  CAST(CASE WHEN prev > 0 THEN (10000 * n) // prev END AS BIGINT)
+    AS conv_from_prev_bp,
+  CAST(CASE WHEN step_ix > 1 AND head > 0 THEN (10000 * n) // head END
+       AS BIGINT) AS conv_from_first_bp
+FROM w
+"""
+
+ORACLE["cohort_retention"] = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS bkt FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), f AS (
+  SELECT user_id, min(bkt) AS cohort FROM b GROUP BY 1
+), a AS (
+  SELECT DISTINCT b.user_id, f.cohort, b.bkt - f.cohort AS off
+  FROM b JOIN f USING (user_id)
+), s AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1
+), g AS (
+  SELECT cohort, off, CAST(count(*) AS BIGINT) AS n_active
+  FROM a GROUP BY 1, 2
+)
+SELECT g.cohort AS cohort_bucket, g.off AS period_offset, n_active,
+       cohort_size,
+       CAST((10000 * n_active) // cohort_size AS BIGINT) AS retention_bp
+FROM g JOIN s USING (cohort) ORDER BY 1, 2
 """
 
 

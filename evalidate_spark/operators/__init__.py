@@ -61,6 +61,13 @@ from .table_checks import (
     bloom_build,
 )
 from .spans import span_rules, span_structure_violations
+from .reconcile import (
+    changelog_compact,
+    reconcile_sums,
+    survivorship,
+    table_diff,
+)
+from .behavior import cohort_retention, funnel_steps
 from .sessions import (
     sequence_anomalies,
     session_bounds,
@@ -68,7 +75,7 @@ from .sessions import (
     suppress_repeats,
     trailing_window_features,
 )
-from .asof import asof_join
+from .asof import asof_join, range_join
 from .suggest import (
     functional_dependencies,
     suggest_constraints,

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def asof_join(
@@ -138,5 +138,127 @@ def asof_join(
     return out.select(
         *[F.col("__lrow.`%s`" % c).alias(c) for c in left.columns],
         F.col("__asof_ts").alias("__asof_ts"),
+        *[F.col("__v_%s" % c).alias(c) for c in value_cols],
+    )
+
+
+def _to_us(df: DataFrame, col: str):
+    """Epoch-micros view of a timestamp/NTZ column, the column itself if
+    numeric (same unit convention as ``asof_join``'s tolerance)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.NumericType):
+        return F.col("`%s`" % col).cast("bigint")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `%s`)"
+            % col
+        )
+    return F.unix_micros(F.col("`%s`" % col))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: Optional[Sequence[str]] = None,
+    value_cols: Optional[Sequence[str]] = None,
+    bucket: Optional[int] = None,
+) -> DataFrame:
+    """Point-in-interval join: each left row paired with every right row
+    whose ``[right_start, right_end]`` (INCLUSIVE both ends) contains
+    ``left[left_point]``, optionally also matching equi-keys *on*
+    (``on`` maps name-to-name; rename upstream if the sides differ).
+
+    Returns an INNER join — left rows with no containing interval drop
+    (wrap with your own left-anti if absence is the finding).  NULL
+    points, NULL interval bounds, and inverted intervals
+    (``start > end``) never match.  Output: every left column + the
+    right *value_cols* (default: right columns minus the bounds/keys),
+    with a clash check like :func:`asof_join`.
+
+    Scale: the naive formulation is a non-equi join — without equi keys
+    Catalyst can only run it as a broadcast-nested-loop (a cartesian at
+    100 TB).  *bucket* activates the BUCKETED plan: left hashes on
+    ``floor(point / bucket)``, each right interval explodes to the
+    buckets it overlaps, and the join becomes a plain equi-join on
+    (keys…, bucket) with the range check as a residual filter — a point
+    lives in exactly ONE bucket, so no post-dedup is ever needed.  Cost:
+    each right row is replicated ``span/bucket + 1`` times — pick a
+    bucket near the TYPICAL interval span (the replication is then ~2×)
+    and never orders of magnitude below it.  With equi keys and no
+    *bucket*, the plain sort-merge equi-join + residual filter is
+    already the right plan and is used as-is.
+
+    *bucket* is in the point column's own unit for numeric columns and
+    in SECONDS for timestamp columns (converted to micros internally) —
+    the ``asof_join`` tolerance convention.
+    """
+    on = list(on or [])
+    if not on and bucket is None:
+        raise ValueError(
+            "range_join without equi keys needs bucket=<width>: the "
+            "non-equi plan is a cartesian at scale"
+        )
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in right.columns
+            if c not in (right_start, right_end) and c not in on
+        ]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError("value_cols collide with left columns: %s" % sorted(clash))
+
+    pt = _to_us(left, left_point)
+    st = _to_us(right, right_start)
+    en = _to_us(right, right_end)
+    ts_like = not isinstance(left.schema[left_point].dataType, T.NumericType)
+
+    l = left.select(
+        F.struct(*[F.col("`%s`" % c) for c in left.columns]).alias("__lrow"),
+        pt.alias("__pt"),
+        *[F.col("`%s`" % k).alias("__lk_%s" % k) for k in on],
+    ).filter(F.col("__pt").isNotNull())
+    r = right.select(
+        st.alias("__st"),
+        en.alias("__en"),
+        *[F.col("`%s`" % k).alias("__rk_%s" % k) for k in on],
+        *[F.col("`%s`" % c).alias("__v_%s" % c) for c in value_cols],
+    ).filter(
+        F.col("__st").isNotNull()
+        & F.col("__en").isNotNull()
+        & (F.col("__st") <= F.col("__en"))
+    )
+
+    eq = [F.col("__lk_%s" % k) == F.col("__rk_%s" % k) for k in on]
+    if bucket is not None:
+        if bucket <= 0:
+            raise ValueError("bucket must be positive")
+        w = int(bucket) * (1_000_000 if ts_like else 1)
+        fdiv = lambda c: F.expr(  # noqa: E731 — floor-div, negative-safe
+            "(%s - pmod(%s, %d)) div %d" % (c, c, w, w)
+        )
+        l = l.withColumn("__b", fdiv("__pt"))
+        r = r.withColumn(
+            "__bs", F.sequence(fdiv("__st"), fdiv("__en"))
+        ).withColumn("__b", F.explode("__bs")).drop("__bs")
+        eq.append(l["__b"] == r["__b"])
+        cond = eq[0]
+        for c in eq[1:]:
+            cond = cond & c
+        j = l.join(r, cond, "inner")
+    else:
+        cond = eq[0]
+        for c in eq[1:]:
+            cond = cond & c
+        j = l.join(r, cond, "inner")
+
+    out = j.filter(
+        (F.col("__pt") >= F.col("__st")) & (F.col("__pt") <= F.col("__en"))
+    )
+    return out.select(
+        *[F.col("__lrow.`%s`" % c).alias(c) for c in left.columns],
         *[F.col("__v_%s" % c).alias(c) for c in value_cols],
     )

@@ -117,3 +117,97 @@ def test_asof_plan_single_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+class TestRangeJoin:
+    def _sides(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        at = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, 1, at(50)), (2, 1, at(250)), (3, 2, at(50)), (4, 1, None)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, 1, at(0), at(100)),     # contains e1 (user 1)
+                (11, 1, at(40), at(60)),     # also contains e1
+                (12, 2, at(0), at(100)),     # contains e3 (user 2)
+                (13, 1, at(300), at(200)),   # inverted: never matches
+                (14, 1, None, at(400)),      # NULL bound: never matches
+            ],
+            "order_id long, user_id long, t_start timestamp, t_end timestamp",
+        )
+        return left, right
+
+    def test_equi_plus_range(self, spark):
+        from evalidate_spark.operators.asof import range_join
+
+        left, right = self._sides(spark)
+        out = range_join(
+            left, right, "ts", "t_start", "t_end", on=["user_id"],
+            value_cols=["order_id"],
+        )
+        got = sorted((r.event_id, r.order_id) for r in out.collect())
+        assert got == [(1, 10), (1, 11), (3, 12)]
+
+    def test_bucketed_path_identical(self, spark):
+        from evalidate_spark.operators.asof import range_join
+
+        left, right = self._sides(spark)
+        plain = range_join(
+            left, right, "ts", "t_start", "t_end", on=["user_id"],
+            value_cols=["order_id"],
+        )
+        bucketed = range_join(
+            left, right, "ts", "t_start", "t_end", on=["user_id"],
+            value_cols=["order_id"], bucket=30,
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, bucketed.collect())
+        )
+
+    def test_no_keys_requires_bucket_and_no_nested_loop(self, spark):
+        import pytest as _pytest
+
+        from evalidate_spark.operators.asof import range_join
+
+        left, right = self._sides(spark)
+        with _pytest.raises(ValueError, match="bucket"):
+            range_join(left, right, "ts", "t_start", "t_end")
+        out = range_join(
+            left, right, "ts", "t_start", "t_end", bucket=60,
+            value_cols=["order_id"],
+        )
+        # keyless: e1 matches 10,11 (user ignored) and 12; e3 same; e2 none
+        got = sorted((r.event_id, r.order_id) for r in out.collect())
+        assert got == [(1, 10), (1, 11), (1, 12), (3, 10), (3, 11), (3, 12)]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_boundaries_inclusive(self, spark):
+        from evalidate_spark.operators.asof import range_join
+
+        left = spark.createDataFrame([(1, 0), (2, 100), (3, 101)], "id long, p long")
+        right = spark.createDataFrame([(9, 0, 100)], "rid long, s long, e long")
+        out = range_join(
+            left, right, "p", "s", "e", bucket=7, value_cols=["rid"]
+        )
+        assert sorted(r.id for r in out.collect()) == [1, 2]
+
+    def test_bad_args(self, spark):
+        import pytest as _pytest
+
+        from evalidate_spark.operators.asof import range_join
+
+        left, right = self._sides(spark)
+        with _pytest.raises(ValueError, match="collide"):
+            range_join(
+                left, right, "ts", "t_start", "t_end", on=["user_id"],
+                value_cols=["event_id"],
+            )
+        with _pytest.raises(ValueError, match="positive"):
+            range_join(
+                left, right, "ts", "t_start", "t_end", on=["user_id"], bucket=0
+            )
