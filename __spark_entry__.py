@@ -5719,10 +5719,16 @@ WITH after AS (
   SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
          o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 101 = 0
+), before AS (
+  SELECT *, 1 AS b_mark FROM orders
+), after_m AS (
+  SELECT *, 1 AS a_mark FROM after
 ), j AS (
+  -- presence from literal markers, NOT from key IS NOT NULL: a row whose
+  -- KEY VALUE is NULL exists on its side but would read as absent
   SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
-         b.o_orderkey IS NOT NULL AS b_present,
-         a.o_orderkey IS NOT NULL AS a_present,
+         b.b_mark IS NOT NULL AS b_present,
+         a.a_mark IS NOT NULL AS a_present,
          concat_ws(',',
            CASE WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
                 THEN 'o_custkey' END,
@@ -5734,7 +5740,7 @@ WITH after AS (
                 THEN 'o_orderstatus' END,
            CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
                 THEN 'o_totalprice' END) AS diffs
-  FROM orders b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+  FROM before b FULL OUTER JOIN after_m a ON b.o_orderkey = a.o_orderkey
 )
 SELECT coalesce(bk, ak) AS o_orderkey,
        CASE WHEN NOT b_present THEN 'added'

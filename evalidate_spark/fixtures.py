@@ -154,6 +154,45 @@ HOSTILE_EVENTS = [
     (6, "2026-01-01 10:31:00", 2, "view", 5.0, None),
     (7, "2026-01-01 09:00:00", 3, "view", 1.0, None),
     (8, "2026-01-01 08:30:00", 3, "view", 1.0, None),
+    # funnel rows: user 1 completes signup→view→click→purchase in order;
+    # user 4 purchases BEFORE signup (must not count) and has signup+view
+    # at the SAME timestamp (ties inclusive → reaches view, stops there)
+    (9, "2026-01-01 09:00:00", 1, "signup", 1.0, None),
+    (10, "2026-01-01 10:10:00", 1, "click", 1.0, None),
+    (11, "2026-01-01 10:20:00", 1, "purchase", 1.0, None),
+    (12, "2026-01-01 08:00:00", 4, "purchase", 1.0, None),
+    (13, "2026-01-01 09:00:00", 4, "signup", 1.0, None),
+    (14, "2026-01-01 09:00:00", 4, "view", 1.0, None),
+    # changelog rows: user 5's LATEST event is an 'error' (delete marker →
+    # user vanishes from the compacted state); user 6 has a same-ts tie
+    # resolved by event_id desc
+    (15, "2026-01-01 09:00:00", 5, "view", 1.0, None),
+    (16, "2026-01-01 10:00:00", 5, "error", 1.0, None),
+    (17, "2026-01-02 10:00:00", 6, "click", 1.0, None),
+    (18, "2026-01-02 10:00:00", 6, "view", 2.0, None),
+]
+# orders: one row per table_diff branch (%97 removed, %89 repriced,
+# %101 re-added, 89·101 changed-with-NULL-price), a NULL key (never pairs
+# → removed), a NULL date (promo-excluded), a DUPLICATED key (keyed-diff
+# multiplication replays identically in SQL), a %499 promo definition
+# with orders on and inside its inclusive 14-day boundary, and keys 1-3
+# reconciling against HOSTILE_LINEITEM (exact match / short sum / NULL
+# stored total)
+HOSTILE_ORDERS = [
+    (97, 1, "O", 100.0, "2026-01-01 00:00:00", "1-URGENT"),
+    (89, 1, "F", 50.0, "2026-01-02 00:00:00", "2-HIGH"),
+    (101, 2, "O", 75.0, "2026-01-03 00:00:00", "3-MEDIUM"),
+    (499, 2, "O", 20.0, "2026-01-05 00:00:00", "4-LOW"),
+    (8989, 3, "P", None, "2026-01-06 00:00:00", "5-LOW"),
+    (None, 1, "O", 10.0, "2026-01-01 00:00:00", "1-URGENT"),
+    (200, 4, "O", 30.0, None, "2-HIGH"),
+    (300, 5, "O", 60.0, "2026-01-04 00:00:00", "1-URGENT"),
+    (300, 5, "F", 61.0, "2026-01-04 00:00:00", "1-URGENT"),
+    (601, 6, "O", 45.0, "2026-01-10 00:00:00", "3-MEDIUM"),
+    (701, 6, "O", 45.0, "2026-01-19 00:00:00", "3-MEDIUM"),  # == start+14d
+    (1, 7, "O", 1005.0, "2026-01-07 00:00:00", "1-URGENT"),
+    (2, 7, "O", 100.0, "2026-01-08 00:00:00", "2-HIGH"),
+    (3, 7, "O", None, "2026-01-09 00:00:00", "3-MEDIUM"),
 ]
 # trailing pair per row = (l_extendedprice, l_discount): zero / negative /
 # below-quantity prices and out-of-range / NULL discounts drive every
@@ -309,6 +348,16 @@ def write_hostile_tables(spark: SparkSession, out_dir: str) -> str:
         HOSTILE_SUPPLIER, "s_suppkey long, s_name string"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "supplier.parquet")
+    )
+    spark.createDataFrame(
+        HOSTILE_ORDERS,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "cast(o_orderdate_s as timestamp) o_orderdate", "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
     )
     spark.createDataFrame(
         HOSTILE_EMBEDDINGS, "vec_id long, embedding array<float>, label int"

@@ -31,7 +31,7 @@ def main() -> None:
     tmp = write_hostile_tables(spark, tempfile.mkdtemp())
     con = duckdb.connect()
     for t in ("documents", "events", "lineitem", "supplier", "embeddings",
-              "part", "nation", "region"):
+              "part", "nation", "region", "orders"):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'" % (t, tmp, t)
         )

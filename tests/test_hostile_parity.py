@@ -92,6 +92,13 @@ QUERIES = [
     "zorder_events",
     "sessions",
     "suppress_repeats",
+    "table_diff",
+    "reconcile_totals",
+    "changelog_compact",
+    "survivorship",
+    "promo_attribution",
+    "funnel",
+    "cohort_retention",
     "trailing_features",
     "asof_features",
     "histogram_events_value",
@@ -196,7 +203,7 @@ def test_hostile_corpus_oracle_parity(spark, hostile_dir, name):
     con = duckdb.connect()
     for t in (
         "documents", "events", "lineitem", "supplier", "embeddings",
-        "part", "nation", "region",
+        "part", "nation", "region", "orders",
     ):
         con.execute(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet/*.parquet'"
