@@ -1665,6 +1665,42 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two quality filters (gopher doc-level
+    vs C4 line-level keep verdicts): the agreement matrix plus
+    chance-corrected agreement in integer bp.  Each side is the already
+    oracled per-doc verdict projection; one equi-join on the unique
+    doc_id (NULL ids drop on both sides, SQL semantics) feeds ONE
+    4-counter aggregate — nothing but five longs ever shuffles after
+    the join."""
+    from evalidate_spark.operators.table_checks import verdict_agreement
+
+    g = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("flag_a")
+    )
+    c = q_c4_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep_doc").alias("flag_b")
+    )
+    return verdict_agreement(g.join(c, "doc_id"))
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney ROC AUC of the linear classifier's
+    milli-logit ranking against the gopher rule-filter verdict as the
+    label — "does the model filter order documents the way the rule
+    filter judges them?".  Rank statistics come from score-GROUP counts
+    (one map-side-combined groupBy), so the ordered window only ever
+    sees the distinct-score table — no global per-row rank at any
+    scale."""
+    from evalidate_spark.functions.classifier import ranking_auc
+
+    s = q_classifier_scores(spark, sf_dir).select("doc_id", "logit_milli")
+    lab = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("label")
+    )
+    return ranking_auc(s.join(lab, "doc_id"), "logit_milli", "label")
+
+
 # single source of truth for the classifier driver query; the oracle's
 # VALUES table mirrors it literally (keep in lockstep)
 CLASSIFIER_W = {
@@ -2584,7 +2620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
+        "filter_agreement": q_filter_agreement,
         "classifier_scores": q_classifier_scores,
+        "classifier_auc": q_classifier_auc,
         "functional_deps": q_functional_deps,
         "skew_report": q_skew_report,
         "column_entropy": q_column_entropy,
@@ -4882,6 +4920,77 @@ s AS (
 
 
 ORACLE["filter_funnel"] = _funnel_oracle_sql()
+
+# filter_agreement composes the two already-verified filter oracles and
+# replays verdict_agreement's integer kappa exactly: NULL flags coalesce
+# to false INSIDE the matrix, sign factored out of the truncated
+# division so `//` and Spark's `div` agree on a negative kappa.
+ORACLE["filter_agreement"] = f"""
+WITH g AS ({ORACLE["gopher_rules"]}),
+cf AS ({ORACLE["c4_filters"]}),
+j AS (
+  SELECT coalesce(g.passes, false) AS fa, coalesce(cf.keep_doc, false) AS fb
+  FROM g JOIN cf ON g.doc_id = cf.doc_id
+), m AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(coalesce(count(*) FILTER (fa AND fb), 0) AS bigint) AS a,
+         cast(coalesce(count(*) FILTER (fa AND NOT fb), 0) AS bigint) AS b,
+         cast(coalesce(count(*) FILTER (NOT fa AND fb), 0) AS bigint) AS c,
+         cast(coalesce(count(*) FILTER (NOT fa AND NOT fb), 0) AS bigint) AS d
+  FROM j
+), k AS (
+  SELECT *,
+         n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d)) AS num,
+         n * n - ((a + b) * (a + c) + (c + d) * (b + d)) AS den
+  FROM m
+)
+SELECT n, a AS both_pass, b AS only_a, c AS only_b, d AS both_fail,
+       CASE WHEN n > 0
+            THEN cast((10000 * (a + d)) // n AS bigint) END AS po_bp,
+       CASE WHEN den <> 0
+            THEN cast((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                      * ((10000 * abs(num)) // den) AS bigint)
+       END AS kappa_bp
+FROM k
+"""
+
+# classifier_auc replays ranking_auc's grouped rank-sum identity: the
+# doubled-numerator tie correction keeps every term integral; the final
+# division truncates on both engines (operands non-negative).  The
+# window sum is cast to bigint before use (HUGEINT canonicalization —
+# the round-2 `sessions` lesson).
+ORACLE["classifier_auc"] = f"""
+WITH s AS ({ORACLE["classifier_scores"]}),
+g AS ({ORACLE["gopher_rules"]}),
+j AS (
+  SELECT s.logit_milli AS sc, g.passes AS lab
+  FROM s JOIN g ON s.doc_id = g.doc_id
+  WHERE s.logit_milli IS NOT NULL AND g.passes IS NOT NULL
+), grp AS (
+  SELECT sc,
+         cast(coalesce(count(*) FILTER (lab), 0) AS bigint) AS pos,
+         cast(coalesce(count(*) FILTER (NOT lab), 0) AS bigint) AS neg
+  FROM j GROUP BY sc
+), t AS (
+  SELECT pos, neg,
+         pos * (2 * cast(coalesce(sum(neg) OVER (
+                 ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS bigint) + neg) AS t2
+  FROM grp
+), m AS (
+  SELECT cast(coalesce(sum(pos + neg), 0) AS bigint) AS n,
+         cast(coalesce(sum(pos), 0) AS bigint) AS n_pos,
+         cast(coalesce(sum(neg), 0) AS bigint) AS n_neg,
+         cast(count(*) AS bigint) AS n_scores,
+         cast(coalesce(sum(t2), 0) AS bigint) AS num2
+  FROM t
+)
+SELECT n, n_pos, n_neg, n_scores,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN cast((10000 * num2) // (2 * n_pos * n_neg) AS bigint)
+       END AS auc_bp
+FROM m
+"""
 
 # entropy oracle mirrors table_checks.column_entropy term-for-term:
 # NULL is its own category, H = (ln(n) - sum(c*ln c)/n) / ln2 with ln(2)

@@ -181,3 +181,74 @@ def _scores_join(
         id_col,
         *_finish(F.col("__s"), F.col("__h"), F.col("__n"), bias_milli, threshold_milli),
     )
+
+
+def ranking_auc(
+    df: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """ROC AUC of an integer score ranking a boolean label — "does the
+    quality classifier actually separate the docs the rule filter keeps
+    from the ones it drops?" — via the tie-corrected Mann-Whitney
+    rank-sum identity, computed from SCORE-GROUP counts:
+
+        AUC = [ sum_s  pos(s) * (neg_below(s) + neg(s)/2) ] / (P * N)
+
+    Physical shape: ONE groupBy on the score (map-side combined — a hot
+    score costs one partial row per partition), then a cumulative window
+    over the *distinct-score table only*.  That table is bounded by the
+    score's cardinality (milli-logits here: thousands of values, not
+    rows), so the partitionless ordered window never sees data — the
+    10^12-row problem is reduced by the aggregate before any sort.  No
+    per-row global rank (a partitionless row-level window would funnel
+    the whole table through one task — the anti-pattern this shape
+    exists to avoid).
+
+    Everything is integer: the numerator is doubled
+    (``2*neg_below + neg``) so ties need no halves, and
+    ``auc_bp = (10000 * num2) div (2 * P * N)`` is a truncated integer
+    division replayable in any SQL engine.  NULL scores and NULL labels
+    are excluded (a doc with no score has no rank; a doc with no label
+    has no truth).  ``auc_bp`` is NULL when either class is empty.
+
+    Output (one row): ``n, n_pos, n_neg, n_scores, auc_bp``.
+    """
+    s = F.col("`%s`" % score_col)
+    lab = F.col("`%s`" % label_col)
+    grouped = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__pos"),
+            F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("__neg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = grouped.select(
+        "__pos",
+        "__neg",
+        (
+            F.col("__pos")
+            * (2 * F.coalesce(F.sum("__neg").over(w), F.lit(0)) + F.col("__neg"))
+        ).alias("__t2"),
+    )
+    totals = terms.agg(
+        F.sum(F.col("__pos") + F.col("__neg")).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum("__t2").cast("long").alias("__num2"),
+    )
+    return totals.select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).alias("n_neg"),
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("(10000 * __num2) div (2 * n_pos * n_neg)"),
+        )
+        .cast("long")
+        .alias("auc_bp"),
+    )

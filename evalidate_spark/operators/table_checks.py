@@ -2702,3 +2702,65 @@ def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def verdict_agreement(
+    df: DataFrame, flag_a: str = "flag_a", flag_b: str = "flag_b"
+) -> DataFrame:
+    """Agreement matrix + Cohen's kappa between two boolean verdict
+    columns over the same rows — "how much do two rule versions (or two
+    quality filters) agree, beyond chance?".
+
+    ONE aggregate of four conditional counters (partial+final hash agg:
+    a handful of longs per partition cross the wire, never data), then a
+    1-row projection — no data shuffle at any scale.  NULL flags count
+    as ``false`` (a validator that produced no verdict did not pass);
+    the coalesce happens inside the aggregate so the contract is pinned
+    here, not at the caller.
+
+    Output (one row): ``n, both_pass, only_a, only_b, both_fail, po_bp``
+    (observed agreement) and ``kappa_bp`` (chance-corrected, Cohen 1960:
+    ``kappa = (n*(a+d) - E) / (n^2 - E)`` with
+    ``E = (a+b)(a+c) + (c+d)(b+d)``).  Both rates are integer basis
+    points via truncated integer division with the sign factored out
+    (``sign * (10000*|num| div den)``), so Spark's ``div`` and any SQL
+    engine's ``//`` agree even when kappa is negative (worse than
+    chance).  ``kappa_bp`` is NULL when either rater is constant
+    (``den == 0`` — kappa undefined).
+    """
+    fa = F.coalesce(F.col("`%s`" % flag_a), F.lit(False))
+    fb = F.coalesce(F.col("`%s`" % flag_b), F.lit(False))
+    cell = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    counts = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(fa & fb).alias("both_pass"),
+        cell(fa & ~fb).alias("only_a"),
+        cell(~fa & fb).alias("only_b"),
+        cell(~fa & ~fb).alias("both_fail"),
+    )
+    n = F.col("n")
+    a, b = F.col("both_pass"), F.col("only_a")
+    c, d = F.col("only_b"), F.col("both_fail")
+    e = (a + b) * (a + c) + (c + d) * (b + d)
+    staged = counts.select(
+        "*",
+        (n * (a + d) - e).alias("__num"),
+        (n * n - e).alias("__den"),
+    )
+    return staged.select(
+        "n",
+        "both_pass",
+        "only_a",
+        "only_b",
+        "both_fail",
+        F.when(n > 0, F.expr("(10000 * (both_pass + both_fail)) div n"))
+        .cast("long")
+        .alias("po_bp"),
+        F.when(
+            F.col("__den") != 0,
+            F.when(F.col("__num") < 0, -1).otherwise(1)
+            * F.expr("(10000 * abs(__num)) div __den"),
+        )
+        .cast("long")
+        .alias("kappa_bp"),
+    )

@@ -36,7 +36,9 @@ QUERIES = [
     "gopher_rules",
     "filter_funnel",
     "c4_filters",
+    "filter_agreement",
     "classifier_scores",
+    "classifier_auc",
     "chunked_docs",
     "fingerprint_documents",
     "token_counts",
