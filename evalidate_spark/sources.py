@@ -727,6 +727,83 @@ class SnapshotLog:
         latest) — what a reader of that snapshot actually sees."""
         return self.read(spark, snapshot_id).schema
 
+    def expire(self, keep_last: int = 5) -> dict:
+        """Expire history older than the last *keep_last* snapshots and
+        physically delete data files nothing retained references — the
+        Iceberg ``expireSnapshots`` maintenance op: without it an
+        append-per-increment table keeps every byte it has ever written.
+
+        Retained snapshots must stay readable after their ancestors'
+        manifests disappear, so the OLDEST retained snapshot is first
+        rewritten in place as a self-contained ``overwrite`` manifest
+        (its fully-resolved file list, ``parent: null``) — the chain is
+        flattened at the retention boundary, file paths unchanged, no
+        data rewrite.  Publication order makes a crash safe at every
+        step: the boundary rewrite is an atomic ``os.replace`` that
+        preserves the snapshot's resolution; manifests are deleted
+        before data files, so a partial delete leaves only unreferenced
+        garbage for the next ``expire`` — never a dangling reference.
+
+        Returns ``{"expired_snapshots": [...], "deleted_files": n,
+        "boundary": sid}``.  ``keep_last`` must be >= 1; expiring
+        nothing is a no-op."""
+        import json
+        import os
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1, got %r" % keep_last)
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": [], "deleted_files": 0,
+                    "boundary": self.latest_id()}
+        kept = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        boundary = kept[0]
+        # 1. flatten the boundary: resolve its file set THROUGH the
+        # soon-to-die ancestors, republish self-contained
+        resolved = self.files(boundary["snapshot_id"])
+        rec = dict(boundary)
+        rec.update(
+            operation="overwrite", parent=None,
+            files=resolved, n_files=len(resolved),
+        )
+        name = "%05d.json" % boundary["snapshot_id"]
+        tmp = os.path.join(self._snap_dir, "." + name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self._snap_dir, name))
+        # 2. drop expired manifests (readers can no longer reach them)
+        for s in expired:
+            p = os.path.join(self._snap_dir, "%05d.json" % s["snapshot_id"])
+            if os.path.exists(p):
+                os.remove(p)
+        # 3. delete data files no retained snapshot resolves to
+        live = set()
+        for s in self.snapshots():
+            live.update(self.files(s["snapshot_id"]))
+        deleted = 0
+        for s in expired:
+            for f in s["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    deleted += 1
+        # sweep now-empty snapshot data dirs (cosmetic; files are gone)
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                if os.path.isdir(full) and not any(
+                    f.endswith(".parquet") for f in os.listdir(full)
+                ):
+                    import shutil
+
+                    shutil.rmtree(full)
+        return {
+            "expired_snapshots": [s["snapshot_id"] for s in expired],
+            "deleted_files": deleted,
+            "boundary": boundary["snapshot_id"],
+        }
+
 
 def schema_drift(
     spark: SparkSession,

@@ -706,3 +706,116 @@ def rate_stream(
     )
     bucket = F.floor(_micros(agg, "__ws") / F.lit(1000000)).cast("long")
     return agg.select(bucket.alias("bucket_s"), "n_events")
+
+
+def suppress_repeats_stream(
+    stream_df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    window_s: int = 3600,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`~evalidate_spark.operators.sessions.suppress_repeats` via
+    ``applyInPandasWithState``: the consecutive-repeat flag needs each
+    event's PREDECESSOR across micro-batch boundaries, which no built-in
+    windowed aggregate carries — per-key state is exactly the last
+    timeline event ``(last_t, t_null, val, val_null)``: O(#keys)
+    forever, independent of stream length.
+
+    Semantics are the batch operator's, replayed per adjacency:
+    ``kept = false`` iff the predecessor in ``(ts, order_col)``
+    nulls-first order has a null-safe-equal value and both timestamps
+    exist within *window_s*.  A NULL-ts event is always kept, never
+    suppresses its successor, but still BECOMES the predecessor (lag is
+    positional) — so it resets the chain exactly like the batch window.
+    NULL keys are their own state group, like SQL PARTITION BY.
+
+    Streaming ≡ batch when each key's events arrive in timeline order
+    across batches (NULL-ts rows, which the batch window sorts first,
+    belong in the earliest batch); within one batch any order is fine.
+
+    The state store needs a fixed-width value slot, so *value_col* must
+    be string / integral / boolean (cast-to-string is injective for
+    these); richer types should derive a string key upstream.  Output:
+    the key columns, *order_col*, and ``kept`` — join back on the unique
+    *order_col* for the full rows.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .operators.sessions import _micros
+
+    if order_col not in stream_df.columns:
+        raise ValueError(
+            "suppress_repeats_stream: tie-break column %r not in input"
+            % order_col
+        )
+    vdt = stream_df.schema[value_col].dataType
+    if not isinstance(
+        vdt,
+        (T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+         T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            "suppress_repeats_stream needs a string/integral/boolean "
+            "value column (state carries it as string); got %s"
+            % vdt.simpleString()
+        )
+    keys = list(key_cols)
+    tus = _micros(stream_df, ts_col)
+    base = stream_df.select(
+        *[F.col("`%s`" % k).alias("__k%d" % i) for i, k in enumerate(keys)],
+        F.col("`%s`" % order_col).alias("__o"),
+        tus.alias("__t"),
+        F.col("`%s`" % value_col).cast("string").alias("__v"),
+    )
+    win_us = int(window_s) * 1_000_000
+    ktypes = [stream_df.schema[k].dataType.simpleString() for k in keys]
+    otype = stream_df.schema[order_col].dataType.simpleString()
+    out_ddl = ", ".join(
+        ["%s %s" % (k, t) for k, t in zip(keys, ktypes)]
+        + ["%s %s" % (order_col, otype), "kept boolean"]
+    )
+
+    def update(key, pdfs, state):
+        have = state.exists
+        lt, tnull, lv, vnull = state.get if have else (0, True, "", True)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["__t", "__o"], kind="mergesort", na_position="first"
+        )
+        orders, kept = [], []
+        for o, t, v in zip(pdf["__o"], pdf["__t"], pdf["__v"]):
+            t_is_null = pd.isna(t)
+            v_is_null = pd.isna(v)
+            if have and not tnull and not t_is_null:
+                same = (vnull and v_is_null) or (
+                    not vnull and not v_is_null and lv == str(v)
+                )
+                supp = same and int(t) - lt <= win_us
+            else:
+                supp = False
+            orders.append(o)
+            kept.append(not supp)
+            # positional lag: EVERY event becomes the predecessor
+            lt = 0 if t_is_null else int(t)
+            tnull = bool(t_is_null)
+            lv = "" if v_is_null else str(v)
+            vnull = bool(v_is_null)
+            have = True
+        state.update((lt, tnull, lv, vnull))
+        out = {keys[i]: [key[i]] * len(orders) for i in range(len(keys))}
+        out[order_col] = orders
+        out["kept"] = kept
+        yield pd.DataFrame(out)
+
+    return base.groupBy(*["__k%d" % i for i in range(len(keys))]).applyInPandasWithState(
+        update,
+        outputStructType=out_ddl,
+        stateStructType="last_t bigint, t_null boolean, val string, val_null boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -223,3 +223,85 @@ def test_schema_drift_between_snapshots(spark, tmp_path):
     assert schema_drift(spark, log, s2, s2).count() == 0
     # default to_snapshot = latest
     assert schema_drift(spark, log, s1).count() == 4
+
+
+class TestExpire:
+    def _chain(self, spark, tmp_path):
+        log = SnapshotLog(str(tmp_path / "t"))
+        log.commit(_df(spark, 0, 10))                          # 1
+        log.commit(_df(spark, 10, 15))                         # 2
+        log.commit(_df(spark, 100, 103), operation="overwrite")  # 3
+        log.commit(_df(spark, 200, 202))                       # 4
+        log.commit(_df(spark, 300, 301))                       # 5
+        return log
+
+    def test_retained_reads_identical_after_expiry(self, spark, tmp_path):
+        log = self._chain(spark, tmp_path)
+        want_5 = sorted(r["v"] for r in log.read(spark, 5).collect())
+        want_4 = sorted(r["v"] for r in log.read(spark, 4).collect())
+        res = log.expire(keep_last=2)
+        assert res["expired_snapshots"] == [1, 2, 3]
+        assert res["boundary"] == 4
+        assert sorted(r["v"] for r in log.read(spark, 5).collect()) == want_5
+        assert sorted(r["v"] for r in log.read(spark, 4).collect()) == want_4
+        # latest still resolves by default
+        assert sorted(r["v"] for r in log.read(spark).collect()) == want_5
+
+    def test_expired_ids_unreachable_and_files_deleted(self, spark, tmp_path):
+        log = self._chain(spark, tmp_path)
+        dead = [f for s in log.snapshots()[:2] for f in s["files"]]  # 1, 2
+        live_via_boundary = log.files(4)
+        log.expire(keep_last=2)
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            log.files(1)
+        for f in dead:
+            assert not os.path.exists(f), f
+        for f in live_via_boundary:
+            assert os.path.exists(f), f
+
+    def test_boundary_flattened_self_contained(self, spark, tmp_path):
+        log = self._chain(spark, tmp_path)
+        resolved_before = log.files(4)
+        log.expire(keep_last=2)
+        b = [s for s in log.snapshots() if s["snapshot_id"] == 4][0]
+        assert b["operation"] == "overwrite" and b["parent"] is None
+        assert b["files"] == resolved_before
+
+    def test_noop_and_idempotent(self, spark, tmp_path):
+        log = self._chain(spark, tmp_path)
+        assert log.expire(keep_last=10) == {
+            "expired_snapshots": [], "deleted_files": 0, "boundary": 5}
+        log.expire(keep_last=2)
+        again = log.expire(keep_last=2)
+        assert again["expired_snapshots"] == [] and again["deleted_files"] == 0
+        assert log.read(spark).count() == 6  # 3 + 2 + 1 rows
+
+    def test_appends_continue_after_expiry(self, spark, tmp_path):
+        log = self._chain(spark, tmp_path)
+        log.expire(keep_last=1)
+        s6 = log.commit(_df(spark, 400, 402))
+        assert s6 == 6
+        assert sorted(r["v"] for r in log.read(spark).collect()) == [
+            100, 101, 102, 200, 201, 300, 400, 401]
+
+    def test_keep_last_validation(self, spark, tmp_path):
+        log = SnapshotLog(str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="keep_last"):
+            log.expire(keep_last=0)
+
+    def test_shared_files_survive_when_expired_snapshot_references_them(
+        self, spark, tmp_path
+    ):
+        # an expired APPEND's files live on inside the boundary's
+        # flattened list — expiry must never delete a file the retained
+        # resolution still names
+        log = SnapshotLog(str(tmp_path / "t"))
+        log.commit(_df(spark, 0, 10))      # 1 — referenced by 2's chain
+        log.commit(_df(spark, 10, 12))     # 2 (boundary after expire)
+        log.commit(_df(spark, 20, 21))     # 3
+        shared = log.snapshots()[0]["files"]
+        log.expire(keep_last=2)
+        for f in shared:
+            assert os.path.exists(f), f
+        assert sorted(r["v"] for r in log.read(spark, 2).collect()) == list(
+            range(12))

@@ -620,3 +620,97 @@ def test_rate_stream_bad_bucket(spark, tmp_path):
     spark.range(1).selectExpr("timestamp'2026-01-01 00:00:00' ts").write.parquet(path)
     with pytest.raises(ValueError):
         streaming.rate_stream(_stream(spark, path), "ts", bucket_s=0)
+
+
+def test_suppress_repeats_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming repeat-suppression ≡ batch operator when each
+    key's events arrive in timeline order across micro-batches: the
+    repeat adjacent to the BATCH BOUNDARY must be suppressed from the
+    carried (last_t, val) state, a NULL-ts event must reset the chain
+    (positional lag), and NULL values must compare null-safe."""
+    from evalidate_spark.operators.sessions import suppress_repeats
+
+    src = tmp_path / "sr_in"
+    src.mkdir()
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_s string, event_type string"
+        ).selectExpr(
+            "user_id", "event_id", "cast(ts_s as timestamp) ts", "event_type"
+        )
+
+    first = [
+        (1, 1, None, "boot"),                    # NULL ts: kept, resets chain
+        (1, 2, "2026-01-01 10:00:00", "click"),
+        (1, 3, "2026-01-01 10:00:10", "click"),  # repeat within batch
+        (2, 1, "2026-01-01 09:00:00", None),
+        (2, 2, "2026-01-01 09:00:05", None),     # NULL==NULL null-safe repeat
+        (None, 1, "2026-01-01 09:00:00", "x"),   # NULL key group
+    ]
+    second = [
+        (1, 4, "2026-01-01 10:00:20", "click"),  # repeat ACROSS the boundary
+        (1, 5, "2026-01-01 12:00:00", "click"),  # same value, outside window
+        (2, 3, "2026-01-01 09:00:06", "view"),   # value change: kept
+        (None, 2, "2026-01-01 09:00:01", "x"),   # NULL-key repeat across boundary
+        (3, 1, "2026-01-01 08:00:00", "new"),    # new key mid-stream
+    ]
+    rows_df(first).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    sr = streaming.suppress_repeats_stream(stream, window_s=3600)
+    assert sr.isStreaming
+    q = (
+        sr.writeStream.format("memory")
+        .queryName("sr_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_df(second).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def keyed(rows):
+        return sorted(
+            (((r["user_id"] is None, r["user_id"] or 0, r["event_id"]),
+              (r["user_id"], r["event_id"]), r["kept"]))
+            for r in rows
+        )
+
+    got = [(k, v) for _, k, v in keyed(
+        spark.sql("SELECT * FROM sr_out").collect())]
+    want = [(k, v) for _, k, v in keyed(
+        suppress_repeats(rows_df(first + second), window_s=3600).collect())]
+    assert got == want
+    # the interesting verdicts, pinned: within-batch repeat, null-safe
+    # NULL repeat, cross-boundary repeat, cross-boundary NULL-key repeat
+    verdicts = dict(got)
+    assert verdicts[(1, 3)] is False
+    assert verdicts[(2, 2)] is False
+    assert verdicts[(1, 4)] is False
+    assert verdicts[(None, 2)] is False
+    assert verdicts[(1, 5)] is True   # outside window
+    assert verdicts[(2, 3)] is True   # value changed
+    assert verdicts[(1, 1)] is True   # NULL ts always kept
+
+
+def test_suppress_repeats_stream_contracts(spark, tmp_path):
+    src = tmp_path / "sr_bad"
+    spark.createDataFrame(
+        [(1, 1, "2026-01-01 10:00:00", [1, 2])],
+        "user_id long, event_id long, ts_s string, payload array<int>",
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) ts", "payload"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    with pytest.raises(ValueError, match="string/integral/boolean"):
+        streaming.suppress_repeats_stream(stream, value_col="payload")
+    with pytest.raises(ValueError, match="tie-break"):
+        streaming.suppress_repeats_stream(stream, order_col="nope")
