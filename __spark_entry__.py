@@ -2531,6 +2531,65 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_bucket", "period_offset")
 
 
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact distinct actives per day
+    (``behavior.rolling_active_users``): the sliding distinct is made
+    exact WITHOUT a sketch by exploding each distinct (user, day) pair
+    into the <=7 days it covers — the explode multiplies the
+    already-reduced pair table, never raw events, and the day spine /
+    max-day clamp come from a broadcast 1-row bounds aggregate."""
+    from evalidate_spark.operators.behavior import rolling_active_users
+
+    return rolling_active_users(
+        _t(spark, sf_dir, "events"), window_buckets=7
+    ).orderBy("bucket")
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the event changelog
+    (``reconcile.scd2_intervals``): per user, consecutive duplicate
+    event_type rows are collapsed and each CHANGE becomes a half-open
+    validity interval with a version ordinal and an is_current flag —
+    one hash shuffle, both windows on the same key."""
+    from evalidate_spark.operators.reconcile import scd2_intervals
+
+    return scd2_intervals(
+        _t(spark, sf_dir, "events"),
+        ["user_id"], ["event_type"], "ts", ["event_id"],
+    ).select(
+        "user_id", "event_type", "valid_from_us", "valid_to_us",
+        F.col("version_ix").cast("int").alias("version_ix"), "is_current",
+    )
+
+
+def q_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap profile (``sessions.gap_stats``):
+    min / exact-order-statistic p50+p90 / max / integer-mean of the µs
+    gaps between consecutive events — one entity shuffle, two sorts,
+    no percentile sketch (exact lower order statistics keep the result
+    engine-stable)."""
+    from evalidate_spark.operators.sessions import gap_stats
+
+    return gap_stats(_t(spark, sf_dir, "events"))
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the linear classifier's milli-logit vs the
+    gopher rule-filter verdict (``classifier.calibration_bins``): ten
+    equal-width integer score bins, per-bin observed positive rate in
+    bp — the calibration complement of ``classifier_auc``'s ranking
+    check.  One broadcast bounds row + one map-side-combined groupBy."""
+    from evalidate_spark.functions.classifier import calibration_bins
+
+    s = q_classifier_scores(spark, sf_dir).select("doc_id", "logit_milli")
+    lab = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("label")
+    )
+    return calibration_bins(
+        s.join(lab, "doc_id"), "logit_milli", "label", n_bins=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2692,6 +2751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": q_lang_agreement,
         "line_dedup": q_line_dedup,
         "span_text_quality": q_span_text_quality,
+        "rolling_actives": q_rolling_actives,
+        "scd2_history": q_scd2_history,
+        "gap_profile": q_gap_profile,
+        "calibration": q_calibration,
     }
 
 
@@ -5997,6 +6060,99 @@ SELECT g.cohort AS cohort_bucket, g.off AS period_offset, n_active,
        cohort_size,
        CAST((10000 * n_active) // cohort_size AS BIGINT) AS retention_bp
 FROM g JOIN s USING (cohort) ORDER BY 1, 2
+"""
+
+
+ORACLE["rolling_actives"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), b AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS bucket FROM b),
+cov AS (
+  SELECT DISTINCT p.user_id, u.c AS bucket
+  FROM pairs p, b, unnest(generate_series(p.d, least(p.d + 6, b.hi))) AS u(c)
+),
+roll AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rolling_users
+         FROM cov GROUP BY 1),
+daily AS (SELECT d AS bucket, CAST(count(*) AS BIGINT) AS daily_users
+          FROM pairs GROUP BY 1)
+SELECT s.bucket, CAST(coalesce(daily_users, 0) AS BIGINT) AS daily_users,
+       CAST(coalesce(rolling_users, 0) AS BIGINT) AS rolling_users
+FROM spine s LEFT JOIN daily USING (bucket) LEFT JOIN roll USING (bucket)
+ORDER BY 1
+"""
+
+ORACLE["scd2_history"] = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev_v,
+         (row_number() OVER w) = 1 AS first
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+), changes AS (
+  SELECT user_id, event_type, t_us, rn FROM ordered
+  WHERE first OR event_type IS DISTINCT FROM prev_v
+)
+SELECT user_id, event_type, t_us AS valid_from_us,
+       lead(t_us) OVER w2 AS valid_to_us,
+       CAST(row_number() OVER w2 AS INTEGER) AS version_ix,
+       (lead(1) OVER w2) IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us ASC NULLS FIRST, rn ASC)
+"""
+
+ORACLE["gap_profile"] = """
+WITH live AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL
+), g AS (
+  SELECT user_id,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t ASC) AS gap
+  FROM live
+), r AS (
+  SELECT user_id, gap,
+         CASE WHEN gap IS NOT NULL THEN
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY gap ASC NULLS FIRST) - 1
+         END AS rn,
+         count(gap) OVER (PARTITION BY user_id) AS ng
+  FROM g
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(coalesce(max(ng), 0) AS BIGINT) AS n_gaps,
+  min(gap) AS min_gap_us,
+  max(CASE WHEN rn = (50 * ng + 99) // 100 THEN gap END) AS p50_gap_us,
+  max(CASE WHEN rn = (90 * ng + 99) // 100 THEN gap END) AS p90_gap_us,
+  max(gap) AS max_gap_us,
+  CASE WHEN max(ng) > 0
+       THEN CAST(sum(gap) // max(ng) AS BIGINT) END AS mean_gap_us
+FROM r GROUP BY 1
+"""
+
+ORACLE["calibration"] = f"""
+WITH s AS ({ORACLE["classifier_scores"]}),
+g AS ({ORACLE["gopher_rules"]}),
+j AS (
+  SELECT s.logit_milli AS sc, g.passes AS lab
+  FROM s JOIN g ON s.doc_id = g.doc_id
+  WHERE s.logit_milli IS NOT NULL AND g.passes IS NOT NULL
+), b AS (SELECT min(sc) AS lo, max(sc) AS hi FROM j),
+binned AS (
+  SELECT ((sc - lo) * 10) // (hi - lo + 1) AS bin_ix, sc, lab, lo, hi
+  FROM j, b
+)
+SELECT bin_ix,
+  CAST(min(lo + (bin_ix * (hi - lo + 1) + 9) // 10) AS BIGINT) AS bin_lo,
+  CAST(min(lo + ((bin_ix + 1) * (hi - lo + 1) + 9) // 10 - 1)
+       AS BIGINT) AS bin_hi,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(coalesce(count(*) FILTER (lab), 0) AS BIGINT) AS n_pos,
+  CAST((10000 * coalesce(count(*) FILTER (lab), 0)) // count(*)
+       AS BIGINT) AS pos_rate_bp
+FROM binned GROUP BY 1
 """
 
 

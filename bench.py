@@ -273,6 +273,10 @@ def main() -> None:
         "mad_outliers",
         "column_fingerprints",
         "media_format_check",
+        "rolling_actives",
+        "scd2_history",
+        "gap_profile",
+        "calibration",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -252,3 +252,84 @@ def ranking_auc(
         .cast("long")
         .alias("auc_bp"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for an integer classifier score vs a boolean
+    outcome — the calibration twin of :func:`ranking_auc` (AUC asks
+    "does the score RANK docs correctly?", this asks "does a higher
+    score bucket actually CONTAIN more positives?").
+
+    Scores are bucketed into *n_bins* equal-width integer bins over the
+    observed ``[min, max]``: ``bin = ((s - lo) * n_bins) div (hi - lo + 1)``
+    — pure integer arithmetic, engine-stable, no quantile sketch (an
+    approximate-quantile binning would make bin membership
+    engine-dependent).  Output: one row per non-empty bin —
+    ``(bin_ix, bin_lo, bin_hi, n, n_pos, pos_rate_bp)`` with
+    ``pos_rate_bp = 10000·n_pos div n`` (truncated integer division;
+    monotone pos_rate_bp across bins = calibrated).  NULL scores /
+    labels are
+    excluded; a constant score degenerates to one bin spanning the
+    point.
+
+    Plan: one 2-value bounds aggregate broadcast back (the n_docs
+    pattern), then ONE map-side-combined groupBy on the bin — the only
+    data-cardinality shuffle carries ≤ *n_bins* partial rows per
+    partition regardless of input size.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col("`%s`" % score_col)
+    lab = F.col("`%s`" % label_col)
+    live = df.filter(s.isNotNull() & lab.isNotNull()).select(
+        s.cast("long").alias("__s"), lab.alias("__l")
+    )
+    bounds = live.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    binned = live.join(F.broadcast(bounds)).select(
+        F.expr("((__s - __lo) * %d) div (__hi - __lo + 1)" % n_bins).alias(
+            "bin_ix"
+        ),
+        "__s",
+        "__l",
+        "__lo",
+        "__hi",
+    )
+    return (
+        binned.groupBy("bin_ix")
+        .agg(
+            # inverse of the membership rule: bin b holds offsets in
+            # [ceil(b·w/n), ceil((b+1)·w/n) - 1] — ceil, not floor, or a
+            # width < n_bins range mislabels its (single-point) bins
+            F.expr(
+                "min(__lo + (bin_ix * (__hi - __lo + 1) + %d) div %d)"
+                % (n_bins - 1, n_bins)
+            )
+            .cast("long")
+            .alias("bin_lo"),
+            F.expr(
+                "min(__lo + ((bin_ix + 1) * (__hi - __lo + 1) + %d) div %d - 1)"
+                % (n_bins - 1, n_bins)
+            )
+            .cast("long")
+            .alias("bin_hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__l"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .select(
+            "bin_ix",
+            "bin_lo",
+            "bin_hi",
+            "n",
+            "n_pos",
+            F.expr("(10000 * n_pos) div n").cast("long").alias("pos_rate_bp"),
+        )
+    )

@@ -202,3 +202,85 @@ def cohort_retention(
         "cohort_size",
         F.expr("(10000 * n_active) div cohort_size").alias("retention_bp"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_buckets: int = 7,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Rolling EXACT distinct actives — the 7-day-active-users curve
+    computed without approximate sketches: for every *bucket_s* bucket in
+    the observed range, how many distinct keys were active in the
+    trailing *window_buckets* buckets ending at it (inclusive).
+
+    Output: one row per bucket in ``[min_bucket, max_bucket]`` of live
+    data — ``(bucket, daily_users, rolling_users)``; a bucket with no
+    events still appears (``daily_users = 0``) and its rolling count
+    carries the still-in-window keys of earlier buckets.  NULL keys /
+    timestamps are excluded.  Buckets are integer epoch floor-divisions
+    (UTC multiples of *bucket_s*, no calendar).
+
+    Exactness via the COVERAGE trick instead of a sliding distinct: a
+    key active in bucket ``d`` covers buckets ``d..d+w-1``, so
+    ``rolling(b) = |distinct (key, covered=b)|`` — a bounded ``w``-way
+    JVM-side ``explode(sequence(...))`` of the DISTINCT (key, bucket)
+    pairs, never of the raw events.  Re-aggregable and mergeable the way
+    HLL is, but exact.
+
+    Plan: one distinct on (key, bucket) — the only event-cardinality
+    shuffle; the explode multiplies pairs (not events) by ``w``; one
+    second distinct + count at pair cardinality; the day spine and the
+    max-bucket clamp come from a broadcast 1-row bounds aggregate.  At
+    100 TB the (key, bucket) distinct is the same shuffle a daily-actives
+    job already pays; everything after is ``w×`` that reduced set.
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    k = F.col("`%s`" % key_col)
+    b_us = int(bucket_s) * _US
+    pairs = (
+        events.filter(k.isNotNull() & F.col("`%s`" % ts_col).isNotNull())
+        .select(k.alias("__k"), _micros(events, ts_col).alias("__us"))
+        .select(
+            "__k",
+            F.expr("(__us - pmod(__us, %d)) div %d" % (b_us, b_us)).alias("__b"),
+        )
+        .distinct()
+    )
+    bounds = pairs.agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    w = int(window_buckets)
+    covered = (
+        pairs.join(F.broadcast(bounds))
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(
+                    F.col("__b"),
+                    F.least(F.col("__b") + F.lit(w - 1), F.col("__hi")),
+                )
+            ).alias("__c"),
+        )
+        .distinct()
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("rolling_users"))
+    )
+    daily = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("daily_users"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket")
+    )
+    return (
+        spine.join(daily, spine.bucket == daily.__b, "left")
+        .join(covered, spine.bucket == covered.__c, "left")
+        .select(
+            "bucket",
+            F.coalesce("daily_users", F.lit(0)).cast("long").alias("daily_users"),
+            F.coalesce("rolling_users", F.lit(0)).cast("long").alias("rolling_users"),
+        )
+    )

@@ -308,3 +308,71 @@ def survivorship(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse an append-only
+    changelog into per-key VALIDITY INTERVALS — one row per value
+    *change*, carrying ``valid_from_us`` / ``valid_to_us`` (epoch µs,
+    half-open ``[from, to)``), ``version_ix`` (1-based change ordinal)
+    and ``is_current`` (open-ended interval).  The complement of
+    :func:`changelog_compact`: compact keeps only the latest state,
+    SCD2 keeps the full history queryable by as-of time.
+
+    Rows are ordered per key by ``(ts, *order_cols)`` ascending, NULLs
+    FIRST (an untimestamped bootstrap row becomes the earliest version,
+    ``valid_from_us`` NULL).  A row opens a new version iff it is the
+    key's first or ANY *value_cols* differs null-safe from the previous
+    row — consecutive duplicates never mint versions (the
+    suppress_repeats contract applied to dimension state).  End
+    *order_cols* with a unique tie-break or version order is
+    partition-order dependent.  NULL keys group like SQL.
+
+    Plan: ONE hash shuffle on the key + one sort; the change filter and
+    the lead() that closes each interval are sibling windows over the
+    SAME partitioning (the post-filter window re-sorts only the reduced
+    change rows, no second exchange).  At 100 TB this is the same cost
+    profile as changelog compaction — dimension keys are the shuffle
+    unit, hot keys cost their event share, nothing is collected.
+    """
+    if not key_cols or not value_cols:
+        raise ValueError("scd2_intervals needs key_cols and value_cols")
+    keys = [F.col("`%s`" % k) for k in key_cols]
+    order = [F.col("`%s`" % ts_col).asc_nulls_first()] + [
+        F.col("`%s`" % c).asc_nulls_first() for c in order_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    from .sessions import _micros
+
+    t_us = _micros(df, ts_col)
+    same = F.lit(True)
+    for v in value_cols:
+        c = F.col("`%s`" % v)
+        same = same & c.eqNullSafe(F.lag(c).over(w))
+    changes = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__from", t_us)
+        .withColumn("__same", same)
+        .filter((F.col("__rn") == 1) | ~F.col("__same"))
+        .drop("__same")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("__from").asc_nulls_first(), F.col("__rn").asc()
+    )
+    to_us = F.lead("__from").over(w2)
+    return changes.select(
+        *[F.col("`%s`" % k) for k in key_cols],
+        *[F.col("`%s`" % v) for v in value_cols],
+        F.col("__from").alias("valid_from_us"),
+        to_us.alias("valid_to_us"),
+        F.row_number().over(w2).alias("version_ix"),
+        # positional: a NULL-ts successor must still CLOSE this version
+        # (its valid_to is NULL but it is not current)
+        F.lead(F.lit(1)).over(w2).isNull().alias("is_current"),
+    )

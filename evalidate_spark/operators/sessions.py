@@ -379,3 +379,76 @@ def suppress_repeats(
         F.lit(False),
     )
     return df.withColumn("kept", ~suppressed)
+
+
+def gap_stats(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    quantiles: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """Per-entity inter-arrival gap statistics — the heartbeat-health
+    profile behind every "is this feed steady or bursty?" question:
+    for each entity, the distribution of µs gaps between its CONSECUTIVE
+    timestamped events.
+
+    Output: one row per entity — ``(entity, n_events, n_gaps,
+    min_gap_us, p<q>_gap_us..., max_gap_us, mean_gap_us)``.  Quantiles
+    are EXACT lower order statistics (index ``ceil(q·n/100)`` of the
+    ascending gaps, pure integer math — never an interpolated or
+    sketched percentile, so the result is engine-stable and
+    SQL-replayable).  ``mean_gap_us`` is integer ``sum div n``.  NULL
+    timestamps are excluded from the timeline; a single-event entity
+    reports ``n_gaps = 0`` with NULL gap columns; NULL entities group
+    like SQL.
+
+    Plan: ONE hash shuffle on the entity; the lag() that makes gaps and
+    the row_number() that ranks them are windows over the SAME
+    partitioning (two sorts, one exchange), then one map-side-combined
+    aggregate picks each order statistic with a conditional max — no
+    join, no collect, no percentile_approx.  Hot entities cost their
+    event share of the two sorts; nothing is ever materialized per
+    entity but the final row.
+    """
+    qs = sorted(set(int(q) for q in quantiles))
+    if any(q < 1 or q > 100 for q in qs):
+        raise ValueError("quantiles must be integer percents in 1..100")
+    e = F.col("`%s`" % entity_col)
+    tus = _micros(df, ts_col)
+    live = df.filter(F.col("`%s`" % ts_col).isNotNull()).select(
+        e.alias("__e"), tus.alias("__t")
+    )
+    w_time = Window.partitionBy("__e").orderBy(F.col("__t").asc())
+    gapped = live.withColumn("__gap", F.col("__t") - F.lag("__t").over(w_time))
+    # each entity's FIRST event has a NULL gap and sorts first under
+    # asc_nulls_first, consuming rank 1 — exactly one per entity (live
+    # rows all have a timestamp), so real-gap ranks are row_number - 1
+    w_rank = Window.partitionBy("__e").orderBy(F.col("__gap").asc_nulls_first())
+    w_all = Window.partitionBy("__e")
+    ranked = gapped.select(
+        "__e",
+        "__gap",
+        F.when(
+            F.col("__gap").isNotNull(), F.row_number().over(w_rank) - 1
+        ).alias("__rn"),
+        F.count("__gap").over(w_all).alias("__ng"),
+    )
+    # each order-statistic pick compares the rank to the ceil index —
+    # a function of the WINDOWED gap count, constant within the entity —
+    # so one conditional max per quantile inside a single aggregate
+    sel_aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.max("__ng"), F.lit(0)).cast("long").alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+    ]
+    for q in qs:
+        pick = F.when(
+            F.col("__rn") == F.expr("(%d * __ng + 99) div 100" % q),
+            F.col("__gap"),
+        )
+        sel_aggs.append(F.max(pick).alias("p%d_gap_us" % q))
+    sel_aggs.append(F.max("__gap").alias("max_gap_us"))
+    sel_aggs.append(
+        F.expr("sum(__gap) div max(__ng)").alias("mean_gap_us")
+    )
+    return ranked.groupBy(F.col("__e").alias(entity_col)).agg(*sel_aggs)

@@ -179,6 +179,10 @@ QUERIES = [
     "null_correlation",
     "mutual_information",
     "benford",
+    "rolling_actives",
+    "scd2_history",
+    "gap_profile",
+    "calibration",
 ]
 
 
