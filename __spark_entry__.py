@@ -2590,6 +2590,37 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-window mean-shift changepoint scan over the daily event
+    rate (``table_checks.rate_changepoints``): each day's trailing-3-day
+    volume vs its leading-3-day volume, on a densified bucket spine
+    (silent days count — a stall IS a shift).  The ordered window runs
+    over the post-aggregate bucket table only."""
+    from evalidate_spark.operators.table_checks import rate_changepoints
+
+    return rate_changepoints(
+        _t(spark, sf_dir, "events"), bucket_s=86400, lookback=3,
+        shift_bp=2000,
+    )
+
+
+def q_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-rate trend (``table_checks.completeness_trend``):
+    exact integer least-squares slope of the daily null rate — "is this
+    column silently going null?".  The testdata carries no NULLs, so the
+    query derives a deterministic null pattern (value < 20 masked) the
+    oracle replays; every column's null count folds into ONE bucket
+    groupBy."""
+    from evalidate_spark.operators.table_checks import completeness_trend
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("value") >= 20.0, F.col("value"))
+    )
+    return completeness_trend(
+        ev, ["value", "event_type"], bucket_s=86400
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2755,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "gap_profile": q_gap_profile,
         "calibration": q_calibration,
+        "rate_changepoints": q_rate_changepoints,
+        "completeness_trend": q_completeness_trend,
     }
 
 
@@ -6153,6 +6186,87 @@ SELECT bin_ix,
   CAST((10000 * coalesce(count(*) FILTER (lab), 0)) // count(*)
        AS BIGINT) AS pos_rate_bp
 FROM binned GROUP BY 1
+"""
+
+
+ORACLE["rate_changepoints"] = """
+WITH cnt AS (
+  SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 86400) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), bo AS (SELECT min(b) AS lo, max(b) AS hi FROM cnt),
+spine AS (SELECT unnest(generate_series(lo, hi, 86400)) AS bucket_s FROM bo),
+dense AS (
+  SELECT bucket_s, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+  FROM spine LEFT JOIN cnt ON bucket_s = b
+), sc AS (
+  SELECT bucket_s, n_events,
+    sum(n_events) OVER (ORDER BY bucket_s
+        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS sb,
+    count(*) OVER (ORDER BY bucket_s
+        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS cb,
+    sum(n_events) OVER (ORDER BY bucket_s
+        ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS sa,
+    count(*) OVER (ORDER BY bucket_s
+        ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS ca
+  FROM dense
+)
+SELECT bucket_s, n_events,
+  CASE WHEN cb = 3 AND ca = 3 THEN CAST(sb AS BIGINT) END AS sum_before,
+  CASE WHEN cb = 3 AND ca = 3 THEN CAST(sa AS BIGINT) END AS sum_after,
+  CASE WHEN cb = 3 AND ca = 3 AND sb > 0
+       THEN CAST((10000 * sa) // sb AS BIGINT) END AS ratio_bp,
+  CASE WHEN cb = 3 AND ca = 3 THEN
+    CASE WHEN sb = 0 THEN sa > 0
+         ELSE (10000 * sa) // sb >= 12000 OR (10000 * sa) // sb <= 8000 END
+  ELSE false END AS shift
+FROM sc
+"""
+
+ORACLE["completeness_trend"] = """
+WITH masked AS (
+  SELECT ts, CASE WHEN value >= 20.0 THEN value END AS value, event_type
+  FROM events
+), pb AS (
+  SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 86400) AS b,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_v,
+    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS nu_e
+  FROM masked WHERE ts IS NOT NULL GROUP BY 1
+), ix AS (
+  SELECT *, row_number() OVER (ORDER BY b) - 1 AS x,
+         (row_number() OVER (ORDER BY b DESC)) = 1 AS is_last,
+         (10000 * nu_v) // n AS y_v,
+         (10000 * nu_e) // n AS y_e
+  FROM pb
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y_v) AS BIGINT) AS sy_v,
+         CAST(sum(x * y_v) AS BIGINT) AS sxy_v,
+         min(CASE WHEN x = 0 THEN y_v END) AS f_v,
+         max(CASE WHEN is_last THEN y_v END) AS l_v,
+         CAST(sum(y_e) AS BIGINT) AS sy_e,
+         CAST(sum(x * y_e) AS BIGINT) AS sxy_e,
+         min(CASE WHEN x = 0 THEN y_e END) AS f_e,
+         max(CASE WHEN is_last THEN y_e END) AS l_e
+  FROM ix
+)
+SELECT 'value' AS "column", k AS n_buckets, f_v AS first_bp, l_v AS last_bp,
+  CAST(sy_v // k AS BIGINT) AS mean_bp,
+  CASE WHEN k > 1 THEN CAST(
+    (CASE WHEN k * sxy_v - sx * sy_v < 0 THEN -1 ELSE 1 END)
+    * ((100 * abs(k * sxy_v - sx * sy_v)) // (k * sxx - sx * sx))
+    AS BIGINT) END AS slope_cbp
+FROM m
+UNION ALL
+SELECT 'event_type', k, f_e, l_e, CAST(sy_e // k AS BIGINT),
+  CASE WHEN k > 1 THEN CAST(
+    (CASE WHEN k * sxy_e - sx * sy_e < 0 THEN -1 ELSE 1 END)
+    * ((100 * abs(k * sxy_e - sx * sy_e)) // (k * sxx - sx * sx))
+    AS BIGINT) END
+FROM m
 """
 
 

@@ -277,6 +277,8 @@ def main() -> None:
         "scd2_history",
         "gap_profile",
         "calibration",
+        "rate_changepoints",
+        "completeness_trend",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -277,27 +277,36 @@ def calibration_bins(
     excluded; a constant score degenerates to one bin spanning the
     point.
 
-    Plan: one 2-value bounds aggregate broadcast back (the n_docs
-    pattern), then ONE map-side-combined groupBy on the bin — the only
-    data-cardinality shuffle carries ≤ *n_bins* partial rows per
-    partition regardless of input size.
+    Plan: the :func:`ranking_auc` shape — ONE map-side-combined groupBy
+    on the SCORE is the only data-cardinality shuffle; the bounds
+    aggregate and the bin rollup then run over the distinct-score table
+    (score cardinality, not rows).  Putting the aggregate FIRST also
+    makes the inevitable two reads of the input (bounds + binning) meet
+    at a shuffle Exchange that Spark's ReuseExchange dedups — an
+    expensive derived input (a scored+joined pipeline) is computed
+    once, not twice.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     s = F.col("`%s`" % score_col)
     lab = F.col("`%s`" % label_col)
-    live = df.filter(s.isNotNull() & lab.isNotNull()).select(
-        s.cast("long").alias("__s"), lab.alias("__l")
+    grouped = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .groupBy(s.cast("long").alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__pos"),
+        )
     )
-    bounds = live.agg(
+    bounds = grouped.agg(
         F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
     )
-    binned = live.join(F.broadcast(bounds)).select(
+    binned = grouped.join(F.broadcast(bounds)).select(
         F.expr("((__s - __lo) * %d) div (__hi - __lo + 1)" % n_bins).alias(
             "bin_ix"
         ),
-        "__s",
-        "__l",
+        "__cnt",
+        "__pos",
         "__lo",
         "__hi",
     )
@@ -319,10 +328,8 @@ def calibration_bins(
             )
             .cast("long")
             .alias("bin_hi"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(F.col("__l"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_pos"),
+            F.sum("__cnt").cast("long").alias("n"),
+            F.sum("__pos").cast("long").alias("n_pos"),
         )
         .select(
             "bin_ix",

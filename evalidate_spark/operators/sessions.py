@@ -424,14 +424,17 @@ def gap_stats(
     # asc_nulls_first, consuming rank 1 — exactly one per entity (live
     # rows all have a timestamp), so real-gap ranks are row_number - 1
     w_rank = Window.partitionBy("__e").orderBy(F.col("__gap").asc_nulls_first())
-    w_all = Window.partitionBy("__e")
+    # the gap count rides the SAME (partition, order) spec with an
+    # unbounded frame, so rank and count evaluate in ONE Window operator
+    # — a separate unordered window would add a third pass over the sort
+    w_ng = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = gapped.select(
         "__e",
         "__gap",
         F.when(
             F.col("__gap").isNotNull(), F.row_number().over(w_rank) - 1
         ).alias("__rn"),
-        F.count("__gap").over(w_all).alias("__ng"),
+        F.count("__gap").over(w_ng).alias("__ng"),
     )
     # each order-statistic pick compares the rank to the ceil index —
     # a function of the WINDOWED gap count, constant within the entity —

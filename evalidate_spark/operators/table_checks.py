@@ -2764,3 +2764,197 @@ def verdict_agreement(
         .cast("long")
         .alias("kappa_bp"),
     )
+
+
+def rate_changepoints(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+    lookback: int = 3,
+    shift_bp: int = 5000,
+) -> DataFrame:
+    """Mean-shift changepoint detection on the event rate — the
+    "WHEN did the feed change?" complement of :func:`rate_anomalies`
+    (which scores each window against the whole history, so a level
+    shift lights up every window after it; this lights up only a
+    *lookback*-sized neighborhood of the boundary, peaking AT it):
+    bucket ``b`` compares the *lookback* buckets ENDING at
+    ``b-1`` against the *lookback* buckets STARTING at ``b`` and flags
+    when the volume ratio moves more than *shift_bp* away from 10000.
+
+    Zero-event buckets COUNT (a stall is a shift), so the bucket spine
+    is densified from a broadcast 1-row bounds aggregate before the
+    windows run.  Output: one row per bucket —
+    ``(bucket_s, n_events, sum_before, sum_after, ratio_bp, shift)``
+    with ``ratio_bp = 10000·sum_after div sum_before`` (NULL when
+    ``sum_before = 0``; a spike from literal silence still flags via
+    the explicit zero→nonzero test).  Buckets whose before/after window
+    would run off either edge report NULL ratio and never flag.  NULL
+    timestamps are excluded.  Integer math throughout.
+
+    Plan: one map-side-combined count per bucket (the only
+    event-cardinality shuffle); the two running sums are partitionless
+    windows over the DENSIFIED BUCKET TABLE only — bounded by
+    time-range / bucket_s, thousands of rows at a century of days —
+    the :func:`~evalidate_spark.functions.classifier.ranking_auc`
+    justification: aggregate first, order the small table after.
+    """
+    from .sessions import _micros
+
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    if lookback < 1:
+        raise ValueError("lookback must be >= 1")
+    if shift_bp <= 0:
+        raise ValueError("shift_bp must be positive")
+    epoch_s = F.floor(_micros(df, ts_col) / F.lit(1000000)).cast("long")
+    bucket = (epoch_s - F.pmod(epoch_s, F.lit(bucket_s))).cast("long")
+    counts = (
+        df.filter(F.col("`%s`" % ts_col).isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    bounds = counts.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(bucket_s)))
+        ).alias("bucket_s")
+    )
+    dense = (
+        spine.join(counts, spine.bucket_s == counts.__b, "left")
+        .select(
+            "bucket_s",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    k = int(lookback)
+    w = Window.orderBy("bucket_s")
+    before = w.rowsBetween(-k, -1)
+    after = w.rowsBetween(0, k - 1)
+    scored = dense.select(
+        "bucket_s",
+        "n_events",
+        F.sum("n_events").over(before).cast("long").alias("__sb"),
+        F.count(F.lit(1)).over(before).alias("__cb"),
+        F.sum("n_events").over(after).cast("long").alias("__sa"),
+        F.count(F.lit(1)).over(after).alias("__ca"),
+    )
+    full = (F.col("__cb") == k) & (F.col("__ca") == k)
+    ratio = F.when(
+        full & (F.col("__sb") > 0),
+        F.expr("(10000 * __sa) div __sb"),
+    ).cast("long")
+    shift = F.when(~full, F.lit(False)).otherwise(
+        F.when(
+            F.col("__sb") == 0, F.col("__sa") > 0
+        ).otherwise(
+            (F.expr("(10000 * __sa) div __sb") >= 10000 + int(shift_bp))
+            | (F.expr("(10000 * __sa) div __sb") <= 10000 - int(shift_bp))
+        )
+    )
+    return scored.select(
+        "bucket_s",
+        "n_events",
+        F.when(full, F.col("__sb")).alias("sum_before"),
+        F.when(full, F.col("__sa")).alias("sum_after"),
+        ratio.alias("ratio_bp"),
+        shift.alias("shift"),
+    )
+
+
+def completeness_trend(
+    df: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Completeness DRIFT over time — "is a column silently going
+    null?": per column, the null-rate trajectory across *bucket_s*
+    time buckets summarised as an exact integer least-squares slope.
+
+    Output: one row per column — ``(column, n_buckets, first_bp,
+    last_bp, mean_bp, slope_cbp)`` where ``*_bp`` are per-bucket
+    null-rates in basis points (first/last by bucket order) and
+    ``slope_cbp`` is the least-squares slope in CENTI-basis-points per
+    bucket: ``100·(n·Σxy − Σx·Σy) div (n·Σx² − (Σx)²)`` with ``x`` the
+    0-based bucket index and ``y`` the bucket's null_bp — all-integer,
+    so the fit replays exactly in any SQL engine (positive = the column
+    is getting emptier).  ``slope_cbp`` is NULL with a single bucket.
+    NULL timestamps are excluded (they have no bucket).
+
+    Plan: ONE map-side-combined groupBy on the bucket computes every
+    column's null count in the same pass (no per-column scans); the
+    bucket index and the regression moments run over the tiny bucket
+    table only (time-range / bucket_s rows — the aggregate-first shape
+    of :func:`rate_changepoints`); one explode unpivots to rows.  The
+    only event-cardinality shuffle is the bucket groupBy.
+    """
+    from .sessions import _micros
+
+    if not cols:
+        raise ValueError("completeness_trend needs at least one column")
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    epoch_s = F.floor(_micros(df, ts_col) / F.lit(1000000)).cast("long")
+    bucket = (epoch_s - F.pmod(epoch_s, F.lit(bucket_s))).cast("long")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col("`%s`" % c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("__null_%s" % c)
+        )
+    per_bucket = (
+        df.filter(F.col("`%s`" % ts_col).isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(*aggs)
+    )
+    idx = per_bucket.select(
+        "*",
+        (F.row_number().over(Window.orderBy("__b")) - 1)
+        .cast("long")
+        .alias("__x"),
+        (F.row_number().over(Window.orderBy(F.col("__b").desc())) == 1)
+        .alias("__is_last"),
+    )
+    for c in cols:
+        idx = idx.withColumn(
+            "__y_%s" % c,
+            F.expr("(10000 * `__null_%s`) div __n" % c).cast("long"),
+        )
+    moment_aggs = [
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    ]
+    for c in cols:
+        y = F.col("__y_%s" % c)
+        moment_aggs += [
+            F.sum(y).cast("long").alias("__sy_%s" % c),
+            F.sum(F.col("__x") * y).cast("long").alias("__sxy_%s" % c),
+            F.min(F.when(F.col("__x") == 0, y)).alias("__first_%s" % c),
+            F.max(F.when(F.col("__is_last"), y)).alias("__last_%s" % c),
+        ]
+    m = idx.agg(*moment_aggs)
+    structs = []
+    for c in cols:
+        den = "(__k * __sxx - __sx * __sx)"
+        num = "(__k * `__sxy_%s` - __sx * `__sy_%s`)" % (c, c)
+        # sign factored out of the division: Spark's div truncates toward
+        # zero, SQL's // floors — on the (possibly negative) numerator
+        # they disagree; on |num| they agree (the kappa lesson)
+        slope = "(CASE WHEN %s < 0 THEN -1 ELSE 1 END) * ((100 * abs(%s)) div %s)" % (
+            num, num, den)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__k").alias("n_buckets"),
+                F.col("__first_%s" % c).alias("first_bp"),
+                F.col("__last_%s" % c).alias("last_bp"),
+                F.expr("`__sy_%s` div __k" % c).cast("long").alias("mean_bp"),
+                F.when(F.col("__k") > 1, F.expr(slope))
+                .cast("long")
+                .alias("slope_cbp"),
+            )
+        )
+    return m.select(F.explode(F.array(*structs)).alias("__s")).select("__s.*")

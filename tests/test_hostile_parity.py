@@ -183,6 +183,8 @@ QUERIES = [
     "scd2_history",
     "gap_profile",
     "calibration",
+    "rate_changepoints",
+    "completeness_trend",
 ]
 
 
