@@ -2621,6 +2621,38 @@ def q_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands coverage merge (``asof.interval_islands``): each
+    order opens a closed 7-day activity interval per customer; islands
+    are the maximal merged activity windows — cumulative-max island
+    detection (correct when a long interval swallows later short ones),
+    one key shuffle, the roll-up reuses the window partitioning."""
+    from evalidate_spark.operators.asof import interval_islands
+    from evalidate_spark.operators.sessions import _micros
+
+    orders = _t(spark, sf_dir, "orders")
+    od_us = _micros(orders, "o_orderdate")
+    o = orders.select(
+        "o_custkey",
+        od_us.alias("s"),
+        (od_us + F.lit(604800000000)).alias("e"),
+    )
+    return interval_islands(o, ["o_custkey"], "s", "e")
+
+
+def q_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 entity links from the fuzzy candidate pairs
+    (``dedup.mutual_best_matches`` over ``fuzzy_matches`` output): a
+    pair survives iff each side is the other's single best candidate
+    (dist asc, neighbor-id tie-break) — record linkage's mutual-nearest
+    conflict resolution; every id appears in at most one link."""
+    from evalidate_spark.functions.dedup import mutual_best_matches
+
+    return mutual_best_matches(
+        q_fuzzy_matches(spark, sf_dir).select("id_a", "id_b", "dist")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2788,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "rate_changepoints": q_rate_changepoints,
         "completeness_trend": q_completeness_trend,
+        "order_islands": q_order_islands,
+        "fuzzy_links": q_fuzzy_links,
     }
 
 
@@ -6267,6 +6301,47 @@ SELECT 'event_type', k, f_e, l_e, CAST(sy_e // k AS BIGINT),
     * ((100 * abs(k * sxy_e - sx * sy_e)) // (k * sxx - sx * sx))
     AS BIGINT) END
 FROM m
+"""
+
+
+ORACLE["order_islands"] = """
+WITH iv AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + 604800000000 AS e
+  FROM orders WHERE o_orderdate IS NOT NULL
+), m AS (
+  SELECT o_custkey, s, e,
+    max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), marked AS (
+  SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM m
+), isl AS (
+  SELECT *, sum(ni) OVER (PARTITION BY o_custkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT o_custkey, CAST(island AS BIGINT) AS island_ix,
+  min(s) AS island_start, max(e) AS island_end,
+  CAST(count(*) AS BIGINT) AS n_intervals
+FROM isl GROUP BY 1, 2
+"""
+
+ORACLE["fuzzy_links"] = f"""
+WITH fm AS ({ORACLE["fuzzy_matches"]}),
+live AS (SELECT id_a, id_b, dist FROM fm
+         WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND dist IS NOT NULL),
+d AS (SELECT id_a AS src, id_b AS dst, dist FROM live
+      UNION ALL SELECT id_b, id_a, dist FROM live),
+best AS (
+  SELECT src, dst, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT b1.src AS id_a, b1.dst AS id_b, b1.dist
+FROM best b1 JOIN best b2 ON b1.dst = b2.src AND b1.src = b2.dst
+WHERE b1.src < b1.dst
 """
 
 

@@ -279,6 +279,8 @@ def main() -> None:
         "calibration",
         "rate_changepoints",
         "completeness_trend",
+        "order_islands",
+        "fuzzy_links",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

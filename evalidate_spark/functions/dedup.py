@@ -28,7 +28,7 @@ from typing import Optional
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .similarity import cap_per_group
 from .text import fingerprint, shingles
@@ -1862,4 +1862,63 @@ def fuzzy_matches(
         .withColumn("dist", F.levenshtein("norm_a", "norm_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "block", "dist")
+    )
+
+
+def mutual_best_matches(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    score_col: str = "dist",
+) -> DataFrame:
+    """Resolve an undirected candidate-pair table (e.g.
+    :func:`fuzzy_matches` output) into 1:1 LINKS by mutual nearest
+    neighbor — record linkage's standard conflict resolution: a pair
+    survives iff each side is the other's single best candidate
+    (lowest *score_col*, neighbor id ascending as the deterministic
+    tie-break).  Mutual-best is greedy matching's first round and, in
+    practice, most of its matching; unlike full greedy it needs no
+    iteration — one rank per direction, one equi-join.
+
+    Output: ``(a_col, b_col, score_col)`` with ``a < b`` (inherited from
+    the input contract), each id appearing in AT MOST one row.  NULL ids
+    or scores are dropped (no identity / no order).
+
+    Plan: symmetrize (projection-only union), ONE hash shuffle for the
+    per-source rank window, then a self-equi-join of the two best maps
+    — both sides are one-row-per-id, so the join input is bounded by
+    the id count, not the pair count.
+    """
+    a = F.col("`%s`" % a_col)
+    b = F.col("`%s`" % b_col)
+    sc = F.col("`%s`" % score_col)
+    live = pairs.filter(a.isNotNull() & b.isNotNull() & sc.isNotNull())
+    directed = live.select(
+        a.alias("__src"), b.alias("__dst"), sc.alias("__sc")
+    ).unionByName(
+        live.select(b.alias("__src"), a.alias("__dst"), sc.alias("__sc"))
+    )
+    w = Window.partitionBy("__src").orderBy(
+        F.col("__sc").asc(), F.col("__dst").asc()
+    )
+    best = (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__src", "__dst", "__sc")
+    )
+    rev = best.select(
+        F.col("__src").alias("__r_src"), F.col("__dst").alias("__r_dst")
+    )
+    return (
+        best.join(
+            rev,
+            (F.col("__dst") == F.col("__r_src"))
+            & (F.col("__src") == F.col("__r_dst")),
+        )
+        .filter(F.col("__src") < F.col("__dst"))
+        .select(
+            F.col("__src").alias(a_col),
+            F.col("__dst").alias(b_col),
+            F.col("__sc").alias(score_col),
+        )
     )

@@ -262,3 +262,76 @@ def range_join(
         *[F.col("__lrow.`%s`" % c).alias(c) for c in left.columns],
         *[F.col("__v_%s" % c).alias(c) for c in value_cols],
     )
+
+
+def interval_islands(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tolerance: int = 0,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping (or within-*tolerance*
+    adjacent) CLOSED intervals per key into maximal islands — the
+    interval-algebra complement of :func:`range_join` (that asks "which
+    point hits which interval?", this asks "what contiguous coverage do
+    the intervals add up to?").  The canonical uses: stitching
+    validity/session/maintenance windows, coverage gaps in a feed,
+    span-coalescing before a range join shrinks its build side.
+
+    An interval starts a new island iff its start exceeds the running
+    maximum end of every EARLIER interval (ordered by ``(start, end)``)
+    by more than *tolerance* — the classic cumulative-max formulation,
+    which is order-correct even when a long interval swallows later
+    short ones.  Output: ``(key..., island_ix, island_start,
+    island_end, n_intervals)`` with ``island_ix`` 1-based per key.
+    Rows with a NULL start or end are dropped (no place on the line);
+    NULL keys group like SQL.  *start*/*end* must be integral (epoch µs
+    convention); intervals with ``end < start`` are rejected upstream by
+    the caller's contract — they would silently extend nothing.
+
+    Plan: ONE hash shuffle on the key; the running max and the island
+    counter are frames over the SAME sort, and the final roll-up groups
+    by (key, island) — a superset of the window key, so no second
+    exchange.  A hot key costs its interval share of one sort; nothing
+    is collected.
+    """
+    if not key_cols:
+        raise ValueError("interval_islands needs key_cols")
+    if tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+    keys = [F.col("`%s`" % k) for k in key_cols]
+    s = F.col("`%s`" % start_col)
+    e = F.col("`%s`" % end_col)
+    live = df.filter(s.isNotNull() & e.isNotNull()).select(
+        *[k.alias("__k%d" % i) for i, k in enumerate(keys)],
+        s.cast("long").alias("__s"),
+        e.cast("long").alias("__e"),
+    )
+    kcols = ["__k%d" % i for i in range(len(keys))]
+    w = Window.partitionBy(*kcols).orderBy(F.col("__s").asc(), F.col("__e").asc())
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (F.col("__s") > prev_max_end + F.lit(int(tolerance))),
+        1,
+    ).otherwise(0)
+    marked = live.withColumn("__new", new_island).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy(*kcols, "__island")
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max("__e").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .select(
+            *[F.col(kc).alias(k) for kc, k in zip(kcols, key_cols)],
+            F.col("__island").cast("long").alias("island_ix"),
+            "island_start",
+            "island_end",
+            "n_intervals",
+        )
+    )

@@ -185,6 +185,8 @@ QUERIES = [
     "calibration",
     "rate_changepoints",
     "completeness_trend",
+    "fuzzy_links",
+    "order_islands",
 ]
 
 
