@@ -2653,6 +2653,82 @@ def q_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resampled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular daily grid with last-observation-carried-forward
+    (``sessions.resample_locf``): per user, one row per day from the
+    user's first event to the corpus max day, valued at the latest
+    observation in or before it (event_id pins within-bucket ties) —
+    the irregular-events → as-of feature-grid step.  One
+    map-side-combined (user, day) reduce, a lead() window over the
+    reduced set, and a grid-cardinality sequence explode."""
+    from evalidate_spark.operators.sessions import resample_locf
+
+    return resample_locf(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        ["value"],
+        step_s=86400,
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration report over the documents mix
+    (``table_checks.concentration_profile``): char-weight inequality
+    across sources as exact-integer Gini / HHI / top-share basis
+    points — the "is one domain 40% of the mix?" gate on a training
+    blend.  Group reduce, single-partition rank over group cardinality,
+    one final 1-row aggregate."""
+    from evalidate_spark.operators.table_checks import concentration_profile
+
+    return concentration_profile(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-agreement noise detection
+    (``similarity.knn_label_agreement``): each labelled embedding scored
+    by the fraction of its 5 exact cosine neighbours sharing its label
+    (6-dp-rounded, id tie-break — engine-stable); ``suspect`` below
+    50% agreement.  Wilson-editing for labelled training corpora; the
+    default path is the broadcast-probe exact top-k, the documented
+    scale path feeds IVF candidates through the same roll-up."""
+    return similarity.knn_label_agreement(
+        _t(spark, sf_dir, "embeddings"), k=5
+    )
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (``behavior.transition_matrix``): consecutive-pair counts
+    with exact-int row-conditional probability bp and a rare-transition
+    flag; one entity-keyed window shuffle, then type²-cardinality
+    aggregates with a broadcast per-prev roll-up.  Same-timestamp ties
+    pinned by event_id."""
+    from evalidate_spark.operators.behavior import transition_matrix
+
+    return transition_matrix(
+        _t(spark, sf_dir, "events"), tiebreak_cols=["event_id"]
+    )
+
+
+def q_pair_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair graph degree triage (``dedup.pair_graph_degrees``)
+    over the n-gram Jaccard candidate pairs: distinct-neighbour degree
+    per doc with a hub flag — the pre-clustering gate that keeps one
+    boilerplate template from swallowing the corpus in
+    ``duplicate_clusters``.  Hub threshold 2 here (tiny candidate set);
+    production default 100."""
+    from evalidate_spark.functions.dedup import pair_graph_degrees
+
+    return pair_graph_degrees(
+        q_jaccard_pairs(spark, sf_dir).select("id_a", "id_b"),
+        hub_min_degree=2,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2822,6 +2898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_trend": q_completeness_trend,
         "order_islands": q_order_islands,
         "fuzzy_links": q_fuzzy_links,
+        "resampled_values": q_resampled_values,
+        "source_concentration": q_source_concentration,
+        "label_noise": q_label_noise,
+        "transitions": q_transitions,
+        "pair_degrees": q_pair_degrees,
     }
 
 
@@ -6343,6 +6424,111 @@ SELECT b1.src AS id_a, b1.dst AS id_b, b1.dist
 FROM best b1 JOIN best b2 ON b1.dst = b2.src AND b1.src = b2.dst
 WHERE b1.src < b1.dst
 """
+
+
+ORACLE["resampled_values"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, value, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), bk AS (
+  SELECT user_id, (us - us % 86400000000) // 86400000000 AS b, us, value,
+         event_id
+  FROM ev
+), lastv AS (
+  SELECT user_id, b, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, b ORDER BY us DESC, event_id DESC) AS rn
+    FROM bk)
+  WHERE rn = 1
+), mx AS (SELECT max(b) AS gm FROM lastv),
+sp AS (
+  SELECT user_id, b, value,
+    coalesce(lead(b) OVER (PARTITION BY user_id ORDER BY b) - 1,
+             (SELECT gm FROM mx)) AS ub
+  FROM lastv
+), grid AS (
+  SELECT user_id, b, value, unnest(generate_series(b, ub)) AS g FROM sp
+)
+SELECT user_id, CAST(g * 86400000000 AS BIGINT) AS bucket_start_us,
+       value, g > b AS carried
+FROM grid
+"""
+
+ORACLE["source_concentration"] = """
+WITH pg AS (
+  SELECT source AS g, CAST(sum(n_chars) AS HUGEINT) AS w
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1
+), r AS (
+  SELECT g, w, CAST(row_number() OVER (ORDER BY w ASC, g ASC) AS HUGEINT)
+           AS i
+  FROM pg
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(w) AS BIGINT) AS total_weight,
+  CAST((max(w) * 10000) // sum(w) AS BIGINT) AS top_share_bp,
+  CAST((sum(w * w) * 10000) // (sum(w) * sum(w)) AS BIGINT) AS hhi_bp,
+  CAST(((2 * sum(w * i) - (count(*) + 1) * sum(w)) * 10000)
+       // (count(*) * sum(w)) AS BIGINT) AS gini_bp
+FROM r
+"""
+
+ORACLE["label_noise"] = f"""
+WITH e AS (
+  SELECT vec_id, label, cast(embedding AS double[]) AS emb FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+), scored AS (
+  SELECT p.vec_id AS qid, p.label AS qlab, c.vec_id AS nid, c.label AS nlab,
+    round({_cos_sql('c.emb', 'p.emb')}, 6) AS cosine
+  FROM e p JOIN e c
+    ON c.vec_id <> p.vec_id AND len(c.emb) = len(p.emb)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rk
+  FROM scored
+), agg AS (
+  SELECT qid AS vec_id, qlab AS label,
+    CAST(count(*) AS BIGINT) AS n_neighbors,
+    CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM ranked WHERE rk <= 5 GROUP BY 1, 2
+)
+SELECT vec_id, label, n_neighbors, n_agree,
+  (10000 * n_agree) // n_neighbors AS agree_bp,
+  (10000 * n_agree) // n_neighbors < 5000 AS suspect
+FROM agg
+"""
+
+
+ORACLE["transitions"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), lagged AS (
+  SELECT event_type AS nt,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pt
+  FROM ev
+), pairs AS (
+  SELECT pt AS prev_type, nt AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM lagged WHERE pt IS NOT NULL AND nt IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type, p.n,
+  CAST((10000 * p.n) // t.t AS BIGINT) AS p_bp,
+  (10000 * p.n) // t.t < 100 AS rare
+FROM pairs p JOIN tot t USING (prev_type)
+"""
+
+
+ORACLE["pair_degrees"] = f"""
+WITH jp AS ({{JACCARD}}),
+live AS (SELECT id_a, id_b FROM jp
+         WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b),
+edges AS (SELECT id_a AS id, id_b AS n FROM live
+          UNION ALL SELECT id_b, id_a FROM live)
+SELECT id, CAST(count(DISTINCT n) AS BIGINT) AS degree,
+  count(DISTINCT n) >= 2 AS hub
+FROM edges GROUP BY id
+""".replace("{JACCARD}", ORACLE["jaccard_pairs"])
 
 
 def oracle_sql() -> dict[str, str]:

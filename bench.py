@@ -281,6 +281,11 @@ def main() -> None:
         "completeness_trend",
         "order_islands",
         "fuzzy_links",
+        "resampled_values",
+        "source_concentration",
+        "label_noise",
+        "transitions",
+        "pair_degrees",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -1922,3 +1922,43 @@ def mutual_best_matches(
             F.col("__sc").alias(score_col),
         )
     )
+
+
+def pair_graph_degrees(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    hub_min_degree: int = 100,
+) -> DataFrame:
+    """Per-node degree profile of a candidate-pair graph — the
+    pre-clustering triage every near-dup pipeline needs at scale: a HUB
+    (a doc similar to thousands) is a boilerplate template, a tag page,
+    or an LSH-band collision storm, and feeding it to
+    :func:`duplicate_clusters` makes one component swallow the corpus.
+    Run this first, route hubs to a template handler, cluster the rest.
+
+    Output: one row per node — ``(id, degree, hub)`` with ``degree`` =
+    count of DISTINCT neighbours (duplicate candidate pairs — the same
+    pair surfacing from several LSH bands — count once) and ``hub =
+    degree >= hub_min_degree``.  NULL ids and self-pairs are dropped.
+
+    Plan: symmetrize (projection-only union), one distinct on the
+    (node, neighbour) edge — the only pair-cardinality shuffle, and the
+    count rides the SAME partitioning (groupBy on a prefix of the
+    distinct key) — nothing else moves.
+    """
+    a = F.col("`%s`" % a_col)
+    b = F.col("`%s`" % b_col)
+    live = pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+    edges = live.select(a.alias("id"), b.alias("__n")).unionByName(
+        live.select(b.alias("id"), a.alias("__n"))
+    )
+    return (
+        edges.groupBy("id")
+        .agg(F.countDistinct("__n").cast("long").alias("degree"))
+        .select(
+            "id",
+            "degree",
+            (F.col("degree") >= F.lit(int(hub_min_degree))).alias("hub"),
+        )
+    )

@@ -581,3 +581,104 @@ def centroid_outliers(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    suspect_below_bp: int = 5000,
+    neighbors: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Label-noise detection by k-NN agreement — flag points whose
+    nearest neighbours in embedding space mostly carry a DIFFERENT
+    label (the classic Wilson-editing signal; on training corpora it
+    surfaces mislabeled quality/toxicity/language annotations before
+    they poison a classifier).
+
+    Output: one row per labelled vector — ``(id, label, n_neighbors,
+    n_agree, agree_bp, suspect)`` with ``agree_bp = 10000·n_agree div
+    n_neighbors`` (pure int64) and ``suspect = agree_bp <
+    suspect_below_bp``.  Neighbours are the exact top-*k* by cosine
+    (6-dp-rounded, neighbour-id tiebreak — engine-stable), self
+    excluded; unlabeled rows score no one and are not scored.
+
+    Scale: by default neighbours come from :func:`cosine_topk` with the
+    corpus as its own probe set — that broadcast-probe path is for
+    evaluation-sized corpora (≲ 10⁵ labelled vectors, the usual size of
+    a label-audit sample).  For full-corpus audits pass *neighbors* =
+    the output of :func:`ivf_topk_partitioned` (any ``(query_id,
+    neighbor_id, …)`` candidate table): the agreement join and roll-up
+    are the same and stay id-keyed — one shuffle each at candidate
+    cardinality.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    labeled = emb.filter(
+        F.col("`%s`" % id_col).isNotNull()
+        & F.col("`%s`" % label_col).isNotNull()
+    ).select(
+        F.col("`%s`" % id_col).alias("__id"),
+        F.col("`%s`" % label_col).alias("__lab"),
+    )
+    if neighbors is None:
+        probes = emb.filter(F.col("`%s`" % label_col).isNotNull()).select(
+            F.col("`%s`" % id_col).alias("query_id"),
+            F.col("`%s`" % vec_col).alias(vec_col),
+        )
+        cand = cosine_topk(
+            emb.join(
+                labeled.select(F.col("__id").alias(id_col)), id_col, "semi"
+            ),
+            probes,
+            k=k + 1,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    else:
+        cand = neighbors
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    knn = (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+    )
+    agree = (
+        knn.join(
+            labeled.select(
+                F.col("__id").alias("neighbor_id"),
+                F.col("__lab").alias("__nlab"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            labeled.select(
+                F.col("__id").alias("query_id"), F.col("__lab").alias("__qlab")
+            ),
+            "query_id",
+        )
+        .groupBy(F.col("query_id").alias(id_col), F.col("__qlab").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("__nlab") == F.col("__qlab"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )
+    return agree.select(
+        id_col,
+        label_col,
+        "n_neighbors",
+        "n_agree",
+        F.expr("(10000 * n_agree) div n_neighbors").alias("agree_bp"),
+        (
+            F.expr("(10000 * n_agree) div n_neighbors")
+            < F.lit(int(suspect_below_bp))
+        ).alias("suspect"),
+    )

@@ -59,6 +59,7 @@ from .table_checks import (
     value_shapes,
     k_anonymity,
     bloom_build,
+    concentration_profile,
 )
 from .spans import span_rules, span_structure_violations
 from .reconcile import (
@@ -67,15 +68,17 @@ from .reconcile import (
     survivorship,
     table_diff,
 )
-from .behavior import cohort_retention, funnel_steps
+from .behavior import cohort_retention, funnel_steps, rolling_active_users, transition_matrix
 from .sessions import (
+    gap_stats,
+    resample_locf,
     sequence_anomalies,
     session_bounds,
     sessionize,
     suppress_repeats,
     trailing_window_features,
 )
-from .asof import asof_join, range_join
+from .asof import asof_join, interval_islands, range_join
 from .suggest import (
     functional_dependencies,
     suggest_constraints,

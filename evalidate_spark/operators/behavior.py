@@ -284,3 +284,71 @@ def rolling_active_users(
             F.coalesce("rolling_users", F.lit(0)).cast("long").alias("rolling_users"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: Sequence[str] = (),
+    rare_below_bp: int = 100,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences — which step follows which, and how often: the model
+    behind "users who view usually click next" dashboards and the
+    rare-transition anomaly gate (a transition observed far below its
+    row's norm is a bot path, an instrumentation bug, or a funnel leak).
+
+    Per entity, events are ordered by ``(ts, tiebreak_cols…)`` (pass a
+    unique id to pin same-timestamp ties); each CONSECUTIVE pair emits
+    one ``prev_type → next_type`` observation.  Output: one row per
+    observed ordered pair — ``(prev_type, next_type, n, p_bp, rare)``
+    where ``p_bp = 10000·n div Σn(prev_type)`` (the row-conditional
+    probability, exact int64) and ``rare = p_bp < rare_below_bp``.
+    NULL keys/timestamps are excluded from sequencing; NULL types are
+    excluded as states (a NULL state is a validation failure upstream,
+    not a Markov state — the events on either side of it do NOT become
+    adjacent, matching the lag-over-the-raw-timeline semantics).
+
+    Plan: one window shuffle keyed on the entity for the lag, then a
+    map-side-combined groupBy on (prev, next) at TYPE² cardinality and
+    a broadcast-sized per-prev roll-up joined back; nothing beyond the
+    first exchange moves event-cardinality data.  Hot entities cost one
+    sort share, like every other per-entity window here.
+    """
+    k = F.col("`%s`" % key_col)
+    t = F.col("`%s`" % ts_col)
+    live = events.filter(k.isNotNull() & t.isNotNull()).select(
+        k.alias("__k"),
+        _session_micros(events, ts_col).alias("__us"),
+        F.col("`%s`" % type_col).alias("__t"),
+        *[F.col("`%s`" % c).alias("__tb_%s" % c) for c in tiebreak_cols],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__us").asc(),
+        *[F.col("__tb_%s" % c).asc() for c in tiebreak_cols],
+    )
+    pairs = (
+        live.withColumn("__prev", F.lag("__t").over(w))
+        .filter(F.col("__prev").isNotNull() & F.col("__t").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"), F.col("__t").alias("next_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(10000 * n) div __tot").alias("p_bp"),
+            (F.expr("(10000 * n) div __tot") < F.lit(int(rare_below_bp))).alias(
+                "rare"
+            ),
+        )
+    )

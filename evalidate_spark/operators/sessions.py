@@ -455,3 +455,91 @@ def gap_stats(
         F.expr("sum(__gap) div max(__ng)").alias("mean_gap_us")
     )
     return ranked.groupBy(F.col("__e").alias(entity_col)).agg(*sel_aggs)
+
+
+def resample_locf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    step_s: int = 3600,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward —
+    the irregular-events → feature-grid step every point-in-time
+    training pipeline needs (turn raw events into "the value of X as of
+    every hour", then as-of join the grid leakage-free).
+
+    Per key: bucket index ``b = floor(µs / step)``; one row per bucket
+    from the key's FIRST observed bucket to the GLOBAL max observed
+    bucket (so every entity has a value at every as-of instant after it
+    first appears — the grid a feature store serves).  The value at a
+    bucket is the latest observation in or before it: within a bucket
+    the winner is max ``(ts, tiebreak_cols…)`` (callers pass a unique
+    column, e.g. an event id, to pin ties); *value_cols* may be NULL and
+    carry forward as NULL.  Output: ``(key…, bucket_start_us,
+    value_cols…, carried)`` with ``carried = true`` on filled (not
+    observed) buckets.  NULL key or timestamp rows are dropped.
+
+    Plan: ONE groupBy (key, bucket) with ``max_by(struct(values),
+    struct(ts, tiebreaks))`` — map-side combined, so the only
+    event-cardinality shuffle reduces to bucket cardinality — then a
+    lead() window per key over the REDUCED set and an
+    ``explode(sequence(b, next_b - 1))`` whose output cardinality IS the
+    grid being built (never events × grid).  The global max bucket is a
+    broadcast 1-row aggregate.  At 100 TB the grid dominates only if
+    step ≪ event spacing — the explode emits exactly the rows the sink
+    stores, which is the floor for any engine.
+    """
+    if not key_cols:
+        raise ValueError("resample_locf needs key_cols")
+    if not value_cols:
+        raise ValueError("resample_locf needs value_cols")
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    step_us = int(step_s) * 1_000_000
+    keys = [F.col("`%s`" % k) for k in key_cols]
+    live = df.filter(
+        F.col("`%s`" % ts_col).isNotNull()
+        & F.lit(True)
+        & F.expr(
+            " AND ".join("`%s` IS NOT NULL" % k for k in key_cols)
+        )
+    ).select(
+        *[k.alias("__k%d" % i) for i, k in enumerate(keys)],
+        _micros(df, ts_col).alias("__us"),
+        *[F.col("`%s`" % c).alias("__v_%s" % c) for c in value_cols],
+        *[F.col("`%s`" % c).alias("__t_%s" % c) for c in tiebreak_cols],
+    )
+    kcols = ["__k%d" % i for i in range(len(keys))]
+    bucketed = live.withColumn(
+        "__b", F.expr("(__us - pmod(__us, %d)) div %d" % (step_us, step_us))
+    )
+    ordkey = F.struct(
+        F.col("__us"), *[F.col("__t_%s" % c) for c in tiebreak_cols]
+    )
+    last = bucketed.groupBy(*kcols, "__b").agg(
+        F.max_by(
+            F.struct(*[F.col("__v_%s" % c) for c in value_cols]), ordkey
+        ).alias("__vals")
+    )
+    gmax = last.agg(F.max("__b").alias("__gmax"))
+    w = Window.partitionBy(*kcols).orderBy(F.col("__b").asc())
+    spanned = (
+        last.crossJoin(F.broadcast(gmax))
+        .withColumn(
+            "__ub", F.coalesce(F.lead("__b").over(w) - 1, F.col("__gmax"))
+        )
+        .select(
+            *kcols,
+            "__b",
+            "__vals",
+            F.explode(F.expr("sequence(__b, __ub)")).alias("__g"),
+        )
+    )
+    return spanned.select(
+        *[F.col(kc).alias(k) for kc, k in zip(kcols, key_cols)],
+        (F.col("__g") * F.lit(step_us)).cast("long").alias("bucket_start_us"),
+        *[F.col("__vals.`__v_%s`" % c).alias(c) for c in value_cols],
+        (F.col("__g") > F.col("__b")).alias("carried"),
+    )

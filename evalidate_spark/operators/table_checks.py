@@ -2958,3 +2958,70 @@ def completeness_trend(
             )
         )
     return m.select(F.explode(F.array(*structs)).alias("__s")).select("__s.*")
+
+
+def concentration_profile(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Corpus-concentration report — how unequally a weight (tokens,
+    bytes, docs) is distributed over a grouping (domain, source, lang):
+    the "is 40% of my training mix one website?" question, answered with
+    the three standard inequality numbers.
+
+    Output: ONE row ``(n_groups, total_weight, top_share_bp, hhi_bp,
+    gini_bp)`` —
+
+    * ``top_share_bp`` — largest group's share, basis points;
+    * ``hhi_bp`` — Herfindahl–Hirschman index ``Σ share_i²`` in bp
+      (10000 = monopoly, 10000/n = uniform);
+    * ``gini_bp`` — Gini coefficient in bp via the exact rank formula
+      ``G = (2·Σ i·w_(i) − (n+1)·W) / (n·W)`` over weights sorted
+      ascending (ties broken by group value for determinism).
+
+    All three are EXACT integer arithmetic (decimal(38,0) sums,
+    cross-multiplied ``div``) — no floating accumulation, so the result
+    is bit-stable across engines and partitionings.  Rows with NULL
+    group, NULL weight, or weight <= 0 are excluded (zero-weight groups
+    don't shift any of the three measures' mass).
+
+    Plan: one map-side-combined groupBy to per-group weights; the rank
+    window sorts the REDUCED per-group table in a single partition
+    (group cardinality — domains, languages — is orders below row
+    cardinality; that is the operator's stated domain), then one 1-row
+    aggregate.  Nothing event-cardinality crosses the wire twice.
+    """
+    g = F.col("`%s`" % group_col)
+    wt = F.col("`%s`" % weight_col)
+    per_group = (
+        df.filter(g.isNotNull() & wt.isNotNull() & (wt > 0))
+        .groupBy(g.alias("__g"))
+        .agg(F.sum(wt.cast("decimal(38,0)")).alias("__w"))
+    )
+    ranked = per_group.withColumn(
+        "__i",
+        F.row_number().over(
+            Window.orderBy(F.col("__w").asc(), F.col("__g").asc())
+        ),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__w").cast("decimal(38,0)").alias("__W"),
+        F.max("__w").cast("decimal(38,0)").alias("__mx"),
+        F.sum(F.col("__w") * F.col("__w")).cast("decimal(38,0)").alias("__sq"),
+        F.sum(F.col("__w") * F.col("__i")).cast("decimal(38,0)").alias("__B"),
+    ).select(
+        "n_groups",
+        F.col("__W").cast("long").alias("total_weight"),
+        F.expr("CAST((__mx * 10000) div __W AS bigint)").alias(
+            "top_share_bp"
+        ),
+        F.expr("CAST((__sq * 10000) div (__W * __W) AS bigint)").alias(
+            "hhi_bp"
+        ),
+        F.expr(
+            "CAST(((2 * __B - (n_groups + 1) * __W) * 10000)"
+            " div (n_groups * __W) AS bigint)"
+        ).alias("gini_bp"),
+    )

@@ -187,6 +187,11 @@ QUERIES = [
     "completeness_trend",
     "fuzzy_links",
     "order_islands",
+    "resampled_values",
+    "source_concentration",
+    "label_noise",
+    "transitions",
+    "pair_degrees",
 ]
 
 
