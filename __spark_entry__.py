@@ -2729,6 +2729,19 @@ def q_pair_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (``table_checks.l_diversity``): every
+    event_type group must cover ≥3 distinct users — the disclosure
+    k-anonymity misses (a group whose members all share one sensitive
+    value leaks it without re-identification).  Same single-shuffle
+    shape as k_anonymity with an exact in-group distinct."""
+    from evalidate_spark.operators import table_checks
+
+    return table_checks.l_diversity(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", l=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2903,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "transitions": q_transitions,
         "pair_degrees": q_pair_degrees,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -6529,6 +6543,23 @@ SELECT id, CAST(count(DISTINCT n) AS BIGINT) AS degree,
   count(DISTINCT n) >= 2 AS hub
 FROM edges GROUP BY id
 """.replace("{JACCARD}", ORACLE["jaccard_pairs"])
+
+
+ORACLE["l_diversity"] = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS d
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+  CAST(coalesce(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_undiverse_groups,
+  CAST(coalesce(sum(CASE WHEN d < 3 THEN n ELSE 0 END), 0) AS BIGINT)
+    AS n_rows_at_risk,
+  coalesce(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0) = 0 AS l_diverse
+FROM g
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -286,6 +286,7 @@ def main() -> None:
         "label_noise",
         "transitions",
         "pair_degrees",
+        "l_diversity",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

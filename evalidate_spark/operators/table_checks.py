@@ -2486,6 +2486,57 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the follow-up question k-anonymity can't
+    answer: a group of 50 identical quasi-identifiers is still a leak if
+    all 50 share ONE sensitive value (an attacker who places a person in
+    the group learns the attribute without re-identifying the row).
+    Each quasi-identifier group must contain at least *l* DISTINCT
+    sensitive values.
+
+    Output: one row — ``(n_groups, min_distinct_sensitive,
+    n_undiverse_groups, n_rows_at_risk, l_diverse)`` where an
+    "undiverse" group has fewer than *l* distinct non-NULL sensitive
+    values and ``n_rows_at_risk`` counts its member rows.  NULLs in
+    quasi columns form visible groups (same contract as
+    :func:`k_anonymity`); a NULL sensitive value is NOT a disclosed
+    value and does not count toward diversity.
+
+    Plan: one exact ``count_distinct(sensitive)`` groupBy on the quasi
+    combination — the same single data shuffle as :func:`k_anonymity`
+    (distinct-inside-group adds a partial-dedup pass, still map-side
+    combined) — then one aggregate over the O(groups) table."""
+    if not quasi_cols:
+        raise ValueError("l_diversity needs at least one quasi column")
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    groups = df.groupBy(*[F.col("`%s`" % c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct(F.col("`%s`" % sensitive_col))
+        .cast("long")
+        .alias("__d"),
+    )
+    bad = F.col("__d") < l
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__d").cast("long").alias("min_distinct_sensitive"),
+        F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_undiverse_groups"),
+        F.coalesce(F.sum(F.when(bad, F.col("__n")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    ).select(
+        "*",
+        (F.col("n_undiverse_groups") == 0).alias("l_diverse"),
+    )
+
+
 def column_fingerprints(
     df: DataFrame, columns: Optional[Sequence[str]] = None
 ) -> DataFrame:

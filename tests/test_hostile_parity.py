@@ -192,6 +192,7 @@ QUERIES = [
     "label_noise",
     "transitions",
     "pair_degrees",
+    "l_diversity",
 ]
 
 

@@ -286,3 +286,39 @@ class TestPairGraphDegrees:
         )
         # distinct + count ride one hashpartitioning on the node id
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+from evalidate_spark.operators.table_checks import l_diversity
+
+
+class TestLDiversity:
+    def test_undiverse_group_flagged(self, spark):
+        # type 'x': 3 rows all user 1 -> 1 distinct < 2; 'y': users 1,2
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 1), ("x", 1), ("y", 1), ("y", 2)],
+            "t string, u long",
+        )
+        r = l_diversity(df, ["t"], "u", l=2).collect()[0]
+        assert (r.n_groups, r.min_distinct_sensitive) == (2, 1)
+        assert (r.n_undiverse_groups, r.n_rows_at_risk) == (1, 3)
+        assert not r.l_diverse
+
+    def test_null_sensitive_does_not_count(self, spark):
+        # group 'x' has users {1, NULL}: only 1 disclosed value
+        df = spark.createDataFrame(
+            [("x", 1), ("x", None)], "t string, u long")
+        r = l_diversity(df, ["t"], "u", l=2).collect()[0]
+        assert r.min_distinct_sensitive == 1 and not r.l_diverse
+
+    def test_null_quasi_forms_visible_group(self, spark):
+        df = spark.createDataFrame(
+            [(None, 1), (None, 2), ("x", 1), ("x", 2)], "t string, u long")
+        r = l_diversity(df, ["t"], "u", l=2).collect()[0]
+        assert r.n_groups == 2 and r.l_diverse
+
+    def test_contracts(self, spark):
+        df = spark.createDataFrame([("x", 1)], "t string, u long")
+        with pytest.raises(ValueError, match="quasi"):
+            l_diversity(df, [], "u")
+        with pytest.raises(ValueError, match="l must"):
+            l_diversity(df, ["t"], "u", l=1)
