@@ -628,7 +628,7 @@ def knn_label_agreement(
             F.col("`%s`" % id_col).alias("query_id"),
             F.col("`%s`" % vec_col).alias(vec_col),
         )
-        cand = cosine_topk(
+        cand = cosine_topk_blas(
             emb.join(
                 labeled.select(F.col("__id").alias(id_col)), id_col, "semi"
             ),
@@ -681,4 +681,128 @@ def knn_label_agreement(
             F.expr("(10000 * n_agree) div n_neighbors")
             < F.lit(int(suspect_below_bp))
         ).alias("suspect"),
+    )
+
+
+def cosine_topk_blas(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`cosine_topk` with the scoring done as ONE numpy matrix
+    multiply per Arrow batch instead of a per-pair JVM fold — same
+    output contract (6-dp-rounded cosine, neighbour-id tiebreak, rank
+    1..k, zero-norm → 0.0, NULL/ragged rows excluded), same single
+    final exchange, ~50× faster once |probes| is in the thousands
+    (each batch costs one BLAS ``C @ Pᵀ`` — 10⁸ multiply-adds run in
+    milliseconds where 10⁸ interpreted HOF steps run in minutes).
+
+    The probe set is collected to the driver (one bounded collect — the
+    same "a probe SET, not a second corpus" contract as
+    :func:`cosine_topk`, which broadcasts it) and shipped to executors
+    in the UDF closure grouped by vector length; corpus batches group
+    by length too, so ragged corpora score only against equal-length
+    probes.  Per-partition state is the running top-k per query —
+    O(|probes|·k) rows, the same bound as the fold variant.
+
+    Rounding matches Spark's ``F.round`` (HALF_UP, away from zero) via
+    sign-aware ``floor(|x|·10⁶ + 0.5)``.
+    """
+    import numpy as np
+
+    c_id = F.col("`%s`" % id_col)
+    c_vec = F.col("`%s`" % vec_col)
+    p_rows = (
+        probes.filter(
+            F.col("`%s`" % probe_id_col).isNotNull()
+            & F.col("`%s`" % vec_col).isNotNull()
+        )
+        .select(
+            F.col("`%s`" % probe_id_col).alias("query_id"),
+            F.col("`%s`" % vec_col).alias("__pv"),
+        )
+        .collect()
+    )
+    by_dim: dict = {}
+    for r in p_rows:
+        by_dim.setdefault(len(r[1]), []).append((r[0], r[1]))
+    probe_mats = {}
+    for dim, rows in by_dim.items():
+        qids = [q for q, _ in rows]
+        mat = np.asarray([v for _, v in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        probe_mats[dim] = (qids, mat, norms)
+
+    qtype = probes.schema[probe_id_col].dataType.simpleString()
+    ntype = corpus.schema[id_col].dataType.simpleString()
+    out_schema = "query_id %s, neighbor_id %s, cosine double" % (qtype, ntype)
+
+    live = corpus.filter(c_id.isNotNull() & c_vec.isNotNull()).select(
+        c_id.alias("__nid"), c_vec.alias("__cv")
+    )
+    # a small/compacted corpus can arrive as ONE input split (the sf0.1
+    # embeddings parquet does) and would score on one task; round-robin
+    # it up to the cluster's parallelism.  At scale the scan already
+    # yields >> defaultParallelism splits and this never fires — no
+    # shuffle is added to the big-corpus path.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < par:
+        live = live.repartition(par)
+
+    def score_topk(batches):
+        import pandas as pd
+
+        buf = None
+        for pdf in batches:
+            lens = pdf["__cv"].map(len)
+            parts = []
+            for dim, (qids, pmat, pnorms) in probe_mats.items():
+                sub = pdf[lens == dim]
+                if not len(sub):
+                    continue
+                cmat = np.asarray(list(sub["__cv"]), dtype=np.float64)
+                cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+                dots = cmat @ pmat.T
+                denom = np.outer(cnorms, pnorms)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, 0.0)
+                cos = np.copysign(
+                    np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6, cos
+                )
+                n_c, n_q = cos.shape
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.tile(qids, n_c),
+                            "neighbor_id": np.repeat(
+                                sub["__nid"].to_numpy(), n_q
+                            ),
+                            "cosine": cos.ravel(),
+                        }
+                    )
+                )
+            if not parts:
+                continue
+            cur = pd.concat(
+                ([buf] if buf is not None else []) + parts, ignore_index=True
+            )
+            cur = cur.sort_values(
+                ["query_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            buf = cur.groupby("query_id", sort=False).head(k)
+        if buf is not None:
+            yield buf
+
+    pruned = live.mapInPandas(score_topk, schema=out_schema)
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -322,3 +322,31 @@ class TestLDiversity:
             l_diversity(df, [], "u")
         with pytest.raises(ValueError, match="l must"):
             l_diversity(df, ["t"], "u", l=1)
+
+
+from evalidate_spark.functions.similarity import cosine_topk, cosine_topk_blas
+
+
+class TestCosineTopkBlas:
+    def test_bit_identical_to_fold_variant(self, spark):
+        import random
+
+        rng = random.Random(7)
+        emb = _emb(spark, [
+            (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3)
+            for i in range(60)
+        ] + [(100, [0.0] * 16, 0), (101, [0.0] * 16, 1),  # zero-norm pair
+             (102, [1.0] * 5, 2)])                        # ragged
+        probes = emb.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).filter(F.col("query_id") % 7 == 0)
+        a = sorted(map(tuple, cosine_topk(emb, probes, k=4).collect()))
+        b = sorted(map(tuple, cosine_topk_blas(emb, probes, k=4).collect()))
+        assert a == b
+
+    def test_zero_vector_scores_zero(self, spark):
+        emb = _emb(spark, [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 1)])
+        probes = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        out = {(r.query_id, r.neighbor_id): r.cosine
+               for r in cosine_topk_blas(emb, probes, k=2).collect()}
+        assert out[(1, 2)] == 0.0 and out[(2, 1)] == 0.0
