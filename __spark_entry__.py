@@ -2742,6 +2742,35 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (``asof.interval_overlap_join``):
+    odd-keyed vs even-keyed order activity windows (7 days) per
+    customer — which pairs of order windows coexist, with exact overlap
+    bounds.  Bucket-grid co-location (one equi-join on (key, cell)),
+    distinct, exact-predicate re-verify — never a per-key cross join."""
+    from evalidate_spark.operators.asof import interval_overlap_join
+    from evalidate_spark.operators.sessions import _micros
+
+    orders = _t(spark, sf_dir, "orders")
+    us = _micros(orders, "o_orderdate")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        us.alias("s"),
+        (us + F.lit(604800000000)).alias("e"),
+    )
+    lt = base.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+        "o_orderkey", "okey_a"
+    )
+    rt = base.filter(F.col("o_orderkey") % 2 == 0).withColumnRenamed(
+        "o_orderkey", "okey_b"
+    )
+    return interval_overlap_join(
+        lt, rt, on="o_custkey", left_id="okey_a", right_id="okey_b",
+        left_start="s", left_end="e", right_start="s", right_end="e",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2917,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "pair_degrees": q_pair_degrees,
         "l_diversity": q_l_diversity,
+        "window_overlaps": q_window_overlaps,
     }
 
 
@@ -6559,6 +6589,28 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
     AS n_rows_at_risk,
   coalesce(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0) = 0 AS l_diverse
 FROM g
+"""
+
+
+ORACLE["window_overlaps"] = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + 604800000000 AS e
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_orderdate IS NOT NULL
+), a AS (
+  SELECT o_custkey, o_orderkey AS okey_a, s AS sa, e AS ea
+  FROM iv WHERE o_orderkey % 2 = 1
+), b AS (
+  SELECT o_custkey, o_orderkey AS okey_b, s AS sb, e AS eb
+  FROM iv WHERE o_orderkey % 2 = 0
+)
+SELECT a.o_custkey, okey_a, okey_b,
+  greatest(sa, sb) AS overlap_start,
+  least(ea, eb) AS overlap_end,
+  CAST(least(ea, eb) - greatest(sa, sb) AS BIGINT) AS overlap_us
+FROM a JOIN b ON a.o_custkey = b.o_custkey AND sa <= eb AND sb <= ea
 """
 
 

@@ -287,6 +287,7 @@ def main() -> None:
         "transitions",
         "pair_degrees",
         "l_diversity",
+        "window_overlaps",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

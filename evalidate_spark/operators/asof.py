@@ -335,3 +335,101 @@ def interval_islands(
             "n_intervals",
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_id: str,
+    right_id: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Interval × interval overlap join — the third member of the
+    interval-algebra family (:func:`range_join` answers "which point
+    hits which interval", :func:`interval_islands` "what coverage do
+    intervals sum to"; this answers "which intervals from A and B
+    coexist"): per key, every pair of CLOSED intervals that share at
+    least one instant.  Canonical uses: sessions × campaign windows,
+    outage windows × SLA windows, validity-interval reconciliation
+    between two SCD2 tables.
+
+    Output: ``(on, left_id, right_id, overlap_start, overlap_end,
+    overlap_us)`` with ``overlap_start = max(starts)``, ``overlap_end =
+    min(ends)`` and ``overlap_us = end - start`` (0 = single shared
+    instant — closed-interval touch counts).  Start/end must be integral
+    epoch µs; rows with NULL key/id/bounds or ``end < start`` (malformed)
+    are dropped.
+
+    Scale shape: the naive form is a per-key cross join — quadratic in
+    the hot key.  Here each interval is exploded to the *bucket_s* grid
+    cells it covers (cost = interval length / bucket, the caller's dial),
+    pairs meet in an equi-join on (key, cell) — co-located, never
+    crossed — then ``distinct`` collapses multi-cell meetings and the
+    EXACT overlap predicate re-verifies (cell co-residence is a superset
+    of overlap).  One shuffle per side on (key, cell), one distinct at
+    candidate cardinality; the candidate count is output + near-miss
+    pairs sharing a cell, bounded by grid density rather than key³.
+    """
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    b_us = int(bucket_s) * 1_000_000
+
+    def prep(df, idc, sc, ec, side):
+        k = F.col("`%s`" % on)
+        i = F.col("`%s`" % idc)
+        s = F.col("`%s`" % sc).cast("long")
+        e = F.col("`%s`" % ec).cast("long")
+        return (
+            df.filter(
+                k.isNotNull() & i.isNotNull() & s.isNotNull()
+                & e.isNotNull() & (e >= s)
+            )
+            .select(
+                k.alias("__k"),
+                i.alias("__%s_id" % side),
+                s.alias("__%s_s" % side),
+                e.alias("__%s_e" % side),
+            )
+            .withColumn(
+                "__cell",
+                F.explode(
+                    F.sequence(
+                        F.expr(
+                            "(__%s_s - pmod(__%s_s, %d)) div %d"
+                            % (side, side, b_us, b_us)
+                        ),
+                        F.expr(
+                            "(__%s_e - pmod(__%s_e, %d)) div %d"
+                            % (side, side, b_us, b_us)
+                        ),
+                    )
+                ),
+            )
+        )
+
+    lt = prep(left, left_id, left_start, left_end, "l")
+    rt = prep(right, right_id, right_start, right_end, "r")
+    cand = (
+        lt.join(rt, ["__k", "__cell"])
+        .filter(
+            (F.col("__l_s") <= F.col("__r_e"))
+            & (F.col("__r_s") <= F.col("__l_e"))
+        )
+        .select("__k", "__l_id", "__r_id", "__l_s", "__l_e", "__r_s", "__r_e")
+        .distinct()
+    )
+    ov_s = F.greatest("__l_s", "__r_s")
+    ov_e = F.least("__l_e", "__r_e")
+    return cand.select(
+        F.col("__k").alias(on),
+        F.col("__l_id").alias(left_id),
+        F.col("__r_id").alias(right_id),
+        ov_s.alias("overlap_start"),
+        ov_e.alias("overlap_end"),
+        (ov_e - ov_s).cast("long").alias("overlap_us"),
+    )

@@ -193,6 +193,7 @@ QUERIES = [
     "transitions",
     "pair_degrees",
     "l_diversity",
+    "window_overlaps",
 ]
 
 

@@ -126,3 +126,79 @@ class TestMutualBestMatches:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "WindowGroupLimit" in plan  # partial top-1 pushed down
+
+
+from evalidate_spark.operators.asof import interval_overlap_join
+
+
+def _iv2(spark, rows, idname):
+    return spark.createDataFrame(
+        rows, "k long, %s long, s long, e long" % idname)
+
+
+class TestIntervalOverlapJoin:
+    def _join(self, spark, lrows, rrows, bucket_s=1):
+        return interval_overlap_join(
+            _iv2(spark, lrows, "ida"), _iv2(spark, rrows, "idb"),
+            on="k", left_id="ida", right_id="idb",
+            left_start="s", left_end="e", right_start="s", right_end="e",
+            bucket_s=bucket_s,
+        )
+
+    def test_overlap_bounds_and_touch(self, spark):
+        # ida 1 [0,10] overlaps idb 1 [5,20] on [5,10]; idb 2 [10,12]
+        # touches at the single instant 10 (closed -> overlap_us 0);
+        # idb 3 [11,15] misses entirely
+        out = sorted(
+            self._join(
+                spark,
+                [(1, 1, 0, 10_000_000)],
+                [(1, 1, 5_000_000, 20_000_000),
+                 (1, 2, 10_000_000, 12_000_000),
+                 (1, 3, 11_000_000, 15_000_000)],
+            ).collect(),
+            key=lambda r: r.idb,
+        )
+        assert [(r.idb, r.overlap_start, r.overlap_end, r.overlap_us)
+                for r in out] == [
+            (1, 5_000_000, 10_000_000, 5_000_000),
+            (2, 10_000_000, 10_000_000, 0),
+        ]
+
+    def test_key_isolation(self, spark):
+        out = self._join(
+            spark, [(1, 1, 0, 10_000_000)], [(2, 9, 0, 10_000_000)]
+        ).collect()
+        assert out == []
+
+    def test_multi_cell_pair_emitted_once(self, spark):
+        # both spans cover many 1s grid cells -> candidate dedupe
+        out = self._join(
+            spark, [(1, 1, 0, 9_000_000)], [(1, 7, 0, 9_000_000)]
+        ).collect()
+        assert len(out) == 1 and out[0].overlap_us == 9_000_000
+
+    def test_malformed_and_null_dropped(self, spark):
+        out = self._join(
+            spark,
+            [(1, 1, 10_000_000, 0),          # reversed
+             (None, 2, 0, 10_000_000),       # NULL key
+             (1, None, 0, 10_000_000),       # NULL id
+             (1, 3, None, 10_000_000),       # NULL start
+             (1, 4, 0, 10_000_000)],
+            [(1, 9, 0, 10_000_000)],
+        ).collect()
+        assert [(r.ida, r.idb) for r in out] == [(4, 9)]
+
+    def test_contract(self, spark):
+        with pytest.raises(ValueError, match="bucket_s"):
+            self._join(spark, [(1, 1, 0, 1)], [(1, 2, 0, 1)], bucket_s=0)
+
+    def test_no_cross_join_in_plan(self, spark):
+        plan = (
+            self._join(spark, [(1, 1, 0, 1_000_000)],
+                       [(1, 2, 0, 1_000_000)], bucket_s=3600)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
