@@ -2771,6 +2771,33 @@ def q_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy roll-up (``olap.rollup_report``): doc counts and char
+    weight by (lang, source), by lang, and overall in ONE aggregate —
+    SQL ROLLUP with the standard grouping_id bitmask disambiguating
+    rolled-up NULLs from genuine NULL dimension values."""
+    from evalidate_spark.operators.olap import rollup_report
+
+    return rollup_report(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "n_chars"
+    )
+
+
+def q_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language cross-tab (``olap.pivot_matrix``) with a PINNED
+    language domain — one groupBy with conditional aggregates (no
+    distinct pre-scan), static output schema; languages outside the pin
+    (and NULL) count toward no column."""
+    from evalidate_spark.operators.olap import pivot_matrix
+
+    return pivot_matrix(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "lang",
+        ["de", "en", "es", "fr", "zh", "zz"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2947,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_degrees": q_pair_degrees,
         "l_diversity": q_l_diversity,
         "window_overlaps": q_window_overlaps,
+        "corpus_rollup": q_corpus_rollup,
+        "lang_matrix": q_lang_matrix,
     }
 
 
@@ -6611,6 +6640,26 @@ SELECT a.o_custkey, okey_a, okey_b,
   least(ea, eb) AS overlap_end,
   CAST(least(ea, eb) - greatest(sa, sb) AS BIGINT) AS overlap_us
 FROM a JOIN b ON a.o_custkey = b.o_custkey AND sa <= eb AND sb <= ea
+"""
+
+
+ORACLE["corpus_rollup"] = """
+SELECT lang, source,
+  CAST(2 * grouping(lang) + grouping(source) AS BIGINT) AS grouping_id,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(n_chars) AS BIGINT) AS total_weight
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+ORACLE["lang_matrix"] = """
+SELECT source,
+  CAST(sum(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+  CAST(sum(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+  CAST(sum(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+  CAST(sum(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh,
+  CAST(sum(CASE WHEN lang = 'zz' THEN 1 END) AS BIGINT) AS zz
+FROM documents GROUP BY source
 """
 
 

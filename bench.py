@@ -288,6 +288,8 @@ def main() -> None:
         "pair_degrees",
         "l_diversity",
         "window_overlaps",
+        "corpus_rollup",
+        "lang_matrix",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -194,6 +194,8 @@ QUERIES = [
     "pair_degrees",
     "l_diversity",
     "window_overlaps",
+    "corpus_rollup",
+    "lang_matrix",
 ]
 
 
