@@ -2798,6 +2798,20 @@ def q_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware rate anomalies
+    (``table_checks.seasonal_anomalies``): each hourly bucket scored
+    against the mean of the other buckets sharing its hour-of-day phase
+    (period 24) — densified spine, per-phase totals broadcast back,
+    decimal-widened integer bp; nothing ordered at event cardinality."""
+    from evalidate_spark.operators import table_checks
+
+    return table_checks.seasonal_anomalies(
+        _t(spark, sf_dir, "events"), bucket_s=3600, period=24,
+        spike_bp=8000, drop_bp=5000,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2976,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_overlaps": q_window_overlaps,
         "corpus_rollup": q_corpus_rollup,
         "lang_matrix": q_lang_matrix,
+        "seasonal_anomalies": q_seasonal_anomalies,
     }
 
 
@@ -6660,6 +6675,44 @@ SELECT source,
   CAST(sum(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh,
   CAST(sum(CASE WHEN lang = 'zz' THEN 1 END) AS BIGINT) AS zz
 FROM documents GROUP BY source
+"""
+
+
+ORACLE["seasonal_anomalies"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 1000000 AS es FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT es - ((es % 3600 + 3600) % 3600) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1
+), bd AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+sp AS (SELECT unnest(generate_series(lo, hi, 3600)) AS bucket_s FROM bd),
+d AS (
+  SELECT sp.bucket_s,
+    CAST((((sp.bucket_s // 3600) % 24) + 24) % 24 AS BIGINT) AS phase,
+    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+  FROM sp LEFT JOIN c ON c.b = sp.bucket_s
+), t AS (
+  SELECT phase, CAST(sum(n_events) AS BIGINT) AS ps,
+         CAST(count(*) AS BIGINT) AS pn
+  FROM d GROUP BY 1
+), s AS (
+  SELECT d.bucket_s, d.phase, d.n_events,
+         t.ps - d.n_events AS os, t.pn - 1 AS onn
+  FROM d JOIN t USING (phase)
+)
+SELECT bucket_s, phase, n_events,
+  CASE WHEN onn > 0 AND os > 0 THEN
+    CAST((CAST(10000 AS HUGEINT) * n_events * onn) // os AS BIGINT)
+  END AS rate_bp,
+  CASE WHEN onn <= 0 THEN FALSE
+       WHEN os = 0 THEN n_events > 0
+       ELSE (CAST(10000 AS HUGEINT) * n_events * onn) // os >= 18000
+  END AS spike,
+  coalesce(onn > 0 AND os > 0 AND
+    (CAST(10000 AS HUGEINT) * n_events * onn) // os <= 5000, FALSE)
+    AS drop
+FROM s
 """
 
 

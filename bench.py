@@ -290,6 +290,7 @@ def main() -> None:
         "window_overlaps",
         "corpus_rollup",
         "lang_matrix",
+        "seasonal_anomalies",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -3076,3 +3076,99 @@ def concentration_profile(
             " div (n_groups * __W) AS bigint)"
         ).alias("gini_bp"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    period: int = 24,
+    spike_bp: int = 10000,
+    drop_bp: int = 5000,
+) -> DataFrame:
+    """Seasonality-aware rate anomaly — the fix for
+    :func:`rate_anomalies`' one flat baseline: a Sunday-night lull is
+    normal FOR SUNDAY NIGHT, so each bucket is scored against the mean
+    of the OTHER buckets sharing its phase (``bucket index mod
+    period`` — hour-of-day with hourly buckets and period 24,
+    day-of-week with daily buckets and period 7), not against the
+    whole history.
+
+    Zero-event buckets count (the spine is densified from a broadcast
+    bounds aggregate, as in :func:`rate_changepoints`).  Output: one
+    row per bucket — ``(bucket_s, phase, n_events, rate_bp, spike,
+    drop)`` with ``rate_bp = 10000·n·(n_phase−1) div Σ_others`` in
+    decimal-widened integer math (NULL when the phase has no other
+    bucket or its others are all-zero — then ``spike`` still fires on
+    literal zero→nonzero).  NULL timestamps are excluded.
+
+    Plan: one map-side-combined count per bucket (the only
+    event-cardinality shuffle); the spine explode, the per-phase
+    totals (≤ *period* rows, broadcast back), and the scoring all run
+    on the bucket table.  The aggregate-first rule again: nothing
+    ordered or joined at event cardinality.
+    """
+    from .sessions import _micros
+
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if spike_bp <= 0 or not (0 < drop_bp <= 10000):
+        raise ValueError("spike_bp must be > 0 and drop_bp in (0, 10000]")
+    epoch_s = F.floor(_micros(df, ts_col) / F.lit(1000000)).cast("long")
+    bucket = (epoch_s - F.pmod(epoch_s, F.lit(bucket_s))).cast("long")
+    counts = (
+        df.filter(F.col("`%s`" % ts_col).isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    bounds = counts.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(bucket_s)))
+        ).alias("bucket_s")
+    )
+    dense = spine.join(counts, spine.bucket_s == counts.__b, "left").select(
+        "bucket_s",
+        F.pmod(
+            F.expr("bucket_s div %d" % int(bucket_s)), F.lit(int(period))
+        ).cast("long").alias("phase"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    totals = dense.groupBy("phase").agg(
+        F.sum("n_events").cast("long").alias("__ps"),
+        F.count(F.lit(1)).cast("long").alias("__pn"),
+    )
+    scored = dense.join(F.broadcast(totals), "phase").select(
+        "bucket_s",
+        "phase",
+        "n_events",
+        (F.col("__ps") - F.col("n_events")).alias("__os"),
+        (F.col("__pn") - 1).alias("__on"),
+    )
+    rate = F.when(
+        (F.col("__on") > 0) & (F.col("__os") > 0),
+        F.expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * n_events * __on)"
+            " div __os AS BIGINT)"
+        ),
+    )
+    spike = F.when(F.col("__on") <= 0, F.lit(False)).otherwise(
+        F.when(F.col("__os") == 0, F.col("n_events") > 0).otherwise(
+            rate >= 10000 + int(spike_bp)
+        )
+    )
+    drop = (
+        (F.col("__on") > 0)
+        & (F.col("__os") > 0)
+        & (rate <= 10000 - int(drop_bp))
+    )
+    return scored.select(
+        "bucket_s",
+        "phase",
+        "n_events",
+        rate.alias("rate_bp"),
+        spike.alias("spike"),
+        F.coalesce(drop, F.lit(False)).alias("drop"),
+    )

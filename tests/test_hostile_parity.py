@@ -196,6 +196,7 @@ QUERIES = [
     "window_overlaps",
     "corpus_rollup",
     "lang_matrix",
+    "seasonal_anomalies",
 ]
 
 

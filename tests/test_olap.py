@@ -80,3 +80,58 @@ class TestPivotMatrix:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+from pyspark.sql import functions as F
+
+from evalidate_spark.operators.table_checks import seasonal_anomalies
+
+_HOUR_S = 3600
+
+
+def _ev(spark, hour_counts):
+    # hour_counts: {hour_index: n_events}; bucket period 4 for tests
+    rows = [(h * _HOUR_S * 1_000_000 + i, ) for h, n in hour_counts.items()
+            for i in range(n)]
+    return spark.createDataFrame(rows, "us long").select(
+        F.timestamp_micros("us").alias("ts"))
+
+
+class TestSeasonalAnomalies:
+    def test_same_phase_baseline(self, spark):
+        # phases 0..3; phase 0 at hours 0,4,8: counts 10,10,100
+        # hour 8 vs others-mean 10 -> 100000 bp spike; hours 0,4 vs
+        # mean (10+100)/2=55 -> 1818bp -> drop
+        counts = {0: 10, 4: 10, 8: 100}
+        for h in range(12):
+            counts.setdefault(h, 5)  # steady other phases
+        out = {r.bucket_s // _HOUR_S: r for r in seasonal_anomalies(
+            _ev(spark, counts), bucket_s=_HOUR_S, period=4,
+            spike_bp=8000, drop_bp=5000).collect()}
+        assert out[8].phase == 0 and out[8].spike and not out[8].drop
+        assert out[8].rate_bp == (10000 * 100 * 2) // 20
+        assert out[0].drop and out[4].drop
+        assert not out[1].spike and not out[1].drop
+
+    def test_silent_bucket_counts_as_zero(self, spark):
+        # hour 2 missing entirely -> densified to 0 events -> drop
+        counts = {h: 10 for h in range(8) if h != 2}
+        out = {r.bucket_s // _HOUR_S: r for r in seasonal_anomalies(
+            _ev(spark, counts), bucket_s=_HOUR_S, period=4).collect()}
+        assert out[2].n_events == 0 and out[2].drop
+
+    def test_zero_to_nonzero_spikes_without_ratio(self, spark):
+        # phase 1 silent except hour 5 -> others all zero: rate NULL,
+        # spike True by the explicit zero->nonzero test
+        counts = {h: (7 if h % 4 == 0 else 0) for h in range(12)}
+        counts[5] = 3
+        out = {r.bucket_s // _HOUR_S: r for r in seasonal_anomalies(
+            _ev(spark, counts), bucket_s=_HOUR_S, period=4).collect()}
+        assert out[5].rate_bp is None and out[5].spike
+
+    def test_contracts(self, spark):
+        df = _ev(spark, {0: 1})
+        with pytest.raises(ValueError, match="period"):
+            seasonal_anomalies(df, period=1)
+        with pytest.raises(ValueError, match="bucket_s"):
+            seasonal_anomalies(df, bucket_s=0)
