@@ -2812,6 +2812,20 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON-column extraction
+    (``semistructured.json_extract_typed``): pull ``k`` out of the
+    events ``props`` bag as a real bigint with the three-state
+    ``json_ok`` flag (parsed / malformed / cell-was-NULL) — pure
+    JVM-side from_json projection, no UDF, no shuffle."""
+    from evalidate_spark.functions.semistructured import json_extract_typed
+
+    return json_extract_typed(
+        _t(spark, sf_dir, "events"), "props", "k bigint",
+        keep=["event_id"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -2991,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "lang_matrix": q_lang_matrix,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "props_extract": q_props_extract,
     }
 
 
@@ -6713,6 +6728,15 @@ SELECT bucket_s, phase, n_events,
     (CAST(10000 AS HUGEINT) * n_events * onn) // os <= 5000, FALSE)
     AS drop
 FROM s
+"""
+
+
+ORACLE["props_extract"] = """
+SELECT event_id,
+  CASE WHEN props IS NOT NULL AND json_valid(props)
+       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+  CASE WHEN props IS NULL THEN NULL ELSE json_valid(props) END AS json_ok
+FROM events
 """
 
 

@@ -291,6 +291,7 @@ def main() -> None:
         "corpus_rollup",
         "lang_matrix",
         "seasonal_anomalies",
+        "props_extract",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

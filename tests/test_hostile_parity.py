@@ -197,6 +197,7 @@ QUERIES = [
     "corpus_rollup",
     "lang_matrix",
     "seasonal_anomalies",
+    "props_extract",
 ]
 
 

@@ -135,3 +135,40 @@ class TestSeasonalAnomalies:
             seasonal_anomalies(df, period=1)
         with pytest.raises(ValueError, match="bucket_s"):
             seasonal_anomalies(df, bucket_s=0)
+
+
+from evalidate_spark.functions.semistructured import json_extract_typed
+
+
+class TestJsonExtractTyped:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, props string")
+
+    def test_three_state_flag(self, spark):
+        df = self._df(spark, [
+            (1, '{"k": 7, "tag": "a"}'),
+            (2, 'not json'),
+            (3, None),
+            (4, '{"k": "abc"}'),   # field fails coercion, json still ok
+            (5, '{"other": 1}'),   # key absent -> NULL field, json ok
+        ])
+        out = {r.id: r for r in json_extract_typed(
+            df, "props", "k bigint, tag string", keep=["id"]).collect()}
+        assert (out[1].k, out[1].tag, out[1].json_ok) == (7, "a", True)
+        assert out[2].json_ok is False and out[2].k is None
+        assert out[3].json_ok is None
+        assert out[4].json_ok is True and out[4].k is None
+        assert out[5].json_ok is True and out[5].k is None
+
+    def test_collision_contract(self, spark):
+        df = self._df(spark, [(1, "{}")])
+        with pytest.raises(ValueError, match="collide"):
+            json_extract_typed(df, "props", "id bigint", keep=["id"])
+
+    def test_no_shuffle_plan(self, spark):
+        plan = (
+            json_extract_typed(self._df(spark, [(1, "{}")]), "props",
+                               "k bigint", keep=["id"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
