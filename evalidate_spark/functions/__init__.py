@@ -46,6 +46,7 @@ from . import (  # noqa: F401
     multimodal,
     perceptual,
     sampling,
+    semistructured,
     similarity,
     text,
     web,

@@ -60,6 +60,8 @@ from .table_checks import (
     k_anonymity,
     bloom_build,
     concentration_profile,
+    l_diversity,
+    seasonal_anomalies,
 )
 from .spans import span_rules, span_structure_violations
 from .reconcile import (
@@ -78,7 +80,8 @@ from .sessions import (
     suppress_repeats,
     trailing_window_features,
 )
-from .asof import asof_join, interval_islands, range_join
+from .asof import asof_join, interval_islands, interval_overlap_join, range_join
+from .olap import pivot_matrix, rollup_report
 from .suggest import (
     functional_dependencies,
     suggest_constraints,
