@@ -2826,6 +2826,108 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grammar_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length deterministic span arrays (1–5 spans per doc,
+    kind pattern a pure function of doc_id) — richer kind SEQUENCES than
+    ``_derived_spans``'s fixed three, so the grammar check has real
+    variety to chew on.  NULL doc_id → NULL spans (the no-spans
+    contract).  The same construction is written closed-form in the
+    DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n = (F.lit(1) + F.pmod(i, F.lit(5))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.struct(
+            F.when(
+                (F.pmod(i, F.lit(23)) == 0) & (j == n - 1), F.lit("junk")
+            )
+            .when(F.pmod(i + j * j, F.lit(3)) == 0, F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(
+                ~((F.pmod(i, F.lit(23)) == 0) & (j == n - 1))
+                & ~(F.pmod(i + j * j, F.lit(3)) == 0),
+                F.concat(F.lit("w"), j.cast("string")),
+            ).alias("text"),
+            F.when(
+                ~((F.pmod(i, F.lit(23)) == 0) & (j == n - 1))
+                & (F.pmod(i + j * j, F.lit(3)) == 0),
+                F.concat(F.lit("m-"), F.pmod(i + j, F.lit(30)).cast("string")),
+            ).alias("media_ref"),
+            (j * 10).cast("int").alias("offset"),
+        ),
+    )
+    return d.select(i.alias("doc_id"), spans.alias("spans"))
+
+
+def q_span_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-sequence grammar verdicts (``spans.span_grammar``): each
+    doc's span kinds folded to a one-char signature (explode-free HOF +
+    array_join) and matched against the interleaving policy "opens with
+    text, then any text/media mix" (``^t[tm]*$``) — the cross-element
+    ordering rule the reference's per-element list mapping cannot see.
+    Unknown kinds become '?' and fail; ``max_media_run`` exposes
+    back-to-back media even when the grammar passes.  One fused
+    projection, no shuffle."""
+    from evalidate_spark.operators.spans import span_grammar
+
+    return span_grammar(_grammar_spans(spark, sf_dir), grammar="^t[tm]*$")
+
+
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join fan-out audit (``table_checks.join_fanout``): projected
+    output cardinality of the events ⋈ events self-join on user_id —
+    per-key n_left·n_right products computed from the two key
+    HISTOGRAMS (the join itself never runs), top-20 keys by projected
+    output with integer-bp share of the total and the many-to-many
+    flag.  The "will this shuffle explode?" gate to run before any
+    100 TB join."""
+    from evalidate_spark.operators.table_checks import join_fanout
+
+    ev = _t(spark, sf_dir, "events")
+    return join_fanout(ev, ev, "user_id", top_k=20)
+
+
+def q_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair graph shape report (``dedup.pair_graph_stats``)
+    over the supplier co-listing graph (suppliers sharing an order —
+    exactly the bucket-co-membership shape LSH pair generation emits):
+    exact node/edge/triangle/wedge counts and the global clustering
+    coefficient in integer bp.  High closure → tight dup cliques, safe
+    to merge transitively; low closure → chains and hubs, triage first.
+    Edges come from a deterministic 1/20 order subset: the full
+    co-listing graph over only ~1k suppliers is near-complete (every
+    node a hub), which is exactly the graph the operator's max_degree
+    cap exists to refuse — the thinned subset keeps the triangle count
+    exact AND meaningful."""
+    from evalidate_spark.functions.dedup import pair_graph_stats
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_suppkey").isNotNull()
+        & (F.pmod(F.col("l_orderkey"), F.lit(20)) == 0)
+    )
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("id_a")).distinct()
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("id_b")).distinct()
+    edges = a.join(b, "l_orderkey").filter(F.col("id_a") < F.col("id_b"))
+    return pair_graph_stats(edges.select("id_a", "id_b"))
+
+
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile profile of l_extendedprice
+    (``table_checks.equifreq_profile``): exact per-bucket
+    (n_rows, min, max) for 10 target-equal buckets via the two-level
+    histogram plan — value-coherent ties, NEVER a global ntile window
+    (that moves every row to one task).  The heavy-tail drift primitive
+    equi-width histograms miss."""
+    from evalidate_spark.operators.table_checks import equifreq_profile
+
+    return equifreq_profile(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", k=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3006,6 +3108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_matrix": q_lang_matrix,
         "seasonal_anomalies": q_seasonal_anomalies,
         "props_extract": q_props_extract,
+        "span_grammar": q_span_grammar,
+        "join_fanout": q_join_fanout,
+        "pair_triangles": q_pair_triangles,
+        "price_deciles": q_price_deciles,
     }
 
 
@@ -6737,6 +6843,99 @@ SELECT event_id,
        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
   CASE WHEN props IS NULL THEN NULL ELSE json_valid(props) END AS json_ok
 FROM events
+"""
+
+
+# mirrors _grammar_spans + spans.span_grammar: the span construction is
+# a pure function of doc_id, so the signature is rebuilt closed-form
+ORACLE["span_grammar"] = """
+WITH d AS (
+  SELECT doc_id, 1 + ((doc_id % 5) + 5) % 5 AS n FROM documents
+), s AS (
+  SELECT doc_id, n,
+    CASE WHEN doc_id IS NULL THEN NULL ELSE
+      array_to_string(list_transform(range(0, CAST(n AS BIGINT)), j ->
+        CASE WHEN ((doc_id % 23) + 23) % 23 = 0 AND j = n - 1 THEN '?'
+             WHEN (((doc_id + j*j) % 3) + 3) % 3 = 0 THEN 'm'
+             ELSE 't' END), '') END AS sig
+  FROM d
+)
+SELECT doc_id,
+  coalesce(sig, '') AS kind_sig,
+  CAST(CASE WHEN doc_id IS NULL THEN 0 ELSE n END AS INT) AS n_spans,
+  CAST(coalesce(list_max(list_transform(
+      string_split_regex(coalesce(sig, ''), '[^m]+'),
+      x -> length(x))), 0) AS INT) AS max_media_run,
+  regexp_matches(coalesce(sig, ''), '^t[tm]*$') AS grammar_ok
+FROM s
+"""
+
+
+ORACLE["join_fanout"] = """
+WITH f AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), pk AS (
+  SELECT key, n AS n_left, n AS n_right, CAST(n AS HUGEINT) * n AS o
+  FROM f
+), t AS (SELECT sum(o) AS tot FROM pk)
+SELECT key, n_left, n_right, CAST(o AS BIGINT) AS out_rows,
+  CAST(CASE WHEN tot > 0 THEN (o * 10000) // tot END AS BIGINT)
+    AS out_share_bp,
+  (n_left > 1 AND n_right > 1) AS many_to_many
+FROM pk, t
+ORDER BY out_rows DESC, key ASC
+LIMIT 20
+"""
+
+
+ORACLE["pair_triangles"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND ((l_orderkey % 20) + 20) % 20 = 0
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT lo AS id FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY 1
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+), en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.hi = e2.lo
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+  CAST(CASE WHEN n_wedges > 0 THEN (30000 * n_triangles) // n_wedges END
+       AS BIGINT) AS closure_bp,
+  CAST(0 AS BIGINT) AS n_capped_nodes
+FROM base, en, tri
+"""
+
+
+ORACLE["price_deciles"] = """
+WITH vc AS (
+  SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, n,
+    CAST(coalesce(sum(n) OVER (
+      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS before,
+    CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM vc
+)
+SELECT CAST((before * 10) // total + 1 AS BIGINT) AS bucket,
+  CAST(sum(n) AS BIGINT) AS n_rows, min(v) AS min_v, max(v) AS max_v
+FROM cum GROUP BY 1
 """
 
 

@@ -292,6 +292,10 @@ def main() -> None:
         "lang_matrix",
         "seasonal_anomalies",
         "props_extract",
+        "span_grammar",
+        "join_fanout",
+        "pair_triangles",
+        "price_deciles",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -1962,3 +1962,101 @@ def pair_graph_degrees(
             (F.col("degree") >= F.lit(int(hub_min_degree))).alias("hub"),
         )
     )
+
+
+def pair_graph_stats(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_degree: int = None,
+) -> DataFrame:
+    """Global shape statistics of a candidate-pair graph — ONE row
+    ``(n_nodes, n_edges, n_triangles, n_wedges, closure_bp,
+    n_capped_nodes)`` telling you what :func:`duplicate_clusters` is
+    about to walk into.  High closure (triangles / wedges) means the
+    candidates form tight dup cliques — clustering converges fast and
+    transitive merging is safe; low closure means chains / hub sprays —
+    expect long components and template hubs (route through
+    :func:`pair_graph_degrees` first).
+
+    * ``n_triangles`` — exact, each triangle counted once via the
+      ordered (a<b<c) two-hop join;
+    * ``n_wedges`` — Σ deg·(deg−1)/2 over distinct-neighbour degrees;
+    * ``closure_bp`` — global clustering coefficient
+      ``3·triangles / wedges`` in integer basis points (NULL when the
+      graph has no wedges).
+
+    The two-hop join enumerates wedges, so a 10^5-degree hub alone costs
+    ~10^10 join rows; *max_degree* (recommended at scale) drops nodes
+    above it from the triangle/wedge count — exact stats on the capped
+    graph plus ``n_capped_nodes`` so the report says what was excluded.
+    NULL ids and self-loops are dropped; duplicate pairs count once.
+
+    Plan: distinct canonical edge set (one pair-cardinality shuffle),
+    degree aggregate riding the symmetrized edges, the two-hop
+    self-join on the canonical orientation only (each wedge a<b<c
+    enumerated exactly once), then three 1-row aggregates combined by
+    broadcast — nothing wider than the wedge enumeration ever exists."""
+    a, b = F.col("`%s`" % a_col), F.col("`%s`" % b_col)
+    live = pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+    e = live.select(
+        F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi")
+    ).distinct()
+    deg = (
+        e.select(F.col("lo").alias("id"))
+        .unionByName(e.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    capped = F.lit(0).cast("long")
+    if max_degree is not None:
+        hubs = deg.filter(F.col("d") > int(max_degree)).select("id")
+        n_capped = hubs.agg(F.count(F.lit(1)).cast("long").alias("n_capped"))
+        e = (
+            e.join(hubs.withColumnRenamed("id", "lo"), "lo", "left_anti")
+            .join(hubs.withColumnRenamed("id", "hi"), "hi", "left_anti")
+            .select("lo", "hi")
+        )
+        deg = (
+            e.select(F.col("lo").alias("id"))
+            .unionByName(e.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("(d * (d - 1)) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edges_n = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # wedges a<b<c as (a,b)+(b,c) on canonical edges; close with (a,c)
+    e2 = e.select(F.col("lo").alias("m"), F.col("hi").alias("c"))
+    tri = (
+        e.withColumnRenamed("hi", "m")
+        .join(e2, "m")
+        .join(
+            e.withColumnRenamed("lo", "lo2").withColumnRenamed("hi", "c2"),
+            (F.col("lo") == F.col("lo2")) & (F.col("c") == F.col("c2")),
+            "inner",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    row = base.join(F.broadcast(edges_n)).join(F.broadcast(tri))
+    if max_degree is not None:
+        row = row.join(F.broadcast(n_capped))
+    else:
+        row = row.select("*", capped.alias("n_capped"))
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("(30000 * n_triangles) DIV n_wedges"),
+        )
+        .cast("long")
+        .alias("closure_bp"),
+        F.col("n_capped").cast("long").alias("n_capped_nodes"),
+    )

@@ -62,8 +62,10 @@ from .table_checks import (
     concentration_profile,
     l_diversity,
     seasonal_anomalies,
+    join_fanout,
+    equifreq_profile,
 )
-from .spans import span_rules, span_structure_violations
+from .spans import span_grammar, span_rules, span_structure_violations
 from .reconcile import (
     changelog_compact,
     reconcile_sums,

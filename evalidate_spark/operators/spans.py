@@ -211,3 +211,64 @@ def media_refs(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         lambda r: r.isNotNull(),
     )
     return docs.select(F.col("doc_id"), F.explode(refs).alias("media_ref"))
+
+
+def span_grammar(
+    docs: DataFrame,
+    grammar: str,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+    kind_chars: Sequence[tuple] = (("text", "t"), ("media", "m")),
+    other_char: str = "?",
+) -> DataFrame:
+    """Kind-SEQUENCE validation of the interleaved span array — the
+    cross-element grammar the reference's per-element rules cannot
+    express (its list mapping, ``/root/reference/src/evalidate.erl:48-49``,
+    sees one object at a time): "a document must open with text", "no two
+    media spans back-to-back", "every media span needs a text caption
+    after it" are all constraints on the ORDER of kinds.
+
+    Each doc's span kinds are folded to a signature string over a
+    one-char alphabet (*kind_chars*; unknown/NULL kinds become
+    *other_char*, which no sane grammar accepts) and matched against the
+    *grammar* regex (unanchored, like the reference's regexp validator —
+    anchor explicitly).  Returns one row per doc:
+
+    ``(doc_id, kind_sig, n_spans, max_media_run, grammar_ok)``
+
+    * ``kind_sig`` — '' for NULL/empty span arrays (never NULL: a doc
+      with no spans still gets a verdict, and ``^t`` style grammars
+      reject it as they should);
+    * ``max_media_run`` — longest back-to-back run of the media char,
+      the one sequence stat worth having even when the grammar passes
+      (alt text / caption budgeting);
+    * ``grammar_ok`` — the verdict.
+
+    Scale shape: ONE fused per-row projection — transform + array_join +
+    two regexp evaluations; no explode, no shuffle, no UDF.  The
+    signature string is ≤ one char per span (a 10k-span doc folds to a
+    10 kB string), so this stays cheap at 10^12 docs."""
+    spans = _spans(spans_col)
+    media_char = dict(kind_chars).get("media", "m")
+
+    def _char(s):
+        e = None
+        for kind, c in kind_chars:
+            e = (F.when(s["kind"] == kind, F.lit(c)) if e is None
+                 else e.when(s["kind"] == kind, F.lit(c)))
+        return e.otherwise(F.lit(other_char))
+
+    sig = F.coalesce(
+        F.array_join(F.transform(spans, _char), ""), F.lit("")
+    )
+    runs = F.split(sig, "[^%s]+" % media_char)
+    max_run = F.coalesce(
+        F.array_max(F.transform(runs, lambda r: F.length(r))), F.lit(0)
+    ).cast("int")
+    return docs.select(
+        F.col("`%s`" % doc_id).alias("doc_id"),
+        sig.alias("kind_sig"),
+        F.coalesce(F.size(spans), F.lit(0)).cast("int").alias("n_spans"),
+        max_run.alias("max_media_run"),
+        sig.rlike(grammar).alias("grammar_ok"),
+    )

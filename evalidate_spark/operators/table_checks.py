@@ -3172,3 +3172,125 @@ def seasonal_anomalies(
         spike.alias("spike"),
         F.coalesce(drop, F.lit(False)).alias("drop"),
     )
+
+
+def join_fanout(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: Optional[str] = None,
+    top_k: int = 20,
+    hot_bp: int = 1000,
+) -> DataFrame:
+    """Pre-join fan-out audit — the "will this join explode?" check to
+    run BEFORE committing a 100 TB shuffle.  Join output cardinality is
+    ``Σ_key n_left(key) · n_right(key)``; one key with a million rows on
+    each side contributes 10^12 output rows all materialised by the
+    task(s) owning that key.  This operator computes the exact per-key
+    product from the two key histograms (never by running the join):
+
+    ``(key, n_left, n_right, out_rows, out_share_bp, many_to_many)``
+
+    for the *top_k* keys by projected output, ordered
+    ``out_rows DESC, key ASC`` (deterministic).  ``out_share_bp`` is the
+    key's integer-basis-point share of the TOTAL projected join output —
+    the direct "this one key is 38% of the join" signal that picks the
+    salting factor / AQE skew threshold; ``many_to_many`` flags
+    ``n_left > 1 AND n_right > 1`` (the shape that multiplies; 1:N keys
+    are mere skew).  NULL keys never match in an equi-join and are
+    excluded (profile/completeness checks own NULL accounting).
+
+    Scale shape: one map-side-combined ``groupBy`` per input (output ≤
+    #distinct keys each), an inner join of the two AGGREGATES (AQE-sized,
+    orders of magnitude smaller than the data join being audited),
+    a 1-row total joined back by broadcast, TakeOrdered top-k.  Pure
+    int64/decimal arithmetic — ``out_rows`` products are widened to
+    decimal(38,0) before summing so a 10^12-row projection can't
+    overflow."""
+    key_r = right_on or left_on
+    lf = (
+        left.filter(F.col("`%s`" % left_on).isNotNull())
+        .groupBy(F.col("`%s`" % left_on).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rf = (
+        right.filter(F.col("`%s`" % key_r).isNotNull())
+        .groupBy(F.col("`%s`" % key_r).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    per_key = lf.join(rf, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left").cast("decimal(38,0)") * F.col("n_right"))
+        .alias("__out_d"),
+        ((F.col("n_left") > 1) & (F.col("n_right") > 1)).alias("many_to_many"),
+    )
+    total = per_key.agg(
+        F.coalesce(F.sum("__out_d"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__total"
+        )
+    )
+    return (
+        per_key.join(F.broadcast(total))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            F.col("__out_d").cast("long").alias("out_rows"),
+            F.when(
+                F.col("__total") > 0,
+                F.floor(F.col("__out_d") * 10000 / F.col("__total")).cast(
+                    "long"
+                ),
+            ).alias("out_share_bp"),
+            "many_to_many",
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("key").asc())
+        .limit(int(top_k))
+    )
+
+
+def equifreq_profile(
+    df: DataFrame, column: str, k: int = 10
+) -> DataFrame:
+    """Equal-frequency (quantile) binning profile of a numeric column —
+    per-bucket exact ``(bucket, n_rows, min_v, max_v)`` for *k*
+    target-equal buckets.  The per-bucket spread is the drift/outlier
+    primitive equi-WIDTH histograms miss on heavy-tailed columns (one
+    hot bucket, nine empty).
+
+    NOT a global ``ntile()`` — that window moves every row to one task
+    (Spark warns, and at 10^12 rows it is simply wrong).  Instead the
+    classic two-level plan: (1) value histogram via map-side-combined
+    ``groupBy`` (output = #distinct values), (2) cumulative counts via a
+    window over the DISTINCT VALUES ONLY — cardinality-bounded like the
+    drift/histogram operators, documented ceiling; pre-bucket upstream
+    if a column has billions of distinct values — then (3) every row of
+    a value lands in ``bucket = (rows_before · k) div total + 1``,
+    folding the row-level assignment back onto the histogram.  Ties are
+    VALUE-COHERENT: equal values share a bucket (percentile_disc
+    semantics), so buckets are deterministic cross-engine but uneven
+    under heavy ties — ``n_rows`` exposes exactly how uneven.  NULLs are
+    excluded (completeness checks own them)."""
+    if k < 1:
+        raise ValueError("equifreq_profile needs k >= 1")
+    v = F.col("`%s`" % column)
+    vc = df.filter(v.isNotNull()).groupBy(v.alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    total = vc.agg(F.sum("n").alias("total"))
+    cum = vc.select(
+        "v", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    ).join(F.broadcast(total))
+    bucket = F.expr("(before * %d) DIV total" % int(k)) + 1
+    return (
+        cum.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,195 @@
+"""span_grammar (kind-sequence regex over the interleaved spans),
+join_fanout (pre-join key-multiplicity audit), pair_graph_stats
+(triangle/wedge/closure shape report), equifreq_profile (equal-frequency
+binning): contract tests on hand-built frames — NULL/empty handling,
+exact integer math, determinism, cap semantics."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from evalidate_spark.functions.dedup import pair_graph_stats
+from evalidate_spark.operators.spans import span_grammar
+from evalidate_spark.operators.table_checks import (
+    equifreq_profile,
+    join_fanout,
+)
+
+
+def _span(kind, offset=0):
+    return Row(kind=kind, text=None, media_ref=None, offset=offset)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+class TestSpanGrammar:
+    def test_signature_and_verdict(self, spark):
+        df = _docs(spark, [
+            ("d1", [_span("text"), _span("media"), _span("text")]),
+            ("d2", [_span("media"), _span("text")]),           # opens media
+            ("d3", [_span("text"), _span("media"), _span("media")]),
+            ("d4", [_span("text"), _span("junk")]),            # unknown kind
+        ])
+        out = {r.doc_id: r for r in
+               span_grammar(df, "^t[tm]*$").collect()}
+        assert out["d1"].kind_sig == "tmt" and out["d1"].grammar_ok
+        assert out["d2"].kind_sig == "mt" and not out["d2"].grammar_ok
+        assert out["d3"].kind_sig == "tmm" and out["d3"].grammar_ok
+        assert out["d3"].max_media_run == 2
+        assert out["d4"].kind_sig == "t?" and not out["d4"].grammar_ok
+
+    def test_null_and_empty_spans(self, spark):
+        df = _docs(spark, [("d1", None), ("d2", [])])
+        out = {r.doc_id: r for r in span_grammar(df, "^t").collect()}
+        for d in ("d1", "d2"):
+            assert out[d].kind_sig == ""          # never NULL
+            assert out[d].n_spans == 0
+            assert out[d].max_media_run == 0
+            assert out[d].grammar_ok is False
+
+    def test_null_kind_is_other_char(self, spark):
+        df = _docs(spark, [("d1", [_span(None), _span("text")])])
+        r = span_grammar(df, "^t[tm]*$").collect()[0]
+        assert r.kind_sig == "?t" and not r.grammar_ok
+
+    def test_unanchored_grammar_matches_anywhere(self, spark):
+        df = _docs(spark, [("d1", [_span("media"), _span("text")])])
+        assert span_grammar(df, "t").collect()[0].grammar_ok
+
+    def test_media_run_at_edges(self, spark):
+        df = _docs(spark, [
+            ("d1", [_span("media"), _span("media"), _span("media")]),
+            ("d2", [_span("text")]),
+        ])
+        out = {r.doc_id: r.max_media_run
+               for r in span_grammar(df, "^t").collect()}
+        assert out == {"d1": 3, "d2": 0}
+
+
+class TestJoinFanout:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1 + [(None,)] * 4,
+            "k string")
+        right = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 1 + [("d",)] * 7 + [(None,)] * 2,
+            "k string")
+        return left, right
+
+    def test_products_and_share(self, spark):
+        left, right = self._frames(spark)
+        rows = {r.key: r for r in
+                join_fanout(left, right, "k").collect()}
+        # only matching non-NULL keys appear; c and d are one-sided
+        assert set(rows) == {"a", "b"}
+        assert (rows["a"].n_left, rows["a"].n_right, rows["a"].out_rows) \
+            == (3, 5, 15)
+        assert rows["b"].out_rows == 2
+        # total projected output = 17
+        assert rows["a"].out_share_bp == 15 * 10000 // 17
+        assert rows["b"].out_share_bp == 2 * 10000 // 17
+        assert rows["a"].many_to_many is True
+        assert rows["b"].many_to_many is False   # n_right == 1
+
+    def test_projection_equals_real_join(self, spark):
+        left, right = self._frames(spark)
+        projected = (join_fanout(left, right, "k", top_k=100)
+                     .agg(F.sum("out_rows")).collect()[0][0])
+        actual = left.join(right, "k").count()
+        assert projected == actual
+
+    def test_top_k_order_deterministic(self, spark):
+        left = spark.createDataFrame(
+            [("x",)] * 2 + [("y",)] * 2 + [("z",)] * 3, "k string")
+        out = join_fanout(left, left, "k", top_k=2).collect()
+        # z=9 first, then the x/y tie (4) broken key-ascending
+        assert [r.key for r in out] == ["z", "x"]
+
+    def test_different_key_names(self, spark):
+        left = spark.createDataFrame([(1,)], "a long")
+        right = spark.createDataFrame([(1,), (1,)], "b long")
+        r = join_fanout(left, right, "a", "b").collect()[0]
+        assert (r.key, r.n_left, r.n_right, r.out_rows) == ("1", 1, 2, 2)
+        assert r.out_share_bp == 10000
+
+
+class TestPairGraphStats:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a string, id_b string")
+
+    def test_diamond(self, spark):
+        # K4 minus edge (a,d): triangles abc + bcd, degrees a2 b3 c3 d2
+        e = self._edges(spark, [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")])
+        r = pair_graph_stats(e).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) \
+            == (4, 5, 2, 8)
+        assert r.closure_bp == 30000 * 2 // 8
+        assert r.n_capped_nodes == 0
+
+    def test_dups_self_loops_reversed(self, spark):
+        e = self._edges(spark, [
+            ("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"), (None, "b")])
+        r = pair_graph_stats(e).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) \
+            == (2, 1, 0, 0)
+        assert r.closure_bp is None
+
+    def test_max_degree_cap(self, spark):
+        # hub h connected to 5 leaves + one leaf-leaf edge forming a
+        # triangle with the hub; cap degree 2 drops h entirely
+        e = self._edges(spark, [
+            ("h", x) for x in "abcde"] + [("a", "b")])
+        full = pair_graph_stats(e).collect()[0]
+        assert full.n_triangles == 1 and full.n_wedges == 10 + 1 + 1
+        capped = pair_graph_stats(e, max_degree=2).collect()[0]
+        assert capped.n_capped_nodes == 1
+        assert (capped.n_nodes, capped.n_edges, capped.n_triangles) \
+            == (2, 1, 0)
+
+    def test_empty(self, spark):
+        r = pair_graph_stats(
+            self._edges(spark, []).filter(F.lit(False))).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) \
+            == (0, 0, 0, 0)
+
+
+class TestEquifreqProfile:
+    def test_even_split(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(100)],
+                                   "v double")
+        out = equifreq_profile(df, "v", k=4).collect()
+        assert [r.bucket for r in out] == [1, 2, 3, 4]
+        assert all(r.n_rows == 25 for r in out)
+        assert out[0].min_v == 0.0 and out[0].max_v == 24.0
+        assert out[3].min_v == 75.0 and out[3].max_v == 99.0
+
+    def test_ties_are_value_coherent(self, spark):
+        # one value owns 90% of rows: all of it lands in ONE bucket
+        df = spark.createDataFrame(
+            [(1.0,)] * 90 + [(2.0,)] * 5 + [(3.0,)] * 5, "v double")
+        out = {r.bucket: r for r in
+               equifreq_profile(df, "v", k=10).collect()}
+        assert out[1].n_rows == 90 and out[1].min_v == out[1].max_v == 1.0
+        assert set(out) == {1, 10}  # 2.0→bucket (90*10)//100+1=10
+        assert out[10].n_rows == 10
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+        out = equifreq_profile(df, "v", k=2).collect()
+        assert sum(r.n_rows for r in out) == 2
+
+    def test_k_exceeds_distinct(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        out = equifreq_profile(df, "v", k=10).collect()
+        assert [(r.bucket, r.n_rows) for r in out] == [(1, 1), (6, 1)]
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            equifreq_profile(df, "v", k=0)

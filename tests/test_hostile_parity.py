@@ -198,6 +198,10 @@ QUERIES = [
     "lang_matrix",
     "seasonal_anomalies",
     "props_extract",
+    "span_grammar",
+    "join_fanout",
+    "pair_triangles",
+    "price_deciles",
 ]
 
 
