@@ -2928,6 +2928,40 @@ def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON key-occurrence profile
+    (``semistructured.json_key_profile``): which keys a property bag
+    actually holds and how often, with `__null__`/`__malformed__`
+    pseudo-keys keeping the report single-grain — the pre-flight for the
+    typed extraction (`props_extract`) and for writing presence rules
+    over semi-structured columns.  The bag here is constructed
+    deterministically from documents (conditional keys + a malformed
+    slice + NULL cells), so the oracle replays the counts closed-form."""
+    from evalidate_spark.functions.semistructured import json_key_profile
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    js = (
+        F.when(i.isNull(), F.lit(None).cast("string"))
+        .when(F.pmod(i, F.lit(31)) == 0, F.lit("{broken"))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("n_chars").alias("len"),
+                    F.when(F.pmod(i, F.lit(2)) == 0, F.col("lang")).alias(
+                        "lang"
+                    ),
+                    F.when(F.pmod(i, F.lit(3)) == 0, F.col("source")).alias(
+                        "src"
+                    ),
+                    F.when(F.pmod(i, F.lit(5)) == 0, i).alias("id"),
+                )
+            )
+        )
+    )
+    return json_key_profile(d.select(js.alias("props")), "props")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3109,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "props_extract": q_props_extract,
         "span_grammar": q_span_grammar,
+        "props_keys": q_props_keys,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -6936,6 +6971,40 @@ WITH vc AS (
 SELECT CAST((before * 10) // total + 1 AS BIGINT) AS bucket,
   CAST(sum(n) AS BIGINT) AS n_rows, min(v) AS min_v, max(v) AS max_v
 FROM cum GROUP BY 1
+"""
+
+
+# mirrors q_props_keys: the constructed bag's key set is a pure function
+# of (doc_id, column NULLness), so key counts replay closed-form
+ORACLE["props_keys"] = """
+WITH d AS (
+  SELECT doc_id, n_chars, lang, source,
+    (doc_id IS NULL) AS nullcell,
+    (doc_id IS NOT NULL AND ((doc_id % 31) + 31) % 31 = 0) AS bad
+  FROM documents
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+k AS (
+  SELECT '__null__' AS key, count(*) AS n FROM d WHERE nullcell
+  UNION ALL
+  SELECT '__malformed__', count(*) FROM d WHERE bad
+  UNION ALL
+  SELECT 'len', count(*) FROM d
+  WHERE NOT nullcell AND NOT bad AND n_chars IS NOT NULL
+  UNION ALL
+  SELECT 'lang', count(*) FROM d
+  WHERE NOT nullcell AND NOT bad AND ((doc_id % 2) + 2) % 2 = 0
+    AND lang IS NOT NULL
+  UNION ALL
+  SELECT 'src', count(*) FROM d
+  WHERE NOT nullcell AND NOT bad AND ((doc_id % 3) + 3) % 3 = 0
+    AND source IS NOT NULL
+  UNION ALL
+  SELECT 'id', count(*) FROM d
+  WHERE NOT nullcell AND NOT bad AND ((doc_id % 5) + 5) % 5 = 0
+)
+SELECT key, CAST(n AS BIGINT) AS n_rows,
+  CAST((n * 10000) // total AS BIGINT) AS share_bp
+FROM k, t WHERE n > 0
 """
 
 

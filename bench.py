@@ -293,6 +293,7 @@ def main() -> None:
         "seasonal_anomalies",
         "props_extract",
         "span_grammar",
+        "props_keys",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

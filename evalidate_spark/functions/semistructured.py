@@ -60,3 +60,47 @@ def json_extract_typed(
         .otherwise(F.try_parse_json(src).isNotNull())
         .alias("json_ok"),
     )
+
+
+def json_key_profile(df: DataFrame, col: str) -> DataFrame:
+    """Schema discovery over a semi-structured JSON column — which keys
+    actually occur, how often: ``(key, n_rows, share_bp)`` with exact
+    integer-basis-point share of ALL rows.  The pre-flight for
+    :func:`json_extract_typed`: you cannot write the typed projection
+    (or a presence rule) for a property bag you haven't profiled, and at
+    10^12 docs "what keys are in props?" is not answerable by eyeball.
+
+    Two reserved pseudo-keys keep the report single-grain and complete:
+    ``__null__`` (the cell was NULL) and ``__malformed__`` (non-NULL but
+    no object keys extractable — broken JSON or a non-object root like
+    ``[1,2]``/``"str"``; Spark's ``json_object_keys`` returns NULL for
+    both).  A parsed EMPTY object ``{}`` has no keys and contributes no
+    row, so ``Σ n_rows`` can undershoot the row count — by exactly the
+    empty-object count.
+
+    Scale shape: one projection + an explode that multiplies each row by
+    its OWN key count only (property bags are narrow), a
+    map-side-combined groupBy over key cardinality, and the 1-row total
+    joined back by broadcast.  No UDF, no driver collect."""
+    c = F.col("`%s`" % col)
+    keys = F.json_object_keys(c)
+    tagged = df.select(
+        F.explode(
+            F.when(c.isNull(), F.array(F.lit("__null__")))
+            .when(keys.isNull(), F.array(F.lit("__malformed__")))
+            .otherwise(keys)
+        ).alias("key")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tagged.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(n_rows * 10000) DIV total").cast("long").alias(
+                "share_bp"
+            ),
+        )
+    )

@@ -193,3 +193,26 @@ class TestEquifreqProfile:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             equifreq_profile(df, "v", k=0)
+
+
+class TestJsonKeyProfile:
+    def _profile(self, spark, vals):
+        from evalidate_spark.functions.semistructured import json_key_profile
+
+        df = spark.createDataFrame([(v,) for v in vals], "props string")
+        return {r.key: (r.n_rows, r.share_bp)
+                for r in json_key_profile(df, "props").collect()}
+
+    def test_keys_null_malformed(self, spark):
+        out = self._profile(spark, [
+            '{"a": 1, "b": 2}', '{"a": 3}', None, "{broken", '"scalar"',
+        ])
+        assert out["a"] == (2, 4000)
+        assert out["b"] == (1, 2000)
+        assert out["__null__"] == (1, 2000)
+        # broken JSON and a non-object root both profile as malformed
+        assert out["__malformed__"] == (2, 4000)
+
+    def test_empty_object_contributes_nothing(self, spark):
+        out = self._profile(spark, ["{}", '{"a": 1}'])
+        assert out == {"a": (1, 5000)}

@@ -199,6 +199,7 @@ QUERIES = [
     "seasonal_anomalies",
     "props_extract",
     "span_grammar",
+    "props_keys",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
