@@ -2962,6 +2962,38 @@ def q_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_key_profile(d.select(js.alias("props")), "props")
 
 
+def q_rule_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule co-firing matrix (``suggest.rule_cooccurrence``): which
+    rules fire on the SAME documents, with exact integer-bp Jaccard of
+    the two doc sets — the spec-lint signal per-rule totals can't see
+    (overlap ≈ 10000 bp ⇒ redundant pair).  Distinct (doc, rule) once;
+    the pair join fans out by rules-per-doc², bounded by the rule-set
+    size, not the corpus."""
+    from evalidate_spark.operators.suggest import rule_cooccurrence
+
+    docs = _t(spark, sf_dir, "documents")
+    v = validate(docs, _doc_rules(), id_cols=["doc_id"]).violations
+    return rule_cooccurrence(v)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (``dedup.containment_pairs``) on
+    the deterministic candidate list: |A∩B| div |A| and div |B| in exact
+    integer bp — the SUBSET-dup signal Jaccard misses (a tweet quoted in
+    an article is ~0 Jaccard but 10000 bp contained).  Same id-keyed
+    join shape as jaccard_pairs; NULL text folds to the empty set and a
+    NULL (vacuous) containment."""
+    from evalidate_spark.functions.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .filter(F.col("id_a") % 2 == 0)
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    return containment_pairs(d, cand, shingle_k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3144,6 +3176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "span_grammar": q_span_grammar,
         "props_keys": q_props_keys,
+        "rule_cooccurrence": q_rule_cooccurrence,
+        "containment_pairs": q_containment_pairs,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7005,6 +7039,55 @@ k AS (
 SELECT key, CAST(n AS BIGINT) AS n_rows,
   CAST((n * 10000) // total AS BIGINT) AS share_bp
 FROM k, t WHERE n > 0
+"""
+
+
+ORACLE["rule_cooccurrence"] = """
+WITH v AS (SELECT DISTINCT doc_id, rule_id FROM ({V})),
+c AS (SELECT rule_id, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+p AS (
+  SELECT a.rule_id AS rule_a, b.rule_id AS rule_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.rule_id < b.rule_id
+  GROUP BY 1, 2
+)
+SELECT rule_a, rule_b, n_both, ca.n AS n_a, cb.n AS n_b,
+  CAST((n_both * 10000) // (ca.n + cb.n - n_both) AS BIGINT) AS overlap_bp
+FROM p JOIN c ca ON ca.rule_id = rule_a JOIN c cb ON cb.rule_id = rule_b
+""".replace("{V}", ORACLE["validate_documents"])
+
+
+# engine-exact shingle twin (vs the legacy _SHINGLES_SQL): empty tokens
+# filtered (engine splits on \\s+), NULL ≡ '' text, <k tokens → ONE
+# whole-text shingle — matches functions.text.shingles on the hostile
+# multi-space/NULL/empty rows that jaccard's %50 candidates never hit
+_SHINGLES_EXACT_SQL = """list_distinct(list_transform(
+    generate_series(1, greatest(len(tk) - 2, 1)),
+    i -> coalesce(array_to_string(tk[i:i+2], ' '), '')))"""
+
+ORACLE["containment_pairs"] = f"""
+WITH t0 AS (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, {_SHINGLES_EXACT_SQL} AS sh FROM t0
+), c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+)
+SELECT id_a, id_b,
+  CAST(len(sa) AS BIGINT) AS size_a,
+  CAST(len(sb) AS BIGINT) AS size_b,
+  CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
+  CAST(CASE WHEN len(sa) > 0
+       THEN (len(list_intersect(sa, sb)) * 10000) // len(sa) END
+       AS BIGINT) AS a_in_b_bp,
+  CAST(CASE WHEN len(sb) > 0
+       THEN (len(list_intersect(sa, sb)) * 10000) // len(sb) END
+       AS BIGINT) AS b_in_a_bp
+FROM c
 """
 
 

@@ -294,6 +294,8 @@ def main() -> None:
         "props_extract",
         "span_grammar",
         "props_keys",
+        "rule_cooccurrence",
+        "containment_pairs",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

@@ -2060,3 +2060,64 @@ def pair_graph_stats(
         .alias("closure_bp"),
         F.col("n_capped").cast("long").alias("n_capped_nodes"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-dup verification — shingle-set containment in
+    both directions for candidate pairs: ``(id_a, id_b, size_a, size_b,
+    inter, a_in_b_bp, b_in_a_bp)`` with ``x_in_y_bp = |X∩Y|·10000 div
+    |X|`` in exact integer basis points.
+
+    Jaccard (:func:`jaccard_pairs`) misses the SUBSET shape entirely: a
+    tweet quoted inside a long article scores near-zero Jaccard but
+    10000 bp containment — and for training data the wrapped copy is
+    the duplicate you want caught (boilerplate wrappers, quotation
+    farms, superset crawls).  Standard dedup practice keeps BOTH
+    signals: symmetric Jaccard for same-size dups, directional
+    containment for subset dups.
+
+    NULL/short texts follow the corpus-wide shingle convention
+    (:func:`evalidate_spark.functions.text.shingles`): fewer than k
+    tokens yield ONE whole-text shingle ("" when no tokens), so sets are
+    never empty and containment is always defined — a 10000 bp score
+    with ``size_a == 1`` flags the degenerate tiny-doc case for the
+    caller rather than silently dropping it.
+
+    Scale shape: identical to :func:`jaccard_pairs` — per-doc distinct
+    shingle-hash sets built in one projection, two id-keyed joins onto
+    the candidate list (never a cross join), all arithmetic
+    JVM-side."""
+    ids = F.col("`%s`" % id_col)
+    sets_df = df.select(
+        ids.alias("__id"),
+        F.array_distinct(
+            F.transform(
+                shingles(F.col("`%s`" % text_col), shingle_k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__set"),
+    )
+    a = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    b = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    j = candidates.join(a, "id_a").join(b, "id_b")
+    return j.select(
+        "id_a",
+        "id_b",
+        F.size("__sa").cast("long").alias("size_a"),
+        F.size("__sb").cast("long").alias("size_b"),
+        F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("inter"),
+    ).select(
+        "*",
+        F.when(F.col("size_a") > 0, F.expr("(inter * 10000) DIV size_a"))
+        .cast("long")
+        .alias("a_in_b_bp"),
+        F.when(F.col("size_b") > 0, F.expr("(inter * 10000) DIV size_b"))
+        .cast("long")
+        .alias("b_in_a_bp"),
+    )

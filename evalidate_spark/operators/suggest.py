@@ -273,3 +273,67 @@ def functional_dependencies(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def rule_cooccurrence(
+    violations,
+    rule_col: str = "rule_id",
+    id_col: str = "doc_id",
+):
+    """Which rules fire TOGETHER — the spec-lint signal
+    :func:`rule_firing_stats` (per-rule totals) cannot see: a rule pair
+    with overlap ≈ 10000 bp is redundant (one of them can be dropped, or
+    they encode one real-world defect and should share an on_error
+    message), and a pair that never co-fires but guards the same column
+    marks disjoint failure populations worth separate dashboards.
+
+    Input: typed violation rows (the engine's ``violations`` frame).
+    Output: one row per unordered rule pair that co-fires on at least
+    one document —
+
+    ``(rule_a, rule_b, n_both, n_a, n_b, overlap_bp)``
+
+    with ``rule_a < rule_b``, ``n_*`` = DISTINCT documents each rule
+    fires on, and ``overlap_bp`` = exact integer-bp Jaccard of the two
+    doc sets (``n_both / (n_a + n_b − n_both)``).  NULL-id rows collapse
+    to one (NULL, rule) row in the distinct and never pair (equi-join
+    semantics) — identical in SQL.
+
+    Scale shape: one distinct over (doc, rule) — the only
+    row-cardinality shuffle; the pair self-join keys on doc id and fans
+    out by (rules-per-doc)², bounded by the RULE-SET size, not the
+    corpus; per-rule totals are a rule-cardinality aggregate joined back
+    by broadcast."""
+    from pyspark.sql import functions as F
+
+    rv = violations.select(
+        F.col("`%s`" % id_col).alias("__d"),
+        F.col("`%s`" % rule_col).alias("__r"),
+    ).distinct()
+    counts = rv.groupBy(F.col("__r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = rv.select(F.col("__d"), F.col("__r").alias("rule_a"))
+    b = rv.select(F.col("__d"), F.col("__r").alias("rule_b"))
+    pairs = (
+        a.join(b, "__d")
+        .filter(F.col("rule_a") < F.col("rule_b"))
+        .groupBy("rule_a", "rule_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = counts.select(F.col("__r").alias("rule_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("__r").alias("rule_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "rule_a")
+        .join(F.broadcast(cb), "rule_b")
+        .select(
+            "rule_a",
+            "rule_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(n_both * 10000) DIV (n_a + n_b - n_both)")
+            .cast("long")
+            .alias("overlap_bp"),
+        )
+    )

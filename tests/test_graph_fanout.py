@@ -216,3 +216,65 @@ class TestJsonKeyProfile:
     def test_empty_object_contributes_nothing(self, spark):
         out = self._profile(spark, ["{}", '{"a": 1}'])
         assert out == {"a": (1, 5000)}
+
+
+class TestRuleCooccurrence:
+    def _viol(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rule_id string")
+
+    def test_overlap_math(self, spark):
+        from evalidate_spark.operators.suggest import rule_cooccurrence
+
+        v = self._viol(spark, [
+            (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (1, "a"),                      # duplicate violation rows collapse
+        ])
+        out = {(r.rule_a, r.rule_b): r for r in
+               rule_cooccurrence(v).collect()}
+        ab = out[("a", "b")]
+        assert (ab.n_both, ab.n_a, ab.n_b) == (2, 3, 2)
+        assert ab.overlap_bp == 2 * 10000 // 3      # 2/(3+2-2)
+        assert ("a", "c") not in out                # never co-fire
+
+    def test_null_doc_rows_count_but_never_pair(self, spark):
+        from evalidate_spark.operators.suggest import rule_cooccurrence
+
+        v = self._viol(spark, [
+            (None, "a"), (None, "b"), (1, "a"), (1, "b")])
+        ab = rule_cooccurrence(v).collect()[0]
+        # NULL-id rows raise n_a/n_b but equi-join semantics never pair
+        assert (ab.n_both, ab.n_a, ab.n_b) == (1, 2, 2)
+        assert ab.overlap_bp == 10000 // 3
+
+
+class TestContainmentPairs:
+    def test_subset_doc(self, spark):
+        from evalidate_spark.functions.dedup import containment_pairs
+
+        docs = spark.createDataFrame([
+            (1, "the quick brown fox jumps"),
+            (2, "a longer wrapper the quick brown fox jumps over the lazy"
+                " dog tail end"),
+        ], "doc_id long, text string")
+        cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = containment_pairs(docs, cand).collect()[0]
+        # every 3-shingle of doc1 appears in doc2 → full containment
+        assert r.a_in_b_bp == 10000
+        assert r.b_in_a_bp < 10000
+        assert r.inter == r.size_a and r.size_b > r.size_a
+
+    def test_empty_and_null_text_single_shingle(self, spark):
+        from evalidate_spark.functions.dedup import containment_pairs
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "x y z w")],
+            "doc_id long, text string")
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3)], "id_a long, id_b long")
+        out = {(r.id_a, r.id_b): r for r in
+               containment_pairs(docs, cand).collect()}
+        # NULL ≡ '' per the corpus shingle convention: both are the
+        # single '' shingle → degenerate full mutual containment
+        assert out[(1, 2)].a_in_b_bp == 10000 and out[(1, 2)].size_a == 1
+        # '' shingle never occurs in a real doc's set
+        assert out[(1, 3)].a_in_b_bp == 0

@@ -200,6 +200,8 @@ QUERIES = [
     "props_extract",
     "span_grammar",
     "props_keys",
+    "rule_cooccurrence",
+    "containment_pairs",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
