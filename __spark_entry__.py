@@ -2994,6 +2994,38 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(d, cand, shingle_k=3)
 
 
+def q_caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncaptioned-media alignment check
+    (``spans.caption_proximity_violations``): every media span must have
+    a text span within 10 offset units — the interleaved-corpus rule
+    that catches figures ripped from their paragraphs.  Explode-free
+    nested HOF (transform + exists) in one fused projection; violations
+    replay closed-form from the deterministic span construction."""
+    from evalidate_spark.operators.spans import caption_proximity_violations
+
+    return caption_proximity_violations(
+        _grammar_spans(spark, sf_dir), max_distance=10
+    )
+
+
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector simplified silhouette
+    (``similarity.centroid_silhouette``) against a pinned centroid slice
+    (vec_id % 199 == 0): nearest/runner-up cosine (6-dp rounds, id
+    tiebreaks) and the cosine-distance silhouette — crisp vs boundary
+    vs mis-sharded assignment quality for an embedding partition.  No
+    float aggregation: every row is a pure function of one vector and
+    the centroid set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        F.col("vec_id").isNotNull()
+        & (F.pmod(F.col("vec_id"), F.lit(199)) == 0)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+    )
+    return similarity.centroid_silhouette(emb, cents, dim=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3178,6 +3210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_keys": q_props_keys,
         "rule_cooccurrence": q_rule_cooccurrence,
         "containment_pairs": q_containment_pairs,
+        "caption_check": q_caption_check,
+        "cluster_silhouette": q_cluster_silhouette,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7088,6 +7122,64 @@ SELECT id_a, id_b,
        THEN (len(list_intersect(sa, sb)) * 10000) // len(sb) END
        AS BIGINT) AS b_in_a_bp
 FROM c
+"""
+
+
+# mirrors q_caption_check over the _grammar_spans construction: offsets
+# are j*10, so "within 10 units" ≡ an adjacent text span
+ORACLE["caption_check"] = """
+WITH d AS (
+  SELECT doc_id, 1 + ((doc_id % 5) + 5) % 5 AS n FROM documents
+  WHERE doc_id IS NOT NULL
+), j AS (
+  SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS j FROM d
+), k AS (
+  SELECT doc_id, n, j,
+    CASE WHEN ((doc_id % 23) + 23) % 23 = 0 AND j = n - 1 THEN 'junk'
+         WHEN (((doc_id + j*j) % 3) + 3) % 3 = 0 THEN 'media'
+         ELSE 'text' END AS kind
+  FROM j
+)
+SELECT m.doc_id, CAST(m.j AS INT) AS span_index,
+       CAST(m.j * 10 AS INT) AS "offset"
+FROM k m
+WHERE m.kind = 'media'
+  AND NOT EXISTS (
+    SELECT 1 FROM k t
+    WHERE t.doc_id = m.doc_id AND t.kind = 'text' AND abs(t.j - m.j) <= 1
+  )
+"""
+
+
+ORACLE["cluster_silhouette"] = f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding AS double[]) AS emb FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = 64
+), c AS (
+  SELECT vec_id AS cid, emb AS cemb FROM e
+  WHERE ((vec_id % 199) + 199) % 199 = 0
+), scored AS (
+  SELECT e.vec_id, c.cid, round({_cos_sql('e.emb', 'c.cemb')}, 6) AS cos
+  FROM e, c
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+  FROM scored
+), tw AS (
+  SELECT vec_id,
+    max(CASE WHEN rk = 1 THEN cid END) AS cluster_id,
+    max(CASE WHEN rk = 1 THEN cos END) AS cos_own,
+    max(CASE WHEN rk = 2 THEN cos END) AS cos_next
+  FROM ranked WHERE rk <= 2 GROUP BY 1
+)
+SELECT vec_id, cluster_id, cos_own, cos_next,
+  CASE WHEN cos_next IS NULL THEN NULL
+       WHEN greatest(1 - cos_own, 1 - cos_next) > 0
+       THEN round((cos_own - cos_next)
+                  / greatest(1 - cos_own, 1 - cos_next), 6)
+       ELSE 0.0 END AS silhouette
+FROM tw
 """
 
 

@@ -296,6 +296,8 @@ def main() -> None:
         "props_keys",
         "rule_cooccurrence",
         "containment_pairs",
+        "caption_check",
+        "cluster_silhouette",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

@@ -806,3 +806,76 @@ def cosine_topk_blas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector simplified silhouette against a PINNED centroid set —
+    the cluster-quality audit for an embedding partition (IVF cells,
+    semantic shards, topic buckets): ``(vec_id, cluster_id, cos_own,
+    cos_next, silhouette)`` where ``cluster_id`` is the
+    nearest centroid (6-dp-rounded cosine, centroid-id tiebreak — the
+    ann_topk determinism pattern), ``cos_next`` the runner-up, and
+    ``silhouette = (cos_own − cos_next) / max(1−cos_own, 1−cos_next)``
+    (cosine-distance form of Kaufman's simplified silhouette —
+    centroid distances instead of all-pairs, the only form that scales)
+    rounded to 6 dp, in (−1, 1]: near 1 ⇒ crisp assignment, near 0 ⇒
+    boundary straddler, negative ⇒ likely mis-sharded.
+
+    Centroids are caller-PROVIDED (not fitted here) so the score is a
+    pure deterministic function of its inputs — auditing an existing
+    IVF index passes that index's centroids; tests and oracles pass a
+    fixed slice.  NULL silhouette when there is only one centroid (no
+    runner-up — nothing to compare against).  Vectors with NULL
+    id/vector or length ≠ *dim* are excluded (embedding_health owns
+    those).
+
+    Scale shape: centroid set broadcast (k rows), per-vector cosines in
+    one fused JVM projection over the cross product (n·k rows, k small),
+    ONE window keyed by vec_id picks winner + runner-up.  No
+    float aggregation anywhere — every output row is a pure function of
+    one vector and the centroid set, so results are partition-order
+    independent."""
+    ids = F.col("`%s`" % id_col)
+    v = F.col("`%s`" % vec_col)
+    cents = centroids.select(
+        F.col("`%s`" % cent_id_col).alias("__cid"),
+        F.col("`%s`" % cent_vec_col).alias("__cvec"),
+    )
+    scored = (
+        df.filter(ids.isNotNull() & v.isNotNull() & (F.size(v) == dim))
+        .select(ids.alias("vec_id"), v.alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "__cid",
+            F.round(cosine(F.col("__v"), F.col("__cvec")), 6).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("__cid").asc()
+    )
+    two = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= 2
+    )
+    tw = two.groupBy("vec_id").agg(
+        F.max(F.when(F.col("__rk") == 1, F.col("__cid"))).alias("cluster_id"),
+        F.max(F.when(F.col("__rk") == 1, F.col("__cos"))).alias("cos_own"),
+        F.max(F.when(F.col("__rk") == 2, F.col("__cos"))).alias("cos_next"),
+    )
+    denom = F.greatest(1 - F.col("cos_own"), 1 - F.col("cos_next"))
+    sil = F.when(
+        F.col("cos_next").isNotNull(),
+        F.when(denom > 0, F.round((F.col("cos_own") - F.col("cos_next")) / denom, 6))
+        .otherwise(F.lit(0.0)),
+    )
+    return tw.select(
+        "vec_id", "cluster_id", "cos_own", "cos_next", sil.alias("silhouette")
+    )

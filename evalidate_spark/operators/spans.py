@@ -272,3 +272,54 @@ def span_grammar(
         max_run.alias("max_media_run"),
         sig.rlike(grammar).alias("grammar_ok"),
     )
+
+
+def caption_proximity_violations(
+    docs: DataFrame,
+    max_distance: int,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Uncaptioned-media detection — every media span must have a text
+    span (with actual text) within *max_distance* offset units:
+    ``(doc_id, span_index, offset)`` rows for media spans that don't.
+    The alignment rule of an interleaved corpus: a media payload with no
+    nearby caption contributes nothing to text-conditioned training and
+    usually marks extraction breakage (figure ripped from its paragraph).
+
+    Explode-free like the other span checks: one ``transform`` with a
+    nested ``exists`` per media span — O(spans²) per doc inside a single
+    fused projection, no shuffle; interleaved docs are narrow (the 10k-span
+    outlier costs 10^8 comparisons in ONE task, still cheaper than any
+    row-multiplying alternative).  NULL offsets satisfy nothing: a media
+    span with NULL offset is always a violation, a text span with NULL
+    offset never captions."""
+    spans = _spans(spans_col)
+    d = F.lit(int(max_distance))
+    bad = F.filter(
+        F.transform(
+            spans,
+            lambda s, i: F.when(
+                (s["kind"] == "media")
+                & ~F.coalesce(
+                    F.exists(
+                        spans,
+                        lambda t: (t["kind"] == "text")
+                        & t["text"].isNotNull()
+                        & t["offset"].isNotNull()
+                        & s["offset"].isNotNull()
+                        & (F.abs(t["offset"] - s["offset"]) <= d),
+                    ),
+                    F.lit(False),
+                ),
+                F.struct(
+                    i.cast("int").alias("span_index"),
+                    s["offset"].cast("int").alias("offset"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        F.col("`%s`" % doc_id).alias("doc_id"), F.explode(bad).alias("__v")
+    ).select("doc_id", F.col("__v.span_index"), F.col("__v.offset"))

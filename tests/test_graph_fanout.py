@@ -278,3 +278,84 @@ class TestContainmentPairs:
         assert out[(1, 2)].a_in_b_bp == 10000 and out[(1, 2)].size_a == 1
         # '' shingle never occurs in a real doc's set
         assert out[(1, 3)].a_in_b_bp == 0
+
+
+class TestCaptionProximity:
+    def _mk(self, spark, spans_rows):
+        return _docs(spark, spans_rows)
+
+    def test_captioned_vs_orphan(self, spark):
+        from evalidate_spark.operators.spans import (
+            caption_proximity_violations,
+        )
+
+        df = _docs(spark, [
+            # media at 10 captioned by text at 0 (distance 10)
+            ("d1", [Row(kind="text", text="w", media_ref=None, offset=0),
+                    Row(kind="media", text=None, media_ref="m", offset=10)]),
+            # media at 100, nearest text at 0 → orphan
+            ("d2", [Row(kind="text", text="w", media_ref=None, offset=0),
+                    Row(kind="media", text=None, media_ref="m", offset=100)]),
+        ])
+        out = caption_proximity_violations(df, max_distance=10).collect()
+        assert [(r.doc_id, r.span_index, r.offset) for r in out] \
+            == [("d2", 1, 100)]
+
+    def test_null_offsets_and_empty_text(self, spark):
+        from evalidate_spark.operators.spans import (
+            caption_proximity_violations,
+        )
+
+        df = _docs(spark, [
+            # media offset NULL → always orphan
+            ("d1", [Row(kind="text", text="w", media_ref=None, offset=0),
+                    Row(kind="media", text=None, media_ref="m", offset=None)]),
+            # only caption candidate has NULL text → doesn't caption
+            ("d2", [Row(kind="text", text=None, media_ref=None, offset=10),
+                    Row(kind="media", text=None, media_ref="m", offset=10)]),
+            # NULL spans → no rows
+            ("d3", None),
+        ])
+        out = {(r.doc_id, r.span_index) for r in
+               caption_proximity_violations(df, max_distance=10).collect()}
+        assert out == {("d1", 1), ("d2", 1)}
+
+
+class TestCentroidSilhouette:
+    def test_crisp_boundary_and_single_centroid(self, spark):
+        from evalidate_spark.functions.similarity import centroid_silhouette
+
+        cents = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        vecs = spark.createDataFrame([
+            (1, [1.0, 0.0]),          # exactly centroid 100
+            (2, [1.0, 1.0]),          # equidistant boundary
+            (3, None),                # excluded
+            (4, [1.0, 0.0, 0.0]),     # wrong dim, excluded
+        ], "vec_id long, embedding array<double>")
+        out = {r.vec_id: r for r in
+               centroid_silhouette(vecs, cents, dim=2).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].cluster_id == 100 and out[1].cos_own == 1.0
+        assert out[1].silhouette == 1.0
+        # boundary: equal cosine both sides → id tiebreak, silhouette 0
+        assert out[2].cluster_id == 100 and out[2].silhouette == 0.0
+
+        solo = centroid_silhouette(
+            vecs, cents.filter(F.col("vec_id") == 100), dim=2).collect()
+        assert all(r.silhouette is None for r in solo)
+
+    def test_negative_silhouette_needs_three(self, spark):
+        from evalidate_spark.functions.similarity import centroid_silhouette
+
+        # assignment picks the best centroid by construction, so
+        # silhouette < 0 can't happen — verify ordering instead
+        cents = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.7071067811865476, 0.7071067811865476])],
+            "vec_id long, embedding array<double>")
+        vecs = spark.createDataFrame(
+            [(10, [0.9, 0.1])], "vec_id long, embedding array<double>")
+        r = centroid_silhouette(vecs, cents, dim=2).collect()[0]
+        assert r.cluster_id == 1 and r.cos_own >= r.cos_next
+        assert 0.0 <= r.silhouette <= 1.0

@@ -202,6 +202,8 @@ QUERIES = [
     "props_keys",
     "rule_cooccurrence",
     "containment_pairs",
+    "caption_check",
+    "cluster_silhouette",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
