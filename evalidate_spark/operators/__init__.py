@@ -65,7 +65,12 @@ from .table_checks import (
     join_fanout,
     equifreq_profile,
 )
-from .spans import span_grammar, span_rules, span_structure_violations
+from .spans import (
+    caption_proximity_violations,
+    span_grammar,
+    span_rules,
+    span_structure_violations,
+)
 from .reconcile import (
     changelog_compact,
     reconcile_sums,
@@ -86,6 +91,7 @@ from .asof import asof_join, interval_islands, interval_overlap_join, range_join
 from .olap import pivot_matrix, rollup_report
 from .suggest import (
     functional_dependencies,
+    rule_cooccurrence,
     suggest_constraints,
     suggestions_to_spec,
 )

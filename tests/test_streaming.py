@@ -714,3 +714,35 @@ def test_suppress_repeats_stream_contracts(spark, tmp_path):
         streaming.suppress_repeats_stream(stream, value_col="payload")
     with pytest.raises(ValueError, match="tie-break"):
         streaming.suppress_repeats_stream(stream, order_col="nope")
+
+
+def test_span_grammar_stream_equals_batch(spark, tmp_path):
+    """span_grammar is ONE stateless fused projection, so it runs
+    unchanged over readStream in append mode — streaming verdicts must
+    equal the batch run on the same files."""
+    from evalidate_spark.operators.spans import span_grammar
+
+    path = str(tmp_path / "grammar_in")
+    (
+        spark.range(60)
+        .selectExpr(
+            "concat('d', id) doc_id",
+            """transform(sequence(0, cast(id % 4 as int)), j -> named_struct(
+                 'kind', case when (id + j) % 3 = 0 then 'media' else 'text' end,
+                 'text', case when (id + j) % 3 = 0 then null else concat('w', j) end,
+                 'media_ref', case when (id + j) % 3 = 0 then concat('m', j) else null end,
+                 'offset', cast(j * 10 as int))) spans""",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = span_grammar(stream, "^t[tm]*$")
+    _run_to_memory(out, "grammar_out")
+    got = sorted(tuple(r) for r in spark.table("grammar_out").collect())
+    want = sorted(
+        tuple(r)
+        for r in span_grammar(spark.read.parquet(path), "^t[tm]*$").collect()
+    )
+    assert got == want and len(got) == 60
