@@ -3026,6 +3026,28 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_silhouette(emb, cents, dim=64)
 
 
+def q_magnitude_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude histogram of events.value
+    (``table_checks.magnitude_profile``): exact integer digit buckets
+    (no float log10) split by sign — the unit-mix-up detector (ms in a
+    seconds column is a second mode 3 digits up).  One tiny groupBy +
+    broadcast total."""
+    from evalidate_spark.operators.table_checks import magnitude_profile
+
+    return magnitude_profile(_t(spark, sf_dir, "events"), "value")
+
+
+def q_ts_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-precision audit of events.ts
+    (``table_checks.ts_granularity``): one exact-count row — midnight /
+    zero-second / zero-micros shares in integer bp.  A 100%-midnight
+    "timestamp" is a date in disguise; partial shares flag mixed-feed
+    truncation that breaks sessionization and as-of joins silently."""
+    from evalidate_spark.operators.table_checks import ts_granularity
+
+    return ts_granularity(_t(spark, sf_dir, "events"), "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3212,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "caption_check": q_caption_check,
         "cluster_silhouette": q_cluster_silhouette,
+        "magnitude_profile": q_magnitude_profile,
+        "ts_granularity": q_ts_granularity,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7180,6 +7204,52 @@ SELECT vec_id, cluster_id, cos_own, cos_next,
                   / greatest(1 - cos_own, 1 - cos_next), 6)
        ELSE 0.0 END AS silhouette
 FROM tw
+"""
+
+
+ORACLE["magnitude_profile"] = """
+WITH b AS (
+  SELECT CASE WHEN abs(value) < 1 THEN 0
+         ELSE length(CAST(CAST(floor(abs(value)) AS DECIMAL(38,0))
+                          AS VARCHAR)) END AS digits,
+         value < 0 AS negative
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT CAST(digits AS INT) AS digits, negative,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM b GROUP BY 1, 2
+), t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT digits, negative, n_rows,
+  CAST((n_rows * 10000) // total AS BIGINT) AS share_bp
+FROM c, t
+"""
+
+
+ORACLE["ts_granularity"] = """
+WITH b AS (
+  SELECT epoch_us(ts) AS us,
+         epoch_us(date_trunc('day', ts)) AS du,
+         epoch_us(date_trunc('second', ts)) AS su,
+         second(ts) AS sec
+  FROM events WHERE ts IS NOT NULL
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(coalesce(sum(CASE WHEN us = du THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_midnight,
+    CAST(coalesce(sum(CASE WHEN sec = 0 AND us = su THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS n_zero_second,
+    CAST(coalesce(sum(CASE WHEN us = su THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_zero_micros
+  FROM b
+)
+SELECT n_rows, n_midnight, n_zero_second, n_zero_micros,
+  CAST(CASE WHEN n_rows > 0 THEN (n_midnight * 10000) // n_rows END
+       AS BIGINT) AS midnight_bp,
+  CAST(CASE WHEN n_rows > 0 THEN (n_zero_second * 10000) // n_rows END
+       AS BIGINT) AS zero_second_bp,
+  CAST(CASE WHEN n_rows > 0 THEN (n_zero_micros * 10000) // n_rows END
+       AS BIGINT) AS zero_micros_bp
+FROM a
 """
 
 

@@ -298,6 +298,8 @@ def main() -> None:
         "containment_pairs",
         "caption_check",
         "cluster_silhouette",
+        "magnitude_profile",
+        "ts_granularity",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

@@ -3294,3 +3294,99 @@ def equifreq_profile(
         )
         .orderBy("bucket")
     )
+
+
+def magnitude_profile(df: DataFrame, column: str) -> DataFrame:
+    """Order-of-magnitude histogram of a numeric column — the
+    unit-mix-up detector: a duration column with a bimodal magnitude
+    profile (say digits 3 and 6) is milliseconds mixed into seconds,
+    money in cents mixed into dollars, etc.  Equi-width histograms bury
+    this (one giant bin); log-scale buckets expose it.
+
+    Buckets are EXACT integers — no float log10: ``digits`` = number of
+    digits of the truncated absolute integer part (0 for |v| < 1), with
+    ``negative`` split out so sign-flip anomalies are visible too.
+    Returns ``(digits, negative, n_rows, share_bp)`` with integer-bp
+    share of all non-NULL rows.
+
+    One map-side-combined groupBy over ≤ ~20·2 buckets, total broadcast
+    back.  NULLs excluded (completeness checks own them)."""
+    v = F.col("`%s`" % column).cast("double")
+    # floor-then-decimal: decimal cast of a raw double ROUNDS (9.6 → 10,
+    # one digit too many); floor first makes the cast exact
+    digits = (
+        F.when(F.abs(v) < 1, F.lit(0))
+        .otherwise(
+            F.length(
+                F.floor(F.abs(v)).cast("decimal(38,0)").cast("string")
+            )
+        )
+        .cast("int")
+    )
+    base = df.filter(v.isNotNull()).select(
+        digits.alias("digits"), (v < 0).alias("negative")
+    )
+    counts = base.groupBy("digits", "negative").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return counts.join(F.broadcast(total)).select(
+        "digits",
+        "negative",
+        "n_rows",
+        F.expr("(n_rows * 10000) DIV total").cast("long").alias("share_bp"),
+    )
+
+
+def ts_granularity(df: DataFrame, ts_col: str) -> DataFrame:
+    """Timestamp-precision audit — ONE row of exact counts telling you
+    what resolution a time column REALLY carries: ``(n_rows,
+    n_midnight, n_zero_second, n_zero_micros, midnight_bp,
+    zero_second_bp, zero_micros_bp)``.  A "timestamp" column where 100%
+    of values sit at midnight is a date in disguise (daily batch
+    truncation); 100% zero-seconds means minute-grain upstream
+    truncation — both break sessionization, as-of joins, and freshness
+    SLAs silently.  High-but-not-total shares flag MIXED feeds (one
+    producer truncates, others don't), which no schema check can see.
+
+    Single aggregate over the table, exact integer bp.  NULL timestamps
+    are excluded from every count (completeness owns them)."""
+    t = F.col("`%s`" % ts_col)
+    base = df.filter(t.isNotNull())
+    # timestamp_diff against the truncation handles TIMESTAMP and
+    # TIMESTAMP_NTZ alike (date_trunc preserves the input type), with no
+    # epoch anchor and no session-timezone dependence for NTZ
+    micros_of_day = F.timestamp_diff(
+        "MICROSECOND", F.date_trunc("day", t), t
+    )
+    sec_part = F.second(t)
+    micro_part = F.timestamp_diff(
+        "MICROSECOND", F.date_trunc("second", t), t
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.when(micros_of_day == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_midnight"),
+        F.coalesce(
+            F.sum(F.when((sec_part == 0) & (micro_part == 0), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_zero_second"),
+        F.coalesce(F.sum(F.when(micro_part == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_zero_micros"),
+    )
+    bp = lambda c: F.when(  # noqa: E731
+        F.col("n_rows") > 0, F.expr("(%s * 10000) DIV n_rows" % c)
+    ).cast("long")
+    return agg.select(
+        "n_rows",
+        "n_midnight",
+        "n_zero_second",
+        "n_zero_micros",
+        bp("n_midnight").alias("midnight_bp"),
+        bp("n_zero_second").alias("zero_second_bp"),
+        bp("n_zero_micros").alias("zero_micros_bp"),
+    )

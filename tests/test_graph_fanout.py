@@ -359,3 +359,49 @@ class TestCentroidSilhouette:
         r = centroid_silhouette(vecs, cents, dim=2).collect()[0]
         assert r.cluster_id == 1 and r.cos_own >= r.cos_next
         assert 0.0 <= r.silhouette <= 1.0
+
+
+class TestMagnitudeProfile:
+    def test_digit_buckets(self, spark):
+        from evalidate_spark.operators.table_checks import magnitude_profile
+
+        df = spark.createDataFrame(
+            [(0.5,), (9.6,), (10.0,), (999.0,), (-42.0,), (None,)],
+            "v double")
+        out = {(r.digits, r.negative): (r.n_rows, r.share_bp)
+               for r in magnitude_profile(df, "v").collect()}
+        # 9.6 truncates to 9 → ONE digit (decimal cast would round to 10)
+        assert out[(1, False)] == (1, 2000)
+        assert out[(0, False)] == (1, 2000)
+        assert out[(2, False)] == (1, 2000)   # 10.0
+        assert out[(3, False)] == (1, 2000)   # 999
+        assert out[(2, True)] == (1, 2000)    # -42
+        assert sum(n for n, _ in out.values()) == 5
+
+
+class TestTsGranularity:
+    def test_mixed_precisions(self, spark):
+        from evalidate_spark.operators.table_checks import ts_granularity
+
+        df = spark.createDataFrame(
+            [("2026-01-01 00:00:00",),       # midnight
+             ("2026-01-01 10:30:00",),       # zero-second
+             ("2026-01-01 10:30:05",),       # zero-micros only
+             ("2026-01-01 10:30:05.123456",),
+             (None,)],
+            "s string").selectExpr("cast(s as timestamp) ts")
+        r = ts_granularity(df, "ts").collect()[0]
+        assert r.n_rows == 4
+        assert (r.n_midnight, r.n_zero_second, r.n_zero_micros) == (1, 2, 3)
+        assert r.midnight_bp == 2500
+        assert r.zero_second_bp == 5000
+        assert r.zero_micros_bp == 7500
+
+    def test_ntz_column(self, spark):
+        from evalidate_spark.operators.table_checks import ts_granularity
+
+        df = spark.createDataFrame(
+            [("2026-01-01 00:00:00",), ("2026-01-01 01:02:03",)],
+            "s string").selectExpr("cast(s as timestamp_ntz) ts")
+        r = ts_granularity(df, "ts").collect()[0]
+        assert (r.n_rows, r.n_midnight) == (2, 1)

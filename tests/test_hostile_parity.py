@@ -204,6 +204,8 @@ QUERIES = [
     "containment_pairs",
     "caption_check",
     "cluster_silhouette",
+    "magnitude_profile",
+    "ts_granularity",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
