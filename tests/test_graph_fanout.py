@@ -405,3 +405,37 @@ class TestTsGranularity:
             "s string").selectExpr("cast(s as timestamp_ntz) ts")
         r = ts_granularity(df, "ts").collect()[0]
         assert (r.n_rows, r.n_midnight) == (2, 1)
+
+
+class TestPlanShapes:
+    def test_span_grammar_no_exchange(self, spark):
+        from evalidate_spark.operators.spans import span_grammar
+
+        df = _docs(spark, [("d1", [_span("text")])])
+        plan = (span_grammar(df, "^t")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan     # one fused projection, no shuffle
+
+    def test_caption_check_no_exchange(self, spark):
+        from evalidate_spark.operators.spans import (
+            caption_proximity_violations,
+        )
+
+        df = _docs(spark, [("d1", [_span("media")])])
+        plan = (caption_proximity_violations(df, 10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_join_fanout_joins_aggregates_not_rows(self, spark):
+        from evalidate_spark.operators.table_checks import join_fanout
+
+        left = spark.createDataFrame([("a",)] * 8, "k string")
+        plan = (join_fanout(left, left, "k")
+                ._jdf.queryExecution().optimizedPlan().toString())
+        # both join inputs must already be Aggregates: the key histograms
+        # join, the audited row-level join never appears in the plan
+        import re
+        first_join = plan.find("Join")
+        agg_before = [m.start() for m in re.finditer("Aggregate", plan)]
+        assert first_join != -1
+        assert sum(1 for a in agg_before if a > first_join) >= 2
