@@ -216,6 +216,13 @@ def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "encoding_damage",
                 q_encoding_anomalies(spark, sf_dir).filter(~F.col("clean")),
             ),
+            # round-3 session-15 members: interleaving-order and
+            # media-alignment health over the span construction
+            (
+                "span_grammar",
+                q_span_grammar(spark, sf_dir).filter(~F.col("grammar_ok")),
+            ),
+            ("uncaptioned_media", q_caption_check(spark, sf_dir)),
         ]
     )
 
@@ -7251,6 +7258,37 @@ SELECT n_rows, n_midnight, n_zero_second, n_zero_micros,
        AS BIGINT) AS zero_micros_bp
 FROM a
 """
+
+
+# FINAL check_suite rebuild (supersedes the mid-file one): the session-15
+# members' oracles (span_grammar, caption_check) are only defined above
+# this point, so the suite is recomposed here with them included
+ORACLE["check_suite"] = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS check_id, CAST(count(*) AS BIGINT) AS n_violations,
+       CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM ({sql})"""
+    for name, sql in [
+        ("doc_rules", ORACLE["validate_documents"]),
+        ("events_user_unique", ORACLE["uniqueness_events_user"]),
+        ("lineitem_supplier_ref", ORACLE["referential_lineitem_supplier"]),
+        ("span_structure", ORACLE["span_structure"]),
+        (
+            "fd_violations",
+            "SELECT * FROM (%s) WHERE NOT holds" % ORACLE["functional_deps"],
+        ),
+        ("hot_keys", "SELECT * FROM (%s) WHERE is_hot" % ORACLE["skew_report"]),
+        (
+            "encoding_damage",
+            "SELECT * FROM (%s) WHERE NOT clean" % ORACLE["encoding_anomalies"],
+        ),
+        (
+            "span_grammar",
+            "SELECT * FROM (%s) WHERE NOT grammar_ok"
+            % ORACLE["span_grammar"],
+        ),
+        ("uncaptioned_media", ORACLE["caption_check"]),
+    ]
+)
 
 
 def oracle_sql() -> dict[str, str]:
