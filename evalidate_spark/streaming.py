@@ -819,3 +819,57 @@ def suppress_repeats_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def referential_stream(
+    fact_stream: DataFrame,
+    dim_stream: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_ts: str,
+    dim_ts: str,
+    watermark: str = "10 minutes",
+    tolerance: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM referential check — dangling references when the
+    dimension is itself a stream (a media catalog being ingested
+    alongside the documents that cite it): fact rows whose key finds no
+    dim row within ``tolerance`` of their event time are emitted as
+    violations ONCE THE WATERMARK PASSES (i.e. once a matching dim row
+    can no longer arrive).  The batch LEFT ANTI join can't express
+    "wait, the dim row may still be in flight"; Spark's watermarked
+    left-outer stream-stream join is exactly that semantics: unmatched
+    rows are held in the state store and released with NULL right side
+    only when their join window expires.
+
+    Returns ``(fact_key, fact_ts)`` violation rows, append-mode.
+
+    State size is bounded by the watermark horizon on BOTH inputs (late
+    rows beyond it are dropped by Spark); the join condition bounds dim
+    event time to ±*tolerance* of the fact's, so each state row expires
+    deterministically.  NULL keys/timestamps never match and are
+    filtered out up front (the batch NULL-accounting contract lives in
+    completeness checks)."""
+    fk = F.col("`%s`" % fact_key)
+    ft = F.col("`%s`" % fact_ts)
+    facts = (
+        fact_stream.filter(fk.isNotNull() & ft.isNotNull())
+        .select(fk.alias("__fk"), ft.alias("__ft"))
+        .withWatermark("__ft", watermark)
+    )
+    dk = F.col("`%s`" % dim_key)
+    dt = F.col("`%s`" % dim_ts)
+    dims = (
+        dim_stream.filter(dk.isNotNull() & dt.isNotNull())
+        .select(dk.alias("__dk"), dt.alias("__dt"))
+        .withWatermark("__dt", watermark)
+    )
+    cond = (
+        (F.col("__fk") == F.col("__dk"))
+        & (F.col("__dt") >= F.col("__ft") - F.expr("INTERVAL %s" % tolerance))
+        & (F.col("__dt") <= F.col("__ft") + F.expr("INTERVAL %s" % tolerance))
+    )
+    joined = facts.join(dims, cond, "left_outer")
+    return joined.filter(F.col("__dk").isNull()).select(
+        F.col("__fk").alias(fact_key), F.col("__ft").alias(fact_ts)
+    )

@@ -746,3 +746,65 @@ def test_span_grammar_stream_equals_batch(spark, tmp_path):
         for r in span_grammar(spark.read.parquet(path), "^t[tm]*$").collect()
     )
     assert got == want and len(got) == 60
+
+
+def test_referential_stream_dangling_vs_batch(spark, tmp_path):
+    """Watermarked left-outer stream-stream join: dangling fact keys (no
+    dim row within tolerance) surface as violations once the watermark
+    passes; on a CLOSED input (availableNow) the result equals the batch
+    anti-join with the same time tolerance."""
+    fpath, dpath = str(tmp_path / "facts"), str(tmp_path / "dims")
+    (
+        spark.range(40)
+        .selectExpr(
+            "id AS ref",
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0) ts",
+        )
+        .repartition(2)
+        .write.parquet(fpath)
+    )
+    # dims exist only for even keys, registered one minute after the fact
+    (
+        spark.range(40)
+        .filter("id % 2 = 0")
+        .selectExpr(
+            "id AS mid",
+            "timestamp'2026-01-01 00:01:00' + make_interval(0,0,0,0,0,id,0) dts",
+        )
+        .repartition(2)
+        .write.parquet(dpath)
+    )
+    fs = spark.readStream.schema(spark.read.parquet(fpath).schema).parquet(fpath)
+    ds = spark.readStream.schema(spark.read.parquet(dpath).schema).parquet(dpath)
+    out = streaming.referential_stream(
+        fs, ds, "ref", "mid", "ts", "dts",
+        watermark="5 minutes", tolerance="5 minutes",
+    )
+    _run_to_memory(out, "refstream_out", timeout_s=180)
+    got = sorted(r.ref for r in spark.table("refstream_out").collect())
+    # batch truth: odd keys are dangling (no dim at all); even keys match
+    # within the 5-minute tolerance (dim arrives 1 minute later).  BUT
+    # the stream only emits a violation once the watermark proves no dim
+    # can still arrive: with max event time 00:39, watermark 00:34, a
+    # fact expires when ts + tolerance < watermark → ts < 00:29.  The
+    # tail is correctly HELD, not lost.
+    assert got == [i for i in range(29) if i % 2 == 1]
+
+    # a later heartbeat (key 999 with its own matching dim) advances the
+    # watermark past every original fact → the held tail flushes and the
+    # closed-input result now equals the batch anti-join exactly
+    spark.range(1).selectExpr(
+        "999 AS ref", "timestamp'2026-01-01 01:00:00' ts"
+    ).write.mode("append").parquet(fpath)
+    spark.range(1).selectExpr(
+        "999 AS mid", "timestamp'2026-01-01 01:00:00' dts"
+    ).write.mode("append").parquet(dpath)
+    fs2 = spark.readStream.schema(spark.read.parquet(fpath).schema).parquet(fpath)
+    ds2 = spark.readStream.schema(spark.read.parquet(dpath).schema).parquet(dpath)
+    out2 = streaming.referential_stream(
+        fs2, ds2, "ref", "mid", "ts", "dts",
+        watermark="5 minutes", tolerance="5 minutes",
+    )
+    _run_to_memory(out2, "refstream_out2", timeout_s=180)
+    got2 = sorted(r.ref for r in spark.table("refstream_out2").collect())
+    assert got2 == [i for i in range(40) if i % 2 == 1]
