@@ -3055,6 +3055,27 @@ def q_ts_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_granularity(_t(spark, sf_dir, "events"), "ts")
 
 
+def q_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract check (``table_checks.schema_conformance``) of
+    the documents table against a contract with one deliberate
+    narrowing (n_chars int vs actual bigint) and one absent column —
+    every status branch exercised.  Driver-side metadata only (no scan);
+    the oracle pins the contracted outcome literally, so the gate
+    verifies the engine reads the ACTUAL parquet schema correctly."""
+    from evalidate_spark.operators.table_checks import schema_conformance
+
+    return schema_conformance(
+        _t(spark, sf_dir, "documents"),
+        {
+            "doc_id": "bigint",
+            "text": "string",
+            "lang": "string",
+            "n_chars": "int",
+            "quality_score": "double",
+        },
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3243,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": q_cluster_silhouette,
         "magnitude_profile": q_magnitude_profile,
         "ts_granularity": q_ts_granularity,
+        "schema_conformance": q_schema_conformance,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7289,6 +7311,20 @@ FROM ({sql})"""
         ("uncaptioned_media", ORACLE["caption_check"]),
     ]
 )
+
+
+# literal contract outcome: the engine side computes from the ACTUAL
+# parquet schema, so the gate verifies schema reading, not arithmetic
+ORACLE["schema_conformance"] = """
+SELECT * FROM (VALUES
+  ('doc_id', 'bigint', 'bigint', 'ok'),
+  ('text', 'string', 'string', 'ok'),
+  ('lang', 'string', 'string', 'ok'),
+  ('n_chars', 'int', 'bigint', 'type_mismatch'),
+  ('quality_score', 'double', NULL, 'missing'),
+  ('source', NULL, 'string', 'unexpected')
+) t("column", expected_type, actual_type, status)
+"""
 
 
 def oracle_sql() -> dict[str, str]:

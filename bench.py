@@ -300,6 +300,7 @@ def main() -> None:
         "cluster_silhouette",
         "magnitude_profile",
         "ts_granularity",
+        "schema_conformance",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

@@ -3390,3 +3390,47 @@ def ts_granularity(df: DataFrame, ts_col: str) -> DataFrame:
         bp("n_zero_second").alias("zero_second_bp"),
         bp("n_zero_micros").alias("zero_micros_bp"),
     )
+
+
+def schema_conformance(
+    df: DataFrame,
+    expected: Dict[str, str],
+    strict: bool = True,
+) -> DataFrame:
+    """Schema-level contract check — the metadata complement to the
+    value-level rule engine: compare the DataFrame's ACTUAL schema
+    against an *expected* ``{column: simple_type_string}`` contract and
+    return one row per column in either side:
+
+    ``(column, expected_type, actual_type, status)`` with status ∈
+    ``ok`` / ``type_mismatch`` / ``missing`` (contracted, absent) /
+    ``unexpected`` (present, uncontracted; suppressed when
+    ``strict=False`` — additive evolution allowed).
+
+    Types compare on Spark's ``simpleString`` form (``bigint``,
+    ``array<struct<...>>``), so nested span/struct columns are checked
+    structurally, not just by name.  Runs entirely on driver-side
+    METADATA — no job, no scan: the returned frame is a literal, so a
+    nightly suite can prepend it for free.  This is the check that
+    catches silent parquet schema drift (a producer widening int → 
+    bigint, dropping a nested field) BEFORE a value-level rule NPEs on
+    the missing column."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for col, want in expected.items():
+        have = actual.get(col)
+        if have is None:
+            rows.append((col, want, None, "missing"))
+        elif have == want:
+            rows.append((col, want, have, "ok"))
+        else:
+            rows.append((col, want, have, "type_mismatch"))
+    if strict:
+        for col, have in actual.items():
+            if col not in expected:
+                rows.append((col, None, have, "unexpected"))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, "
+        "status string"
+    )

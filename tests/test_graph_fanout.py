@@ -439,3 +439,27 @@ class TestPlanShapes:
         agg_before = [m.start() for m in re.finditer("Aggregate", plan)]
         assert first_join != -1
         assert sum(1 for a in agg_before if a > first_join) >= 2
+
+
+class TestSchemaConformance:
+    def test_all_statuses(self, spark):
+        from evalidate_spark.operators.table_checks import schema_conformance
+
+        df = spark.createDataFrame(
+            [], "a bigint, b string, extra array<struct<k:string>>")
+        out = {r.column: (r.expected_type, r.actual_type, r.status)
+               for r in schema_conformance(
+                   df, {"a": "bigint", "b": "int", "gone": "double"}
+               ).collect()}
+        assert out["a"] == ("bigint", "bigint", "ok")
+        assert out["b"] == ("int", "string", "type_mismatch")
+        assert out["gone"] == ("double", None, "missing")
+        # nested types compare structurally via simpleString
+        assert out["extra"] == (None, "array<struct<k:string>>", "unexpected")
+
+    def test_non_strict_allows_additive(self, spark):
+        from evalidate_spark.operators.table_checks import schema_conformance
+
+        df = spark.createDataFrame([], "a bigint, extra string")
+        out = schema_conformance(df, {"a": "bigint"}, strict=False).collect()
+        assert [(r.column, r.status) for r in out] == [("a", "ok")]

@@ -206,6 +206,7 @@ QUERIES = [
     "cluster_silhouette",
     "magnitude_profile",
     "ts_granularity",
+    "schema_conformance",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
