@@ -3177,8 +3177,8 @@ def seasonal_anomalies(
 def join_fanout(
     left: DataFrame,
     right: DataFrame,
-    left_on: str,
-    right_on: Optional[str] = None,
+    left_on,
+    right_on=None,
     top_k: int = 20,
     hot_bp: int = 1000,
 ) -> DataFrame:
@@ -3199,6 +3199,9 @@ def join_fanout(
     ``n_left > 1 AND n_right > 1`` (the shape that multiplies; 1:N keys
     are mere skew).  NULL keys never match in an equi-join and are
     excluded (profile/completeness checks own NULL accounting).
+    *left_on*/*right_on* accept a single column or a LIST (composite
+    equi-join keys — the common case at scale); composite keys fold to
+    one \\x1f-separated string, and a row needs EVERY part non-NULL.
 
     Scale shape: one map-side-combined ``groupBy`` per input (output ≤
     #distinct keys each), an inner join of the two AGGREGATES (AQE-sized,
@@ -3207,17 +3210,35 @@ def join_fanout(
     int64/decimal arithmetic — ``out_rows`` products are widened to
     decimal(38,0) before summing so a 10^12-row projection can't
     overflow."""
-    key_r = right_on or left_on
-    lf = (
-        left.filter(F.col("`%s`" % left_on).isNotNull())
-        .groupBy(F.col("`%s`" % left_on).cast("string").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_left"))
+    # composite keys: a list of columns folds to one string key with a
+    # \x1f unit separator (never appears in real keys); a row is usable
+    # only when EVERY key part is non-NULL (SQL equi-join semantics)
+    l_cols = [left_on] if isinstance(left_on, str) else list(left_on)
+    r_cols = (
+        l_cols
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
-    rf = (
-        right.filter(F.col("`%s`" % key_r).isNotNull())
-        .groupBy(F.col("`%s`" % key_r).cast("string").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_right"))
-    )
+    if len(l_cols) != len(r_cols):
+        raise ValueError("join_fanout: key column lists differ in length")
+
+    def _hist(df: DataFrame, cols, n_name: str) -> DataFrame:
+        live = df
+        for c in cols:
+            live = live.filter(F.col("`%s`" % c).isNotNull())
+        key = (
+            F.col("`%s`" % cols[0]).cast("string")
+            if len(cols) == 1
+            else F.concat_ws(
+                "\x1f", *[F.col("`%s`" % c).cast("string") for c in cols]
+            )
+        )
+        return live.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).alias(n_name)
+        )
+
+    lf = _hist(left, l_cols, "n_left")
+    rf = _hist(right, r_cols, "n_right")
     per_key = lf.join(rf, "key").select(
         "key",
         "n_left",

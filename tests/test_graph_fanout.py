@@ -117,6 +117,21 @@ class TestJoinFanout:
         assert (r.key, r.n_left, r.n_right, r.out_rows) == ("1", 1, 2, 2)
         assert r.out_share_bp == 10000
 
+    def test_composite_keys(self, spark):
+        from evalidate_spark.operators.table_checks import join_fanout
+
+        left = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("a", None)],
+            "k1 string, k2 int")
+        right = spark.createDataFrame(
+            [("a", 1), ("b", 1)], "j1 string, j2 int")
+        rows = {r.key: r for r in
+                join_fanout(left, right, ["k1", "k2"], ["j1", "j2"])
+                .collect()}
+        # only ('a',1) matches; the NULL-part row is excluded entirely
+        assert list(rows) == ["a\x1f1"]
+        assert (rows["a\x1f1"].n_left, rows["a\x1f1"].n_right) == (2, 1)
+
 
 class TestPairGraphStats:
     def _edges(self, spark, pairs):
