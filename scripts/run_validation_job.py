@@ -64,6 +64,20 @@ def main(argv=None) -> int:
         "expression, check_expressions semantics: NULL fails) evaluated "
         "per unit; the merged run-level pass rates print in the summary",
     )
+    ap.add_argument(
+        "--schema-contract",
+        default="",
+        help="JSON file of column -> Spark simpleString type; the input's "
+        "ACTUAL schema is checked BEFORE any unit runs and the job aborts "
+        "(exit 3) on missing columns or type mismatches — fail fast "
+        "instead of NPEing ten hours into a 10^12-doc run",
+    )
+    ap.add_argument(
+        "--schema-lenient",
+        action="store_true",
+        help="with --schema-contract: report violations in the summary "
+        "but do not abort; unexpected (uncontracted) columns never abort",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -96,6 +110,34 @@ def main(argv=None) -> int:
                 "check_id -> SQL predicate" % args.checks
             )
         shutil.copyfile(args.checks, os.path.join(args.out, "checks.json"))  # lineage
+    schema_report = None
+    if args.schema_contract:
+        from evalidate_spark.operators.table_checks import schema_conformance
+
+        with open(args.schema_contract) as fh:
+            contract = json.load(fh)
+        if not isinstance(contract, dict) or not contract:
+            raise SystemExit(
+                "--schema-contract file %s must be a non-empty JSON object "
+                "of column -> Spark simpleString type" % args.schema_contract
+            )
+        shutil.copyfile(
+            args.schema_contract, os.path.join(args.out, "schema_contract.json")
+        )  # lineage
+        report = schema_conformance(
+            spark.read.parquet(args.input), contract, strict=True
+        ).collect()
+        schema_report = [r.asDict() for r in report]
+        broken = [r for r in report if r.status in ("missing", "type_mismatch")]
+        if broken and not args.schema_lenient:
+            print(json.dumps({"schema_conformance": schema_report}))
+            print(
+                "schema contract violated: %s — aborting before any unit "
+                "runs (use --schema-lenient to continue)"
+                % ", ".join("%s:%s" % (r.column, r.status) for r in broken),
+                file=sys.stderr,
+            )
+            return 3
     run = CheckpointedRun(
         spark,
         args.input,
@@ -110,6 +152,8 @@ def main(argv=None) -> int:
         checks=checks,
     )
     summary = run.run(max_units=args.max_units)
+    if schema_report is not None:
+        summary["schema_conformance"] = schema_report
     if profile_cols and not run.pending_units():
         summary["profile"] = [r.asDict() for r in run.profile().collect()]
     if quantile_cols and not run.pending_units():

@@ -219,3 +219,54 @@ def test_zip_rulesets_serialize_per_set():
     rs1 = [Rule(key="b", validators=[Type("binary")])]
     blobs = [rules_to_json(rs) for rs in (rs0, rs1)]
     assert [rules_to_json(rules_from_json(b)) for b in blobs] == blobs
+
+
+class TestSchemaContractGate:
+    def test_abort_and_lenient(self, spark, tmp_path):
+        """--schema-contract aborts (exit 3) BEFORE any unit runs on a
+        broken contract; --schema-lenient downgrades to a summary
+        report; a conforming contract passes through with the report."""
+        import json
+        import subprocess
+        import sys
+
+        from evalidate_spark.spec import Rule, Size
+        from evalidate_spark.spec_json import rules_to_json
+
+        src = str(tmp_path / "in")
+        spark.range(20).selectExpr(
+            "concat('d', id) doc_id", "'valid text' text", "id n"
+        ).repartition(2).write.parquet(src)
+        rules_file = tmp_path / "rules.json"
+        rules_file.write_text(rules_to_json([Rule(key="doc_id")]))
+
+        def run(contract, extra=()):
+            cfile = tmp_path / "contract.json"
+            cfile.write_text(json.dumps(contract))
+            return subprocess.run(
+                [sys.executable, "scripts/run_validation_job.py",
+                 "--input", src, "--rules", str(rules_file),
+                 "--out", str(tmp_path / "out"),
+                 "--schema-contract", str(cfile), *extra],
+                capture_output=True, text=True, cwd="/root/repo",
+                timeout=600,
+            )
+        bad = {"doc_id": "string", "text": "int", "gone": "double"}
+        p = run(bad)
+        assert p.returncode == 3
+        assert "schema contract violated" in p.stderr
+        assert not (tmp_path / "out" / "manifest").exists()  # no unit ran
+
+        p = run(bad, ["--schema-lenient"])
+        assert p.returncode == 0, p.stderr[-1500:]
+        out = json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+        st = {r["column"]: r["status"] for r in out["schema_conformance"]}
+        assert st["text"] == "type_mismatch" and st["gone"] == "missing"
+        assert out["rows"] == 20          # the run still completed
+
+        p = run({"doc_id": "string", "text": "string", "n": "bigint"})
+        assert p.returncode == 0, p.stderr[-1500:]
+        out = json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+        assert all(r["status"] == "ok" for r in out["schema_conformance"])
