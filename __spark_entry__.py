@@ -3076,6 +3076,38 @@ def q_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation-rate drift (``suggest.rule_drift``): the
+    even-doc_id slice as baseline vs the whole corpus as current (the
+    drift_events convention) — distinct offending docs · 10000 div
+    slice rows, exact ints, full outer over rules so silenced and new
+    rules both surface.  The "new batch breaks rule X twice as often"
+    alert."""
+    from evalidate_spark.operators.suggest import rule_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    )
+    bv = validate(base, _doc_rules(), id_cols=["doc_id"]).violations
+    cv = validate(docs, _doc_rules(), id_cols=["doc_id"]).violations
+    return rule_drift(
+        bv, cv, base_rows=base.count(), cur_rows=docs.count(), alert_bp=500
+    )
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance report (``classifier.class_balance``) over the
+    embeddings labels: exact counts, int-bp shares, and
+    inverse-frequency class weights as exact scaled integers (no float
+    aggregation).  NULL labels surface as their own row but never shape
+    the weights — an unlabeled slice is a labelling defect, not a
+    class."""
+    from evalidate_spark.functions.classifier import class_balance
+
+    return class_balance(_t(spark, sf_dir, "embeddings"), "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3265,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "magnitude_profile": q_magnitude_profile,
         "ts_granularity": q_ts_granularity,
         "schema_conformance": q_schema_conformance,
+        "rule_drift": q_rule_drift,
+        "class_balance": q_class_balance,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7324,6 +7358,60 @@ SELECT * FROM (VALUES
   ('quality_score', 'double', NULL, 'missing'),
   ('source', NULL, 'string', 'unexpected')
 ) t("column", expected_type, actual_type, status)
+"""
+
+
+# validation is row-local, so slice-then-validate ≡ validate-then-slice:
+# the baseline's violations are the full run's rows on even doc_ids
+ORACLE["rule_drift"] = """
+WITH base_v AS (
+  SELECT DISTINCT rule_id, doc_id FROM ({VD})
+  WHERE doc_id IS NOT NULL AND ((doc_id % 2) + 2) % 2 = 0
+), cur_v AS (
+  SELECT DISTINCT rule_id, doc_id FROM ({VD})
+), bt AS (
+  SELECT count(*) AS n FROM documents
+  WHERE doc_id IS NOT NULL AND ((doc_id % 2) + 2) % 2 = 0
+), ct AS (SELECT count(*) AS n FROM documents),
+b AS (
+  SELECT rule_id, CAST(count(*) AS BIGINT) AS base_docs,
+         CAST((count(*) * 10000) // (SELECT n FROM bt) AS BIGINT)
+           AS base_rate_bp
+  FROM base_v GROUP BY 1
+), c AS (
+  SELECT rule_id, CAST(count(*) AS BIGINT) AS cur_docs,
+         CAST((count(*) * 10000) // (SELECT n FROM ct) AS BIGINT)
+           AS cur_rate_bp
+  FROM cur_v GROUP BY 1
+)
+SELECT coalesce(b.rule_id, c.rule_id) AS rule_id,
+  coalesce(base_docs, 0) AS base_docs,
+  coalesce(cur_docs, 0) AS cur_docs,
+  coalesce(base_rate_bp, 0) AS base_rate_bp,
+  coalesce(cur_rate_bp, 0) AS cur_rate_bp,
+  coalesce(cur_rate_bp, 0) - coalesce(base_rate_bp, 0) AS delta_bp,
+  abs(coalesce(cur_rate_bp, 0) - coalesce(base_rate_bp, 0)) >= 500 AS alert
+FROM b FULL OUTER JOIN c ON b.rule_id = c.rule_id
+""".replace("{VD}", ORACLE["validate_documents"])
+
+
+ORACLE["class_balance"] = """
+WITH c AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_rows
+  FROM embeddings GROUP BY 1
+), t AS (
+  SELECT
+    coalesce(sum(CASE WHEN label IS NOT NULL THEN n_rows END), 0) AS labeled,
+    coalesce(sum(n_rows), 0) AS total,
+    count(CASE WHEN label IS NOT NULL THEN 1 END) AS k
+  FROM c
+)
+SELECT label, n_rows,
+  CAST((n_rows * 10000) // greatest(total, 1) AS BIGINT) AS share_bp,
+  CAST(CASE WHEN label IS NOT NULL AND k > 0
+       THEN (labeled * 10000) // (k * n_rows) END AS BIGINT)
+    AS weight_scaled
+FROM c, t
 """
 
 

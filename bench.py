@@ -301,6 +301,8 @@ def main() -> None:
         "magnitude_profile",
         "ts_granularity",
         "schema_conformance",
+        "rule_drift",
+        "class_balance",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

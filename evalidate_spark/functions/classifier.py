@@ -340,3 +340,53 @@ def calibration_bins(
             F.expr("(10000 * n_pos) div n").cast("long").alias("pos_rate_bp"),
         )
     )
+
+
+def class_balance(
+    df: DataFrame,
+    label_col: str = "label",
+    weight_scale: int = 10000,
+) -> DataFrame:
+    """Label-distribution balance report for a training corpus — per
+    label: exact count, integer-bp share, and the standard
+    inverse-frequency class weight ``total / (k · n_label)`` emitted as
+    an EXACT scaled integer (``weight_scaled = (total · weight_scale)
+    div (k · n)``; divide by *weight_scale* downstream) — no float
+    aggregation, deterministic.  A 99:1 skew silently turns a
+    classifier into a majority-vote; this is the check (and the fix's
+    input) to run before training a quality/toxicity/language filter.
+
+    NULL labels get their own row (``label`` NULL, weight NULL): an
+    unlabeled slice is a labelling-pipeline defect to surface, not
+    silently droppable — but it does NOT count toward k or the weight
+    denominator of real classes.
+
+    One map-side-combined groupBy over label cardinality + a broadcast
+    1-row total; output is label-cardinality rows."""
+    lbl = F.col("`%s`" % label_col)
+    counts = df.groupBy(lbl.alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("label").isNotNull(), F.col("n_rows"))),
+            F.lit(0),
+        ).alias("__labeled"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("__total"),
+        F.count(F.when(F.col("label").isNotNull(), F.lit(1))).alias("__k"),
+    )
+    return counts.join(F.broadcast(tot)).select(
+        "label",
+        "n_rows",
+        F.expr("(n_rows * 10000) DIV greatest(__total, 1)")
+        .cast("long")
+        .alias("share_bp"),
+        F.when(
+            F.col("label").isNotNull() & (F.col("__k") > 0),
+            F.expr(
+                "(__labeled * %d) DIV (__k * n_rows)" % int(weight_scale)
+            ),
+        )
+        .cast("long")
+        .alias("weight_scaled"),
+    )

@@ -337,3 +337,75 @@ def rule_cooccurrence(
             .alias("overlap_bp"),
         )
     )
+
+
+def rule_drift(
+    base_violations,
+    cur_violations,
+    base_rows: int = None,
+    cur_rows: int = None,
+    rule_col: str = "rule_id",
+    id_col: str = "doc_id",
+    alert_bp: int = 500,
+):
+    """Per-rule violation-RATE drift between two corpus slices — the
+    alert that catches "the new crawl batch breaks rule X twice as
+    often" before it poisons a training mix.  Inputs are two typed
+    violation frames (baseline / current) plus each slice's TOTAL row
+    count (so rules that stopped firing still show a rate drop, and
+    rates are per-document, not per-violation).
+
+    Output per rule (full outer over the union of rules):
+
+    ``(rule_id, base_docs, cur_docs, base_rate_bp, cur_rate_bp,
+    delta_bp, alert)``
+
+    with rates = distinct offending docs · 10000 div slice rows (exact
+    ints), ``delta_bp = cur − base`` and ``alert = |delta| >=
+    alert_bp``.  A rule absent from one side reads as rate 0 there —
+    new rules and silenced rules both surface.
+
+    Scale shape: one distinct + rule-cardinality aggregate per side,
+    then a rule-cardinality full outer join — nothing at corpus
+    cardinality after the distincts.  *base_rows*/*cur_rows* must come
+    from counts the caller already has (manifest totals, profile rows) —
+    a violations frame cannot know its parent's row count, so omitting
+    them raises rather than silently normalising per-violation."""
+    from pyspark.sql import functions as F
+
+    if base_rows is None or cur_rows is None:
+        raise ValueError("rule_drift needs explicit base_rows and cur_rows")
+    if base_rows <= 0 or cur_rows <= 0:
+        raise ValueError("rule_drift: slice row counts must be positive")
+
+    def _rates(v, n_rows: int, docs_name: str, rate_name: str):
+        return (
+            v.select(
+                F.col("`%s`" % rule_col).alias("rule_id"),
+                F.col("`%s`" % id_col).alias("__d"),
+            )
+            .distinct()
+            .groupBy("rule_id")
+            .agg(F.count(F.lit(1)).cast("long").alias(docs_name))
+            .withColumn(
+                rate_name,
+                F.expr("(%s * 10000) DIV %d" % (docs_name, int(n_rows)))
+                .cast("long"),
+            )
+        )
+
+    b = _rates(base_violations, base_rows, "base_docs", "base_rate_bp")
+    c = _rates(cur_violations, cur_rows, "cur_docs", "cur_rate_bp")
+    j = b.join(c, "rule_id", "full_outer").select(
+        "rule_id",
+        F.coalesce("base_docs", F.lit(0)).cast("long").alias("base_docs"),
+        F.coalesce("cur_docs", F.lit(0)).cast("long").alias("cur_docs"),
+        F.coalesce("base_rate_bp", F.lit(0)).cast("long").alias("base_rate_bp"),
+        F.coalesce("cur_rate_bp", F.lit(0)).cast("long").alias("cur_rate_bp"),
+    )
+    delta = F.col("cur_rate_bp") - F.col("base_rate_bp")
+    return j.select(
+        "*",
+        delta.alias("delta_bp"),
+        (F.abs(delta) >= int(alert_bp)).alias("alert"),
+    )

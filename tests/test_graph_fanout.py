@@ -478,3 +478,49 @@ class TestSchemaConformance:
         df = spark.createDataFrame([], "a bigint, extra string")
         out = schema_conformance(df, {"a": "bigint"}, strict=False).collect()
         assert [(r.column, r.status) for r in out] == [("a", "ok")]
+
+
+class TestRuleDrift:
+    def _v(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rule_id string")
+
+    def test_rates_and_new_silenced_rules(self, spark):
+        from evalidate_spark.operators.suggest import rule_drift
+
+        base = self._v(spark, [(1, "a"), (2, "a"), (3, "old")])
+        cur = self._v(spark, [(1, "a"), (2, "a"), (3, "a"), (4, "a"),
+                              (5, "new"), (5, "new")])
+        out = {r.rule_id: r for r in
+               rule_drift(base, cur, base_rows=10, cur_rows=10,
+                          alert_bp=1500).collect()}
+        a = out["a"]
+        assert (a.base_docs, a.cur_docs) == (2, 4)
+        assert (a.base_rate_bp, a.cur_rate_bp, a.delta_bp) == (2000, 4000, 2000)
+        assert a.alert is True
+        # "new" fires twice on the SAME doc → distinct-doc rate, one doc
+        assert (out["new"].base_rate_bp, out["new"].cur_rate_bp) == (0, 1000)
+        assert out["new"].alert is False   # |1000| < 1500
+        assert (out["old"].cur_docs, out["old"].delta_bp) == (0, -1000)
+        assert out["old"].alert is False   # |delta| < 1500
+
+    def test_requires_row_counts(self, spark):
+        from evalidate_spark.operators.suggest import rule_drift
+
+        v = self._v(spark, [(1, "a")])
+        with pytest.raises(ValueError):
+            rule_drift(v, v)
+
+
+class TestClassBalance:
+    def test_weights_and_null_label(self, spark):
+        from evalidate_spark.functions.classifier import class_balance
+
+        df = spark.createDataFrame(
+            [(0,)] * 90 + [(1,)] * 10 + [(None,)] * 5, "label int")
+        out = {r.label: r for r in class_balance(df, "label").collect()}
+        # labeled=100, k=2: weight(0) = 100*10000//(2*90), weight(1) = ..//20
+        assert out[0].weight_scaled == 1000000 // 180
+        assert out[1].weight_scaled == 1000000 // 20
+        assert out[None].weight_scaled is None
+        assert out[None].n_rows == 5 and out[None].share_bp == 5 * 10000 // 105
+        assert out[0].share_bp == 90 * 10000 // 105

@@ -207,6 +207,8 @@ QUERIES = [
     "magnitude_profile",
     "ts_granularity",
     "schema_conformance",
+    "rule_drift",
+    "class_balance",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
