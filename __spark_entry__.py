@@ -3108,6 +3108,22 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_balance(_t(spark, sf_dir, "embeddings"), "label")
 
 
+def q_lsh_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-Jaccard calibration histogram
+    (``dedup.lsh_threshold_hist``): the md5 MinHash-LSH candidates
+    binned by exact-integer Jaccard (``(inter · 20) div union`` from
+    shingle-set sizes — no float bucketing) into 20 buckets of 500 bp.
+    The report that picks the dedup threshold from the real candidate
+    distribution instead of folklore."""
+    from evalidate_spark.functions.dedup import lsh_threshold_hist
+
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidates_md5(d, num_hashes=16, bands=8).select(
+        "id_a", "id_b"
+    )
+    return lsh_threshold_hist(d, cand, shingle_k=3, bins=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3299,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_conformance": q_schema_conformance,
         "rule_drift": q_rule_drift,
         "class_balance": q_class_balance,
+        "lsh_threshold_hist": q_lsh_threshold_hist,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7413,6 +7430,33 @@ SELECT label, n_rows,
     AS weight_scaled
 FROM c, t
 """
+
+
+ORACLE["lsh_threshold_hist"] = """
+WITH cand AS ({MINHASH}),
+t0 AS (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, {SHEX} AS sh FROM t0
+), j AS (
+  SELECT len(list_intersect(a.sh, b.sh)) AS i3,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u3
+  FROM cand c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+), binned AS (
+  SELECT CASE WHEN u3 = 0 THEN 19
+         ELSE least((i3 * 20) // u3, 19) END AS bin
+  FROM j
+)
+SELECT CAST(bin AS INT) AS bin, CAST(bin * 500 AS BIGINT) AS lo_bp,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY bin
+""".replace("{MINHASH}", ORACLE["minhash_pairs_md5"]).replace(
+    "{SHEX}", _SHINGLES_EXACT_SQL
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -303,6 +303,7 @@ def main() -> None:
         "schema_conformance",
         "rule_drift",
         "class_balance",
+        "lsh_threshold_hist",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

@@ -2121,3 +2121,51 @@ def containment_pairs(
         .cast("long")
         .alias("b_in_a_bp"),
     )
+
+
+def lsh_threshold_hist(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    bins: int = 20,
+) -> DataFrame:
+    """Jaccard DISTRIBUTION of a candidate-pair set — the
+    threshold-calibration report: before committing "dedup at J ≥ 0.8"
+    across 10^12 docs, look at where the LSH candidates actually sit.
+    A bimodal histogram (near-dups vs band collisions) hands you the
+    threshold; a flat one says the banding parameters are wrong, and no
+    threshold will be clean.
+
+    Output: ``(bin, lo_bp, n_pairs)`` — *bins* equal-width Jaccard
+    buckets, ``bin = (|A∩B| · bins) div |A∪B|`` computed ENTIRELY in
+    exact integer arithmetic from the shingle-set sizes (no float
+    bucketing, no boundary ambiguity), top-capped into the last bin so
+    J = 1.0 lands in ``[1 − 1/bins, 1]``.
+
+    Same scale shape as :func:`containment_pairs` (it reuses it): two
+    id-keyed joins onto the candidate list, then a bins-cardinality
+    aggregate."""
+    if bins < 2 or 10000 % bins != 0:
+        raise ValueError("bins must be >= 2 and divide 10000")
+    cp = containment_pairs(
+        df, candidates, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    b = F.when(union == 0, F.lit(bins - 1)).otherwise(
+        F.least(
+            F.expr("(inter * %d) DIV (size_a + size_b - inter)" % int(bins)),
+            F.lit(bins - 1),
+        )
+    )
+    return (
+        cp.select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin") * (10000 // bins)).cast("long").alias("lo_bp"),
+            "n_pairs",
+        )
+    )

@@ -524,3 +524,31 @@ class TestClassBalance:
         assert out[None].weight_scaled is None
         assert out[None].n_rows == 5 and out[None].share_bp == 5 * 10000 // 105
         assert out[0].share_bp == 90 * 10000 // 105
+
+
+class TestLshThresholdHist:
+    def test_exact_integer_binning(self, spark):
+        from evalidate_spark.functions.dedup import lsh_threshold_hist
+
+        docs = spark.createDataFrame([
+            (1, "a b c d e"),          # 3 shingles
+            (2, "a b c d e"),          # identical → J=1 → bin 19
+            (3, "a b c x y"),          # 1 of 5 union-3-shingles shared
+            (4, "zz zz zz"),           # disjoint → J=0 → bin 0
+        ], "doc_id long, text string")
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+        out = {r.bin: (r.lo_bp, r.n_pairs) for r in
+               lsh_threshold_hist(docs, cand, bins=20).collect()}
+        assert out[19] == (9500, 1)     # J = 1.0 capped into the top bin
+        assert out[0] == (0, 1)         # disjoint
+        # (1,3): inter=1, union=5 → (1*20)//5 = 4
+        assert out[4] == (2000, 1)
+
+    def test_bins_validation(self, spark):
+        from evalidate_spark.functions.dedup import lsh_threshold_hist
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        cand = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            lsh_threshold_hist(docs, cand, bins=7)   # doesn't divide 10000

@@ -209,6 +209,7 @@ QUERIES = [
     "schema_conformance",
     "rule_drift",
     "class_balance",
+    "lsh_threshold_hist",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
