@@ -3124,6 +3124,32 @@ def q_lsh_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_threshold_hist(d, cand, shingle_k=3, bins=20)
 
 
+def q_category_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-set churn (``table_checks.category_churn``) of
+    event_type between the even-user slice (baseline) and the whole
+    stream: WHICH enum values appeared / vanished / persist — the
+    explicit complement to the PSI/TVD drift scores, and the upstream
+    alert every allowed-list rule wants.  NULL is a real category."""
+    from evalidate_spark.operators.table_checks import category_churn
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("user_id").isNotNull()
+        & (F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    )
+    return category_churn(base, ev, "event_type")
+
+
+def q_media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset reuse report (``spans.media_reuse``) over the
+    derived interleaved spans: per asset, citing spans and DISTINCT
+    citing docs — the planning input for media dedup / broadcast-vs-
+    fetch shard layout."""
+    from evalidate_spark.operators.spans import media_reuse
+
+    return media_reuse(_derived_spans(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3316,6 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_drift": q_rule_drift,
         "class_balance": q_class_balance,
         "lsh_threshold_hist": q_lsh_threshold_hist,
+        "category_churn": q_category_churn,
+        "media_reuse": q_media_reuse,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7457,6 +7485,46 @@ FROM binned GROUP BY bin
 """.replace("{MINHASH}", ORACLE["minhash_pairs_md5"]).replace(
     "{SHEX}", _SHINGLES_EXACT_SQL
 )
+
+
+ORACLE["category_churn"] = """
+WITH b AS (
+  SELECT event_type AS category, CAST(count(*) AS BIGINT) AS base_rows
+  FROM events
+  WHERE user_id IS NOT NULL AND ((user_id % 2) + 2) % 2 = 0
+  GROUP BY 1
+), u AS (
+  SELECT event_type AS category, CAST(count(*) AS BIGINT) AS cur_rows
+  FROM events GROUP BY 1
+)
+SELECT coalesce(b.category, u.category) AS category,
+  coalesce(base_rows, 0) AS base_rows,
+  coalesce(cur_rows, 0) AS cur_rows,
+  CASE WHEN coalesce(base_rows, 0) = 0 THEN 'new'
+       WHEN coalesce(cur_rows, 0) = 0 THEN 'gone'
+       ELSE 'persists' END AS status
+FROM b FULL OUTER JOIN u ON b.category IS NOT DISTINCT FROM u.category
+"""
+
+
+# mirrors _derived_spans closed-form: span0 carries a ref iff
+# doc_id % 13 = 0 (kind irrelevant), span1 always, span2 never
+ORACLE["media_reuse"] = """
+WITH refs AS (
+  SELECT doc_id,
+    'm-' || CAST(((doc_id % 50) + 50) % 50 AS VARCHAR) AS media_ref
+  FROM documents
+  WHERE doc_id IS NOT NULL AND ((doc_id % 13) + 13) % 13 = 0
+  UNION ALL
+  SELECT doc_id, 'm-' || CAST(((doc_id % 30) + 30) % 30 AS VARCHAR)
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT media_ref,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  count(DISTINCT doc_id) >= 2 AS shared
+FROM refs GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -304,6 +304,8 @@ def main() -> None:
         "rule_drift",
         "class_balance",
         "lsh_threshold_hist",
+        "category_churn",
+        "media_reuse",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

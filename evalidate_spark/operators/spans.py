@@ -323,3 +323,25 @@ def caption_proximity_violations(
     return docs.select(
         F.col("`%s`" % doc_id).alias("doc_id"), F.explode(bad).alias("__v")
     ).select("doc_id", F.col("__v.span_index"), F.col("__v.offset"))
+
+
+def media_reuse(
+    docs: DataFrame, doc_id: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Media-asset reuse report — per referenced asset, how many spans
+    cite it and across how many DISTINCT documents: ``(media_ref,
+    n_occurrences, n_docs, shared)``.  The planning input for media
+    dedup and media-shard layout: an asset cited by 10^5 docs should be
+    stored once and broadcast, not fetched 10^5 times, and a
+    boilerplate logo cited everywhere is the media-side analogue of a
+    boilerplate text shingle.
+
+    Builds on :func:`media_refs` (filter inside the array, explode only
+    media spans), then one map-side-combined aggregate at asset
+    cardinality.  NULL refs are dropped there; ``shared = n_docs >= 2``."""
+    refs = media_refs(docs, spans_col=spans_col)
+    return refs.groupBy("media_ref").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        (F.countDistinct("doc_id") >= 2).alias("shared"),
+    )

@@ -3455,3 +3455,57 @@ def schema_conformance(
         rows, "column string, expected_type string, actual_type string, "
         "status string"
     )
+
+
+def category_churn(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    min_rows: int = 1,
+) -> DataFrame:
+    """Category-SET churn between two slices of a low-cardinality
+    column — the explicit complement to PSI/TVD drift scores: WHICH
+    values appeared, which vanished, which persist.  A new enum value
+    is usually an upstream deploy (new event_type, new lang code)
+    that every allowed-list rule downstream should hear about before
+    it starts rejecting rows wholesale.
+
+    Output per category (full outer over both slices):
+
+    ``(category, base_rows, cur_rows, status)`` with status ∈ ``new``
+    (absent in baseline) / ``gone`` (absent in current) / ``persists``.
+    *min_rows* debounces singleton noise: a category needs ≥ min_rows
+    in the slice it appears in to be reported at all (applied per
+    side BEFORE the outer join, so a 1-row flicker doesn't fabricate a
+    ``new``).  NULL category is a real value and churns like any other.
+
+    Two map-side-combined groupBys at category cardinality + one
+    category-cardinality full outer join — nothing at row cardinality
+    after the aggregates."""
+    c = F.col("`%s`" % column)
+
+    def _freq(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.groupBy(c.alias("category"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+            .filter(F.col(name) >= int(min_rows))
+        )
+
+    b = _freq(baseline, "base_rows")
+    u = _freq(current, "cur_rows")
+    # eqNullSafe join key: NULL is a real category and must pair with
+    # itself across the two sides
+    j = b.join(
+        u, b["category"].eqNullSafe(u["category"]), "full_outer"
+    ).select(
+        F.coalesce(b["category"], u["category"]).alias("category"),
+        # disambiguate all-NULL: base side present iff base_rows not null
+        F.coalesce(b["base_rows"], F.lit(0)).alias("base_rows"),
+        F.coalesce(u["cur_rows"], F.lit(0)).alias("cur_rows"),
+    )
+    status = (
+        F.when(F.col("base_rows") == 0, F.lit("new"))
+        .when(F.col("cur_rows") == 0, F.lit("gone"))
+        .otherwise(F.lit("persists"))
+    )
+    return j.select("category", "base_rows", "cur_rows", status.alias("status"))

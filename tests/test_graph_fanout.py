@@ -552,3 +552,22 @@ class TestLshThresholdHist:
         cand = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
         with pytest.raises(ValueError):
             lsh_threshold_hist(docs, cand, bins=7)   # doesn't divide 10000
+
+
+class TestCategoryChurn:
+    def test_statuses_null_and_debounce(self, spark):
+        from evalidate_spark.operators.table_checks import category_churn
+
+        base = spark.createDataFrame(
+            [("a",)] * 3 + [("gone",)] * 2 + [(None,)] * 2, "c string")
+        cur = spark.createDataFrame(
+            [("a",)] * 4 + [("new",)] * 2 + [(None,)] * 1 + [("flicker",)],
+            "c string")
+        out = {r.category: (r.base_rows, r.cur_rows, r.status)
+               for r in category_churn(base, cur, "c", min_rows=2).collect()}
+        assert out["a"] == (3, 4, "persists")
+        assert out["gone"] == (2, 0, "gone")
+        assert out["new"] == (0, 2, "new")
+        # NULL pairs with itself via null-safe equality
+        assert out[None] == (2, 0, "gone")   # cur NULL count 1 < min_rows
+        assert "flicker" not in out          # debounced per side
