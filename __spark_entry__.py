@@ -3150,6 +3150,23 @@ def q_media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_reuse(_derived_spans(spark, sf_dir))
 
 
+def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair dedup arbitration (``dedup.dedup_verdicts``): exact
+    fingerprint / shingle Jaccard / directional containment combined
+    into one priority decision (exact → near → contained → distinct) —
+    the last step between candidate generation and cluster-or-drop.
+    All signals exact-integer; everything at candidate cardinality."""
+    from evalidate_spark.functions.dedup import dedup_verdicts
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .filter(F.col("id_a") % 2 == 0)
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    return dedup_verdicts(d, cand, shingle_k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3344,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_threshold_hist": q_lsh_threshold_hist,
         "category_churn": q_category_churn,
         "media_reuse": q_media_reuse,
+        "dedup_verdicts": q_dedup_verdicts,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7525,6 +7543,47 @@ SELECT media_ref,
   count(DISTINCT doc_id) >= 2 AS shared
 FROM refs GROUP BY 1
 """
+
+
+ORACLE["dedup_verdicts"] = """
+WITH t0 AS (
+  SELECT doc_id, text,
+    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL
+         -- coalesce: DuckDB array_to_string([]) is NULL, Spark's '' —
+         -- an empty-token doc must fingerprint as md5(''), not NULL
+         ELSE md5(coalesce(
+                array_to_string(list_transform(tk, x -> lower(x)), ' '), ''))
+    END AS fp,
+    {SHEX} AS sh
+  FROM t0
+), c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sa, b.sh AS sb, a.fp AS fa, b.fp AS fb
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+), m AS (
+  SELECT id_a, id_b,
+    (fa IS NOT NULL AND fa = fb) AS exact,
+    len(list_intersect(sa, sb)) AS i3, len(sa) AS la, len(sb) AS lb
+  FROM c
+)
+SELECT id_a, id_b, exact,
+  CAST(CASE WHEN la + lb - i3 = 0 THEN 10000
+       ELSE (i3 * 10000) // (la + lb - i3) END AS BIGINT) AS jaccard_bp,
+  CAST((i3 * 10000) // la AS BIGINT) AS a_in_b_bp,
+  CAST((i3 * 10000) // lb AS BIGINT) AS b_in_a_bp,
+  CASE WHEN exact THEN 'exact'
+       WHEN (CASE WHEN la + lb - i3 = 0 THEN 10000
+             ELSE (i3 * 10000) // (la + lb - i3) END) >= 8000 THEN 'near'
+       WHEN (i3 * 10000) // la >= 9000 OR (i3 * 10000) // lb >= 9000
+         THEN 'contained'
+       ELSE 'distinct' END AS decision
+FROM m
+""".replace("{SHEX}", _SHINGLES_EXACT_SQL)
 
 
 def oracle_sql() -> dict[str, str]:

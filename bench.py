@@ -306,6 +306,7 @@ def main() -> None:
         "lsh_threshold_hist",
         "category_churn",
         "media_reuse",
+        "dedup_verdicts",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

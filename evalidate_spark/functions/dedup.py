@@ -2169,3 +2169,82 @@ def lsh_threshold_hist(
             "n_pairs",
         )
     )
+
+
+def dedup_verdicts(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    near_bp: int = 8000,
+    contained_bp: int = 9000,
+) -> DataFrame:
+    """One DECISION per candidate pair, combining the three text-dup
+    signals in priority order — the last arbitration step between
+    candidate generation and cluster/drop:
+
+    ``(id_a, id_b, exact, jaccard_bp, a_in_b_bp, b_in_a_bp, decision)``
+
+    * ``exact`` — md5 content fingerprints equal
+      (:func:`evalidate_spark.functions.text.fingerprint`:
+      whitespace-normalised lowercase; NULL fingerprint never equals);
+    * ``jaccard_bp`` — exact-int ``(|A∩B|·10000) div |A∪B|`` from the
+      shingle sets;
+    * directional containment from :func:`containment_pairs`;
+    * ``decision`` — first match of: ``exact`` → ``near`` (jaccard ≥
+      *near_bp*) → ``contained`` (either direction ≥ *contained_bp*) →
+      ``distinct``.  Exact wins over near so case/whitespace-only twins
+      are labelled as the stronger claim; containment ranks below near
+      because a subset-dup needs an asymmetric treatment (keep the
+      superset) rather than a coin-flip drop.
+
+    Scale shape: :func:`containment_pairs`'s id-keyed joins plus one
+    more id-keyed fingerprint join per side; everything stays at
+    candidate cardinality."""
+    from .text import fingerprint
+
+    cp = containment_pairs(
+        df, candidates, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    )
+    ids = F.col("`%s`" % id_col)
+    fps = df.select(
+        ids.alias("__fid"), fingerprint(F.col("`%s`" % text_col)).alias("__fp")
+    )
+    j = (
+        cp.join(
+            fps.select(
+                F.col("__fid").alias("id_a"), F.col("__fp").alias("__fpa")
+            ),
+            "id_a",
+        )
+        .join(
+            fps.select(
+                F.col("__fid").alias("id_b"), F.col("__fp").alias("__fpb")
+            ),
+            "id_b",
+        )
+    )
+    exact = F.col("__fpa").isNotNull() & (F.col("__fpa") == F.col("__fpb"))
+    jac = F.when(
+        F.expr("size_a + size_b - inter") == 0, F.lit(10000)
+    ).otherwise(F.expr("(inter * 10000) DIV (size_a + size_b - inter)"))
+    out = j.select(
+        "id_a",
+        "id_b",
+        exact.alias("exact"),
+        jac.cast("long").alias("jaccard_bp"),
+        "a_in_b_bp",
+        "b_in_a_bp",
+    )
+    decision = (
+        F.when(F.col("exact"), F.lit("exact"))
+        .when(F.col("jaccard_bp") >= int(near_bp), F.lit("near"))
+        .when(
+            (F.col("a_in_b_bp") >= int(contained_bp))
+            | (F.col("b_in_a_bp") >= int(contained_bp)),
+            F.lit("contained"),
+        )
+        .otherwise(F.lit("distinct"))
+    )
+    return out.select("*", decision.alias("decision"))

@@ -571,3 +571,40 @@ class TestCategoryChurn:
         # NULL pairs with itself via null-safe equality
         assert out[None] == (2, 0, "gone")   # cur NULL count 1 < min_rows
         assert "flicker" not in out          # debounced per side
+
+
+class TestDedupVerdicts:
+    def test_priority_order(self, spark):
+        from evalidate_spark.functions.dedup import dedup_verdicts
+
+        docs = spark.createDataFrame([
+            (1, "The  Quick brown FOX jumps high"),
+            (2, "the quick brown fox jumps high"),     # exact (case/ws)
+            (3, "a b c d e f g h i j k l"),
+            (4, "a b c d e f g h i j k m"),   # near: 9/11 shingles shared
+            (5, "x y z w"),
+            (6, "pre x y z w post tail more words here pad pad pad"),  # contained
+            (7, "alpha beta gamma"),
+            (8, "totally different words entirely"),   # distinct
+        ], "doc_id long, text string")
+        cand = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long")
+        out = {(r.id_a, r.id_b): r for r in
+               dedup_verdicts(docs, cand).collect()}
+        assert out[(1, 2)].decision == "exact" and out[(1, 2)].exact
+        assert out[(3, 4)].decision == "near"
+        assert out[(3, 4)].jaccard_bp >= 8000 and not out[(3, 4)].exact
+        assert out[(5, 6)].decision == "contained"
+        assert out[(5, 6)].a_in_b_bp == 10000
+        assert out[(7, 8)].decision == "distinct"
+
+    def test_null_fingerprint_never_exact(self, spark):
+        from evalidate_spark.functions.dedup import dedup_verdicts
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, text string")
+        cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = dedup_verdicts(docs, cand).collect()[0]
+        # both NULL texts: fingerprints NULL → not exact; the single ''
+        # shingle sets ARE identical → jaccard 10000 → near
+        assert r.exact is False and r.decision == "near"

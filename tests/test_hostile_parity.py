@@ -212,6 +212,7 @@ QUERIES = [
     "lsh_threshold_hist",
     "category_churn",
     "media_reuse",
+    "dedup_verdicts",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
