@@ -3167,6 +3167,19 @@ def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_verdicts(d, cand, shingle_k=3)
 
 
+def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-extent overlap check (``spans.span_overlap_violations``)
+    over the derived spans: a text span occupies [offset,
+    offset+len(text)), so the next offset-sorted span must start at or
+    after that end — double-extraction detection beyond monotonicity.
+    One fused sort+zip projection, sparse explode; the oracle replays
+    the same construction relationally (rows + window, null-safe doc
+    grouping)."""
+    from evalidate_spark.operators.spans import span_overlap_violations
+
+    return span_overlap_violations(_derived_spans(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3362,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_churn": q_category_churn,
         "media_reuse": q_media_reuse,
         "dedup_verdicts": q_dedup_verdicts,
+        "span_overlap": q_span_overlap,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7584,6 +7598,38 @@ SELECT id_a, id_b, exact,
        ELSE 'distinct' END AS decision
 FROM m
 """.replace("{SHEX}", _SHINGLES_EXACT_SQL)
+
+
+# relational replay of _derived_spans + the overlap walk: span rows,
+# (off, ix)-ordered window, adjacent-pair compare.  Groups by doc_id with
+# null-safe self-join — fixtures hold at most one NULL-doc_id row, so
+# per-group ≡ per-source-row here (engine works per row)
+ORACLE["span_overlap"] = """
+WITH sp AS (
+  SELECT doc_id, 0 AS ix,
+    CASE WHEN ((doc_id % 17) + 17) % 17 = 0 THEN 0
+         ELSE coalesce(length(text), 0) END AS len,
+    0 AS off
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 0, n_chars FROM documents WHERE n_chars IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, coalesce(least(10, length(text)), 0),
+    CASE WHEN doc_id IS NOT NULL AND ((doc_id % 11) + 11) % 11 = 0
+         THEN n_chars - 5 ELSE n_chars + 5 END
+  FROM documents WHERE n_chars IS NOT NULL
+), srt AS (
+  SELECT doc_id, ix, len, off,
+    row_number() OVER (PARTITION BY doc_id ORDER BY off, ix) AS rn
+  FROM sp
+)
+SELECT s.doc_id, CAST(s.ix AS INT) AS span_index,
+  CAST(s.off + s.len AS INT) AS end_prev,
+  CAST(t.off AS INT) AS offset_next
+FROM srt s JOIN srt t
+  ON s.doc_id IS NOT DISTINCT FROM t.doc_id AND t.rn = s.rn + 1
+WHERE s.off + s.len > t.off
+"""
 
 
 def oracle_sql() -> dict[str, str]:

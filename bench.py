@@ -307,6 +307,7 @@ def main() -> None:
         "category_churn",
         "media_reuse",
         "dedup_verdicts",
+        "span_overlap",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

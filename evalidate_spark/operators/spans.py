@@ -345,3 +345,77 @@ def media_reuse(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         (F.countDistinct("doc_id") >= 2).alias("shared"),
     )
+
+
+def span_overlap_violations(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Span-EXTENT overlap check — beyond offset monotonicity
+    (:func:`span_structure_violations`): a text span occupies
+    ``[offset, offset + length(text))`` in the reconstructed document,
+    so the NEXT span's offset must be ≥ that end or the two spans claim
+    the same character range (double-extraction, mis-spliced media).
+    Media/unknown spans occupy a single position (length 0 — the
+    placeholder is not part of source text offsets).
+
+    Emits ``(doc_id, span_index, end_prev, offset_next)`` at the LEFT
+    index of each overlapping pair, offset-sorted with the stable
+    (offset, original index) order reconstruct_text uses — so the check
+    matches what rendering would actually interleave.  NULL offsets are
+    unplaceable and excluded here (offset-presence rules flag them).
+
+    One fused projection per row: array_sort with the explicit
+    comparator, zip_with of the sorted array with its tail, sparse
+    explode of violations only.  No shuffle."""
+    spans = _spans(spans_col)
+    indexed = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["offset"].alias("off"),
+            i.alias("ix"),
+            F.when(s["kind"] == "text", F.length(s["text"]))
+            .otherwise(F.lit(0))
+            .alias("len"),
+        ),
+    )
+
+    def _cmp(a: Column, b: Column) -> Column:
+        ao, bo = a["off"], b["off"]
+        return (
+            F.when(ao.isNull() & bo.isNull(), a["ix"] - b["ix"])
+            .when(ao.isNull(), F.lit(1))
+            .when(bo.isNull(), F.lit(-1))
+            .when(ao < bo, F.lit(-1))
+            .when(ao > bo, F.lit(1))
+            .otherwise(a["ix"] - b["ix"])
+        ).cast("int")
+
+    srt = F.filter(
+        F.array_sort(indexed, _cmp), lambda s: s["off"].isNotNull()
+    )
+    n = F.size(srt)
+    pairs = F.zip_with(
+        F.slice(srt, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(srt, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.when(
+            a["off"] + F.coalesce(a["len"], F.lit(0)) > b["off"],
+            F.struct(
+                a["ix"].cast("int").alias("span_index"),
+                (a["off"] + F.coalesce(a["len"], F.lit(0)))
+                .cast("int")
+                .alias("end_prev"),
+                b["off"].cast("int").alias("offset_next"),
+            ),
+        ),
+    )
+    bad = F.filter(pairs, lambda x: x.isNotNull())
+    return docs.select(
+        F.col("`%s`" % doc_id).alias("doc_id"), F.explode(bad).alias("__v")
+    ).select(
+        "doc_id",
+        F.col("__v.span_index"),
+        F.col("__v.end_prev"),
+        F.col("__v.offset_next"),
+    )

@@ -608,3 +608,47 @@ class TestDedupVerdicts:
         # both NULL texts: fingerprints NULL → not exact; the single ''
         # shingle sets ARE identical → jaccard 10000 → near
         assert r.exact is False and r.decision == "near"
+
+
+class TestSpanOverlap:
+    def _doc(self, spark, spans):
+        return spark.createDataFrame(
+            [("d1", spans)],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+
+    def test_text_extent_overlap(self, spark):
+        from evalidate_spark.operators.spans import span_overlap_violations
+
+        df = self._doc(spark, [
+            Row(kind="text", text="hello", media_ref=None, offset=0),
+            Row(kind="media", text=None, media_ref="m", offset=3),  # inside
+            Row(kind="text", text="x", media_ref=None, offset=5),
+        ])
+        out = span_overlap_violations(df).collect()
+        # text[0,5) overlaps the media at 3; media occupies one position
+        # (len 0) so (media@3, text@5) is fine
+        assert [(r.span_index, r.end_prev, r.offset_next) for r in out] \
+            == [(0, 5, 3)]
+
+    def test_sorted_not_ingest_order(self, spark):
+        from evalidate_spark.operators.spans import span_overlap_violations
+
+        # ingest order reversed: the check must sort by offset first
+        df = self._doc(spark, [
+            Row(kind="text", text="x", media_ref=None, offset=10),
+            Row(kind="text", text="longtext", media_ref=None, offset=4),
+        ])
+        out = span_overlap_violations(df).collect()
+        # sorted: (4,len 8) ends at 12 > 10 → violation at ORIGINAL ix 1
+        assert [(r.span_index, r.end_prev, r.offset_next) for r in out] \
+            == [(1, 12, 10)]
+
+    def test_null_offsets_excluded(self, spark):
+        from evalidate_spark.operators.spans import span_overlap_violations
+
+        df = self._doc(spark, [
+            Row(kind="text", text="hello", media_ref=None, offset=None),
+            Row(kind="text", text="world", media_ref=None, offset=0),
+        ])
+        assert span_overlap_violations(df).collect() == []

@@ -213,6 +213,7 @@ QUERIES = [
     "category_churn",
     "media_reuse",
     "dedup_verdicts",
+    "span_overlap",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
