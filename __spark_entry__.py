@@ -3180,6 +3180,41 @@ def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_overlap_violations(_derived_spans(spark, sf_dir))
 
 
+def q_aggregate_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style aggregate constraint suite
+    (``table_checks.aggregate_checks``): table-level bounds — average
+    quantity, minimum row count, distinct-supplier floor, a
+    cross-multiplied null-rate ceiling — verified in ONE aggregation
+    pass; NULL results fail.  The check strings are written
+    cross-multiplied so the identical SQL replays exactly in DuckDB."""
+    from evalidate_spark.operators.table_checks import aggregate_checks
+
+    return aggregate_checks(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "qty_avg_sane": "avg(l_quantity) BETWEEN 10 AND 40",
+            "rows_min": "count(*) >= 1000",
+            "suppliers_min": "count(DISTINCT l_suppkey) >= 50",
+            "price_null_rate": "sum(CASE WHEN l_extendedprice IS NULL "
+            "THEN 1 ELSE 0 END) * 10000 <= 100 * count(*)",
+        },
+    )
+
+
+def q_sample_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling QA gate (``table_checks.sample_fidelity``): the 25%
+    deterministic hash sample of events vs the population — per
+    equi-width value bucket, share difference in exact integer bp with
+    a skew flag.  A bucket drifting means the id space correlates with
+    the value and the sample silently biases downstream training."""
+    from evalidate_spark.functions import sampling
+    from evalidate_spark.operators.table_checks import sample_fidelity
+
+    ev = _t(spark, sf_dir, "events")
+    samp = sampling.sample_deterministic(ev, 0.25, id_col="event_id")
+    return sample_fidelity(ev, samp, "value", bins=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3376,6 +3411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_reuse": q_media_reuse,
         "dedup_verdicts": q_dedup_verdicts,
         "span_overlap": q_span_overlap,
+        "aggregate_checks": q_aggregate_checks,
+        "sample_fidelity": q_sample_fidelity,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7629,6 +7666,64 @@ SELECT s.doc_id, CAST(s.ix AS INT) AS span_index,
 FROM srt s JOIN srt t
   ON s.doc_id IS NOT DISTINCT FROM t.doc_id AND t.rn = s.rn + 1
 WHERE s.off + s.len > t.off
+"""
+
+
+ORACLE["aggregate_checks"] = """
+WITH a AS (
+  SELECT
+    coalesce(avg(l_quantity) BETWEEN 10 AND 40, FALSE) AS c0,
+    coalesce(count(*) >= 1000, FALSE) AS c1,
+    coalesce(count(DISTINCT l_suppkey) >= 50, FALSE) AS c2,
+    coalesce(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+             * 10000 <= 100 * count(*), FALSE) AS c3
+  FROM lineitem
+)
+SELECT 'qty_avg_sane' AS check_id, c0 AS passed,
+       CASE WHEN c0 THEN 'pass' ELSE 'fail' END AS status FROM a
+UNION ALL
+SELECT 'rows_min', c1, CASE WHEN c1 THEN 'pass' ELSE 'fail' END FROM a
+UNION ALL
+SELECT 'suppliers_min', c2, CASE WHEN c2 THEN 'pass' ELSE 'fail' END FROM a
+UNION ALL
+SELECT 'price_null_rate', c3, CASE WHEN c3 THEN 'pass' ELSE 'fail' END FROM a
+"""
+
+
+ORACLE["sample_fidelity"] = """
+WITH b AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+  FROM events WHERE value IS NOT NULL
+), pop AS (
+  SELECT CASE WHEN b.hi <= b.lo THEN 0
+         ELSE least(9, greatest(0,
+           CAST(floor((value - b.lo) / ((b.hi - b.lo) / 10)) AS INT)))
+         END AS bucket,
+    CAST(count(*) AS BIGINT) AS pop_n
+  FROM events, b WHERE value IS NOT NULL GROUP BY 1
+), samp AS (
+  SELECT CASE WHEN b.hi <= b.lo THEN 0
+         ELSE least(9, greatest(0,
+           CAST(floor((value - b.lo) / ((b.hi - b.lo) / 10)) AS INT)))
+         END AS bucket,
+    CAST(count(*) AS BIGINT) AS samp_n
+  FROM events, b
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+    AND substr(md5('v1' || cast(event_id AS varchar)), 1, 8) < '40000000'
+  GROUP BY 1
+), j AS (
+  SELECT coalesce(pop.bucket, samp.bucket) AS bucket,
+    coalesce(pop_n, 0) AS pop_n, coalesce(samp_n, 0) AS samp_n
+  FROM pop FULL OUTER JOIN samp ON pop.bucket = samp.bucket
+), t AS (SELECT sum(pop_n) AS tp, sum(samp_n) AS ts FROM j)
+SELECT bucket, pop_n, samp_n,
+  CAST((pop_n * 10000) // greatest(tp, 1) AS BIGINT) AS pop_share_bp,
+  CAST((samp_n * 10000) // greatest(ts, 1) AS BIGINT) AS samp_share_bp,
+  CAST((samp_n * 10000) // greatest(ts, 1)
+       - (pop_n * 10000) // greatest(tp, 1) AS BIGINT) AS diff_bp,
+  abs((samp_n * 10000) // greatest(ts, 1)
+      - (pop_n * 10000) // greatest(tp, 1)) >= 200 AS skewed
+FROM j, t
 """
 
 

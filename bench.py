@@ -308,6 +308,8 @@ def main() -> None:
         "media_reuse",
         "dedup_verdicts",
         "span_overlap",
+        "aggregate_checks",
+        "sample_fidelity",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

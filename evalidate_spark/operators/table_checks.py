@@ -3509,3 +3509,121 @@ def category_churn(
         .otherwise(F.lit("persists"))
     )
     return j.select("category", "base_rows", "cur_rows", status.alias("status"))
+
+
+def aggregate_checks(df: DataFrame, checks: Dict[str, str]) -> DataFrame:
+    """TABLE-level constraint suite — the aggregate complement to
+    :func:`check_expressions` (row-level): each check is a boolean SQL
+    expression over AGGREGATES ("avg(price) BETWEEN 10 AND 40",
+    "count(DISTINCT user_id) >= 1000", a cross-multiplied null-rate
+    bound), all evaluated in ONE aggregation pass over the table —
+    Deequ-style verification without N scans for N constraints.
+
+    Returns ``(check_id, passed, status)`` per check; a NULL result
+    (aggregate over empty input, NULL-poisoned comparison) FAILS —
+    same convention as check_expressions: a constraint that cannot
+    prove itself true is not passed.
+
+    Tip for cross-engine-replayable suites: write rate bounds
+    cross-multiplied (``sum(x) * 10000 <= bound * count(*)``) so the
+    same string is exact integer arithmetic in any SQL dialect.
+
+    Scale: one map-side-combined aggregate; output is
+    len(checks) rows via a literal explode — no second scan."""
+    if not checks:
+        raise ValueError("aggregate_checks needs at least one check")
+    agg = df.agg(
+        *[F.expr(sql).alias("__c%d" % i) for i, sql in enumerate(checks.values())]
+    )
+    items = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("check_id"),
+                F.coalesce(F.col("__c%d" % i), F.lit(False)).alias("passed"),
+            )
+            for i, cid in enumerate(checks.keys())
+        ]
+    )
+    return agg.select(F.explode(items).alias("__x")).select(
+        F.col("__x.check_id"),
+        F.col("__x.passed"),
+        F.when(F.col("__x.passed"), F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )
+
+
+def sample_fidelity(
+    population: DataFrame,
+    sample: DataFrame,
+    column: str,
+    bins: int = 10,
+    max_diff_bp: int = 200,
+) -> DataFrame:
+    """Does the sample LOOK like the population?  Equi-width histogram
+    (bounds from the POPULATION) of both frames, share-per-bin compared
+    in exact integer bp: ``(bucket, pop_n, samp_n, pop_share_bp,
+    samp_share_bp, diff_bp, skewed)`` with ``skewed = |diff| >=
+    max_diff_bp``.  The QA gate after ANY down-sampling step — a
+    hash-Bernoulli sample should track the population within noise, and
+    a bucket drifting 500 bp means the id space correlates with the
+    value (e.g. time-ordered ids + a value trend), which silently
+    biases everything trained downstream.
+
+    NULL values are excluded on both sides (completeness owns them).
+    Bounds degenerate (min == max) → every row lands in bucket 0 and
+    fidelity is trivially exact.  Two aggregates at bin cardinality +
+    a broadcast bounds row; no row-cardinality shuffle."""
+    v = F.col("`%s`" % column)
+    bounds = population.filter(v.isNotNull()).agg(
+        F.min(v).cast("double").alias("__lo"),
+        F.max(v).cast("double").alias("__hi"),
+    )
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(int(bins) - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v.cast("double") - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / int(bins))
+                    ).cast("int"),
+                ),
+            )
+        )
+        return (
+            df.filter(v.isNotNull())
+            .join(F.broadcast(bounds))
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    p = bucketed(population, "pop_n")
+    s = bucketed(sample, "samp_n")
+    j = p.join(s, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("pop_n", F.lit(0)).alias("pop_n"),
+        F.coalesce("samp_n", F.lit(0)).alias("samp_n"),
+    )
+    tot = j.agg(
+        F.sum("pop_n").alias("__tp"), F.sum("samp_n").alias("__ts")
+    )
+    out = j.join(F.broadcast(tot)).select(
+        "bucket",
+        "pop_n",
+        "samp_n",
+        F.expr("(pop_n * 10000) DIV greatest(__tp, 1)")
+        .cast("long")
+        .alias("pop_share_bp"),
+        F.expr("(samp_n * 10000) DIV greatest(__ts, 1)")
+        .cast("long")
+        .alias("samp_share_bp"),
+    )
+    diff = F.col("samp_share_bp") - F.col("pop_share_bp")
+    return out.select(
+        "*",
+        diff.alias("diff_bp"),
+        (F.abs(diff) >= int(max_diff_bp)).alias("skewed"),
+    )

@@ -652,3 +652,53 @@ class TestSpanOverlap:
             Row(kind="text", text="world", media_ref=None, offset=0),
         ])
         assert span_overlap_violations(df).collect() == []
+
+
+class TestAggregateChecks:
+    def test_pass_fail_and_null_fails(self, spark):
+        from evalidate_spark.operators.table_checks import aggregate_checks
+
+        df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "v double")
+        out = {r.check_id: (r.passed, r.status) for r in
+               aggregate_checks(df, {
+                   "avg_ok": "avg(v) BETWEEN 1 AND 3",
+                   "rows_ok": "count(*) >= 10",
+                   # aggregate over zero matching rows → NULL → fail
+                   "null_check": "max(CASE WHEN v > 100 THEN v END) > 0",
+               }).collect()}
+        assert out["avg_ok"] == (True, "pass")
+        assert out["rows_ok"] == (False, "fail")
+        assert out["null_check"] == (False, "fail")
+
+    def test_empty_checks_rejected(self, spark):
+        from evalidate_spark.operators.table_checks import aggregate_checks
+
+        with pytest.raises(ValueError):
+            aggregate_checks(spark.range(1), {})
+
+
+class TestSampleFidelity:
+    def test_perfect_and_skewed(self, spark):
+        from evalidate_spark.operators.table_checks import sample_fidelity
+
+        pop = spark.createDataFrame(
+            [(float(i % 10),) for i in range(100)], "v double")
+        # perfect stratified half-sample: same distribution
+        good = spark.createDataFrame(
+            [(float(i % 10),) for i in range(50)], "v double")
+        out = sample_fidelity(pop, good, "v", bins=10).collect()
+        assert all(r.diff_bp == 0 and not r.skewed for r in out)
+        # a sample of only small values: low buckets over, high missing
+        bad = spark.createDataFrame([(0.0,)] * 10 + [(1.0,)] * 10,
+                                    "v double")
+        out2 = {r.bucket: r for r in
+                sample_fidelity(pop, bad, "v", bins=10).collect()}
+        assert out2[0].skewed and out2[0].diff_bp > 0
+        assert out2[9].samp_n == 0 and out2[9].skewed
+
+    def test_degenerate_bounds(self, spark):
+        from evalidate_spark.operators.table_checks import sample_fidelity
+
+        pop = spark.createDataFrame([(5.0,)] * 4, "v double")
+        out = sample_fidelity(pop, pop.limit(2), "v").collect()
+        assert len(out) == 1 and out[0].bucket == 0 and out[0].diff_bp == 0

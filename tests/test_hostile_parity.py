@@ -214,6 +214,8 @@ QUERIES = [
     "media_reuse",
     "dedup_verdicts",
     "span_overlap",
+    "aggregate_checks",
+    "sample_fidelity",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
