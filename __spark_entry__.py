@@ -3215,6 +3215,25 @@ def q_sample_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_fidelity(ev, samp, "value", bins=10)
 
 
+def q_dedup_cell_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup distribution-distortion audit
+    (``table_checks.categorical_fidelity``): embedding-space cells
+    (nearest pinned centroid, the cluster_silhouette assignment) of ALL
+    docs vs the docs SURVIVING quality-aware dedup — per cell, share
+    diff in exact int bp.  Did dedup hollow out one semantic cell?  The
+    embedding-side check that contents survived, not just counts."""
+    from evalidate_spark.operators.table_checks import categorical_fidelity
+
+    assign = q_cluster_silhouette(spark, sf_dir).select(
+        "vec_id", "cluster_id"
+    )
+    kept = q_resolve_duplicates(spark, sf_dir).select("doc_id")
+    samp = assign.join(
+        kept, assign["vec_id"] == kept["doc_id"], "left_semi"
+    )
+    return categorical_fidelity(assign, samp, "cluster_id", max_diff_bp=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3413,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_overlap": q_span_overlap,
         "aggregate_checks": q_aggregate_checks,
         "sample_fidelity": q_sample_fidelity,
+        "dedup_cell_fidelity": q_dedup_cell_fidelity,
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
@@ -7725,6 +7745,40 @@ SELECT bucket, pop_n, samp_n,
       - (pop_n * 10000) // greatest(tp, 1)) >= 200 AS skewed
 FROM j, t
 """
+
+
+# composes the silhouette assignment (rank-1 centroid) with the
+# resolve_duplicates survivor set
+ORACLE["dedup_cell_fidelity"] = """
+WITH assign AS (
+  SELECT vec_id, cluster_id FROM ({SIL})
+), kept AS (
+  SELECT doc_id FROM ({RES})
+), samp AS (
+  SELECT a.vec_id, a.cluster_id FROM assign a
+  WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = a.vec_id)
+), p AS (
+  SELECT cluster_id AS category, CAST(count(*) AS BIGINT) AS pop_n
+  FROM assign GROUP BY 1
+), s AS (
+  SELECT cluster_id AS category, CAST(count(*) AS BIGINT) AS samp_n
+  FROM samp GROUP BY 1
+), j AS (
+  SELECT coalesce(p.category, s.category) AS category,
+    coalesce(pop_n, 0) AS pop_n, coalesce(samp_n, 0) AS samp_n
+  FROM p FULL OUTER JOIN s ON p.category IS NOT DISTINCT FROM s.category
+), t AS (SELECT sum(pop_n) AS tp, sum(samp_n) AS ts FROM j)
+SELECT category, pop_n, samp_n,
+  CAST((pop_n * 10000) // greatest(tp, 1) AS BIGINT) AS pop_share_bp,
+  CAST((samp_n * 10000) // greatest(ts, 1) AS BIGINT) AS samp_share_bp,
+  CAST((samp_n * 10000) // greatest(ts, 1)
+       - (pop_n * 10000) // greatest(tp, 1) AS BIGINT) AS diff_bp,
+  abs((samp_n * 10000) // greatest(ts, 1)
+      - (pop_n * 10000) // greatest(tp, 1)) >= 100 AS skewed
+FROM j, t
+""".replace("{SIL}", ORACLE["cluster_silhouette"]).replace(
+    "{RES}", ORACLE["resolve_duplicates"]
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -310,6 +310,7 @@ def main() -> None:
         "span_overlap",
         "aggregate_checks",
         "sample_fidelity",
+        "dedup_cell_fidelity",
         "join_fanout",
         "pair_triangles",
         "price_deciles",

@@ -3627,3 +3627,53 @@ def sample_fidelity(
         diff.alias("diff_bp"),
         (F.abs(diff) >= int(max_diff_bp)).alias("skewed"),
     )
+
+
+def categorical_fidelity(
+    population: DataFrame,
+    sample: DataFrame,
+    column: str,
+    max_diff_bp: int = 200,
+) -> DataFrame:
+    """Categorical twin of :func:`sample_fidelity` — per CATEGORY share
+    comparison between a population and a derived subset: ``(category,
+    pop_n, samp_n, pop_share_bp, samp_share_bp, diff_bp, skewed)``.
+    The post-hoc distortion audit for any selection step keyed by a
+    partition: did dedup hollow out one semantic cell?  Did the language
+    filter starve a source?  NULL categories are real and compared like
+    any other.  Two category-cardinality aggregates + null-safe full
+    outer join + broadcast totals; exact integer bp."""
+    c = F.col("`%s`" % column)
+
+    def _freq(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(c.alias("category")).agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    p = _freq(population, "pop_n")
+    s = _freq(sample, "samp_n")
+    j = p.join(
+        s, p["category"].eqNullSafe(s["category"]), "full_outer"
+    ).select(
+        F.coalesce(p["category"], s["category"]).alias("category"),
+        F.coalesce(p["pop_n"], F.lit(0)).alias("pop_n"),
+        F.coalesce(s["samp_n"], F.lit(0)).alias("samp_n"),
+    )
+    tot = j.agg(F.sum("pop_n").alias("__tp"), F.sum("samp_n").alias("__ts"))
+    out = j.join(F.broadcast(tot)).select(
+        "category",
+        "pop_n",
+        "samp_n",
+        F.expr("(pop_n * 10000) DIV greatest(__tp, 1)")
+        .cast("long")
+        .alias("pop_share_bp"),
+        F.expr("(samp_n * 10000) DIV greatest(__ts, 1)")
+        .cast("long")
+        .alias("samp_share_bp"),
+    )
+    diff = F.col("samp_share_bp") - F.col("pop_share_bp")
+    return out.select(
+        "*",
+        diff.alias("diff_bp"),
+        (F.abs(diff) >= int(max_diff_bp)).alias("skewed"),
+    )

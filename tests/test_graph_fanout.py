@@ -702,3 +702,22 @@ class TestSampleFidelity:
         pop = spark.createDataFrame([(5.0,)] * 4, "v double")
         out = sample_fidelity(pop, pop.limit(2), "v").collect()
         assert len(out) == 1 and out[0].bucket == 0 and out[0].diff_bp == 0
+
+
+class TestCategoricalFidelity:
+    def test_share_diff_and_null_category(self, spark):
+        from evalidate_spark.operators.table_checks import (
+            categorical_fidelity,
+        )
+
+        pop = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 40 + [(None,)] * 10, "c string")
+        samp = spark.createDataFrame(
+            [("a",)] * 45 + [("b",)] * 4 + [(None,)] * 1, "c string")
+        out = {r.category: r for r in
+               categorical_fidelity(pop, samp, "c", max_diff_bp=500)
+               .collect()}
+        assert out["a"].pop_share_bp == 5000
+        assert out["a"].samp_share_bp == 9000 and out["a"].skewed
+        assert out["b"].diff_bp == 800 - 4000
+        assert out[None].pop_n == 10 and out[None].samp_n == 1

@@ -216,6 +216,7 @@ QUERIES = [
     "span_overlap",
     "aggregate_checks",
     "sample_fidelity",
+    "dedup_cell_fidelity",
     "join_fanout",
     "pair_triangles",
     "price_deciles",
