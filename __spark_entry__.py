@@ -3234,6 +3234,62 @@ def q_dedup_cell_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_fidelity(assign, samp, "cluster_id", max_diff_bp=100)
 
 
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-occupancy telemetry over the md5 MinHash head
+    (same signature/banding as minhash_pairs_md5): uncapped vs capped
+    candidate-pair volume per band — the tuning table that says whether a
+    banding scheme survives the corpus BEFORE the pair join runs.  Costs
+    only the (band, h) groupBy the pair stage pays anyway."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.lsh_band_stats(d, num_hashes=16, bands=8)
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the third candidate family next to
+    LSH and prefix-filter ssjoin: docs sorted by a 16-char normalised key
+    inside 2-char prefix blocks, each compared to its 2 successors, exact
+    distinct-token Jaccard verified in-plan.  Rank windows run PARTITIONED
+    per block (never a global single-task sort); candidate volume is
+    n·window flat."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.snm_pairs(d, window=2, block_chars=2, key_chars=16)
+
+
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-inflation curve: corpus char mass by exact-duplicate
+    multiplicity bucket (1 / 2 / 3-10 / >10) with the excess chars dedup
+    would remove keeping min-id survivors — one fingerprint shuffle plus
+    a four-row rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dup_inflation(d)
+
+
+def q_novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty decay across ingest order (five equal doc_id
+    ranges as the arrival timeline): per wave, the share of docs whose
+    fingerprint already appeared on an earlier doc — the measured case
+    for incremental dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.novelty_trend(d, n_buckets=5)
+
+
+def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum (types + occurrence mass per
+    occurrence bucket): hapax/OOV pressure vs head mass, the
+    tokenizer-planning table.  Word-count shuffle + 4-row rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return text.vocab_spectrum(d)
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-fertility report: chars per whitespace token
+    and word-piece fertility in exact centi-units — the conversion table
+    from a char-metered corpus to a training-token budget.  One fused
+    projection into one groupBy(lang)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.token_fertility(d, group_col="lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3436,6 +3492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fanout": q_join_fanout,
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
+        "lsh_band_stats": q_lsh_band_stats,
+        "snm_pairs": q_snm_pairs,
+        "dup_inflation": q_dup_inflation,
+        "novelty_trend": q_novelty_trend,
+        "vocab_spectrum": q_vocab_spectrum,
+        "token_fertility": q_token_fertility,
     }
 
 
@@ -7779,6 +7841,184 @@ FROM j, t
 """.replace("{SIL}", ORACLE["cluster_silhouette"]).replace(
     "{RES}", ORACLE["resolve_duplicates"]
 )
+
+
+# replays the md5 MinHash head (toks → shingles → signature → banding,
+# identical to minhash_pairs_md5's CTEs) and aggregates bucket occupancy
+# per band — n_docs here counts banded doc-memberships per band, which
+# equals the non-NULL-text doc count for every band
+ORACLE["lsh_band_stats"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(tk) - 2, 1)),
+    i -> array_to_string(tk[i:i+2], ' ')) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, list_transform(
+    generate_series(0, 15),
+    i -> list_min(list_transform(sh,
+           s -> substr(md5(cast(i AS varchar) || ':' || s), 1, 16)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS h
+  FROM sig, generate_series(0, 7) t(band)
+), b AS (
+  SELECT band, h, count(*) AS k FROM banded GROUP BY 1, 2
+)
+SELECT CAST(band AS INT) AS band,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(k) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_buckets,
+  CAST(max(k) AS BIGINT) AS max_bucket,
+  CAST(sum(k * (k - 1) // 2) AS BIGINT) AS est_pairs,
+  CAST(sum(least(k, 64) * (least(k, 64) - 1) // 2) AS BIGINT) AS capped_pairs
+FROM b GROUP BY 1
+"""
+
+
+# sorted-neighborhood blocking: normalised-key rank windows per 2-char
+# block, each doc vs its 2 successors, exact distinct-token Jaccard.
+# row_number ties are impossible cross-engine because (key, doc_id) is
+# ordered and doc_id is unique per retained row
+ORACLE["snm_pairs"] = """
+WITH d AS (
+  SELECT doc_id,
+    coalesce(array_to_string(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''),
+      x -> lower(x)), ' '), '') AS norm,
+    list_distinct(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''),
+      x -> lower(x))) AS tk
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), r AS (
+  SELECT doc_id, tk,
+    substr(norm, 1, 2) AS block,
+    row_number() OVER (PARTITION BY substr(norm, 1, 2)
+                       ORDER BY substr(norm, 1, 16), doc_id) AS rn
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.block AS block,
+    CAST(b.rn - a.rn AS INT) AS gap,
+    len(list_intersect(a.tk, b.tk)) AS i,
+    len(a.tk) AS la, len(b.tk) AS lb
+  FROM r a JOIN r b
+    ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + 2
+)
+SELECT id_a, id_b, block, gap,
+  CAST(CASE WHEN la + lb - i = 0 THEN 10000
+       ELSE (i * 10000) // (la + lb - i) END AS BIGINT) AS jaccard_bp,
+  (CASE WHEN la + lb - i = 0 THEN 10000
+        ELSE (i * 10000) // (la + lb - i) END) >= 8000 AS is_near
+FROM p
+"""
+
+
+# exact-dup multiplicity buckets weighted by chars; survivor = min-id doc
+ORACLE["dup_inflation"] = """
+WITH d AS (
+  SELECT doc_id,
+    md5(coalesce(array_to_string(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''),
+      x -> lower(x)), ' '), '')) AS fp,
+    coalesce(n_chars, 0) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), g AS (
+  SELECT fp, count(*) AS m, sum(w) AS gw, min_by(w, doc_id) AS sw
+  FROM d GROUP BY 1
+), b AS (
+  SELECT CASE WHEN m = 1 THEN '1' WHEN m = 2 THEN '2'
+              WHEN m <= 10 THEN '3-10' ELSE '>10' END AS multiplicity,
+    count(*) AS n_groups, sum(m) AS n_docs, sum(gw) AS weight,
+    sum(gw - sw) AS excess_weight
+  FROM g GROUP BY 1
+), t AS (SELECT sum(weight) AS tw FROM b)
+SELECT multiplicity,
+  CAST(n_groups AS BIGINT) AS n_groups,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(weight AS BIGINT) AS weight,
+  CAST(weight * 10000 // greatest(tw, 1) AS BIGINT) AS weight_share_bp,
+  CAST(excess_weight AS BIGINT) AS excess_weight
+FROM b, t
+"""
+
+
+# per-ingest-wave repeat share; NULL-text docs count but never repeat
+ORACLE["novelty_trend"] = """
+WITH d AS (
+  SELECT doc_id AS id,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE md5(coalesce(array_to_string(list_transform(
+                list_filter(string_split(text, ' '), x -> x <> ''),
+                x -> lower(x)), ' '), ''))
+    END AS fp
+  FROM documents WHERE doc_id IS NOT NULL
+), m AS (
+  SELECT greatest(max(greatest(id, 0)) + 1, 1) AS mx FROM d
+), f AS (
+  SELECT id, fp, min(id) OVER (PARTITION BY fp) AS first FROM d
+)
+SELECT CAST(least(4, greatest(id, 0) * 5 // mx) AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN fp IS NOT NULL AND id > first THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_repeats,
+  CAST(sum(CASE WHEN fp IS NOT NULL AND id > first THEN 1 ELSE 0 END)
+       * 10000 // count(*) AS BIGINT) AS repeat_bp
+FROM f, m GROUP BY 1
+"""
+
+
+# token-type frequency spectrum (lowercased whitespace tokens)
+ORACLE["vocab_spectrum"] = """
+WITH tok AS (
+  SELECT lower(t) AS t FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents WHERE text IS NOT NULL)
+), c AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY 1
+), b AS (
+  SELECT CASE WHEN c <= 1 THEN '1' WHEN c <= 10 THEN '2-10'
+              WHEN c <= 100 THEN '11-100' ELSE '>100' END AS bucket,
+    count(*) AS n_types, sum(c) AS n_occurrences
+  FROM c GROUP BY 1
+), t2 AS (SELECT sum(n_types) AS tt, sum(n_occurrences) AS tot FROM b)
+SELECT bucket,
+  CAST(n_types AS BIGINT) AS n_types,
+  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+  CAST(n_types * 10000 // greatest(tt, 1) AS BIGINT) AS type_share_bp,
+  CAST(n_occurrences * 10000 // greatest(tot, 1) AS BIGINT) AS occ_share_bp
+FROM b, t2
+"""
+
+
+# per-lang chars/token and piece fertility; NULL lang → '__null__',
+# NULL text → zero chars/tokens (doc still counted)
+ORACLE["token_fertility"] = """
+WITH d AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS grp,
+    coalesce(length(text), 0) AS chars,
+    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tk
+  FROM documents
+), p AS (
+  SELECT grp, chars, len(tk) AS ws,
+    coalesce(list_sum(list_transform(tk,
+      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS bpe
+  FROM d
+)
+SELECT grp AS "group",
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(chars) AS BIGINT) AS n_chars,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+  CAST(CASE WHEN sum(ws) > 0 THEN sum(chars) * 100 // sum(ws) END
+       AS BIGINT) AS chars_per_token_centi,
+  CAST(CASE WHEN sum(ws) > 0 THEN sum(bpe) * 100 // sum(ws) END
+       AS BIGINT) AS pieces_per_word_centi
+FROM p GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -31,7 +31,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .similarity import cap_per_group
-from .text import fingerprint, shingles
+from .text import fingerprint, shingles, tokens
 
 
 # ---------------------------------------------------------------- exact
@@ -628,6 +628,22 @@ def minhash_candidates_md5(
     (``concat_ws`` skips NULL elements) and be reported as a duplicate of
     every other one (mirror with ``WHERE text IS NOT NULL`` in SQL
     oracles)."""
+    banded = _banded_md5(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return _bucket_pairs(banded, max_bucket)
+
+
+def _banded_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Shared md5-LSH head: text → md5-keyed MinHash signature → banded
+    bucket rows ``(band, h, __id)``.  Used by the candidate-pair pipeline
+    (:func:`minhash_candidates_md5`) and the band-occupancy telemetry
+    (:func:`lsh_band_stats`) so both stages see the identical bucketing."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             "bands (%d) must divide num_hashes (%d)" % (bands, num_hashes)
@@ -646,10 +662,69 @@ def minhash_candidates_md5(
             ).alias("h"),
         ),
     )
-    banded = sigs.select("__id", F.explode(per_band).alias("b")).select(
+    return sigs.select("__id", F.explode(per_band).alias("b")).select(
         F.col("b.band").alias("band"), F.col("b.h").alias("h"), "__id"
     )
-    return _bucket_pairs(banded, max_bucket)
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Per-band LSH bucket-occupancy telemetry — the tuning report that
+    says whether a banding scheme survives the corpus BEFORE the pair
+    join runs: ``(band, n_buckets, n_docs, multi_buckets, max_bucket,
+    est_pairs, capped_pairs)``.
+
+    ``est_pairs`` is the uncapped candidate volume ``Σ k·(k−1)/2`` the
+    pair stage WOULD generate per band; ``capped_pairs`` is the same sum
+    after the production ``max_bucket`` cap (the number the pipeline
+    actually pays).  A band whose ``max_bucket`` is a material fraction
+    of ``n_docs`` means one boilerplate bucket owns the band — raise
+    ``bands`` (narrower slices), raise ``shingle_k``, or keep the cap and
+    accept the ``truncated`` flag downstream.  At 10^12 docs this report
+    is how the cap is chosen: it costs one groupBy on (band, h) — the
+    very shuffle the pair stage pays anyway — plus an 8-row rollup, so it
+    is free to run ahead of every dedup campaign.
+
+    All counts are exact int64 (``k·(k−1) div 2``); per-band output is
+    ``bands`` rows, so the final aggregate is trivially small."""
+    banded = _banded_md5(df, text_col, id_col, num_hashes, bands, shingle_k)
+    per_bucket = banded.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    k = F.col("k")
+    mb = int(max_bucket)
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(k).cast("long").alias("n_docs"),
+            F.sum((k >= 2).cast("long")).cast("long").alias("multi_buckets"),
+            F.max(k).cast("long").alias("max_bucket"),
+            F.sum(F.expr("k * (k - 1) DIV 2")).cast("long").alias("est_pairs"),
+            # k·(k−1) is even, so integer DIV 2 is exact — no float path
+            F.sum(
+                F.expr(f"least(k, {mb}L) * (least(k, {mb}L) - 1) DIV 2")
+            )
+            .cast("long")
+            .alias("capped_pairs"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "multi_buckets",
+            "max_bucket",
+            "est_pairs",
+            "capped_pairs",
+        )
+    )
 
 
 # ------------------------------------- cross-increment near-dup state
@@ -2248,3 +2323,217 @@ def dedup_verdicts(
         .otherwise(F.lit("distinct"))
     )
     return out.select("*", decision.alias("decision"))
+
+
+# ------------------------------------- sorted-neighborhood blocking
+def snm_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    block_chars: int = 2,
+    key_chars: int = 16,
+    near_bp: int = 8000,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs — the third blocking family
+    next to hash-LSH (:func:`minhash_candidates`) and prefix-filter
+    ssjoin: sort docs by a normalised key and compare each doc to its
+    ``window`` successors in sort order.  Catches the near-dups LSH can
+    miss when edits fall in every band (prefix-stable edits, e.g.
+    truncated tails, appended boilerplate) at linear candidate volume
+    ``n·window``.
+
+    Key = first ``key_chars`` chars of the whitespace-normalised
+    lowercased text (the fingerprint normal form — docs shipping through
+    the sort carry a bounded key, never the full text); block = first
+    ``block_chars`` of the key, so the rank window runs PARTITIONED (one
+    window per block, shuffled on block), never a global single-task
+    sort.  Each candidate is verified in-plan with the exact
+    distinct-token Jaccard, in integer basis points.
+
+    Returns ``(id_a, id_b, block, gap, jaccard_bp, is_near)`` where
+    ``gap`` is the rank distance (1..window).  Scale: candidate volume is
+    ``n·window`` flat; block skew (many docs sharing a 2-char prefix —
+    boilerplate corpora) only widens one window partition, and the fix is
+    raising ``block_chars`` so hot blocks split; rows with NULL text or
+    NULL id never enter (a candidate needs both)."""
+    if window < 1:
+        raise ValueError("snm_pairs: window must be >= 1")
+    if block_chars < 1 or key_chars < block_chars:
+        raise ValueError("snm_pairs: need key_chars >= block_chars >= 1")
+    tc = F.col("`%s`" % text_col)
+    ids = F.col("`%s`" % id_col)
+    norm = F.concat_ws(" ", F.transform(tokens(tc), F.lower))
+    toks = F.array_distinct(F.transform(tokens(tc), F.lower))
+    d = (
+        df.filter(tc.isNotNull() & ids.isNotNull())
+        .select(
+            ids.alias("__id"),
+            F.substring(norm, 1, key_chars).alias("__key"),
+            toks.alias("__tk"),
+        )
+        .withColumn("__block", F.substring(F.col("__key"), 1, block_chars))
+    )
+    w = Window.partitionBy("__block").orderBy("__key", "__id")
+    ranked = d.select(
+        "__id", "__key", "__tk", "__block", F.row_number().over(w).alias("__rn")
+    )
+    a = ranked.select(
+        F.col("__block").alias("block"),
+        F.col("__rn").alias("__ra"),
+        F.col("__id").alias("id_a"),
+        F.col("__tk").alias("__ta"),
+    )
+    b = ranked.select(
+        F.col("__block").alias("block"),
+        F.col("__rn").alias("__rb"),
+        F.col("__id").alias("id_b"),
+        F.col("__tk").alias("__tb"),
+    )
+    j = a.join(
+        b,
+        (a["block"] == b["block"])
+        & (F.col("__rb") > F.col("__ra"))
+        & (F.col("__rb") <= F.col("__ra") + window),
+    ).drop(b["block"])
+    j2 = j.select(
+        "id_a",
+        "id_b",
+        "block",
+        (F.col("__rb") - F.col("__ra")).cast("int").alias("gap"),
+        F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        .cast("long")
+        .alias("__i"),
+        F.size(F.col("__ta")).cast("long").alias("__la"),
+        F.size(F.col("__tb")).cast("long").alias("__lb"),
+    )
+    jac = F.when(
+        F.expr("__la + __lb - __i") == 0, F.lit(10000).cast("long")
+    ).otherwise(F.expr("(__i * 10000L) DIV (__la + __lb - __i)"))
+    return j2.select(
+        "id_a",
+        "id_b",
+        "block",
+        "gap",
+        jac.alias("jaccard_bp"),
+        (jac >= int(near_bp)).alias("is_near"),
+    )
+
+
+def dup_inflation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Duplication-inflation curve: how much of the corpus (by a weight,
+    default chars) sits in exact-duplicate groups of each multiplicity —
+    the one-table answer to "what does exact dedup buy at this scale".
+
+    Groups docs by content fingerprint, buckets group multiplicity into
+    ``1 / 2 / 3-10 / >10``, and reports per bucket: ``n_groups``,
+    ``n_docs``, total ``weight``, its exact integer-bp share of corpus
+    weight, and ``excess_weight`` — the weight dedup would remove,
+    keeping each group's min-id doc as survivor (the
+    :func:`resolve_duplicates` convention).
+
+    One fingerprint shuffle (the exact-dedup shuffle itself: 16-byte md5
+    key, uniform, map-side combined), then a four-row rollup and a
+    broadcast of the one-row total — nothing here grows with corpus
+    size.  NULL-text docs have no fingerprint and NULL-id docs no
+    survivor identity; both are excluded (mirrored by the SQL oracle)."""
+    tc = F.col("`%s`" % text_col)
+    ids = F.col("`%s`" % id_col)
+    wc = F.coalesce(F.col("`%s`" % weight_col).cast("long"), F.lit(0))
+    fp = fingerprint(tc)
+    groups = (
+        df.filter(tc.isNotNull() & ids.isNotNull())
+        .select(fp.alias("__fp"), ids.alias("__id"), wc.alias("__w"))
+        .groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("__w").alias("gw"),
+            F.min_by("__w", "__id").alias("sw"),
+        )
+    )
+    bucket = (
+        F.when(F.col("m") == 1, F.lit("1"))
+        .when(F.col("m") == 2, F.lit("2"))
+        .when(F.col("m") <= 10, F.lit("3-10"))
+        .otherwise(F.lit(">10"))
+    )
+    per = groups.groupBy(bucket.alias("multiplicity")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("m").cast("long").alias("n_docs"),
+        F.sum("gw").cast("long").alias("weight"),
+        F.sum(F.col("gw") - F.col("sw")).cast("long").alias("excess_weight"),
+    )
+    total = per.agg(F.sum("weight").alias("__total"))
+    share = F.expr("weight * 10000L DIV greatest(__total, 1)").cast("long")
+    return per.crossJoin(F.broadcast(total)).select(
+        "multiplicity",
+        "n_groups",
+        "n_docs",
+        "weight",
+        share.alias("weight_share_bp"),
+        "excess_weight",
+    )
+
+
+def novelty_trend(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 5,
+) -> DataFrame:
+    """Content-novelty decay across ingest order: docs are sliced into
+    ``n_buckets`` equal id-ranges (the ingest timeline proxy — doc ids
+    are assigned in arrival order), and a doc counts as a *repeat* when
+    any earlier doc (smaller id) carries the same content fingerprint.
+    Returns ``(bucket, n_docs, n_repeats, repeat_bp)``.
+
+    A rising ``repeat_bp`` curve is the business case for incremental
+    dedup (:func:`incremental_dedup`): it measures how much of each new
+    ingest wave is already in the corpus.  Plan: one fingerprint shuffle
+    (min-id per fingerprint via window — same key as exact dedup), then
+    a ``n_buckets``-row rollup; the id-range max is a one-row aggregate
+    joined by broadcast.  NULL-text docs count in ``n_docs`` but can
+    never be repeats (no fingerprint — unknown content is not evidence
+    of duplication); NULL-id docs are excluded (no position in ingest
+    order)."""
+    if n_buckets < 1:
+        raise ValueError("novelty_trend: n_buckets must be >= 1")
+    tc = F.col("`%s`" % text_col)
+    ids = F.col("`%s`" % id_col)
+    d = df.filter(ids.isNotNull()).select(
+        ids.alias("__id"), fingerprint(tc).alias("__fp")
+    )
+    lim = d.agg(
+        F.greatest(F.max(F.greatest(F.col("__id"), F.lit(0))) + 1, F.lit(1)).alias(
+            "__m"
+        )
+    )
+    w = Window.partitionBy("__fp")
+    flagged = (
+        d.withColumn("__first", F.min("__id").over(w))
+        .crossJoin(F.broadcast(lim))
+        .select(
+            # negative ids clamp to bucket 0; non-negative ids spread over
+            # equal ranges of [0, max]; pure int64 DIV (operands >= 0)
+            F.expr(
+                f"least({int(n_buckets) - 1}L,"
+                f" greatest(__id, 0) * {int(n_buckets)}L DIV __m)"
+            )
+            .cast("int")
+            .alias("bucket"),
+            (F.col("__fp").isNotNull() & (F.col("__id") > F.col("__first")))
+            .alias("__rep"),
+        )
+    )
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__rep").cast("long")).cast("long").alias("n_repeats"),
+        F.expr(
+            "CAST(sum(CAST(__rep AS LONG)) * 10000L DIV count(1) AS LONG)"
+        ).alias("repeat_bp"),
+    )

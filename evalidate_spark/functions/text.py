@@ -1665,3 +1665,135 @@ def readability(
         F.when(has, n_syllables).alias("n_syllables"),
         F.when(has, cls).alias("reading_class"),
     )
+
+
+# ------------------------------------------- vocabulary-scale reports
+def vocab_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    edges: Sequence[int] = (1, 10, 100),
+) -> DataFrame:
+    """Vocabulary frequency spectrum: token types and occurrence mass per
+    occurrence-count bucket (default ``1 / 2-10 / 11-100 / >100``) —
+    ``(bucket, n_types, n_occurrences, type_share_bp, occ_share_bp)``.
+
+    This is the tokenizer/vocab-planning table: the ``1``-bucket's
+    ``type_share_bp`` is the hapax rate (OOV pressure — how much of the
+    vocabulary a fixed word list can never cover), while the top
+    bucket's ``occ_share_bp`` is the head mass a small vocab already
+    captures.  Tracked per ingest round it also flags corpus poisoning:
+    a boilerplate flood moves occurrence mass into the top bucket
+    without moving type counts.
+
+    Plan: the standard word-count shape — explode(tokens) → map-side
+    combined groupBy(token) — then a ≤ ``len(edges)+1``-row rollup and
+    one broadcast total; the only data shuffle keys on the token itself
+    (uniform md5-free distribution; no key ever exceeds its own corpus
+    frequency, and hot stopword keys are exactly what partial
+    aggregation absorbs).  Tokens are lowercased (type identity), NULL
+    texts contribute nothing.  Exact int64 arithmetic throughout."""
+    if list(edges) != sorted(set(int(e) for e in edges)) or not edges:
+        raise ValueError("vocab_spectrum: edges must be sorted unique ints")
+    tc = F.col("`%s`" % text_col)
+    tok = F.explode(F.transform(tokens(tc), F.lower)).alias("__t")
+    counts = (
+        df.filter(tc.isNotNull())
+        .select(tok)
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    es = [int(e) for e in edges]
+    bucket = F.when(F.col("c") <= es[0], F.lit(_bucket_label(None, es[0])))
+    for lo, hi in zip(es, es[1:]):
+        bucket = bucket.when(
+            F.col("c") <= hi, F.lit(_bucket_label(lo + 1, hi))
+        )
+    bucket = bucket.otherwise(F.lit(">%d" % es[-1]))
+    per = counts.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").cast("long").alias("n_occurrences"),
+    )
+    total = per.agg(
+        F.sum("n_types").alias("__tt"), F.sum("n_occurrences").alias("__to")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_types",
+        "n_occurrences",
+        F.expr("n_types * 10000L DIV greatest(__tt, 1)")
+        .cast("long")
+        .alias("type_share_bp"),
+        F.expr("n_occurrences * 10000L DIV greatest(__to, 1)")
+        .cast("long")
+        .alias("occ_share_bp"),
+    )
+
+
+def _bucket_label(lo, hi) -> str:
+    if lo is None or lo == hi:
+        return str(hi)
+    return "%d-%d" % (lo, hi)
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    piece_len: int = 4,
+) -> DataFrame:
+    """Per-group token-fertility report — the cost model that turns a
+    char-metered corpus into a token budget: ``(group, n_docs, n_chars,
+    ws_tokens, bpe_tokens, chars_per_token_centi, pieces_per_word_centi)``.
+
+    ``chars_per_token_centi`` (chars per whitespace token, integer
+    centi-units) differs sharply by language and is how a 100 TB char
+    count converts to a training-token estimate per mixture component;
+    ``pieces_per_word_centi`` (word-piece fertility under the
+    ``piece_len`` BPE estimate) flags groups that will tokenize
+    expensively.  NULL group keys report as ``__null__`` (a feed losing
+    its lang tag must surface, not vanish); NULL texts count as docs
+    with zero chars/tokens.  Plan: one fused projection (all three
+    counts read ONE let-bound token array) into one map-side-combined
+    groupBy on the group key; output rows = #groups.  Ratios are exact
+    int64 ``DIV``; zero-token groups report NULL ratios."""
+    tc = F.col("`%s`" % text_col)
+    gc = F.coalesce(F.col("`%s`" % group_col).cast("string"), F.lit("__null__"))
+    per_doc = F.element_at(
+        F.transform(
+            F.array(tokens(tc)),
+            lambda tk: F.struct(
+                F.size(tk).cast("long").alias("ws"),
+                F.aggregate(
+                    tk,
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc
+                    + F.ceil(F.length(t) / piece_len).cast("long"),
+                ).alias("bpe"),
+            ),
+        ),
+        1,
+    )
+    d = df.select(
+        gc.alias("group"),
+        F.coalesce(F.length(tc), F.lit(0)).cast("long").alias("__chars"),
+        F.coalesce(per_doc["ws"], F.lit(0)).alias("__ws"),
+        F.coalesce(per_doc["bpe"], F.lit(0)).alias("__bpe"),
+    )
+    return d.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").cast("long").alias("n_chars"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+        F.expr(
+            "CASE WHEN sum(__ws) > 0"
+            " THEN sum(__chars) * 100L DIV sum(__ws) END"
+        )
+        .cast("long")
+        .alias("chars_per_token_centi"),
+        F.expr(
+            "CASE WHEN sum(__ws) > 0"
+            " THEN sum(__bpe) * 100L DIV sum(__ws) END"
+        )
+        .cast("long")
+        .alias("pieces_per_word_centi"),
+    )

@@ -220,6 +220,12 @@ QUERIES = [
     "join_fanout",
     "pair_triangles",
     "price_deciles",
+    "lsh_band_stats",
+    "snm_pairs",
+    "dup_inflation",
+    "novelty_trend",
+    "vocab_spectrum",
+    "token_fertility",
 ]
 
 

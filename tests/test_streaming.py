@@ -793,11 +793,14 @@ def test_referential_stream_dangling_vs_batch(spark, tmp_path):
     # a later heartbeat (key 999 with its own matching dim) advances the
     # watermark past every original fact → the held tail flushes and the
     # closed-input result now equals the batch anti-join exactly
+    # CAST to BIGINT: the original files hold spark.range longs, and an
+    # int-typed heartbeat file would make schema inference a footer
+    # lottery (PARQUET_COLUMN_DATA_TYPE_MISMATCH when the int footer wins)
     spark.range(1).selectExpr(
-        "999 AS ref", "timestamp'2026-01-01 01:00:00' ts"
+        "CAST(999 AS BIGINT) AS ref", "timestamp'2026-01-01 01:00:00' ts"
     ).write.mode("append").parquet(fpath)
     spark.range(1).selectExpr(
-        "999 AS mid", "timestamp'2026-01-01 01:00:00' dts"
+        "CAST(999 AS BIGINT) AS mid", "timestamp'2026-01-01 01:00:00' dts"
     ).write.mode("append").parquet(dpath)
     fs2 = spark.readStream.schema(spark.read.parquet(fpath).schema).parquet(fpath)
     ds2 = spark.readStream.schema(spark.read.parquet(dpath).schema).parquet(dpath)
