@@ -3290,6 +3290,65 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_fertility(d, group_col="lang")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-contamination matrix: distinct content
+    fingerprints shared between every source pair, with per-side doc
+    counts — the feed-provenance audit (a feed mirroring another shows up
+    as one hot cell).  Self-join runs on the (source, fp)-collapsed
+    table, so fan-out is bounded by #sources², never docs².  The shipped
+    corpus has no cross-source dups, so the driver row composes a
+    deterministic 'mirror' feed (every 7th doc re-sourced) — the gate
+    then checks real overlap cells, not an empty result."""
+    d = _t(spark, sf_dir, "documents")
+    mirror = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "source", F.lit("mirror")
+    )
+    return dedup.source_overlap_matrix(d.unionByName(mirror))
+
+
+def q_dup_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups whose members disagree on the lang tag
+    (identical content, different labels — at least one is wrong, and
+    every such group poisons per-language mixture weights).  Two-level
+    aggregate: (fp, lang) counts first, so no collect ever holds a
+    mega-group.  The driver row injects a mislabeled twin of every 11th
+    doc (lang='xx') so the gate checks real conflict groups."""
+    d = _t(spark, sf_dir, "documents")
+    twin = d.filter(F.col("doc_id") % 11 == 0).withColumn("lang", F.lit("xx"))
+    return dedup.dup_lang_mismatch(d.unionByName(twin))
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-over-wave vocabulary drift (5 doc_id-range ingest waves):
+    TVD between consecutive waves' unigram distributions plus new-token
+    share, exact int bp — one token-keyed shuffle computes every
+    transition (no per-wave rescan)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.vocab_drift(d, n_waves=5)
+
+
+def q_length_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-wave exact doc-length quantile profile
+    (``group_quantiles``): is doc length collapsing wave over wave?
+    Exact interpolated percentiles per wave — the audit twin of the KLL
+    sketch path for the 10^12-row table."""
+    from evalidate_spark.operators.table_checks import group_quantiles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    lim = d.agg(
+        F.greatest(
+            F.max(F.greatest(F.col("doc_id"), F.lit(0))) + 1, F.lit(1)
+        ).alias("__m")
+    )
+    waved = d.crossJoin(F.broadcast(lim)).select(
+        F.expr("least(4L, greatest(doc_id, 0) * 5L DIV __m)")
+        .cast("string")
+        .alias("wave"),
+        "n_chars",
+    )
+    return group_quantiles(waved, "wave", "n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3498,6 +3557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_trend": q_novelty_trend,
         "vocab_spectrum": q_vocab_spectrum,
         "token_fertility": q_token_fertility,
+        "source_overlap": q_source_overlap,
+        "dup_lang_mismatch": q_dup_lang_mismatch,
+        "vocab_drift": q_vocab_drift,
+        "length_trend": q_length_trend,
     }
 
 
@@ -8018,6 +8081,132 @@ SELECT grp AS "group",
   CAST(CASE WHEN sum(ws) > 0 THEN sum(bpe) * 100 // sum(ws) END
        AS BIGINT) AS pieces_per_word_centi
 FROM p GROUP BY 1
+"""
+
+
+# cross-source fingerprint overlap; self-join on the (source, fp)-
+# collapsed table mirrors the engine's bounded fan-out
+ORACLE["source_overlap"] = """
+WITH u AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 7 = 0
+), d AS (
+  SELECT md5(coalesce(array_to_string(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''),
+      x -> lower(x)), ' '), '')) AS fp,
+    coalesce(CAST(source AS VARCHAR), '__null__') AS src
+  FROM u WHERE text IS NOT NULL
+), per AS (
+  SELECT fp, src, count(*) AS n FROM d GROUP BY 1, 2
+)
+SELECT a.src AS source_a, b.src AS source_b,
+  CAST(count(*) AS BIGINT) AS shared_fps,
+  CAST(sum(a.n) AS BIGINT) AS docs_a,
+  CAST(sum(b.n) AS BIGINT) AS docs_b
+FROM per a JOIN per b ON a.fp = b.fp AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+# dup groups with conflicting lang tags; NULL tag -> '__null__'
+ORACLE["dup_lang_mismatch"] = """
+WITH u AS (
+  SELECT text, lang FROM documents
+  UNION ALL
+  SELECT text, 'xx' AS lang FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 11 = 0
+), d AS (
+  SELECT md5(coalesce(array_to_string(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''),
+      x -> lower(x)), ' '), '')) AS fp,
+    coalesce(CAST(lang AS VARCHAR), '__null__') AS lg
+  FROM u WHERE text IS NOT NULL
+), per AS (
+  SELECT fp, lg, count(*) AS n FROM d GROUP BY 1, 2
+), g AS (
+  SELECT fp AS fingerprint, CAST(sum(n) AS BIGINT) AS n_docs,
+    list_sort(list(lg)) AS langs
+  FROM per GROUP BY 1
+)
+SELECT fingerprint, n_docs,
+  CAST(len(langs) AS INT) AS n_langs,
+  array_to_string(langs, ',') AS langs
+FROM g WHERE len(langs) >= 2
+"""
+
+
+# wave-over-wave unigram TVD + new-token share, exact int bp
+ORACLE["vocab_drift"] = """
+WITH d AS (
+  SELECT doc_id AS id, list_transform(
+    list_filter(string_split(text, ' '), x -> x <> ''),
+    x -> lower(x)) AS tk
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), m AS (
+  SELECT greatest(max(greatest(id, 0)) + 1, 1) AS mx FROM d
+), w AS (
+  SELECT least(4, greatest(id, 0) * 5 // mx) AS wv, unnest(tk) AS t
+  FROM d, m
+), pt AS (
+  SELECT t,
+    sum(CASE WHEN wv = 0 THEN 1 ELSE 0 END) AS c0,
+    sum(CASE WHEN wv = 1 THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN wv = 2 THEN 1 ELSE 0 END) AS c2,
+    sum(CASE WHEN wv = 3 THEN 1 ELSE 0 END) AS c3,
+    sum(CASE WHEN wv = 4 THEN 1 ELSE 0 END) AS c4
+  FROM w GROUP BY 1
+), tot AS (
+  SELECT sum(c0) AS t0, sum(c1) AS t1, sum(c2) AS t2,
+         sum(c3) AS t3, sum(c4) AS t4
+  FROM pt
+), r AS (
+  SELECT
+    sum(abs(c0*10000//greatest(t0,1) - c1*10000//greatest(t1,1))) // 2 AS tvd_0,
+    sum(abs(c1*10000//greatest(t1,1) - c2*10000//greatest(t2,1))) // 2 AS tvd_1,
+    sum(abs(c2*10000//greatest(t2,1) - c3*10000//greatest(t3,1))) // 2 AS tvd_2,
+    sum(abs(c3*10000//greatest(t3,1) - c4*10000//greatest(t4,1))) // 2 AS tvd_3,
+    sum(CASE WHEN c0 = 0 AND c1 > 0 THEN 1 ELSE 0 END) AS nt_0,
+    sum(CASE WHEN c1 = 0 AND c2 > 0 THEN 1 ELSE 0 END) AS nt_1,
+    sum(CASE WHEN c2 = 0 AND c3 > 0 THEN 1 ELSE 0 END) AS nt_2,
+    sum(CASE WHEN c3 = 0 AND c4 > 0 THEN 1 ELSE 0 END) AS nt_3,
+    sum(CASE WHEN c0 = 0 THEN c1 ELSE 0 END) * 10000 // greatest(sum(c1),1) AS no_0,
+    sum(CASE WHEN c1 = 0 THEN c2 ELSE 0 END) * 10000 // greatest(sum(c2),1) AS no_1,
+    sum(CASE WHEN c2 = 0 THEN c3 ELSE 0 END) * 10000 // greatest(sum(c3),1) AS no_2,
+    sum(CASE WHEN c3 = 0 THEN c4 ELSE 0 END) * 10000 // greatest(sum(c4),1) AS no_3
+  FROM pt, tot
+)
+SELECT 0 AS from_wave, 1 AS to_wave, CAST(tvd_0 AS BIGINT) AS tvd_bp,
+  CAST(nt_0 AS BIGINT) AS new_types, CAST(no_0 AS BIGINT) AS new_occ_bp FROM r
+UNION ALL
+SELECT 1, 2, CAST(tvd_1 AS BIGINT), CAST(nt_1 AS BIGINT), CAST(no_1 AS BIGINT) FROM r
+UNION ALL
+SELECT 2, 3, CAST(tvd_2 AS BIGINT), CAST(nt_2 AS BIGINT), CAST(no_2 AS BIGINT) FROM r
+UNION ALL
+SELECT 3, 4, CAST(tvd_3 AS BIGINT), CAST(nt_3 AS BIGINT), CAST(no_3 AS BIGINT) FROM r
+"""
+
+
+# per-ingest-wave exact doc-length quantiles (quantile_cont replays
+# Spark's interpolated percentile bit-for-bit on integer-valued chars)
+ORACLE["length_trend"] = """
+WITH d AS (
+  SELECT doc_id AS id, n_chars FROM documents WHERE doc_id IS NOT NULL
+), m AS (
+  SELECT greatest(max(greatest(id, 0)) + 1, 1) AS mx FROM d
+), v AS (
+  SELECT CAST(least(4, greatest(id, 0) * 5 // mx) AS VARCHAR) AS "group",
+    CAST(n_chars AS DOUBLE) AS vv
+  FROM d, m WHERE n_chars IS NOT NULL
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n,
+  min(vv) AS min,
+  quantile_cont(vv, 0.25) AS q25,
+  quantile_cont(vv, 0.5) AS q50,
+  quantile_cont(vv, 0.75) AS q75,
+  max(vv) AS max
+FROM v GROUP BY 1
 """
 
 

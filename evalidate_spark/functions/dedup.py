@@ -2537,3 +2537,83 @@ def novelty_trend(
             "CAST(sum(CAST(__rep AS LONG)) * 10000L DIV count(1) AS LONG)"
         ).alias("repeat_bp"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source duplicate-contamination matrix: for every ordered
+    source pair ``(source_a < source_b)``, how many distinct content
+    fingerprints appear in BOTH feeds, and how many docs on each side
+    carry them — ``(source_a, source_b, shared_fps, docs_a, docs_b)``.
+
+    This is the feed-provenance audit exact dedup implies: a crawler feed
+    silently mirroring another shows up as a high ``shared_fps`` cell
+    long before per-doc inspection would.  Plan: docs collapse to
+    distinct ``(source, fp)`` pairs (+ per-pair doc count) in one
+    fingerprint-keyed shuffle; the self-join then runs on that collapsed
+    table, whose per-fp width is bounded by the number of SOURCES (not
+    docs), so the join fan-out is #fp · #sources², never quadratic in
+    docs.  NULL sources report as ``'__null__'``; NULL-text docs have no
+    fingerprint and are excluded."""
+    tc = F.col("`%s`" % text_col)
+    sc = F.coalesce(F.col("`%s`" % source_col).cast("string"), F.lit("__null__"))
+    per = (
+        df.filter(tc.isNotNull())
+        .select(fingerprint(tc).alias("__fp"), sc.alias("__src"))
+        .groupBy("__fp", "__src")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    a = per.select(
+        F.col("__fp"), F.col("__src").alias("source_a"), F.col("__n").alias("__na")
+    )
+    b = per.select(
+        F.col("__fp"), F.col("__src").alias("source_b"), F.col("__n").alias("__nb")
+    )
+    j = a.join(b, "__fp").filter(F.col("source_a") < F.col("source_b"))
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared_fps"),
+        F.sum("__na").cast("long").alias("docs_a"),
+        F.sum("__nb").cast("long").alias("docs_b"),
+    )
+
+
+def dup_lang_mismatch(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate groups whose members disagree on the language tag
+    — ``(fingerprint, n_docs, n_langs, langs)``.  Identical content under
+    two different lang labels means at least one label is wrong (or the
+    lang-ID stage is nondeterministic), and every such group poisons any
+    per-language mixture weighting downstream.  One fingerprint shuffle;
+    ``langs`` is the sorted distinct label set (NULL tags surface as
+    ``'__null__'`` — a dup group split between tagged and untagged is
+    exactly the bug this catches), reported only for groups where
+    ``n_langs >= 2``, so output is bounded by the conflict count."""
+    tc = F.col("`%s`" % text_col)
+    lc = F.coalesce(F.col("`%s`" % lang_col).cast("string"), F.lit("__null__"))
+    # two-level aggregate: collapse to (fp, lang) counts FIRST so the
+    # collect_list below holds distinct labels (bounded by the lang-set
+    # size), never one row per doc of a boilerplate mega-group
+    per = (
+        df.filter(tc.isNotNull())
+        .select(fingerprint(tc).alias("fingerprint"), lc.alias("__lang"))
+        .groupBy("fingerprint", "__lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    g = per.groupBy("fingerprint").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sort_array(F.collect_list("__lang")).alias("langs"),
+    )
+    return g.filter(F.size("langs") >= 2).select(
+        "fingerprint",
+        "n_docs",
+        F.size("langs").cast("int").alias("n_langs"),
+        F.array_join("langs", ",").alias("langs"),
+    )

@@ -3677,3 +3677,43 @@ def categorical_fidelity(
         diff.alias("diff_bp"),
         (F.abs(diff) >= int(max_diff_bp)).alias("skewed"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantile profile — ``(group, n, min, q..., max)``,
+    one row per group, quantile columns named ``q25``-style from *probs*.
+
+    The grouped twin of the table-wide ``profile`` quantile mode: run
+    with an ingest-wave or source key it becomes the distribution-trend
+    report ("is doc length collapsing wave over wave?") that a single
+    global median hides.  Exact linear-interpolation percentiles (the
+    ANSI ``quantile_cont`` definition, bit-replayable on integer-valued
+    columns); for the 10^12-row table the sketch path
+    (``profile``/``quantile_states``'s KLL) is the default and this
+    exact mode is the audit tool.  One groupBy on the group key —
+    Spark's native ``percentile`` aggregate buffers per group; groups
+    are partition-spread, and a hot group is exactly the case for the
+    sketch path instead.  NULL group keys report as ``'__null__'``;
+    NULL values are excluded from quantiles (and from ``n``)."""
+    if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError("group_quantiles: probs must be within [0, 1]")
+    gc = F.coalesce(F.col("`%s`" % group_col).cast("string"), F.lit("__null__"))
+    vc = F.col("`%s`" % value_col).cast("double")
+    d = df.filter(vc.isNotNull()).select(gc.alias("group"), vc.alias("__v"))
+    qcols = [
+        F.percentile("__v", F.lit(float(p))).alias(
+            "q%d" % round(p * 100)
+        )
+        for p in probs
+    ]
+    return d.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("min"),
+        *qcols,
+        F.max("__v").alias("max"),
+    )

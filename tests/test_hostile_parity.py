@@ -226,6 +226,10 @@ QUERIES = [
     "novelty_trend",
     "vocab_spectrum",
     "token_fertility",
+    "source_overlap",
+    "dup_lang_mismatch",
+    "vocab_drift",
+    "length_trend",
 ]
 
 
