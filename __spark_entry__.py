@@ -3349,6 +3349,110 @@ def q_length_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(waved, "wave", "n_chars")
 
 
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-side referential view (``dim_coverage``): how much of
+    the media catalog is actually referenced by the interleaved spans —
+    dead-asset share plus the distinct dangling-ref count, one row.  The
+    reverse of span_refs_dangling's fact-side rows; refs collapse to
+    distinct keys before one broadcast join pair."""
+    from evalidate_spark.operators.table_checks import dim_coverage
+
+    refs = media_refs(_derived_spans(spark, sf_dir))
+    catalog = spark.range(20).select(
+        F.concat(F.lit("m-"), F.col("id").cast("string")).alias("media_ref")
+    )
+    return dim_coverage(refs, "media_ref", catalog, "media_ref",
+                        broadcast_refs=True)
+
+
+def q_blocking_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-family complementarity report: the md5 MinHash-LSH pair
+    set vs the sorted-neighborhood pair set on the same corpus —
+    ``(family ∈ lsh_only/snm_only/both, n_pairs)``.  The methodological
+    answer to "does SNM add recall over LSH here": pairs normalise to
+    (lo, hi), full-outer join, one 3-row rollup.  Costs the two candidate
+    pipelines themselves; the join runs on candidate cardinality only."""
+    d = _t(spark, sf_dir, "documents")
+    lsh = (
+        dedup.minhash_candidates_md5(d, num_hashes=16, bands=8)
+        .select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+        .distinct()
+        .withColumn("__l", F.lit(True))
+    )
+    snm = (
+        dedup.snm_pairs(d, window=2)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+        .withColumn("__s", F.lit(True))
+    )
+    j = lsh.join(snm, ["lo", "hi"], "full_outer")
+    row = j.agg(
+        F.sum((F.col("__l").isNotNull() & F.col("__s").isNull()).cast("long"))
+        .cast("long")
+        .alias("lsh_only"),
+        F.sum((F.col("__s").isNotNull() & F.col("__l").isNull()).cast("long"))
+        .cast("long")
+        .alias("snm_only"),
+        F.sum((F.col("__l").isNotNull() & F.col("__s").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("both"),
+    )
+    fams = F.array(
+        *[
+            F.struct(F.lit(k).alias("family"), F.col(k).alias("n_pairs"))
+            for k in ("lsh_only", "snm_only", "both")
+        ]
+    )
+    return row.select(F.explode(fams).alias("f")).select("f.*")
+
+
+def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-wave quality-flag trend: share of too-short (<10
+    tokens) and repetitive (distinct/total token ratio < 0.5) docs per
+    doc_id-range wave, exact int bp — quality filters wired into the
+    ingest-monitoring axis.  One fused projection (let-bound token
+    array), one 5-row groupBy."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    lim = d.agg(
+        F.greatest(
+            F.max(F.greatest(F.col("doc_id"), F.lit(0))) + 1, F.lit(1)
+        ).alias("__m")
+    )
+    per = F.element_at(
+        F.transform(
+            F.array(text.tokens(F.col("text"))),
+            lambda tk: F.struct(
+                F.size(tk).cast("long").alias("nt"),
+                F.size(F.array_distinct(tk)).cast("long").alias("dt"),
+            ),
+        ),
+        1,
+    )
+    waved = d.crossJoin(F.broadcast(lim)).select(
+        F.expr("least(4L, greatest(doc_id, 0) * 5L DIV __m)")
+        .cast("int")
+        .alias("wave"),
+        F.coalesce(per["nt"], F.lit(0)).alias("__nt"),
+        F.coalesce(per["dt"], F.lit(0)).alias("__dt"),
+    )
+    return waved.groupBy("wave").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "sum(CAST(__nt < 10 AS LONG)) * 10000L DIV count(1)"
+        )
+        .cast("long")
+        .alias("short_bp"),
+        F.expr(
+            "sum(CAST(2 * __dt < __nt AS LONG)) * 10000L DIV count(1)"
+        )
+        .cast("long")
+        .alias("repetitive_bp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3561,6 +3665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_lang_mismatch": q_dup_lang_mismatch,
         "vocab_drift": q_vocab_drift,
         "length_trend": q_length_trend,
+        "catalog_coverage": q_catalog_coverage,
+        "blocking_comparison": q_blocking_comparison,
+        "quality_trend": q_quality_trend,
     }
 
 
@@ -8207,6 +8314,86 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n,
   quantile_cont(vv, 0.75) AS q75,
   max(vv) AS max
 FROM v GROUP BY 1
+"""
+
+
+# dimension-side referential: catalog m-0..m-19 vs the derived-span refs
+# (same refs CTE as media_reuse)
+ORACLE["catalog_coverage"] = """
+WITH refs AS (
+  SELECT 'm-' || CAST(((doc_id % 50) + 50) % 50 AS VARCHAR) AS media_ref
+  FROM documents
+  WHERE doc_id IS NOT NULL AND ((doc_id % 13) + 13) % 13 = 0
+  UNION ALL
+  SELECT 'm-' || CAST(((doc_id % 30) + 30) % 30 AS VARCHAR)
+  FROM documents WHERE doc_id IS NOT NULL
+), rk AS (
+  SELECT DISTINCT media_ref AS k FROM refs WHERE media_ref IS NOT NULL
+), cat AS (
+  SELECT 'm-' || CAST(i AS VARCHAR) AS d FROM generate_series(0, 19) t(i)
+), cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dim,
+    CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS referenced
+  FROM cat LEFT JOIN rk ON cat.d = rk.k
+), dang AS (
+  SELECT CAST(count(*) AS BIGINT) AS dangling_values
+  FROM rk WHERE NOT EXISTS (SELECT 1 FROM cat WHERE cat.d = rk.k)
+)
+SELECT n_dim, referenced,
+  CAST(n_dim - referenced AS BIGINT) AS unreferenced,
+  CAST(referenced * 10000 // greatest(n_dim, 1) AS BIGINT) AS coverage_bp,
+  dangling_values
+FROM cov, dang
+"""
+
+
+# LSH vs SNM candidate-set complementarity: composes the two pair
+# oracles end-to-end, normalises to (lo, hi), full-outer presence rollup
+ORACLE["blocking_comparison"] = """
+WITH l AS (
+  SELECT DISTINCT id_a AS lo, id_b AS hi FROM ({MH})
+), s AS (
+  SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+  FROM ({SNM})
+), j AS (
+  SELECT l.lo IS NOT NULL AS il, s.lo IS NOT NULL AS isn
+  FROM l FULL OUTER JOIN s ON l.lo = s.lo AND l.hi = s.hi
+), r AS (
+  SELECT
+    CAST(sum(CASE WHEN il AND NOT isn THEN 1 ELSE 0 END) AS BIGINT) AS lo_only,
+    CAST(sum(CASE WHEN isn AND NOT il THEN 1 ELSE 0 END) AS BIGINT) AS so_only,
+    CAST(sum(CASE WHEN il AND isn THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+  FROM j
+)
+SELECT 'lsh_only' AS family, lo_only AS n_pairs FROM r
+UNION ALL SELECT 'snm_only', so_only FROM r
+UNION ALL SELECT 'both', nboth FROM r
+""".replace("{MH}", ORACLE["minhash_pairs_md5"]).replace(
+    "{SNM}", ORACLE["snm_pairs"]
+)
+
+
+# per-wave quality-flag shares; NULL text -> 0 tokens (short, never
+# repetitive)
+ORACLE["quality_trend"] = """
+WITH d AS (
+  SELECT doc_id AS id,
+    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL
+), m AS (
+  SELECT greatest(max(greatest(id, 0)) + 1, 1) AS mx FROM d
+), w AS (
+  SELECT CAST(least(4, greatest(id, 0) * 5 // mx) AS INT) AS wave,
+    len(tk) AS nt, len(list_distinct(tk)) AS dt
+  FROM d, m
+)
+SELECT wave, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) * 10000 // count(*)
+       AS BIGINT) AS short_bp,
+  CAST(sum(CASE WHEN 2 * dt < nt THEN 1 ELSE 0 END) * 10000 // count(*)
+       AS BIGINT) AS repetitive_bp
+FROM w GROUP BY 1
 """
 
 

@@ -3717,3 +3717,61 @@ def group_quantiles(
         *qcols,
         F.max("__v").alias("max"),
     )
+
+
+def dim_coverage(
+    fact: DataFrame,
+    fact_col: str,
+    dim: DataFrame,
+    dim_col: str,
+    broadcast_dim: bool = True,
+    broadcast_refs: bool = False,
+) -> DataFrame:
+    """Reverse referential check — the dimension-side view the
+    fact-side anti-join (``referential_violations``) doesn't give:
+    ``(n_dim, referenced, unreferenced, coverage_bp, dangling_values)``
+    as ONE row.
+
+    ``coverage_bp`` is the share of dimension keys referenced by at
+    least one fact row (dead catalog mass — unreferenced media assets
+    are storage cost and a sign the ingest dropped their documents);
+    ``dangling_values`` counts DISTINCT fact keys missing from the
+    dimension (the value-level size of the fact-side violation set).
+
+    Plan: facts collapse to distinct keys first (uniform key shuffle,
+    map-side combined).  The coverage join builds on the collapsed ref
+    set (``broadcast_refs=True`` when the distinct reference set is
+    broadcast-small); the dangling anti-join builds on the dimension
+    keys (``broadcast_dim=True``, the default — catalogs are the
+    canonical small side).  With both flags False each join is a
+    sort-merge on the key — still one shuffle per side, no row
+    explosion.  NULL fact keys are ignored (a NULL reference is a
+    presence violation, not a dangling one — same contract as the
+    fact-side check); NULL dim keys never match anything and count as
+    unreferenced."""
+    fc = F.col("`%s`" % fact_col)
+    dc = F.col("`%s`" % dim_col)
+    refs = fact.filter(fc.isNotNull()).select(fc.alias("__k")).distinct()
+    dkeys = dim.select(dc.alias("__d"))
+    r = F.broadcast(refs) if broadcast_refs else refs
+    joined = dkeys.join(r, dkeys["__d"] == r["__k"], "left_outer")
+    cov = joined.agg(
+        F.count(F.lit(1)).alias("n_dim"),
+        F.sum(F.col("__k").isNotNull().cast("long"))
+        .cast("long")
+        .alias("referenced"),
+    ).select(
+        "n_dim",
+        "referenced",
+        (F.col("n_dim") - F.col("referenced")).cast("long").alias("unreferenced"),
+        F.expr("referenced * 10000L DIV greatest(n_dim, 1)")
+        .cast("long")
+        .alias("coverage_bp"),
+    )
+    dk = dkeys.distinct()
+    dang = refs.join(
+        F.broadcast(dk) if broadcast_dim else dk,
+        refs["__k"] == dk["__d"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("dangling_values"))
+    return cov.crossJoin(F.broadcast(dang))

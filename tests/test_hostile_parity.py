@@ -230,6 +230,9 @@ QUERIES = [
     "dup_lang_mismatch",
     "vocab_drift",
     "length_trend",
+    "catalog_coverage",
+    "blocking_comparison",
+    "quality_trend",
 ]
 
 

@@ -119,3 +119,82 @@ def test_group_quantiles_null_group_key(spark):
     rows = group_quantiles(d, "lang", "n_chars").collect()
     assert len(rows) == 1
     assert rows[0]["group"] == "__null__" and rows[0].q50 == 10.0
+
+
+# -------------------------------------------------------- dim_coverage
+def test_dim_coverage_closed_form(spark):
+    from evalidate_spark.operators.table_checks import dim_coverage
+
+    fact = spark.createDataFrame(
+        [("m-1",), ("m-1",), ("m-3",), ("m-99",), (None,)], "ref string"
+    )
+    dim = spark.createDataFrame([("m-%d" % i,) for i in range(5)], "k string")
+    r = dim_coverage(fact, "ref", dim, "k").collect()[0]
+    assert r.n_dim == 5
+    assert r.referenced == 2  # m-1, m-3
+    assert r.unreferenced == 3
+    assert r.coverage_bp == 2 * 10000 // 5
+    assert r.dangling_values == 1  # m-99 (NULL ref ignored)
+
+
+def test_dim_coverage_sort_merge_path_same_result(spark):
+    from evalidate_spark.operators.table_checks import dim_coverage
+
+    fact = spark.createDataFrame([("a",), ("z",)], "ref string")
+    dim = spark.createDataFrame([("a",), ("b",)], "k string")
+    fast = dim_coverage(fact, "ref", dim, "k").collect()[0]
+    slow = dim_coverage(
+        fact, "ref", dim, "k", broadcast_dim=False, broadcast_refs=False
+    ).collect()[0]
+    assert fast == slow
+
+
+# ------------------------------------------------- blocking_comparison
+def test_blocking_families_overlap_on_exact_dups(spark):
+    import __spark_entry__ as e
+    import os, tempfile
+
+    # two identical docs: every LSH band collides AND they sort adjacent,
+    # so the pair must land in 'both'; plus enough distinct filler that
+    # neither family pairs anything else
+    rows = [(1, "alpha beta gamma delta epsilon", "en", "s", 10),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 10)] + [
+        (i, "filler %d q%d w%d" % (i, i * 7, i * 13), "en", "s", 5)
+        for i in range(10, 16)
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = {r.family: r.n_pairs for r in
+           e.q_blocking_comparison(spark, tmp).collect()}
+    assert set(out) == {"lsh_only", "snm_only", "both"}
+    assert out["both"] >= 1
+
+
+# ------------------------------------------------------- quality_trend
+def test_quality_trend_flags(spark):
+    import __spark_entry__ as e
+    import os, tempfile
+
+    long_fresh = " ".join("w%d" % i for i in range(12))  # 12 distinct tokens
+    repetitive = " ".join(["rep"] * 12)  # 12 tokens, 1 distinct
+    rows = [
+        (0, long_fresh, "en", "s", 1),   # wave 0: ok
+        (1, "tiny", "en", "s", 1),       # wave 0: short
+        (8, repetitive, "en", "s", 1),   # wave 4: repetitive (not short)
+        (9, None, "en", "s", 1),         # wave 4: short (0 tokens)
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = {r.wave: r for r in e.q_quality_trend(spark, tmp).collect()}
+    assert out[0].n_docs == 2 and out[0].short_bp == 5000
+    assert out[0].repetitive_bp == 0
+    assert out[4].n_docs == 2 and out[4].short_bp == 5000
+    assert out[4].repetitive_bp == 5000
