@@ -873,3 +873,67 @@ def referential_stream(
     return joined.filter(F.col("__dk").isNull()).select(
         F.col("__fk").alias(fact_key), F.col("__ft").alias(fact_ts)
     )
+
+
+def quality_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    short_tokens: int = 10,
+) -> DataFrame:
+    """Event-time windowed quality-flag shares — the streaming twin of
+    the per-wave ``quality_trend`` report: per window, ``n_docs`` plus
+    the integer-bp share of too-short (< ``short_tokens`` whitespace
+    tokens) and repetitive (distinct/total token ratio < 0.5) documents.
+    A window whose ``short_bp`` spikes is a feed emitting truncated
+    bodies NOW — hours before a batch audit would see it.
+
+    The token flags are computed in the pre-aggregation projection (one
+    let-bound token array per doc, pure Column expressions), so the
+    stateful part is a plain windowed count/sum aggregate: state is
+    O(windows), every term merges per micro-batch, and the output is
+    exactly the batch arithmetic (``sum·10000 DIV count``) — batch
+    equivalence on a closed input is pinned in tests.  NULL text counts
+    as zero tokens (short, never repetitive)."""
+    from .functions.text import tokens
+
+    tc = F.col("`%s`" % text_col)
+    per = F.element_at(
+        F.transform(
+            F.array(tokens(tc)),
+            lambda tk: F.struct(
+                F.size(tk).cast("long").alias("nt"),
+                F.size(F.array_distinct(tk)).cast("long").alias("dt"),
+            ),
+        ),
+        1,
+    )
+    flagged = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.coalesce(per["nt"], F.lit(0)).alias("__nt"),
+        F.coalesce(per["dt"], F.lit(0)).alias("__dt"),
+    )
+    return (
+        flagged.groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__nt") < int(short_tokens)).cast("long")).alias(
+                "__short"
+            ),
+            F.sum((F.col("__dt") * 2 < F.col("__nt")).cast("long")).alias(
+                "__rep"
+            ),
+        )
+        .select(
+            "window",
+            "n_docs",
+            F.expr("__short * 10000L DIV greatest(n_docs, 1)")
+            .cast("long")
+            .alias("short_bp"),
+            F.expr("__rep * 10000L DIV greatest(n_docs, 1)")
+            .cast("long")
+            .alias("repetitive_bp"),
+        )
+    )

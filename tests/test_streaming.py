@@ -811,3 +811,56 @@ def test_referential_stream_dangling_vs_batch(spark, tmp_path):
     _run_to_memory(out2, "refstream_out2", timeout_s=180)
     got2 = sorted(r.ref for r in spark.table("refstream_out2").collect())
     assert got2 == [i for i in range(40) if i % 2 == 1]
+
+
+def test_quality_stream_matches_batch_flags(spark, tmp_path):
+    """Windowed streaming quality flags ≡ the same flag arithmetic run in
+    batch per window, on a closed input."""
+    path = str(tmp_path / "qs_in")
+    (
+        spark.range(120)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+            # id%3==0 -> repetitive 12-token doc; id%3==1 -> short doc;
+            # id%3==2 -> NULL text (short)
+            "CASE WHEN id % 3 = 0 THEN concat_ws(' ', array_repeat('rep', 12)) "
+            "     WHEN id % 3 = 1 THEN 'tiny doc' END text",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    qs = streaming.quality_stream(
+        _stream(spark, path), "ts", window="30 minutes"
+    )
+    _run_to_memory(qs, "qs_out", mode="complete")
+    got = {
+        r["window"]["start"]: (r["n_docs"], r["short_bp"], r["repetitive_bp"])
+        for r in spark.table("qs_out").collect()
+    }
+    # 120 rows * 30s = 1h span -> 2 windows of 30 min
+    assert len(got) == 2
+    batch = spark.read.parquet(path)
+    w = F.window(F.col("ts"), "30 minutes")["start"]
+    nt = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    dt = F.size(
+        F.array_distinct(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    )
+    exp = (
+        batch.select(
+            w.alias("w"),
+            F.coalesce(nt, F.lit(0)).alias("nt"),
+            F.coalesce(dt, F.lit(0)).alias("dt"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(CAST(nt < 10 AS LONG)) * 10000L DIV count(1)").alias("s"),
+            F.expr("sum(CAST(dt*2 < nt AS LONG)) * 10000L DIV count(1)").alias("r"),
+        )
+        .collect()
+    )
+    for row in exp:
+        assert got[row["w"]] == (row["n"], row["s"], row["r"])
+    # flags are real: every window holds all three doc classes
+    for n, s, r in got.values():
+        assert n == 60 and s == 2 * 10000 // 3 and r == 10000 // 3
