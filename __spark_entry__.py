@@ -3453,6 +3453,43 @@ def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: per column, exact distinct share and
+    average stringified width — the dictionary-encode / partition-key /
+    schema-prune decision table for the 100 TB layout.  Exact
+    countDistinct audit mode (the HLL profile is the at-scale default)."""
+    from evalidate_spark.operators.table_checks import encoding_advisor
+
+    d = _t(spark, sf_dir, "documents")
+    return encoding_advisor(d, ["doc_id", "lang", "source", "text"])
+
+
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle/file sizing advisor: per table, deterministic byte
+    estimate from the schema (fixed primitive widths + actual string
+    lengths) and the recommended partition count at 128 MB — the number
+    ``spark.sql.shuffle.partitions`` should derive from, not a
+    cluster-wide constant.  One single-pass aggregate per table
+    (documents + events: the two tables whose schema the hostile
+    fixture shares, since the oracle's byte formula is schema-derived)."""
+    from evalidate_spark.operators.table_checks import partition_advisor
+
+    parts = [
+        partition_advisor(_t(spark, sf_dir, t), t)
+        for t in ("documents", "events")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def q_lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise token top-k (per-language top-5 with exact counts and
+    in-group share): the per-group heavy-hitter view where a single
+    broken feed surfaces that the global top-k drowns.  One word-count
+    shuffle + one group-keyed window; ties break token-ascending."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_top_tokens(d, top_k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3668,6 +3705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_coverage": q_catalog_coverage,
         "blocking_comparison": q_blocking_comparison,
         "quality_trend": q_quality_trend,
+        "encoding_advisor": q_encoding_advisor,
+        "partition_advisor": q_partition_advisor,
+        "lang_top_tokens": q_lang_top_tokens,
     }
 
 
@@ -8394,6 +8434,78 @@ SELECT wave, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN 2 * dt < nt THEN 1 ELSE 0 END) * 10000 // count(*)
        AS BIGINT) AS repetitive_bp
 FROM w GROUP BY 1
+"""
+
+
+def _enc_adv_sql(cols, dict_bp=100):
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT "{c}") AS BIGINT) AS n_distinct,
+  CAST(count(DISTINCT "{c}") * 10000 // greatest(count(*), 1) AS BIGINT)
+    AS distinct_bp,
+  CAST(CASE WHEN count("{c}") > 0
+       THEN sum(length(CAST("{c}" AS VARCHAR))) * 100 // count("{c}") END
+       AS BIGINT) AS avg_len_centi,
+  count(DISTINCT "{c}") * 10000 // greatest(count(*), 1) <= {dict_bp}
+    AS dict_candidate
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["encoding_advisor"] = _enc_adv_sql(["doc_id", "lang", "source", "text"])
+
+
+# byte model mirrors partition_advisor's schema walk: documents fixed =
+# doc_id(8) + n_chars(8); events fixed = event_id(8) + ts(8) +
+# user_id(8) + value(8); strings count their character length
+ORACLE["partition_advisor"] = """
+WITH d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) * 16
+      + sum(coalesce(length(text), 0) + coalesce(length(lang), 0)
+            + coalesce(length(source), 0)) AS BIGINT) AS est_bytes
+  FROM documents
+), e AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) * 32
+      + sum(coalesce(length(event_type), 0)
+            + coalesce(length(props), 0)) AS BIGINT) AS est_bytes
+  FROM events
+)
+SELECT 'documents' AS tbl, n_rows, est_bytes,
+  CAST(CASE WHEN n_rows > 0 THEN est_bytes // n_rows END AS BIGINT)
+    AS avg_row_bytes,
+  CAST(greatest(1, (est_bytes + 134217727) // 134217728) AS BIGINT)
+    AS rec_partitions
+FROM d
+UNION ALL
+SELECT 'events', n_rows, est_bytes,
+  CAST(CASE WHEN n_rows > 0 THEN est_bytes // n_rows END AS BIGINT),
+  CAST(greatest(1, (est_bytes + 134217727) // 134217728) AS BIGINT)
+FROM e
+"""
+
+
+ORACLE["lang_top_tokens"] = """
+WITH c AS (
+  SELECT grp, lower(t) AS token, count(*) AS cnt FROM (
+    SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS grp,
+      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1, 2
+), r AS (
+  SELECT grp, token, cnt,
+    row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, token ASC)
+      AS rank,
+    sum(cnt) OVER (PARTITION BY grp) AS tot
+  FROM c
+)
+SELECT grp AS "group", token, CAST(cnt AS BIGINT) AS cnt,
+  CAST(cnt * 10000 // greatest(tot, 1) AS BIGINT) AS share_bp,
+  CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
 """
 
 

@@ -13,7 +13,7 @@ from typing import Dict, Optional, Sequence
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # A small multilingual stopword/marker table for the heuristic language ID.
 # Deliberately tiny and transparent: the point is a deterministic, cheap,
@@ -1891,3 +1891,60 @@ def vocab_drift(
         ]
     )
     return row.select(F.explode(transitions).alias("t")).select("t.*")
+
+
+def lang_top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_k: int = 5,
+) -> DataFrame:
+    """Group-wise token top-k: per language, the ``top_k`` most frequent
+    lowercased tokens with exact count, integer-bp share of that group's
+    occurrences, and rank — ``(group, token, cnt, share_bp, rank)``.
+
+    The per-group twin of the global heavy-hitter report: a language
+    whose top token list is suddenly dominated by one boilerplate marker
+    is a single broken feed, invisible in the global top-k where big
+    languages drown it.  Ties break token-ascending so the cut is
+    deterministic cross-engine.
+
+    Plan: one (group, token) groupBy (map-side combined — the same
+    word-count shuffle vocab_spectrum pays), then rank and group-total
+    both ride ONE window shuffle keyed on the group; per-group window
+    cardinality is the group's vocabulary, which is bounded — for
+    unbounded group keys pre-prune with a sketch top-k first.  NULL
+    group keys report as ``'__null__'``; NULL texts contribute
+    nothing."""
+    if top_k < 1:
+        raise ValueError("lang_top_tokens: top_k must be >= 1")
+    tc = F.col("`%s`" % text_col)
+    gc = F.coalesce(F.col("`%s`" % group_col).cast("string"), F.lit("__null__"))
+    counts = (
+        df.filter(tc.isNotNull())
+        .select(
+            gc.alias("group"),
+            F.explode(F.transform(tokens(tc), F.lower)).alias("token"),
+        )
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("group")
+    ranked = counts.select(
+        "group",
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number()
+        .over(w.orderBy(F.col("cnt").desc(), F.col("token").asc()))
+        .alias("rank"),
+        F.sum("cnt").over(w).cast("long").alias("__tot"),
+    )
+    return ranked.filter(F.col("rank") <= int(top_k)).select(
+        "group",
+        "token",
+        "cnt",
+        F.expr("cnt * 10000L DIV greatest(__tot, 1)")
+        .cast("long")
+        .alias("share_bp"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -3775,3 +3775,122 @@ def dim_coverage(
         "left_anti",
     ).agg(F.count(F.lit(1)).cast("long").alias("dangling_values"))
     return cov.crossJoin(F.broadcast(dang))
+
+
+def encoding_advisor(
+    df: DataFrame, columns: Sequence[str], dict_bp: int = 100
+) -> DataFrame:
+    """Storage-encoding advisor — per column, the numbers that decide
+    parquet encoding and layout at 100 TB: ``(column, n_rows,
+    n_distinct, distinct_bp, avg_len_centi, dict_candidate)``.
+
+    A column whose exact distinct count is ≤ ``dict_bp``/10000 of its
+    rows (default 1%) dictionary-encodes to near-free and is a strong
+    partition/bucket/Z-order key candidate; a near-unique string column
+    with high ``avg_len_centi`` is the scan cost driver and the first
+    column to prune from ``ReadSchema``.  Exact ``count(DISTINCT)`` per
+    column — this is the audit tool; the sketch path (``profile``'s HLL)
+    is the default at full scale.  One aggregate per column (Spark plans
+    multi-distinct via expand — still one scan), NULLs excluded from
+    distinct/length, counted in ``n_rows``."""
+    if not columns:
+        raise ValueError("encoding_advisor needs at least one column")
+    names = {f.name for f in df.schema.fields}
+    outs: List[DataFrame] = []
+    for col in columns:
+        if col not in names:
+            raise ValueError(f"encoding_advisor: unknown column {col!r}")
+        c = F.col("`%s`" % col)
+        s = c.cast("string")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.sum(F.length(s)).cast("long").alias("__len"),
+            F.count(c).cast("long").alias("__nn"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(col).alias("column"),
+                "n_rows",
+                "n_distinct",
+                F.expr("n_distinct * 10000L DIV greatest(n_rows, 1)")
+                .cast("long")
+                .alias("distinct_bp"),
+                F.expr(
+                    "CASE WHEN __nn > 0 THEN __len * 100L DIV __nn END"
+                )
+                .cast("long")
+                .alias("avg_len_centi"),
+                F.expr(
+                    f"n_distinct * 10000L DIV greatest(n_rows, 1)"
+                    f" <= {int(dict_bp)}L"
+                ).alias("dict_candidate"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def partition_advisor(
+    df: DataFrame,
+    table_name: str,
+    target_mb: int = 128,
+) -> DataFrame:
+    """Shuffle/file-partition sizing advisor: estimates the table's
+    in-flight byte size from its own schema (fixed widths per primitive
+    type + actual string/binary lengths) and recommends a partition
+    count at ``target_mb`` per partition — ``(tbl, n_rows, est_bytes,
+    avg_row_bytes, rec_partitions)``, one row.
+
+    This is the number ``spark.sql.shuffle.partitions`` and file
+    compaction should be derived FROM, instead of a cluster-wide
+    constant: partitions sized to ~128 MB keep a task's working set in
+    executor memory and parquet row-groups scan-efficient.  The estimate
+    is deterministic integer arithmetic (strings count their character
+    length — a stable proxy that both engines compute identically), one
+    single-pass aggregate, no shuffle."""
+    if target_mb < 1:
+        raise ValueError("partition_advisor: target_mb must be >= 1")
+    fixed = 0
+    var_terms: List[Column] = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("string", "binary"):
+            var_terms.append(
+                F.coalesce(F.length(F.col("`%s`" % f.name)).cast("long"), F.lit(0))
+            )
+        elif t in ("double", "bigint", "timestamp", "timestamp_ntz", "date"):
+            fixed += 8
+        elif t in ("int", "float"):
+            fixed += 4
+        elif t in ("smallint",):
+            fixed += 2
+        elif t in ("tinyint", "boolean"):
+            fixed += 1
+        else:  # nested/array/map: count the stringified width
+            var_terms.append(
+                F.coalesce(
+                    F.length(F.col("`%s`" % f.name).cast("string")).cast("long"),
+                    F.lit(0),
+                )
+            )
+    row_bytes = F.lit(fixed).cast("long")
+    for v in var_terms:
+        row_bytes = row_bytes + v
+    tgt = int(target_mb) * 1024 * 1024
+    return df.select(row_bytes.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__b").cast("long").alias("est_bytes"),
+    ).select(
+        F.lit(table_name).alias("tbl"),
+        "n_rows",
+        "est_bytes",
+        F.expr("CASE WHEN n_rows > 0 THEN est_bytes DIV n_rows END")
+        .cast("long")
+        .alias("avg_row_bytes"),
+        F.expr(f"greatest(1L, (est_bytes + {tgt}L - 1) DIV {tgt}L)")
+        .cast("long")
+        .alias("rec_partitions"),
+    )

@@ -1,0 +1,89 @@
+"""Unit tests for the storage/shuffle advisors and group-wise token
+top-k (session-16 batch 4)."""
+
+import pytest
+
+from evalidate_spark.functions import text
+from evalidate_spark.operators.table_checks import (
+    encoding_advisor,
+    partition_advisor,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_encoding_advisor_closed_form(spark):
+    d = docs(
+        spark,
+        [(i, "tx%d" % i, "en", "s", 1) for i in range(100)]
+        + [(100, None, "en", "s", 1)],
+    )
+    rows = {r.column: r for r in
+            encoding_advisor(d, ["lang", "doc_id", "text"]).collect()}
+    lang = rows["lang"]
+    assert lang.n_rows == 101 and lang.n_distinct == 1
+    assert lang.distinct_bp == 1 * 10000 // 101
+    assert lang.avg_len_centi == 200  # 'en' = 2 chars
+    assert lang.dict_candidate  # 1 distinct value over 101 rows
+    did = rows["doc_id"]
+    assert did.n_distinct == 101 and not did.dict_candidate
+    tx = rows["text"]
+    assert tx.n_distinct == 100  # NULL excluded from distinct
+    # avg over the 100 non-null values: 'tx0'..'tx99'
+    total_len = sum(len("tx%d" % i) for i in range(100))
+    assert tx.avg_len_centi == total_len * 100 // 100
+    with pytest.raises(ValueError):
+        encoding_advisor(d, [])
+    with pytest.raises(ValueError):
+        encoding_advisor(d, ["nope"])
+
+
+def test_partition_advisor_byte_model(spark):
+    d = docs(
+        spark,
+        [(1, "abcde", "en", "src", 5), (2, None, None, None, None)],
+    )
+    r = partition_advisor(d, "docs").collect()[0]
+    # fixed per row = doc_id(8) + n_chars(8) = 16; row1 strings 5+2+3
+    assert r.tbl == "docs" and r.n_rows == 2
+    assert r.est_bytes == (16 + 10) + 16
+    assert r.avg_row_bytes == r.est_bytes // 2
+    assert r.rec_partitions == 1
+    # tiny target forces multiple partitions: 42 bytes at 1 MB -> still 1
+    assert partition_advisor(d, "docs", target_mb=1).collect()[0].rec_partitions == 1
+    with pytest.raises(ValueError):
+        partition_advisor(d, "docs", target_mb=0)
+
+
+def test_lang_top_tokens_rank_and_ties(spark):
+    d = docs(
+        spark,
+        [
+            (1, "b b b a a c", "en", "s", 1),
+            (2, "z z Z", "fr", "s", 1),
+            (3, None, "fr", "s", 1),
+            (4, "only", None, "s", 1),
+        ],
+    )
+    rows = text.lang_top_tokens(d, top_k=2).collect()
+    en = sorted([r for r in rows if r["group"] == "en"], key=lambda r: r.rank)
+    assert [(r.token, r.cnt, r.rank) for r in en] == [("b", 3, 1), ("a", 2, 2)]
+    assert en[0].share_bp == 3 * 10000 // 6
+    fr = [r for r in rows if r["group"] == "fr"]
+    assert len(fr) == 1 and fr[0].token == "z" and fr[0].cnt == 3  # lowercased
+    nl = [r for r in rows if r["group"] == "__null__"]
+    assert len(nl) == 1 and nl[0].token == "only"
+    with pytest.raises(ValueError):
+        text.lang_top_tokens(d, top_k=0)
+
+
+def test_lang_top_tokens_deterministic_tie_cut(spark):
+    # four tokens all count 1: top-2 must be the lexicographically first two
+    d = docs(spark, [(1, "d c b a", "en", "s", 1)])
+    rows = sorted(text.lang_top_tokens(d, top_k=2).collect(),
+                  key=lambda r: r.rank)
+    assert [r.token for r in rows] == ["a", "b"]

@@ -233,6 +233,9 @@ QUERIES = [
     "catalog_coverage",
     "blocking_comparison",
     "quality_trend",
+    "encoding_advisor",
+    "partition_advisor",
+    "lang_top_tokens",
 ]
 
 
