@@ -3490,6 +3490,21 @@ def q_lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_top_tokens(d, top_k=5)
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall operating-point curve of the linear classifier's
+    milli-logit against the gopher verdict label — one row per distinct
+    score via cumulative sums over the distinct-score table only (the
+    ranking_auc scale shape); AUC says the ordering is good, this says
+    where to cut it."""
+    from evalidate_spark.functions.classifier import pr_curve
+
+    s = q_classifier_scores(spark, sf_dir).select("doc_id", "logit_milli")
+    lab = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("label")
+    )
+    return pr_curve(s.join(lab, "doc_id"), "logit_milli", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3708,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_advisor": q_encoding_advisor,
         "partition_advisor": q_partition_advisor,
         "lang_top_tokens": q_lang_top_tokens,
+        "pr_curve": q_pr_curve,
     }
 
 
@@ -8506,6 +8522,39 @@ SELECT grp AS "group", token, CAST(cnt AS BIGINT) AS cnt,
   CAST(cnt * 10000 // greatest(tot, 1) AS BIGINT) AS share_bp,
   CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
+"""
+
+
+ORACLE["pr_curve"] = f"""
+WITH s AS ({ORACLE["classifier_scores"]}),
+g AS ({ORACLE["gopher_rules"]}),
+j AS (
+  SELECT s.logit_milli AS sc, g.passes AS lab
+  FROM s JOIN g ON s.doc_id = g.doc_id
+  WHERE s.logit_milli IS NOT NULL AND g.passes IS NOT NULL
+), grp AS (
+  SELECT sc,
+    cast(coalesce(count(*) FILTER (lab), 0) AS bigint) AS pos,
+    cast(coalesce(count(*) FILTER (NOT lab), 0) AS bigint) AS neg
+  FROM j GROUP BY sc
+), c AS (
+  SELECT sc,
+    sum(pos) OVER (ORDER BY sc DESC) AS cp,
+    sum(pos + neg) OVER (ORDER BY sc DESC) AS cn
+  FROM grp
+), t AS (
+  SELECT cast(coalesce(sum(pos), 0) AS bigint) AS p,
+         cast(coalesce(sum(pos + neg), 0) AS bigint) AS n
+  FROM grp
+)
+SELECT sc AS threshold,
+  CAST(cp AS BIGINT) AS tp,
+  CAST(cn - cp AS BIGINT) AS fp,
+  CAST(p - cp AS BIGINT) AS fn,
+  CAST(n - cn - (p - cp) AS BIGINT) AS tn,
+  CAST(cp * 10000 // greatest(cn, 1) AS BIGINT) AS precision_bp,
+  CAST(cp * 10000 // greatest(p, 1) AS BIGINT) AS recall_bp
+FROM c, t
 """
 
 

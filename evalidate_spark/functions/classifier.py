@@ -390,3 +390,63 @@ def class_balance(
         .cast("long")
         .alias("weight_scaled"),
     )
+
+
+def pr_curve(
+    df: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Full precision/recall curve of an integer score against a boolean
+    label — one row per distinct score, treating each as the "predict
+    positive at score >= threshold" cut: ``(threshold, tp, fp, fn, tn,
+    precision_bp, recall_bp)``.
+
+    The operating-point companion to :func:`ranking_auc` (AUC says the
+    ordering is good; the curve says WHERE to cut it), built on the same
+    scale shape: one map-side-combined groupBy on the score, then
+    cumulative sums over the *distinct-score table only* — the ordered
+    partitionless window never sees row-level data, so the 10^12-row
+    input is reduced before any sort.  Class totals ride in via one
+    broadcast row.  All arithmetic is exact int64 (``·10000 DIV``);
+    NULL scores/labels are excluded as in ``ranking_auc``."""
+    s = F.col("`%s`" % score_col)
+    lab = F.col("`%s`" % label_col)
+    grouped = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__pos"),
+            F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("__neg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grouped.select(
+        "__s",
+        F.sum("__pos").over(w).cast("long").alias("__cp"),
+        F.sum(F.col("__pos") + F.col("__neg")).over(w).cast("long").alias("__cn"),
+    )
+    totals = grouped.agg(
+        F.coalesce(F.sum("__pos"), F.lit(0)).cast("long").alias("__P"),
+        F.coalesce(F.sum(F.col("__pos") + F.col("__neg")), F.lit(0))
+        .cast("long")
+        .alias("__N"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        F.col("__s").alias("threshold"),
+        F.col("__cp").alias("tp"),
+        (F.col("__cn") - F.col("__cp")).cast("long").alias("fp"),
+        (F.col("__P") - F.col("__cp")).cast("long").alias("fn"),
+        (F.col("__N") - F.col("__cn") - (F.col("__P") - F.col("__cp")))
+        .cast("long")
+        .alias("tn"),
+        F.expr("__cp * 10000L DIV greatest(__cn, 1)")
+        .cast("long")
+        .alias("precision_bp"),
+        F.expr("__cp * 10000L DIV greatest(__P, 1)")
+        .cast("long")
+        .alias("recall_bp"),
+    )

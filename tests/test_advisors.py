@@ -87,3 +87,43 @@ def test_lang_top_tokens_deterministic_tie_cut(spark):
     rows = sorted(text.lang_top_tokens(d, top_k=2).collect(),
                   key=lambda r: r.rank)
     assert [r.token for r in rows] == ["a", "b"]
+
+
+def test_pr_curve_closed_form(spark):
+    from evalidate_spark.functions.classifier import pr_curve
+
+    # scores: 30(pos), 20(pos,neg), 10(neg), NULLs excluded
+    d = spark.createDataFrame(
+        [(30, True), (20, True), (20, False), (10, False),
+         (None, True), (10, None)],
+        "score int, label boolean",
+    )
+    rows = {r.threshold: r for r in pr_curve(d, "score", "label").collect()}
+    assert set(rows) == {30, 20, 10}
+    # threshold 30: predict pos for score>=30 -> tp=1 fp=0 fn=1 tn=2
+    r30 = rows[30]
+    assert (r30.tp, r30.fp, r30.fn, r30.tn) == (1, 0, 1, 2)
+    assert r30.precision_bp == 10000 and r30.recall_bp == 5000
+    # threshold 20: tp=2 fp=1 fn=0 tn=1
+    r20 = rows[20]
+    assert (r20.tp, r20.fp, r20.fn, r20.tn) == (2, 1, 0, 1)
+    assert r20.precision_bp == 2 * 10000 // 3 and r20.recall_bp == 10000
+    # threshold 10: everything positive
+    r10 = rows[10]
+    assert (r10.tp, r10.fp, r10.fn, r10.tn) == (2, 2, 0, 0)
+    assert r10.recall_bp == 10000
+
+
+def test_pr_curve_monotone_recall(spark):
+    from evalidate_spark.functions.classifier import pr_curve
+
+    d = spark.createDataFrame(
+        [(i % 7, i % 3 == 0) for i in range(50)], "score int, label boolean"
+    )
+    rows = sorted(pr_curve(d, "score", "label").collect(),
+                  key=lambda r: -r.threshold)
+    rec = [r.recall_bp for r in rows]
+    assert rec == sorted(rec)  # recall non-decreasing as threshold drops
+    assert rec[-1] == 10000
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == 50

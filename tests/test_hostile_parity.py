@@ -236,6 +236,7 @@ QUERIES = [
     "encoding_advisor",
     "partition_advisor",
     "lang_top_tokens",
+    "pr_curve",
 ]
 
 
