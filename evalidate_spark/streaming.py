@@ -937,3 +937,51 @@ def quality_stream(
             .alias("repetitive_bp"),
         )
     )
+
+
+def novelty_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed content-novelty monitor — the streaming
+    cousin of the batch ``novelty_trend`` wave report: per window,
+    ``n_docs``, the distinct content fingerprints (incremental HLL — the
+    only distinct-count that merges per micro-batch without per-key
+    state), and the implied within-window repeat estimate.  A window
+    whose ``est_repeats`` share jumps is a feed replaying itself NOW.
+
+    ``n_fps`` counts docs WITH a fingerprint (NULL text has none and
+    can never be a repeat — same contract as the batch report), so
+    ``est_repeats = n_fps − approx_distinct`` never blames missing
+    text.  HLL keeps state O(windows), and the same sketch runs on the
+    batch side, so stream ≡ batch is exact (pinned in tests) rather
+    than approximately close."""
+    from .functions.text import fingerprint
+
+    tc = F.col("`%s`" % text_col)
+    fp = fingerprint(tc)
+    d = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), fp.alias("__fp")
+    )
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__fp").cast("long").alias("n_fps"),
+            F.approx_count_distinct("__fp").cast("long").alias(
+                "approx_distinct"
+            ),
+        )
+        .select(
+            "window",
+            "n_docs",
+            "n_fps",
+            "approx_distinct",
+            F.greatest(
+                F.col("n_fps") - F.col("approx_distinct"), F.lit(0).cast("long")
+            ).alias("est_repeats"),
+        )
+    )

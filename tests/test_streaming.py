@@ -864,3 +864,48 @@ def test_quality_stream_matches_batch_flags(spark, tmp_path):
     # flags are real: every window holds all three doc classes
     for n, s, r in got.values():
         assert n == 60 and s == 2 * 10000 // 3 and r == 10000 // 3
+
+
+def test_novelty_stream_matches_batch_hll(spark, tmp_path):
+    """Windowed streaming novelty ≡ the same counts + HLL in batch per
+    window (identical sketch both sides), incl. the NULL-text contract."""
+    path = str(tmp_path / "nv_in")
+    (
+        spark.range(120)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) ts",
+            # 20 distinct texts repeated 3x per hour-half; every 10th NULL
+            "CASE WHEN id % 10 = 9 THEN NULL "
+            "ELSE concat('body ', cast(id % 20 AS string)) END text",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    ns = streaming.novelty_stream(_stream(spark, path), "ts", window="30 minutes")
+    _run_to_memory(ns, "nv_out", mode="complete")
+    got = {
+        r["window"]["start"]: (r["n_docs"], r["n_fps"], r["approx_distinct"],
+                               r["est_repeats"])
+        for r in spark.table("nv_out").collect()
+    }
+    assert len(got) == 2
+    from evalidate_spark.functions.text import fingerprint
+
+    batch = (
+        spark.read.parquet(path)
+        .select(
+            F.window(F.col("ts"), "30 minutes")["start"].alias("w"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("fp").alias("nf"),
+            F.approx_count_distinct("fp").alias("ad"),
+        )
+        .collect()
+    )
+    for r in batch:
+        n, nf, ad, rep = got[r["w"]]
+        assert (n, nf, ad) == (r["n"], r["nf"], r["ad"])
+        assert rep == max(nf - ad, 0) and rep > 0
