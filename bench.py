@@ -314,6 +314,25 @@ def main() -> None:
         "join_fanout",
         "pair_triangles",
         "price_deciles",
+        "lsh_band_stats",
+        "snm_pairs",
+        "dup_inflation",
+        "novelty_trend",
+        "vocab_spectrum",
+        "token_fertility",
+        "source_overlap",
+        "dup_lang_mismatch",
+        "vocab_drift",
+        "length_trend",
+        "catalog_coverage",
+        # blocking_comparison is gate-checked but not benched: it reruns
+        # the md5-LSH head (lsh_band_stats) plus snm_pairs end-to-end —
+        # both constituents are benched on their own
+        "quality_trend",
+        "encoding_advisor",
+        "partition_advisor",
+        "lang_top_tokens",
+        "pr_curve",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 
