@@ -3505,6 +3505,24 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(s.join(lab, "doc_id"), "logit_milli", "label")
 
 
+def q_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shuffle balance audit for two candidate keys: a good key
+    (events.user_id — many values, even buckets) next to a bad one
+    (documents.lang — 5 values into 32 buckets ⇒ mostly-empty tasks and
+    collision stragglers).  Catches medium-key COLLISIONS that the
+    per-value skew_report can't see; NULL keys reported separately (the
+    classic silent partition-0 straggler)."""
+    from evalidate_spark.operators.table_checks import partition_balance
+
+    a = partition_balance(_t(spark, sf_dir, "events"), "user_id", 32).select(
+        F.lit("events.user_id").alias("key"), "*"
+    )
+    b = partition_balance(_t(spark, sf_dir, "documents"), "lang", 32).select(
+        F.lit("documents.lang").alias("key"), "*"
+    )
+    return a.unionByName(b)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3724,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_advisor": q_partition_advisor,
         "lang_top_tokens": q_lang_top_tokens,
         "pr_curve": q_pr_curve,
+        "partition_balance": q_partition_balance,
     }
 
 
@@ -8556,6 +8575,38 @@ SELECT sc AS threshold,
   CAST(cp * 10000 // greatest(p, 1) AS BIGINT) AS recall_bp
 FROM c, t
 """
+
+
+def _part_balance_sql(table, col, label, n=32, skew_bp=15000):
+    return f"""
+SELECT '{label}' AS key, {n} AS n_partitions,
+  CAST(nr AS BIGINT) AS n_rows, CAST(nulls AS BIGINT) AS null_rows,
+  CAST(CASE WHEN ub < {n} THEN 0 ELSE mn END AS BIGINT) AS min_rows,
+  CAST(mx AS BIGINT) AS max_rows,
+  CAST(nr // {n} AS BIGINT) AS avg_rows,
+  CAST(CASE WHEN nr > 0 THEN mx * {n} * 10000 // nr ELSE 10000 END
+       AS BIGINT) AS max_skew_bp,
+  (CASE WHEN nr > 0 THEN mx * {n} * 10000 // nr ELSE 10000 END)
+    <= {skew_bp} AS balanced
+FROM (
+  SELECT count(*) AS ub, sum(n) AS nr, min(n) AS mn, max(n) AS mx FROM (
+    SELECT CAST('0x' || substr(md5(CAST("{col}" AS VARCHAR)), 1, 15)
+                AS BIGINT) % {n} AS bkt,
+      count(*) AS n
+    FROM {table} WHERE "{col}" IS NOT NULL GROUP BY 1)
+) s, (
+  SELECT coalesce(sum(CASE WHEN "{col}" IS NULL THEN 1 ELSE 0 END), 0)
+    AS nulls
+  FROM {table}
+) z
+"""
+
+
+ORACLE["partition_balance"] = (
+    _part_balance_sql("events", "user_id", "events.user_id")
+    + "\nUNION ALL\n"
+    + _part_balance_sql("documents", "lang", "documents.lang")
+)
 
 
 def oracle_sql() -> dict[str, str]:

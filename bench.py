@@ -333,6 +333,7 @@ def main() -> None:
         "partition_advisor",
         "lang_top_tokens",
         "pr_curve",
+        "partition_balance",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

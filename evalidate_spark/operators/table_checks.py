@@ -3894,3 +3894,77 @@ def partition_advisor(
         .cast("long")
         .alias("rec_partitions"),
     )
+
+
+def partition_balance(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 32,
+    skew_bp: int = 15000,
+) -> DataFrame:
+    """Would this column balance a hash shuffle?  Simulates hashing the
+    key into ``n_partitions`` buckets (md5-based — deterministic and
+    engine-portable, a stand-in with the same uniformity properties as
+    the engine's real partitioner) and reports the resulting task-load
+    shape as ONE row: ``(n_partitions, n_rows, null_rows, min_rows,
+    max_rows, avg_rows, max_skew_bp, balanced)``.
+
+    ``max_skew_bp`` is the heaviest bucket relative to the mean in
+    integer bp (10000 = perfectly even); the default flag trips at 1.5×.
+    This catches what ``skew_report`` (per-VALUE heavy hitters) can
+    miss: many medium keys COLLIDING into one bucket, which only shows
+    up at the bucket grain.  NULL keys are reported separately — they
+    hash nowhere and typically route to partition 0, the classic silent
+    straggler.  Plan: one groupBy on the simulated bucket id (exactly
+    ``n_partitions`` groups, map-side combined) + a one-row rollup."""
+    if n_partitions < 1:
+        raise ValueError("partition_balance: n_partitions must be >= 1")
+    kc = F.col("`%s`" % key_col)
+    # conv(hex, 16, 10): 15 hex chars = 60 bits, fits int64 exactly;
+    # DuckDB replays it as CAST('0x' || substr(...) AS BIGINT)
+    bucket = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(`%s` AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT), %dL)" % (key_col, int(n_partitions))
+    )
+    nn = df.filter(kc.isNotNull())
+    per = nn.groupBy(bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    nulls = df.agg(
+        F.sum(kc.isNull().cast("long")).cast("long").alias("null_rows")
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("used_buckets"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.min("__n").cast("long").alias("__minb"),
+        F.max("__n").cast("long").alias("max_rows"),
+    )
+    return stats.crossJoin(F.broadcast(nulls)).select(
+        F.lit(int(n_partitions)).alias("n_partitions"),
+        F.col("n_rows"),
+        F.coalesce(F.col("null_rows"), F.lit(0)).cast("long").alias(
+            "null_rows"
+        ),
+        # empty buckets exist whenever used_buckets < n_partitions, so
+        # min over USED buckets only is wrong for the straggler question
+        F.when(
+            F.col("used_buckets") < F.lit(int(n_partitions)), F.lit(0)
+        )
+        .otherwise(F.col("__minb"))
+        .cast("long")
+        .alias("min_rows"),
+        F.col("max_rows"),
+        F.expr("n_rows DIV %dL" % int(n_partitions)).cast("long").alias(
+            "avg_rows"
+        ),
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN max_rows * %dL * 10000L DIV n_rows"
+            " ELSE 10000 END" % int(n_partitions)
+        )
+        .cast("long")
+        .alias("max_skew_bp"),
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN max_rows * %dL * 10000L DIV n_rows"
+            " ELSE 10000 END <= %dL" % (int(n_partitions), int(skew_bp))
+        ).alias("balanced"),
+    )

@@ -127,3 +127,34 @@ def test_pr_curve_monotone_recall(spark):
     assert rec[-1] == 10000
     for r in rows:
         assert r.tp + r.fp + r.fn + r.tn == 50
+
+
+def test_partition_balance_even_vs_colliding(spark):
+    from evalidate_spark.operators.table_checks import partition_balance
+
+    # 3200 distinct keys into 32 buckets: md5 spreads them near-evenly
+    even = spark.range(3200).selectExpr("cast(id as string) k")
+    r = partition_balance(even, "k", 32).collect()[0]
+    assert r.n_rows == 3200 and r.null_rows == 0
+    assert r.avg_rows == 100
+    assert r.balanced and r.max_skew_bp < 15000
+    assert r.min_rows > 0  # every bucket used at this fill
+
+    # 2 distinct keys into 32 buckets: most buckets empty -> min_rows 0,
+    # one bucket owns >= half the rows -> wildly unbalanced
+    two = spark.range(1000).selectExpr("cast(id % 2 as string) k")
+    r2 = partition_balance(two, "k", 32).collect()[0]
+    assert r2.min_rows == 0
+    assert r2.max_rows >= 500
+    assert not r2.balanced and r2.max_skew_bp >= 16 * 10000
+
+    with pytest.raises(ValueError):
+        partition_balance(two, "k", 0)
+
+
+def test_partition_balance_null_rows_reported(spark):
+    from evalidate_spark.operators.table_checks import partition_balance
+
+    d = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    r = partition_balance(d, "k", 4).collect()[0]
+    assert r.n_rows == 1 and r.null_rows == 2

@@ -237,6 +237,7 @@ QUERIES = [
     "partition_advisor",
     "lang_top_tokens",
     "pr_curve",
+    "partition_balance",
 ]
 
 
