@@ -3523,6 +3523,24 @@ def q_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q_id_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision triage: for every duplicated doc_id, benign
+    re-ingest (identical content) vs REAL collision (same id, different
+    content).  The shipped corpus has unique ids, so the driver row
+    composes two deterministic re-ingest feeds — every 9th doc verbatim
+    (benign) and every 15th with edited text (collision) — so the gate
+    checks both verdicts."""
+    from evalidate_spark.operators.table_checks import id_collisions
+
+    d = _t(spark, sf_dir, "documents")
+    benign = d.filter(F.col("doc_id") % 9 == 0)
+    coll = d.filter(F.col("doc_id") % 15 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    )
+    u = d.unionByName(benign).unionByName(coll)
+    return id_collisions(u, "doc_id", ["text", "lang", "source"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3743,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_top_tokens": q_lang_top_tokens,
         "pr_curve": q_pr_curve,
         "partition_balance": q_partition_balance,
+        "id_collisions": q_id_collisions,
     }
 
 
@@ -8607,6 +8626,39 @@ ORACLE["partition_balance"] = (
     + "\nUNION ALL\n"
     + _part_balance_sql("documents", "lang", "documents.lang")
 )
+
+
+# duplicated-id triage over the composed re-ingest feeds; content hash
+# mirrors id_collisions' tagged concat (\x01 NULL, \x02 value, \x03 sep)
+ORACLE["id_collisions"] = """
+WITH u AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text || ' v2', lang, source FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 15 = 0
+), f AS (
+  SELECT doc_id AS id,
+    md5(
+      (CASE WHEN text IS NULL THEN chr(1)
+            ELSE chr(2) || CAST(text AS VARCHAR) END)
+      || chr(3) ||
+      (CASE WHEN lang IS NULL THEN chr(1)
+            ELSE chr(2) || CAST(lang AS VARCHAR) END)
+      || chr(3) ||
+      (CASE WHEN source IS NULL THEN chr(1)
+            ELSE chr(2) || CAST(source AS VARCHAR) END)
+    ) AS fp
+  FROM u WHERE doc_id IS NOT NULL
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT fp) AS INT) AS n_variants,
+  count(DISTINCT fp) = 1 AS benign
+FROM f GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_rows DESC, id ASC LIMIT 1000
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -334,6 +334,7 @@ def main() -> None:
         "lang_top_tokens",
         "pr_curve",
         "partition_balance",
+        "id_collisions",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -3968,3 +3968,61 @@ def partition_balance(
             " ELSE 10000 END <= %dL" % (int(n_partitions), int(skew_bp))
         ).alias("balanced"),
     )
+
+
+def id_collisions(
+    df: DataFrame,
+    id_col: str,
+    content_cols: Sequence[str],
+    max_ids: int = 1000,
+) -> DataFrame:
+    """Key-collision triage — the follow-up question the uniqueness
+    check raises but cannot answer: for every duplicated id, is it a
+    benign re-ingest (identical content rows) or a REAL collision (same
+    id, different content — two documents about to overwrite each other
+    in any id-keyed sink)?  Returns one row per duplicated id:
+    ``(id, n_rows, n_variants, benign)`` where ``n_variants`` counts
+    distinct content fingerprints (md5 over the null-tagged
+    concatenation of *content_cols* — a NULL field is distinguished
+    from an empty one) and ``benign`` means one variant.
+
+    Plan: one groupBy on the id (the uniqueness shuffle itself) with an
+    exact in-group distinct over the content hash; rows-per-id and
+    variants-per-id are both bounded by the duplication factor, never
+    corpus-sized.  Output is duplicated ids only, capped at ``max_ids``
+    by (most rows, id) so a catastrophic ingest loop cannot flood the
+    report.  NULL ids are excluded (no identity to collide on)."""
+    if not content_cols:
+        raise ValueError("id_collisions needs at least one content column")
+    ic = F.col("`%s`" % id_col)
+    # \x01 = NULL tag, \x02 = value prefix, \x03 = field separator —
+    # control chars DuckDB strings also accept (NUL \x00 is not)
+    parts = []
+    for c in content_cols:
+        qc = F.col("`%s`" % c)
+        parts.append(
+            F.when(qc.isNull(), F.lit("\x01")).otherwise(
+                F.concat(F.lit("\x02"), qc.cast("string"))
+            )
+        )
+    content_fp = F.md5(F.concat_ws("\x03", *parts))
+    g = (
+        df.filter(ic.isNotNull())
+        .select(ic.alias("id"), content_fp.alias("__fp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("__fp").cast("int").alias("n_variants"),
+        )
+        .filter(F.col("n_rows") >= 2)
+    )
+    return (
+        g.select(
+            "id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_variants",
+            (F.col("n_variants") == 1).alias("benign"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("id").asc())
+        .limit(int(max_ids))
+    )

@@ -158,3 +158,36 @@ def test_partition_balance_null_rows_reported(spark):
     d = spark.createDataFrame([("a",), (None,), (None,)], "k string")
     r = partition_balance(d, "k", 4).collect()[0]
     assert r.n_rows == 1 and r.null_rows == 2
+
+
+def test_id_collisions_benign_vs_real(spark):
+    from evalidate_spark.operators.table_checks import id_collisions
+
+    rows = [
+        (1, "same", "en", "s", 1), (1, "same", "en", "s", 1),   # benign
+        (2, "v1", "en", "s", 1), (2, "v2", "en", "s", 1),       # collision
+        (3, None, "en", "s", 1), (3, "", "en", "s", 1),         # NULL != ''
+        (4, "solo", "en", "s", 1),                              # unique: out
+        (None, "x", "en", "s", 1), (None, "y", "en", "s", 1),   # NULL id: out
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.id: (r.n_rows, r.n_variants, r.benign)
+           for r in id_collisions(d, "doc_id", ["text", "lang"]).collect()}
+    assert got == {1: (2, 1, True), 2: (2, 2, False), 3: (2, 2, False)}
+    with pytest.raises(ValueError):
+        id_collisions(d, "doc_id", [])
+
+
+def test_id_collisions_cap_is_deterministic(spark):
+    from evalidate_spark.operators.table_checks import id_collisions
+
+    # ids 0..9 each duplicated; id 5 triplicated -> it must survive a cap of 3
+    rows = [(i, "t%d" % i, "e", "s", 1) for i in range(10) for _ in range(2)]
+    rows += [(5, "t5", "e", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [r.id for r in id_collisions(d, "doc_id", ["text"], max_ids=3).collect()]
+    assert got == [5, 0, 1]  # rows desc, then id asc

@@ -238,6 +238,7 @@ QUERIES = [
     "lang_top_tokens",
     "pr_curve",
     "partition_balance",
+    "id_collisions",
 ]
 
 
