@@ -223,8 +223,33 @@ def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q_span_grammar(spark, sf_dir).filter(~F.col("grammar_ok")),
             ),
             ("uncaptioned_media", q_caption_check(spark, sf_dir)),
+            # round-3 session-16 members: provenance and key health on
+            # the RAW tables (no composed feeds — a suite member must
+            # reflect the corpus, not a constructed scenario)
+            (
+                "lang_conflicts",
+                dedup.dup_lang_mismatch(_t(spark, sf_dir, "documents")),
+            ),
+            ("key_imbalance", _raw_key_imbalance(spark, sf_dir)),
+            ("id_collisions", _raw_id_collisions(spark, sf_dir)),
         ]
     )
+
+
+def _raw_key_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evalidate_spark.operators.table_checks import partition_balance
+
+    return partition_balance(
+        _t(spark, sf_dir, "events"), "user_id", 32
+    ).filter(~F.col("balanced"))
+
+
+def _raw_id_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evalidate_spark.operators.table_checks import id_collisions
+
+    return id_collisions(
+        _t(spark, sf_dir, "documents"), "doc_id", ["text", "lang", "source"]
+    ).filter(~F.col("benign"))
 
 
 def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8659,6 +8684,75 @@ SELECT id, CAST(count(*) AS BIGINT) AS n_rows,
 FROM f GROUP BY 1 HAVING count(*) >= 2
 ORDER BY n_rows DESC, id ASC LIMIT 1000
 """
+
+
+# suite re-composition with the session-16 members — RAW-table variants
+# of the provenance/key checks (no composed mirror/twin/re-ingest feeds)
+_LANG_CONFLICTS_RAW = """
+WITH d AS (
+  SELECT md5(coalesce(array_to_string(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''),
+      x -> lower(x)), ' '), '')) AS fp,
+    coalesce(CAST(lang AS VARCHAR), '__null__') AS lg
+  FROM documents WHERE text IS NOT NULL
+), per AS (
+  SELECT fp, lg FROM d GROUP BY fp, lg
+)
+SELECT fp FROM per GROUP BY fp HAVING count(*) >= 2
+"""
+
+_ID_COLLISIONS_RAW = """
+WITH f AS (
+  SELECT doc_id AS id,
+    md5(
+      (CASE WHEN text IS NULL THEN chr(1)
+            ELSE chr(2) || CAST(text AS VARCHAR) END)
+      || chr(3) ||
+      (CASE WHEN lang IS NULL THEN chr(1)
+            ELSE chr(2) || CAST(lang AS VARCHAR) END)
+      || chr(3) ||
+      (CASE WHEN source IS NULL THEN chr(1)
+            ELSE chr(2) || CAST(source AS VARCHAR) END)
+    ) AS fp
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT id FROM f GROUP BY id
+HAVING count(*) >= 2 AND count(DISTINCT fp) >= 2
+"""
+
+ORACLE["check_suite"] = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS check_id, CAST(count(*) AS BIGINT) AS n_violations,
+       CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM ({sql})"""
+    for name, sql in [
+        ("doc_rules", ORACLE["validate_documents"]),
+        ("events_user_unique", ORACLE["uniqueness_events_user"]),
+        ("lineitem_supplier_ref", ORACLE["referential_lineitem_supplier"]),
+        ("span_structure", ORACLE["span_structure"]),
+        (
+            "fd_violations",
+            "SELECT * FROM (%s) WHERE NOT holds" % ORACLE["functional_deps"],
+        ),
+        ("hot_keys", "SELECT * FROM (%s) WHERE is_hot" % ORACLE["skew_report"]),
+        (
+            "encoding_damage",
+            "SELECT * FROM (%s) WHERE NOT clean" % ORACLE["encoding_anomalies"],
+        ),
+        (
+            "span_grammar",
+            "SELECT * FROM (%s) WHERE NOT grammar_ok"
+            % ORACLE["span_grammar"],
+        ),
+        ("uncaptioned_media", ORACLE["caption_check"]),
+        ("lang_conflicts", _LANG_CONFLICTS_RAW),
+        (
+            "key_imbalance",
+            "SELECT * FROM (%s) WHERE NOT balanced"
+            % _part_balance_sql("events", "user_id", "events.user_id"),
+        ),
+        ("id_collisions", _ID_COLLISIONS_RAW),
+    ]
+)
 
 
 def oracle_sql() -> dict[str, str]:
