@@ -3566,6 +3566,19 @@ def q_id_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id_collisions(u, "doc_id", ["text", "lang", "source"])
 
 
+def q_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness against the same explicit as-of instant
+    as the table-level probe: a healthy global max hides a feed that
+    died yesterday whenever any other feed still writes — this makes
+    each feed carry its own lag.  One map-side-combined groupBy."""
+    from evalidate_spark.operators.table_checks import group_freshness
+
+    return group_freshness(
+        _t(spark, sf_dir, "events"), "ts", "event_type",
+        as_of="2024-01-31 12:00:00", max_lag_hours=24.0,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3787,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "partition_balance": q_partition_balance,
         "id_collisions": q_id_collisions,
+        "group_freshness": q_group_freshness,
     }
 
 
@@ -8753,6 +8767,23 @@ FROM ({sql})"""
         ("id_collisions", _ID_COLLISIONS_RAW),
     ]
 )
+
+
+ORACLE["group_freshness"] = """
+WITH g AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS "group",
+    CAST(count(*) AS BIGINT) AS n_rows,
+    epoch_us(max(ts)) // 1000000 AS max_ts_s
+  FROM events GROUP BY 1
+)
+SELECT "group", n_rows,
+  CAST(max_ts_s AS BIGINT) AS max_ts_s,
+  CAST(epoch_us(TIMESTAMP '2024-01-31 12:00:00') // 1000000 - max_ts_s
+       AS BIGINT) AS lag_s,
+  coalesce(epoch_us(TIMESTAMP '2024-01-31 12:00:00') // 1000000 - max_ts_s
+           <= 86400, false) AS fresh
+FROM g
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -335,6 +335,7 @@ def main() -> None:
         "pr_curve",
         "partition_balance",
         "id_collisions",
+        "group_freshness",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

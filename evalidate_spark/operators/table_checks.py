@@ -4026,3 +4026,56 @@ def id_collisions(
         .orderBy(F.col("n_rows").desc(), F.col("id").asc())
         .limit(int(max_ids))
     )
+
+
+def group_freshness(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    as_of: str,
+    max_lag_hours: float = 24.0,
+) -> DataFrame:
+    """Per-group freshness — the "which feed stopped?" view the
+    whole-table :func:`freshness` probe hides: one row per group
+    ``(group, n_rows, max_ts_s, lag_s, fresh)`` against an explicit
+    *as_of* instant.  A healthy table-level max conceals a feed that
+    died yesterday whenever any OTHER feed is still writing; this check
+    makes each feed carry its own lag.
+
+    Semantics match :func:`freshness` exactly: NULL timestamps ignored
+    for the max (an all-NULL group reports NULL ``max_ts_s`` and
+    ``fresh = false`` — no data is stale data), NTZ and TIMESTAMP both
+    read as wall-clock-UTC.  NULL group keys report as ``'__null__'``
+    (an untagged feed must surface, not vanish).  One map-side-combined
+    groupBy; output rows = #groups."""
+    import re
+
+    from .sessions import _micros
+
+    if max_lag_hours <= 0:
+        raise ValueError("max_lag_hours must be positive")
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}", as_of):
+        raise ValueError("as_of must be 'YYYY-MM-DD HH:MM:SS'")
+    as_of_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "TIMESTAMP_NTZ'%s')" % as_of
+    )
+    gc = F.coalesce(F.col("`%s`" % group_col).cast("string"), F.lit("__null__"))
+    mx = F.floor(_micros(df, ts_col) / F.lit(1000000)).cast("long")
+    lag = as_of_s - F.col("max_ts_s")
+    return (
+        df.groupBy(gc.alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(mx).alias("max_ts_s"),
+        )
+        .select(
+            "group",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "max_ts_s",
+            lag.cast("long").alias("lag_s"),
+            F.coalesce(
+                lag <= F.lit(int(max_lag_hours * 3600)), F.lit(False)
+            ).alias("fresh"),
+        )
+    )

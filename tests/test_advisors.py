@@ -191,3 +191,27 @@ def test_id_collisions_cap_is_deterministic(spark):
     )
     got = [r.id for r in id_collisions(d, "doc_id", ["text"], max_ids=3).collect()]
     assert got == [5, 0, 1]  # rows desc, then id asc
+
+
+def test_group_freshness_per_feed_lag(spark):
+    from evalidate_spark.operators.table_checks import group_freshness
+
+    d = spark.createDataFrame(
+        [
+            (1, "2024-01-31 11:00:00", "live"),
+            (2, "2024-01-30 11:00:00", "live"),
+            (3, "2024-01-20 00:00:00", "dead"),
+            (4, None, "ghost"),
+            (5, "2024-01-31 10:00:00", None),
+        ],
+        "id long, ts_s string, feed string",
+    ).selectExpr("id", "cast(ts_s as timestamp) ts", "feed")
+    got = {r["group"]: r for r in group_freshness(
+        d, "ts", "feed", as_of="2024-01-31 12:00:00").collect()}
+    assert got["live"].fresh and got["live"].lag_s == 3600
+    assert not got["dead"].fresh and got["dead"].lag_s == 11 * 86400 + 43200
+    # all-NULL ts: no data is stale data
+    assert got["ghost"].max_ts_s is None and not got["ghost"].fresh
+    assert got["__null__"].fresh  # untagged feed surfaces with its own lag
+    with pytest.raises(ValueError):
+        group_freshness(d, "ts", "feed", as_of="bad")

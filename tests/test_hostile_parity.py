@@ -239,6 +239,7 @@ QUERIES = [
     "pr_curve",
     "partition_balance",
     "id_collisions",
+    "group_freshness",
 ]
 
 
