@@ -2352,11 +2352,16 @@ def snm_pairs(
     distinct-token Jaccard, in integer basis points.
 
     Returns ``(id_a, id_b, block, gap, jaccard_bp, is_near)`` where
-    ``gap`` is the rank distance (1..window).  Scale: candidate volume is
-    ``n·window`` flat; block skew (many docs sharing a 2-char prefix —
-    boilerplate corpora) only widens one window partition, and the fix is
-    raising ``block_chars`` so hot blocks split; rows with NULL text or
-    NULL id never enter (a candidate needs both)."""
+    ``gap`` is the rank distance (1..window).  Physical shape: ONE scan,
+    ONE block-keyed exchange, ONE window — successors come from
+    ``lead(·, g)`` over the same sorted window (no ranked self-join, no
+    broadcast of the corpus; the naive rank-join formulation scans and
+    sorts twice and would broadcast the whole ranked table at scale).
+    Candidate volume is ``n·window`` flat; block skew (many docs sharing
+    a 2-char prefix — boilerplate corpora) only widens one window
+    partition, and the fix is raising ``block_chars`` so hot blocks
+    split; rows with NULL text or NULL id never enter (a candidate
+    needs both)."""
     if window < 1:
         raise ValueError("snm_pairs: window must be >= 1")
     if block_chars < 1 or key_chars < block_chars:
@@ -2375,37 +2380,41 @@ def snm_pairs(
         .withColumn("__block", F.substring(F.col("__key"), 1, block_chars))
     )
     w = Window.partitionBy("__block").orderBy("__key", "__id")
-    ranked = d.select(
-        "__id", "__key", "__tk", "__block", F.row_number().over(w).alias("__rn")
+    succ = F.array(
+        *[
+            F.struct(
+                F.lead("__id", g).over(w).alias("id_b"),
+                F.lead("__tk", g).over(w).alias("tb"),
+                F.lit(g).cast("int").alias("gap"),
+            )
+            for g in range(1, int(window) + 1)
+        ]
     )
-    a = ranked.select(
-        F.col("__block").alias("block"),
-        F.col("__rn").alias("__ra"),
+    # window exprs can't sit inside a generator — materialise the
+    # successor array first, explode in a second projection
+    with_succ = d.select(
         F.col("__id").alias("id_a"),
         F.col("__tk").alias("__ta"),
-    )
-    b = ranked.select(
         F.col("__block").alias("block"),
-        F.col("__rn").alias("__rb"),
-        F.col("__id").alias("id_b"),
-        F.col("__tk").alias("__tb"),
+        succ.alias("__succ"),
     )
-    j = a.join(
-        b,
-        (a["block"] == b["block"])
-        & (F.col("__rb") > F.col("__ra"))
-        & (F.col("__rb") <= F.col("__ra") + window),
-    ).drop(b["block"])
-    j2 = j.select(
+    exploded = (
+        with_succ.select(
+            "id_a", "__ta", "block", F.explode("__succ").alias("s")
+        )
+        # lead() past the block's end is NULL — not a candidate
+        .filter(F.col("s.id_b").isNotNull())
+    )
+    j2 = exploded.select(
         "id_a",
-        "id_b",
+        F.col("s.id_b").alias("id_b"),
         "block",
-        (F.col("__rb") - F.col("__ra")).cast("int").alias("gap"),
-        F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        F.col("s.gap").alias("gap"),
+        F.size(F.array_intersect(F.col("__ta"), F.col("s.tb")))
         .cast("long")
         .alias("__i"),
         F.size(F.col("__ta")).cast("long").alias("__la"),
-        F.size(F.col("__tb")).cast("long").alias("__lb"),
+        F.size(F.col("s.tb")).cast("long").alias("__lb"),
     )
     jac = F.when(
         F.expr("__la + __lb - __i") == 0, F.lit(10000).cast("long")
