@@ -8647,16 +8647,18 @@ SELECT '{label}' AS key, {n} AS n_partitions,
   (CASE WHEN nr > 0 THEN mx * {n} * 10000 // nr ELSE 10000 END)
     <= {skew_bp} AS balanced
 FROM (
-  SELECT count(*) AS ub, sum(n) AS nr, min(n) AS mn, max(n) AS mx FROM (
+  SELECT
+    coalesce(sum(CASE WHEN bkt IS NOT NULL THEN 1 ELSE 0 END), 0) AS ub,
+    sum(CASE WHEN bkt IS NOT NULL THEN n END) AS nr,
+    min(CASE WHEN bkt IS NOT NULL THEN n END) AS mn,
+    max(CASE WHEN bkt IS NOT NULL THEN n END) AS mx,
+    coalesce(sum(CASE WHEN bkt IS NULL THEN n END), 0) AS nulls
+  FROM (
     SELECT CAST('0x' || substr(md5(CAST("{col}" AS VARCHAR)), 1, 15)
                 AS BIGINT) % {n} AS bkt,
       count(*) AS n
-    FROM {table} WHERE "{col}" IS NOT NULL GROUP BY 1)
-) s, (
-  SELECT coalesce(sum(CASE WHEN "{col}" IS NULL THEN 1 ELSE 0 END), 0)
-    AS nulls
-  FROM {table}
-) z
+    FROM {table} GROUP BY 1)
+) s
 """
 
 

@@ -2477,6 +2477,10 @@ def dup_inflation(
         F.sum("gw").cast("long").alias("weight"),
         F.sum(F.col("gw") - F.col("sw")).cast("long").alias("excess_weight"),
     )
+    # pin the ≤4-row bucket table: the share total derives from it, and
+    # without the checkpoint both branches re-run the fingerprint shuffle
+    # (exchange reuse across a crossJoin is not guaranteed)
+    per = per.localCheckpoint(eager=False)
     total = per.agg(F.sum("weight").alias("__total"))
     share = F.expr("weight * 10000L DIV greatest(__total, 1)").cast("long")
     return per.crossJoin(F.broadcast(total)).select(
@@ -2575,6 +2579,9 @@ def source_overlap_matrix(
         .select(fingerprint(tc).alias("__fp"), sc.alias("__src"))
         .groupBy("__fp", "__src")
         .agg(F.count(F.lit(1)).alias("__n"))
+        # pin the collapsed table: BOTH join sides read it, and without
+        # the checkpoint each side re-scans and re-fingerprints the corpus
+        .localCheckpoint(eager=False)
     )
     a = per.select(
         F.col("__fp"), F.col("__src").alias("source_a"), F.col("__n").alias("__na")

@@ -1713,6 +1713,9 @@ def vocab_spectrum(
         F.count(F.lit(1)).alias("n_types"),
         F.sum("c").cast("long").alias("n_occurrences"),
     )
+    # pin the ≤#buckets-row table: totals derive from it, and without the
+    # checkpoint both branches re-run the word-count shuffle
+    per = per.localCheckpoint(eager=False)
     total = per.agg(
         F.sum("n_types").alias("__tt"), F.sum("n_occurrences").alias("__to")
     )
@@ -1849,7 +1852,10 @@ def vocab_drift(
         .alias("c%d" % w)
         for w in range(n_waves)
     ]
-    per_tok = waved.groupBy("__t").agg(*cnt_cols)
+    # pin the vocab-sized per-token table (the group_drift precedent):
+    # wave totals AND the transition rollup both read it, and without the
+    # checkpoint each branch re-runs the token shuffle
+    per_tok = waved.groupBy("__t").agg(*cnt_cols).localCheckpoint(eager=False)
     tot = per_tok.agg(
         *[F.sum("c%d" % w).alias("t%d" % w) for w in range(n_waves)]
     )

@@ -3921,25 +3921,36 @@ def partition_balance(
         raise ValueError("partition_balance: n_partitions must be >= 1")
     kc = F.col("`%s`" % key_col)
     # conv(hex, 16, 10): 15 hex chars = 60 bits, fits int64 exactly;
-    # DuckDB replays it as CAST('0x' || substr(...) AS BIGINT)
+    # DuckDB replays it as CAST('0x' || substr(...) AS BIGINT).  NULL
+    # keys hash to a NULL bucket and ride the SAME groupBy, so the whole
+    # report is one scan + one ≤(n_partitions+1)-group aggregate
     bucket = F.expr(
         "pmod(CAST(conv(substr(md5(CAST(`%s` AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT), %dL)" % (key_col, int(n_partitions))
     )
-    nn = df.filter(kc.isNotNull())
-    per = nn.groupBy(bucket.alias("__b")).agg(
+    per = df.groupBy(bucket.alias("__b")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    nulls = df.agg(
-        F.sum(kc.isNull().cast("long")).cast("long").alias("null_rows")
-    )
     stats = per.agg(
-        F.count(F.lit(1)).cast("long").alias("used_buckets"),
-        F.sum("__n").cast("long").alias("n_rows"),
-        F.min("__n").cast("long").alias("__minb"),
-        F.max("__n").cast("long").alias("max_rows"),
+        F.coalesce(F.sum((F.col("__b").isNotNull()).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("used_buckets"),
+        F.sum(F.when(F.col("__b").isNotNull(), F.col("__n")))
+        .cast("long")
+        .alias("n_rows"),
+        F.min(F.when(F.col("__b").isNotNull(), F.col("__n")))
+        .cast("long")
+        .alias("__minb"),
+        F.max(F.when(F.col("__b").isNotNull(), F.col("__n")))
+        .cast("long")
+        .alias("max_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__b").isNull(), F.col("__n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("null_rows"),
     )
-    return stats.crossJoin(F.broadcast(nulls)).select(
+    return stats.select(
         F.lit(int(n_partitions)).alias("n_partitions"),
         F.col("n_rows"),
         F.coalesce(F.col("null_rows"), F.lit(0)).cast("long").alias(
