@@ -417,6 +417,10 @@ def pr_curve(
             F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__pos"),
             F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("__neg"),
         )
+        # pin the distinct-score table: the cumulative window AND the
+        # class totals both read it, and without the checkpoint each
+        # branch re-runs the upstream scoring pipeline
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
