@@ -3579,6 +3579,28 @@ def q_group_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dispersion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type overdispersion (Fano factor) of events-per-user in
+    exact centi-units — the load-shape diagnostic between skew_report
+    (single hot values) and partition_balance (bucket collisions): here
+    the skew is distributional.  One (type, user) groupBy + a
+    type-cardinality rollup."""
+    from evalidate_spark.operators.table_checks import dispersion_profile
+
+    return dispersion_profile(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (per-pair ln-then-floor milli
+    units, the lm_scores technique): multiword expressions and glued
+    boilerplate markers.  One corpus explode into a pinned bigram-count
+    table; marginals and scoring derive from it."""
+    d = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(d, min_count=2, top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3801,6 +3823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_balance": q_partition_balance,
         "id_collisions": q_id_collisions,
         "group_freshness": q_group_freshness,
+        "dispersion_profile": q_dispersion_profile,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -8785,6 +8809,61 @@ SELECT "group", n_rows,
   coalesce(epoch_us(TIMESTAMP '2024-01-31 12:00:00') // 1000000 - max_ts_s
            <= 86400, false) AS fresh
 FROM g
+"""
+
+
+ORACLE["dispersion_profile"] = """
+WITH per AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS "group",
+    user_id, count(*) AS n
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT "group", CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(n) AS BIGINT) AS n_events,
+    CAST(sum(n * n) AS BIGINT) AS q
+  FROM per GROUP BY 1
+)
+SELECT "group", n_keys, n_events,
+  CAST(n_events * 100 // n_keys AS BIGINT) AS mean_events_centi,
+  CAST(CASE WHEN n_keys >= 2 AND n_events > 0 THEN
+    (n_keys * q - n_events * n_events) * 100
+    // ((n_keys - 1) * n_events) END AS BIGINT) AS fano_centi,
+  coalesce(CASE WHEN n_keys >= 2 AND n_events > 0 THEN
+    (n_keys * q - n_events * n_events) * 100
+    // ((n_keys - 1) * n_events) END >= 200, false) AS bursty
+FROM s
+"""
+
+
+# bigram PMI with positional marginals; floor(1000·ln) per pair — the
+# lm_scores cross-engine float technique
+ORACLE["pmi_collocations"] = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), pr AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) >= 2
+), cb AS (
+  SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(n_pair) AS c1 FROM cb GROUP BY 1
+), c2 AS (
+  SELECT w2, sum(n_pair) AS c2 FROM cb GROUP BY 1
+), n AS (
+  SELECT sum(n_pair) AS nn FROM cb
+)
+SELECT cb.w1, cb.w2, CAST(cb.n_pair AS BIGINT) AS n_pair,
+  CAST(floor(ln(
+      (CAST(cb.n_pair AS DOUBLE) * nn)
+      / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))
+    ) * 1000) AS BIGINT) AS pmi_milli
+FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+WHERE cb.n_pair >= 2
+ORDER BY pmi_milli DESC, cb.w1 ASC, cb.w2 ASC
+LIMIT 20
 """
 
 

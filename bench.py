@@ -336,6 +336,8 @@ def main() -> None:
         "partition_balance",
         "id_collisions",
         "group_freshness",
+        "dispersion_profile",
+        "pmi_collocations",
     ):
         timed(name, lambda n=name: _force(qs[n](spark, SF_DIR)))
 

@@ -1954,3 +1954,85 @@ def lang_top_tokens(
         .alias("share_bp"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    ``(w1, w2, n_pair, pmi_milli)``: word pairs that co-occur far more
+    than their marginals predict (multiword expressions, template
+    phrases, glued boilerplate markers).
+
+    ``pmi_milli = floor(1000 · ln(c₁₂·N / (c₁·c₂)))`` with positional
+    marginals (``c₁`` = occurrences of *w1* as a bigram head, ``c₂`` =
+    of *w2* as a tail, N = total bigram tokens) — the same per-term
+    ln-then-floor integer technique as the bigram-LM scorer, so the
+    float path is summation-order-free and SQL-replayable.  ``min_count``
+    suppresses the unstable low-frequency tail (PMI's classic failure
+    mode).  Ties cut deterministically by (pmi desc, w1, w2).
+
+    Plan: ONE corpus tokenize+explode into the bigram-count table
+    (map-side combined, then pinned — marginals and the scoring join
+    derive from it, never from re-exploding the corpus), token-keyed
+    joins on the count table only, TakeOrdered top-k."""
+    if min_count < 1 or top_k < 1:
+        raise ValueError("pmi_collocations: min_count and top_k must be >= 1")
+    tc = F.col("`%s`" % text_col)
+    ids = F.col("`%s`" % id_col)
+    bigrams = F.element_at(
+        F.transform(
+            F.array(tokens(tc)),
+            lambda tk: F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("w1"),
+                        F.element_at(tk, i + 1).alias("w2"),
+                    ),
+                ),
+            ),
+        ),
+        1,
+    )
+    pr = (
+        df.filter(tc.isNotNull() & ids.isNotNull())
+        .select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cb = (
+        pr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = cb.groupBy("w1").agg(F.sum("n_pair").alias("__c1"))
+    c2 = cb.groupBy("w2").agg(F.sum("n_pair").alias("__c2"))
+    tot = cb.agg(F.sum("n_pair").alias("__n"))
+    j = (
+        cb.filter(F.col("n_pair") >= int(min_count))
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("__n"))
+            / (F.col("__c1").cast("double") * F.col("__c2"))
+        )
+        * 1000
+    ).cast("long")
+    return (
+        j.select(
+            "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
+            pmi.alias("pmi_milli"),
+        )
+        .orderBy(
+            F.col("pmi_milli").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(int(top_k))
+    )

@@ -4090,3 +4090,67 @@ def group_freshness(
             ).alias("fresh"),
         )
     )
+
+
+def dispersion_profile(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    bursty_centi: int = 200,
+) -> DataFrame:
+    """Overdispersion (Fano factor) of per-key activity within each
+    group — ``(group, n_keys, n_events, mean_events_centi, fano_centi,
+    bursty)``: variance-to-mean ratio of events-per-key in exact
+    integer centi-units.
+
+    A Poisson-ish workload sits near fano 1.0 (100 centi); a group at
+    several hundred is a few keys doing most of the work — the
+    load-shape diagnostic BETWEEN ``skew_report`` (single hot values)
+    and ``partition_balance`` (bucket collisions): here the skew is
+    distributional, not attributable to any one key.  Fano =
+    ``(k·Σn² − (Σn)²) / ((k−1)·Σn)`` over per-key counts — pure int64
+    (sums of squares of per-key counts; overflow only past ~3·10⁹
+    events per single key), NULL for single-key or empty groups.
+
+    Plan: one (group, key) groupBy (map-side combined), then a
+    group-cardinality rollup.  NULL keys are excluded (no identity to
+    disperse over); NULL groups report as ``'__null__'``."""
+    gc = F.coalesce(F.col("`%s`" % group_col).cast("string"), F.lit("__null__"))
+    kc = F.col("`%s`" % key_col)
+    per = (
+        df.filter(kc.isNotNull())
+        .groupBy(gc.alias("group"), kc.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("__q"),
+        )
+        .select(
+            "group",
+            "n_keys",
+            "n_events",
+            F.expr("n_events * 100L DIV n_keys").cast("long").alias(
+                "mean_events_centi"
+            ),
+            F.expr(
+                "CASE WHEN n_keys >= 2 AND n_events > 0 THEN"
+                " (n_keys * __q - n_events * n_events) * 100L"
+                " DIV ((n_keys - 1) * n_events) END"
+            )
+            .cast("long")
+            .alias("fano_centi"),
+            F.coalesce(
+                F.expr(
+                    "CASE WHEN n_keys >= 2 AND n_events > 0 THEN"
+                    " (n_keys * __q - n_events * n_events) * 100L"
+                    " DIV ((n_keys - 1) * n_events) END"
+                )
+                >= F.lit(int(bursty_centi)),
+                F.lit(False),
+            ).alias("bursty"),
+        )
+    )

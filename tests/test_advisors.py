@@ -215,3 +215,60 @@ def test_group_freshness_per_feed_lag(spark):
     assert got["__null__"].fresh  # untagged feed surfaces with its own lag
     with pytest.raises(ValueError):
         group_freshness(d, "ts", "feed", as_of="bad")
+
+
+def test_dispersion_profile_fano(spark):
+    from evalidate_spark.operators.table_checks import dispersion_profile
+
+    rows = []
+    # 'even': 4 users x 5 events each -> variance 0 -> fano 0
+    for u in range(4):
+        rows += [(u, "even")] * 5
+    # 'bursty': counts 1,1,1,9 -> mean 3, var (4*84-144)/(3*12)... exact:
+    # k=4 S=12 Q=1+1+1+81=84 -> fano = (4*84-144)*100 // (3*12) = 533
+    rows += [(10, "bursty"), (11, "bursty"), (12, "bursty")] + [(13, "bursty")] * 9
+    rows += [(20, None)]          # NULL group -> __null__
+    rows += [(None, "ghost")]     # NULL key excluded -> group absent
+    d = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r["group"]: r for r in
+           dispersion_profile(d, "event_type", "user_id").collect()}
+    assert got["even"].fano_centi == 0 and not got["even"].bursty
+    b = got["bursty"]
+    assert b.n_keys == 4 and b.n_events == 12
+    assert b.mean_events_centi == 300
+    assert b.fano_centi == (4 * 84 - 144) * 100 // (3 * 12)
+    assert b.bursty
+    # single-key group: fano undefined, never bursty
+    assert got["__null__"].fano_centi is None and not got["__null__"].bursty
+    assert "ghost" not in got
+
+
+def test_pmi_collocations_ranks_glued_pairs(spark):
+    from evalidate_spark.functions import text as T
+
+    # 'new york' always together (5x); 'the' everywhere dilutes its PMI
+    docs_rows = [(i, "the cat new york saw the dog new york", "en", "s", 1)
+                 for i in range(5)]
+    d = spark.createDataFrame(
+        docs_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = T.pmi_collocations(d, min_count=2, top_k=5).collect()
+    assert rows, "expected collocations"
+    import math
+
+    # N=40 bigrams; the 1-to-1 pairs (saw→the, york→saw: c1=c2=5) top out
+    # at ln(5·40/25)=ln 8, tie broken w1-asc -> (saw, the) first
+    top = rows[0]
+    assert (top.w1, top.w2) == ("saw", "the")
+    assert top.pmi_milli == math.floor(math.log(8) * 1000)
+    got = {(r.w1, r.w2): r for r in rows}
+    # the glued pair: c12=10, c1=c2=10 -> ln(10·40/100)=ln 4, count 10
+    ny = got[("new", "york")]
+    assert ny.n_pair == 10
+    assert ny.pmi_milli == math.floor(math.log(4) * 1000)
+    # pmi ordering is non-increasing
+    pmis = [r.pmi_milli for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    with pytest.raises(ValueError):
+        T.pmi_collocations(d, min_count=0)

@@ -240,6 +240,8 @@ QUERIES = [
     "partition_balance",
     "id_collisions",
     "group_freshness",
+    "dispersion_profile",
+    "pmi_collocations",
 ]
 
 
