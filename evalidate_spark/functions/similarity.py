@@ -423,6 +423,44 @@ def ivf_write(
     return centroids
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental IVF index maintenance: route NEW vectors into an
+    existing cell layout (the centroids fitted at :func:`ivf_write`
+    time) and append their files under the matching cell partitions —
+    no refit, no rewrite, historical cells untouched.
+
+    This is how a 10^12-vector index absorbs a daily ingest: assignment
+    is one fused projection against plan-literal centroids, the write
+    adds files only to the cells the increment actually hits, and every
+    existing reader (:func:`ivf_topk_partitioned`) keeps working because
+    partition pruning is layout-based, not manifest-based.  Centroid
+    drift is the documented trade: appended vectors are assigned to the
+    ORIGINAL centroids, so after heavy distribution shift the recall
+    audit (``lsh_recall``-style) decides when a refit+rewrite is due.
+    Returns the number of vectors appended."""
+    assigned = ivf_assign(
+        new_vectors.filter(
+            F.col("`%s`" % id_col).isNotNull()
+            & F.col("`%s`" % vec_col).isNotNull()
+        ),
+        centroids,
+        vec_col,
+    ).select(
+        F.col("`%s`" % id_col).alias("vec_id"),
+        F.col("`%s`" % vec_col).alias("embedding"),
+        "cell",
+    )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return n
+
+
 def ivf_topk_partitioned(
     spark,
     path: str,

@@ -349,3 +349,55 @@ class TestFileStats:
         assert h2["n_files"] == 1 and h2["needs_compaction"] is False
         with pytest.raises(ValueError, match="positive"):
             sources.storage_health(st, target_bytes=0)
+
+
+def test_ivf_append_equals_one_shot_index(spark, tmp_path):
+    """Append-maintained index ≡ an index written in one shot with the
+    SAME centroids: identical probe results, partition pruning intact."""
+    import re
+
+    import numpy as np
+
+    from evalidate_spark.functions import similarity
+
+    rng = np.random.default_rng(11)
+    base_v = rng.normal(size=(60, 8))
+    inc_v = rng.normal(size=(30, 8))
+    mk = lambda vs, off: spark.createDataFrame(  # noqa: E731
+        [(int(i + off), [float(v) for v in vs[i]]) for i in range(len(vs))],
+        "vec_id long, embedding array<double>",
+    )
+    base, inc = mk(base_v, 0), mk(inc_v, 1000)
+    probes = spark.createDataFrame(
+        [(int(i), [float(v) for v in inc_v[i] + 0.01]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+
+    p_inc = str(tmp_path / "ivf_inc")
+    cents = similarity.ivf_write(base, p_inc, n_centroids=4, sample_n=60, seed=7)
+    # increment includes NULL rows that must be dropped, not appended
+    dirty = inc.unionByName(
+        spark.createDataFrame(
+            [(None, [0.0] * 8), (5000, None)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    n = similarity.ivf_append(dirty, p_inc, cents)
+    assert n == 30
+
+    # one-shot reference: same centroids, full corpus assigned and written
+    p_full = str(tmp_path / "ivf_full")
+    full = base.unionByName(inc)
+    similarity.ivf_assign(full, cents).select(
+        "vec_id", "embedding", "cell"
+    ).write.partitionBy("cell").parquet(p_full)
+
+    got = similarity.ivf_topk_partitioned(spark, p_inc, cents, probes, k=5, nprobe=2)
+    want = similarity.ivf_topk_partitioned(spark, p_full, cents, probes, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # appended neighbors are actually reachable
+    assert any(r.neighbor_id >= 1000 for r in got.collect())
+    # pruning still applies on the appended index
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
