@@ -3601,6 +3601,20 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pmi_collocations(d, min_count=2, top_k=20)
 
 
+def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape statistics of the md5-LSH candidate graph itself — the
+    pre-clustering health check pointed at the DEDUP pipeline: high
+    closure means tight dup cliques (transitive merging is safe), low
+    closure means chains/hub sprays (route through degree triage
+    first).  Composes the full LSH pipeline with pair_graph_stats; the
+    oracle replays both end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates_md5(d, num_hashes=16, bands=8).select(
+        "id_a", "id_b"
+    )
+    return dedup.pair_graph_stats(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation pass over sf0.001 documents."""
     return q_validate_documents(spark, DEFAULT_SF)
@@ -3825,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_freshness": q_group_freshness,
         "dispersion_profile": q_dispersion_profile,
         "pmi_collocations": q_pmi_collocations,
+        "dedup_graph_stats": q_dedup_graph_stats,
     }
 
 
@@ -8865,6 +8880,35 @@ WHERE cb.n_pair >= 2
 ORDER BY pmi_milli DESC, cb.w1 ASC, cb.w2 ASC
 LIMIT 20
 """
+
+
+# graph-shape rollup over the md5-LSH candidate edges (both pipelines
+# replayed end-to-end; LSH pairs are already canonical id_a < id_b)
+ORACLE["dedup_graph_stats"] = """
+WITH mh AS ({MH}),
+e AS (
+  SELECT DISTINCT id_a AS lo, id_b AS hi FROM mh
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT lo AS id FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY 1
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+), en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.hi = e2.lo
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+  CAST(CASE WHEN n_wedges > 0 THEN (30000 * n_triangles) // n_wedges END
+       AS BIGINT) AS closure_bp,
+  CAST(0 AS BIGINT) AS n_capped_nodes
+FROM base, en, tri
+""".replace("{MH}", ORACLE["minhash_pairs_md5"])
 
 
 def oracle_sql() -> dict[str, str]:

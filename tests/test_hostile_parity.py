@@ -242,6 +242,7 @@ QUERIES = [
     "group_freshness",
     "dispersion_profile",
     "pmi_collocations",
+    "dedup_graph_stats",
 ]
 
 
