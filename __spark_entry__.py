@@ -300,7 +300,8 @@ def q_column_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent md5-sum content fingerprint per documents
     column — the k-tiny-rows table-version comparison; the decimal sum
     is replayed exactly in DuckDB (hex-prefix fold to a 60-bit int,
-    HUGEINT sum)."""
+    HUGEINT sum) and emitted as two int64 halves (divmod 2^62) so the
+    gate never canonicalizes a >int64 numeric."""
     from evalidate_spark.operators.table_checks import column_fingerprints
 
     d = _t(spark, sf_dir, "documents")
@@ -3622,46 +3623,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver window: the first 50 entries are the curated
+        # correctness window — one representative per SURVEY.md §2
+        # family plus every former red and the newest flagship
+        # composites, so the driver (not the builder's own gate)
+        # certifies them.  Order past 50 is not significant. ---
         "validate_documents": q_validate_documents,
         "clean_documents": q_clean_documents,
         "optional_default": q_optional_default,
         "profile_lineitem": q_profile_lineitem,
         "uniqueness_events_user": q_uniqueness_events_user,
         "referential_lineitem_supplier": q_referential_lineitem_supplier,
-        "referential_bloom": q_referential_bloom,
         "zorder_events": q_zorder_events,
-        "uniqueness_composite": q_uniqueness_composite,
         "winsorize_quantity": q_winsorize_quantity,
         "check_suite": q_check_suite,
         "suggested_constraints": q_suggested_constraints,
         "profile_incremental": q_profile_incremental,
         "iqr_outliers": q_iqr_outliers,
-        "mad_outliers": q_mad_outliers,
         "column_fingerprints": q_column_fingerprints,
-        "multiway_split": q_multiway_split,
-        "weighted_sample": q_weighted_sample,
         "inclusion_deps": q_inclusion_deps,
-        "correlation_matrix": q_correlation_matrix,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
         "span_refs_dangling": q_span_refs_dangling,
-        "span_reconstruct": q_span_reconstruct,
         "partition_verdicts": q_partition_verdicts,
         "rule_firing_stats": q_rule_firing_stats,
         "violation_examples": q_violation_examples,
         "freshness": q_freshness,
-        "ngram_dup_spans": q_ngram_dup_spans,
         "rule_or": q_rule_or,
         "lib_validators": q_lib_validators,
         "converters": q_converters,
         "token_counts": q_token_counts,
         "token_counts_bpe": q_token_counts_bpe,
         "quality_documents": q_quality_documents,
-        "fingerprint_documents": q_fingerprint_documents,
         "lang_marker_counts": q_lang_marker_counts,
-        "top_ngrams": q_top_ngrams,
-        "validate_part": q_validate_part,
-        "nation_region_rollup": q_nation_region_rollup,
         "zipped_rulesets": q_zipped_rulesets,
         "bare_values": q_bare_values,
         "rule_and_on_error": q_rule_and_on_error,
@@ -3672,11 +3666,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs": q_sampled_docs,
         "stratified_sample": q_stratified_sample,
         "shard_plan": q_shard_plan,
+        "sessions": q_sessions,
+        "asof_features": q_asof_features,
+        "scd2_history": q_scd2_history,
+        "jsonschema_validate": q_jsonschema_validate,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
+        "minhash_dedup_attrition": q_minhash_dedup_attrition,
+        "ssjoin_pairs": q_ssjoin_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "snm_pairs": q_snm_pairs,
+        "gopher_rules": q_gopher_rules,
+        "classifier_auc": q_classifier_auc,
+        "lm_scores": q_lm_scores,
+        # --- beyond the driver window (still gate-checked locally) ---
+        "referential_bloom": q_referential_bloom,
+        "uniqueness_composite": q_uniqueness_composite,
+        "mad_outliers": q_mad_outliers,
+        "multiway_split": q_multiway_split,
+        "weighted_sample": q_weighted_sample,
+        "correlation_matrix": q_correlation_matrix,
+        "span_reconstruct": q_span_reconstruct,
+        "ngram_dup_spans": q_ngram_dup_spans,
+        "fingerprint_documents": q_fingerprint_documents,
+        "top_ngrams": q_top_ngrams,
+        "validate_part": q_validate_part,
+        "nation_region_rollup": q_nation_region_rollup,
         "file_health": q_file_health,
         "packed_sequences": q_packed_sequences,
         "budget_selection": q_budget_selection,
         "leakage_split": q_leakage_split,
-        "lm_scores": q_lm_scores,
         "dedup_corpus": q_dedup_corpus,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
@@ -3693,20 +3711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "dup_clusters": q_dup_clusters,
         "near_dedup_attrition": q_near_dedup_attrition,
-        "minhash_dedup_attrition": q_minhash_dedup_attrition,
         "jaccard_pairs": q_jaccard_pairs,
-        "ssjoin_pairs": q_ssjoin_pairs,
         "lsh_recall": q_lsh_recall,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "semantic_dedup": q_semantic_dedup,
-        "gopher_rules": q_gopher_rules,
         "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
         "filter_agreement": q_filter_agreement,
         "classifier_scores": q_classifier_scores,
-        "classifier_auc": q_classifier_auc,
         "functional_deps": q_functional_deps,
         "skew_report": q_skew_report,
         "column_entropy": q_column_entropy,
@@ -3729,12 +3742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": q_drift_events,
         "drift_quantile": q_drift_quantile,
         "drift_event_types": q_drift_event_types,
-        "sessions": q_sessions,
         "quantized_topk": q_quantized_topk,
         "centroid_outliers": q_centroid_outliers,
-        "asof_features": q_asof_features,
         "profile_quantiles": q_profile_quantiles,
-        "minhash_pairs_md5": q_minhash_pairs_md5,
         "fuzzy_matches": q_fuzzy_matches,
         "compression_quality": q_compression_quality,
         "cooccurring_pairs": q_cooccurring_pairs,
@@ -3768,7 +3778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "script_mix": q_script_mix,
         "rate_anomalies": q_rate_anomalies,
-        "jsonschema_validate": q_jsonschema_validate,
         "group_completeness": q_group_completeness,
         "value_shapes": q_value_shapes,
         "k_anonymity": q_k_anonymity,
@@ -3777,7 +3786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "span_text_quality": q_span_text_quality,
         "rolling_actives": q_rolling_actives,
-        "scd2_history": q_scd2_history,
         "gap_profile": q_gap_profile,
         "calibration": q_calibration,
         "rate_changepoints": q_rate_changepoints,
@@ -3818,7 +3826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_triangles": q_pair_triangles,
         "price_deciles": q_price_deciles,
         "lsh_band_stats": q_lsh_band_stats,
-        "snm_pairs": q_snm_pairs,
         "dup_inflation": q_dup_inflation,
         "novelty_trend": q_novelty_trend,
         "vocab_spectrum": q_vocab_spectrum,
@@ -5075,15 +5082,25 @@ WHERE value IS NOT NULL
        OR cast(value AS double) > q.q3 + (q.q3 - q.q1) * 1.5)
 """
 
-ORACLE["column_fingerprints"] = "\nUNION ALL\n".join(
-    """
+ORACLE["column_fingerprints"] = (
+    # Split the HUGEINT sum into two int64s (divmod 2^62) so no value
+    # past int64 crosses the gate — >int64 numerics render differently
+    # under different canonicalizers (full digits vs "%.6g").
+    'SELECT "column", n_rows, n_nulls,\n'
+    "  cast(fp // 4611686018427387904 AS bigint) AS fp_hi,\n"
+    "  cast(fp % 4611686018427387904 AS bigint) AS fp_lo\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        """
 SELECT '{c}' AS column, count(*) AS n_rows,
   count(*) - count({c}) AS n_nulls,
   coalesce(sum(cast(cast('0x' || substr(md5(cast({c} AS varchar)), 1, 15)
-                     AS bigint) AS hugeint)), 0) AS fingerprint
+                     AS bigint) AS hugeint)), 0) AS fp
 FROM documents
 """.format(c=c)
-    for c in ("doc_id", "text", "lang", "source", "n_chars")
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    + "\n)"
 )
 
 ORACLE["mad_outliers"] = """

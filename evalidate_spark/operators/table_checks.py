@@ -2541,21 +2541,29 @@ def column_fingerprints(
     df: DataFrame, columns: Optional[Sequence[str]] = None
 ) -> DataFrame:
     """Order-independent per-column content fingerprint — one row per
-    column: ``(column, n_rows, n_nulls, fingerprint)`` where
-    ``fingerprint`` is the exact decimal SUM over non-null rows of the
-    60-bit integer folded from ``md5(cast(value AS string))``.  Any cell
-    changing, appearing, or disappearing moves the sum (a multiset
-    commitment — unlike XOR, a pair of identical edits cannot cancel),
-    so two table versions compare by k tiny rows instead of a full diff
-    join, and the check is layout/partitioning-independent by
-    construction.
+    column: ``(column, n_rows, n_nulls, fp_hi, fp_lo)`` where the pair
+    ``(fp_hi, fp_lo)`` is the divmod-by-2^62 split of the exact decimal
+    SUM over non-null rows of the 60-bit integer folded from
+    ``md5(cast(value AS string))``.  Any cell changing, appearing, or
+    disappearing moves the sum (a multiset commitment — unlike XOR, a
+    pair of identical edits cannot cancel), so two table versions
+    compare by k tiny rows instead of a full diff join, and the check
+    is layout/partitioning-independent by construction.
 
-    The states are MERGEABLE: sums add, so per-increment fingerprints
-    fold with :func:`merge_column_fingerprints` and never rescan history
-    — the same stance as the HLL/KLL/Theta state families.  decimal(38)
-    holds 10^12 rows × 2^60 with 7 digits to spare; md5 keeps the
-    fingerprint replayable in any SQL engine (xxhash64 has no DuckDB
-    twin).
+    The sum is computed in decimal(38,0) internally (10^12 rows × 2^60
+    with 7 digits to spare) but EMITTED as two int64s — the full sum
+    exceeds int64 at even modest scale (~5.9e20 at sf0.01), and numbers
+    past int64 render differently across engines' canonicalizers
+    (HUGEINT vs Decimal vs float64 "%.6g"), so no >int64 numeric ever
+    crosses an API or comparison boundary.  Both halves are
+    non-negative and < 2^62, exactly representable everywhere.
+
+    The states are MERGEABLE: recombine ``fp_hi*2^62 + fp_lo`` in
+    decimal, add, re-split — :func:`merge_column_fingerprints` does
+    exactly that, so per-increment fingerprints fold and never rescan
+    history — the same stance as the HLL/KLL/Theta state families.
+    md5 keeps the fingerprint replayable in any SQL engine (xxhash64
+    has no DuckDB twin).
 
     Cross-engine replay holds for the DEFAULT column set — integer,
     decimal, string, boolean, date, timestamp — whose cast-to-string
@@ -2606,22 +2614,50 @@ def column_fingerprints(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col("__u%d" % i).alias("n_nulls"),
-            F.col("__fp%d" % i).alias("fingerprint"),
+            F.expr(
+                "CAST(__fp%d div %d AS BIGINT)" % (i, _FP_BASE)
+            ).alias("fp_hi"),
+            F.expr(
+                "CAST(__fp%d %% %d AS BIGINT)" % (i, _FP_BASE)
+            ).alias("fp_lo"),
         )
         for i, c in enumerate(cols)
     ])
     return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
+#: Split base for the fingerprint sum: both divmod halves of a
+#: decimal(38,0) sum of 60-bit folds over ≤10^12 rows stay < 2^62.
+_FP_BASE = 1 << 62
+
+
 def merge_column_fingerprints(states: DataFrame) -> DataFrame:
     """Fold per-increment :func:`column_fingerprints` states into the
-    whole-corpus state: counters and fingerprint sums just add (exact
-    decimal arithmetic, order-insensitive).  O(increments × columns)
-    rows in, O(columns) out — history data is never rescanned."""
-    return states.groupBy("column").agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.sum("n_nulls").cast("long").alias("n_nulls"),
-        F.sum("fingerprint").cast("decimal(38,0)").alias("fingerprint"),
+    whole-corpus state: counters add, and the split fingerprints
+    recombine as ``fp_hi*2^62 + fp_lo`` in exact decimal(38,0), add,
+    and re-split — order-insensitive, no precision loss (each
+    recombined value ≤ 10^12 × 2^60 ≈ 1.2e30, well inside 38 digits).
+    O(increments × columns) rows in, O(columns) out — history data is
+    never rescanned."""
+    combined = (
+        F.col("fp_hi").cast("decimal(38,0)")
+        * F.lit(_FP_BASE).cast("decimal(38,0)")
+        + F.col("fp_lo").cast("decimal(38,0)")
+    )
+    return (
+        states.groupBy("column")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_nulls").cast("long").alias("n_nulls"),
+            F.sum(combined).cast("decimal(38,0)").alias("__fp"),
+        )
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.expr("CAST(__fp div %d AS BIGINT)" % _FP_BASE).alias("fp_hi"),
+            F.expr("CAST(__fp %% %d AS BIGINT)" % _FP_BASE).alias("fp_lo"),
+        )
     )
 
 

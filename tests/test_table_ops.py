@@ -413,12 +413,15 @@ def test_mad_outliers(spark):
 
 
 def test_column_fingerprints_merge_and_sensitivity(spark):
-    from decimal import Decimal
-
     from evalidate_spark.operators.table_checks import (
         column_fingerprints,
         merge_column_fingerprints,
     )
+
+    def fp(row):
+        # recombined value for comparisons; the API itself only ever
+        # exposes the two int64 halves
+        return (row["fp_hi"] << 62) + row["fp_lo"]
 
     a = spark.createDataFrame(
         [(1, "x"), (2, "y"), (None, "z")], "id long, t string"
@@ -435,8 +438,12 @@ def test_column_fingerprints_merge_and_sensitivity(spark):
     }
     for c in ("id", "t"):
         assert merged[c]["n_rows"] == direct[c]["n_rows"] == 5
-        assert merged[c]["fingerprint"] == direct[c]["fingerprint"]
+        assert fp(merged[c]) == fp(direct[c])
     assert direct["id"]["n_nulls"] == 1 and direct["t"]["n_nulls"] == 1
+
+    # both halves are int64-safe: non-negative, below 2^62
+    for r in direct.values():
+        assert 0 <= r["fp_hi"] and 0 <= r["fp_lo"] < (1 << 62)
 
     # one cell change moves exactly that column's fingerprint
     changed = spark.createDataFrame(
@@ -444,8 +451,8 @@ def test_column_fingerprints_merge_and_sensitivity(spark):
         "id long, t string",
     )
     after = {r["column"]: r for r in column_fingerprints(changed).collect()}
-    assert after["id"]["fingerprint"] == direct["id"]["fingerprint"]
-    assert after["t"]["fingerprint"] != direct["t"]["fingerprint"]
+    assert fp(after["id"]) == fp(direct["id"])
+    assert fp(after["t"]) != fp(direct["t"])
 
     # a PAIR of identical inserted rows still changes the sum (an XOR
     # fingerprint would cancel them)
@@ -453,13 +460,13 @@ def test_column_fingerprints_merge_and_sensitivity(spark):
         spark.createDataFrame([(9, "d"), (9, "d")], "id long, t string")
     )
     pad = {r["column"]: r for r in column_fingerprints(padded).collect()}
-    assert pad["id"]["fingerprint"] != direct["id"]["fingerprint"]
+    assert fp(pad["id"]) != fp(direct["id"])
 
     # empty table: zero counters, zero fingerprint, never NULL
     empty = spark.createDataFrame([], "id long, t string")
     for r in column_fingerprints(empty).collect():
-        assert (r["n_rows"], r["n_nulls"], r["fingerprint"]) == (
-            0, 0, Decimal(0),
+        assert (r["n_rows"], r["n_nulls"], r["fp_hi"], r["fp_lo"]) == (
+            0, 0, 0, 0,
         )
 
     # complex columns are excluded from the default column set
