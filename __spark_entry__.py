@@ -2186,12 +2186,16 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode-derivable projection of `media_features`: per payload the
     REAL decoded dimensions / duration / sample rate (baseline-JPEG, PNG,
-    BMP pixels; WAV headers+samples; AVI stream probe).  Every value is a
-    closed-form function of the deterministic generator's id scheme, so a
-    SQL oracle replays the expected dims from the formula — the decode path
-    itself enters the driver's hash gate (payload sha/RMS stay in the
-    rows-only `media_features` superset)."""
-    feats = multimodal.extract_features(multimodal.synth_media(spark, 200))
+    BMP pixels; WAV headers+samples; AVI stream probe; MP4 ISO-BMFF box
+    walk — the header-only path for the dominant compressed container,
+    flagged decoded=false since its frames stay opaque).  Every value is
+    a closed-form function of the deterministic generator's id scheme, so
+    a SQL oracle replays the expected dims from the formula — the decode
+    path itself enters the driver's hash gate (payload sha/RMS stay in
+    the rows-only `media_features` superset)."""
+    feats = multimodal.extract_features(
+        multimodal.synth_media(spark, 200, mp4_videos=True)
+    )
     return feats.select(
         "media_ref", "media_kind", "width", "height",
         "duration_ms", "sample_rate", "decoded",
@@ -2202,10 +2206,12 @@ def q_media_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte container sniff vs declared kind over the synthetic
     media table — the decode-free 100 TB media gate.  The generator's id
     scheme fixes every TRUE container (image variant (i//3)%3 rotates
-    png/bmp/jpeg; audio is WAV; video is AVI), so the oracle enumerates
-    the expected sniff results in closed form and any mis-identified
-    magic sequence hash-fails."""
-    m = multimodal.synth_media(spark, 200)
+    png/bmp/jpeg; audio is WAV; video rotates MJPEG-AVI / DIB-AVI /
+    ISO-BMFF MP4), so the oracle enumerates the expected sniff results
+    in closed form and any mis-identified magic sequence — including
+    the 'ftyp'-at-offset-4 MP4 sniff and the video↔mp4 kind allowance
+    — hash-fails."""
+    m = multimodal.synth_media(spark, 200, mp4_videos=True)
     return multimodal.media_format_check(m).select(
         "media_ref", "media_kind", "sniffed", "format_ok"
     )
@@ -6480,7 +6486,9 @@ SELECT 'm-' || cast(i AS varchar) AS media_ref,
              WHEN 2 THEN cast((2 + (i // 3) % 3) * 250 AS integer) END
     AS duration_ms,
   CASE i % 3 WHEN 1 THEN cast(4000 AS integer) END AS sample_rate,
-  true AS decoded
+  -- MP4 videos ((i//3)%3 == 2 under mp4_videos=True) are header-probed:
+  -- real dims/duration, decoded=false (frames stay opaque)
+  NOT (i % 3 = 2 AND (i // 3) % 3 = 2) AS decoded
 FROM generate_series(0, 199) t(i)
 """
 
@@ -6491,7 +6499,8 @@ SELECT 'm-' || cast(i AS varchar) AS media_ref,
   CASE i % 3
     WHEN 0 THEN (CASE (i // 3) % 3 WHEN 0 THEN 'png'
                  WHEN 1 THEN 'bmp' ELSE 'jpeg' END)
-    WHEN 1 THEN 'wav' ELSE 'avi' END AS sniffed,
+    WHEN 1 THEN 'wav'
+    ELSE (CASE (i // 3) % 3 WHEN 2 THEN 'mp4' ELSE 'avi' END) END AS sniffed,
   true AS format_ok
 FROM generate_series(0, 199) t(i)
 """

@@ -30,7 +30,7 @@ from typing import Iterator, Optional
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from . import avi, codecs
+from . import avi, codecs, mp4
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -104,6 +104,26 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
                 )
                 return out
         except Exception:
+            pass
+    if kind == "video" and mp4.is_mp4(payload):
+        # MP4/ISO-BMFF: the box walk yields REAL header metadata (dims,
+        # duration, codec fourcc) without touching a frame — the cheap
+        # path for the dominant real-world container.  decoded stays
+        # False (its contract is frame decodability; H.264/H.265 frames
+        # are not decodable here), but unlike the hash-stub fallback the
+        # dims are genuine.  strict mode keeps raising below only when
+        # even the probe fails.
+        try:
+            info = mp4.probe_mp4(payload)
+            if info.width and info.height:
+                out.update(
+                    width=int(info.width),
+                    height=int(info.height),
+                    duration_ms=int(info.duration_ms),
+                    decoded=False,
+                )
+                return out
+        except ValueError:
             pass
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
@@ -386,7 +406,7 @@ def sniff_format(
 ) -> DataFrame:
     """Identify each binary payload's REAL container format from its
     magic bytes — ``'jpeg' | 'png' | 'bmp' | 'gif' | 'wav' | 'avi' |
-    'empty' | 'unknown'`` (NULL payload stays NULL: presence checks own
+    'mp4' | 'empty' | 'unknown'`` (NULL payload stays NULL: presence checks own
     it).  This is the cheap 100 TB media-column gate: a pure Column
     projection over the first 12 bytes, no decode, no Python — run it
     over everything, and spend the Arrow decode path
@@ -412,6 +432,8 @@ def sniff_format(
             head.startswith("474946383761") | head.startswith("474946383961"),
             F.lit("gif"),
         )
+        # ISO-BMFF: any major brand — the box fourcc 'ftyp' at offset 4
+        .when(F.hex(F.substring(p, 5, 4)) == "66747970", F.lit("mp4"))
         .otherwise(F.lit("unknown"))
     )
     return media.withColumn(out_col, sniffed)
@@ -421,7 +443,7 @@ def sniff_format(
 KIND_FORMATS = {
     "image": ("jpeg", "png", "bmp", "gif"),
     "audio": ("wav",),
-    "video": ("avi",),
+    "video": ("avi", "mp4"),
 }
 
 
@@ -444,7 +466,12 @@ def media_format_check(
     return out.withColumn("format_ok", ok)
 
 
-def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFrame:
+def synth_media(
+    spark,
+    n: int = 100,
+    partitions: Optional[int] = None,
+    mp4_videos: bool = False,
+) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads where a
     library-free codec exists: images rotate through true baseline JPEGs
     (the dominant lossy web format), true PNGs (zlib-deflated), and true
@@ -453,7 +480,14 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
     (lossy, through the baseline-JPEG encoder) and uncompressed-DIB
     (bit-exact) streams of 2–4 noise frames at 4 fps.  Generated distributed
     (``mapInPandas`` over ``spark.range`` — no driver-side loop), seeded
-    per id."""
+    per id.
+
+    ``mp4_videos=True`` widens the video rotation to thirds — MJPEG AVI /
+    DIB AVI / valid minimal ISO-BMFF MP4 (``avc1`` sample entry, same
+    closed-form dims and duration as the AVI streams, opaque ``mdat``) —
+    exercising the header-probe-only container path; the default stays
+    False so frame-decode fixtures (``frame_sample`` tests/oracles) keep
+    their all-decodable corpus."""
     import numpy as np
     import pandas as pd
 
@@ -487,14 +521,23 @@ def synth_media(spark, n: int = 100, partitions: Optional[int] = None) -> DataFr
                     w, h = 8 + i % 8, 8 + (i // 3) % 8
                     # i % 3 is constant on this branch (it selected the
                     # kind) — vary the frame count on i // 3 instead
-                    frames = [
-                        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                        for _ in range(2 + (i // 3) % 3)
-                    ]
-                    if (i // 3) % 2 == 0:
-                        payload = avi.encode_avi_mjpeg(frames, fps=4, quality=85)
+                    n_frames = 2 + (i // 3) % 3
+                    if mp4_videos and (i // 3) % 3 == 2:
+                        # same closed-form dims/duration as the AVI
+                        # streams (n_frames at 4 fps) so oracles share
+                        # one formula across containers
+                        payload = mp4.encode_mp4(
+                            w, h, n_frames * 250, codec=b"avc1"
+                        )
                     else:
-                        payload = avi.encode_avi_dib(frames, fps=4)
+                        frames = [
+                            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                            for _ in range(n_frames)
+                        ]
+                        if (i // 3) % 2 == 0:
+                            payload = avi.encode_avi_mjpeg(frames, fps=4, quality=85)
+                        else:
+                            payload = avi.encode_avi_dib(frames, fps=4)
                 refs.append(f"m-{i}")
                 kinds.append(kind)
                 payloads.append(payload)

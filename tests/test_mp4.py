@@ -1,0 +1,120 @@
+"""ISO-BMFF (MP4) header probe: encode→probe roundtrip, malformed-input
+contract, and the Spark-side wiring (sniff_format / KIND_FORMATS /
+decode_media header-only path)."""
+
+import struct
+
+import pytest
+
+from evalidate_spark.functions import mp4, multimodal
+
+
+class TestMp4Probe:
+    def test_roundtrip_video_only(self):
+        p = mp4.encode_mp4(320, 240, 1500, codec=b"avc1")
+        assert mp4.is_mp4(p)
+        info = mp4.probe_mp4(p)
+        assert (info.width, info.height, info.duration_ms) == (320, 240, 1500)
+        assert info.video_codec == "avc1"
+        assert info.brand == "isom"
+        assert info.n_tracks == 1 and info.has_video and not info.has_audio
+
+    def test_roundtrip_with_audio_and_other_codec(self):
+        p = mp4.encode_mp4(
+            64, 48, 250, codec=b"hvc1", with_audio=True, mdat=b"\x01" * 64
+        )
+        info = mp4.probe_mp4(p)
+        assert (info.width, info.height, info.duration_ms) == (64, 48, 250)
+        assert info.video_codec == "hvc1"
+        assert info.n_tracks == 2 and info.has_video and info.has_audio
+
+    def test_deterministic_encode(self):
+        assert mp4.encode_mp4(10, 20, 750) == mp4.encode_mp4(10, 20, 750)
+
+    def test_mvhd_version1(self):
+        # 64-bit duration variant of the movie header must parse too
+        p = bytearray(mp4.encode_mp4(32, 16, 2000, timescale=1000))
+        # locate mvhd and rewrite it as version 1 in place is fiddly;
+        # instead build a synthetic moov with a v1 mvhd directly
+        def box(cc, payload):
+            return struct.pack(">I", 8 + len(payload)) + cc + payload
+
+        mvhd_v1 = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)          # creation, modification (u64)
+            + struct.pack(">I", 1000)            # timescale
+            + struct.pack(">Q", 3500)            # duration (u64)
+            + b"\x00" * 80,
+        )
+        data = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd_v1)
+        info = mp4.probe_mp4(bytes(data))
+        assert info.duration_ms == 3500 and info.n_tracks == 0
+
+    def test_largesize_box(self):
+        # size==1 → 64-bit largesize header on the mdat must not break
+        p = mp4.encode_mp4(8, 8, 100)
+        payload = b"\xab" * 32
+        large = (
+            struct.pack(">I", 1)
+            + b"mdat"
+            + struct.pack(">Q", 16 + len(payload))
+            + payload
+        )
+        info = mp4.probe_mp4(p + large)
+        assert (info.width, info.height) == (8, 8)
+
+    def test_malformed_raises_never_garbage(self):
+        good = mp4.encode_mp4(16, 16, 400)
+        for bad in (b"", b"\x00" * 24, good[:40], b"RIFF\x00\x00\x00\x00AVI "):
+            with pytest.raises(ValueError):
+                mp4.probe_mp4(bad)
+        # a box whose declared size overruns the file is malformed, not a loop
+        evil = good[:4] + good[4:]  # copy
+        evil = struct.pack(">I", 2**31) + evil[4:]
+        with pytest.raises(ValueError):
+            mp4.probe_mp4(evil)
+
+    def test_decode_media_header_path(self):
+        p = mp4.encode_mp4(100, 50, 1250)
+        out = multimodal.decode_media("video", p)
+        # real header dims, decoded=False: the frames stay opaque
+        assert (out["width"], out["height"], out["duration_ms"]) == (
+            100, 50, 1250,
+        )
+        assert out["decoded"] is False
+        # a payload whose kind mislabels it must NOT take the mp4 path
+        img = multimodal.decode_media("image", p)
+        assert img["decoded"] is False and img["width"] != 100
+
+
+class TestMp4Spark:
+    def test_sniff_and_format_check(self, spark):
+        rows = [
+            ("a", "video", bytearray(mp4.encode_mp4(8, 8, 100))),
+            ("b", "image", bytearray(mp4.encode_mp4(8, 8, 100))),
+            ("c", "video", bytearray(b"\x00" * 16)),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_ref string, media_kind string, payload binary"
+        )
+        got = {
+            r["media_ref"]: (r["sniffed"], r["format_ok"])
+            for r in multimodal.media_format_check(df).collect()
+        }
+        assert got["a"] == ("mp4", True)       # mp4 is a legal video container
+        assert got["b"] == ("mp4", False)      # ...but not a legal image one
+        assert got["c"] == ("unknown", False)
+
+    def test_synth_media_mp4_rotation(self, spark):
+        feats = multimodal.extract_features(
+            multimodal.synth_media(spark, 36, mp4_videos=True)
+        ).collect()
+        vids = {int(r["media_ref"][2:]): r for r in feats if r["media_kind"] == "video"}
+        assert vids, "generator must emit video rows"
+        for i, r in vids.items():
+            expect_mp4 = (i // 3) % 3 == 2
+            assert r["width"] == 8 + i % 8
+            assert r["height"] == 8 + (i // 3) % 8
+            assert r["duration_ms"] == (2 + (i // 3) % 3) * 250
+            assert r["decoded"] == (not expect_mp4)
