@@ -13,6 +13,8 @@ columns by name before hashing values).
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2356,8 +2358,10 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (CCNet/Dolma heuristic) per doc:
     zlib deflate size vs raw UTF-8 size in integer bp, repetitive/random
     flags.  One Arrow-batched pandas UDF, map-only (no shuffle).  DuckDB
-    has no deflate, so this is rows-only; the byte-level contract is
-    pinned in tests/test_compression.py against direct zlib calls."""
+    has no deflate, so the oracle inlines zlib sizes precomputed over
+    the deterministic corpora as a content-hash-keyed VALUES table
+    (``_compression_quality_oracle``) — full hash gate; the byte-level
+    contract is additionally pinned in tests/test_compression.py."""
     d = _t(spark, sf_dir, "documents")
     return text.compression_signals(d)
 
@@ -8937,5 +8941,66 @@ FROM base, en, tri
 """.replace("{MH}", ORACLE["minhash_pairs_md5"])
 
 
+def _compression_quality_oracle() -> str:
+    """DuckDB has no deflate, so the compression oracle precomputes
+    ``(md5(text), n_bytes, n_compressed)`` with the SAME stdlib zlib the
+    Spark UDF uses and inlines it as a VALUES table keyed by content
+    hash — corpus-independent: it covers the deterministic gate corpora
+    (sf0.001, sf0.01) plus the hostile fixture texts, and joins against
+    whatever ``documents`` view the gate mounts.  An unknown text joins
+    to NULL metrics and hash-fails loudly instead of silently passing.
+    Ratio/flag arithmetic is replayed in SQL with the exact expression
+    shape of ``text.compression_signals`` (floor of a double quotient of
+    int64s — exact for these magnitudes in both engines)."""
+    import zlib
+
+    import duckdb as _dd
+
+    from evalidate_spark.fixtures import HOSTILE_DOCS
+
+    texts = {t[1] for t in HOSTILE_DOCS if t[1] is not None}
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if os.path.exists(path):
+            texts.update(
+                r[0]
+                for r in _dd.sql(
+                    f"SELECT DISTINCT text FROM '{path}' WHERE text IS NOT NULL"
+                ).fetchall()
+            )
+    vals = []
+    seen = set()
+    for t in sorted(texts):
+        b = t.encode("utf-8")
+        h = hashlib.md5(b).hexdigest()
+        if h in seen:
+            continue
+        seen.add(h)
+        vals.append(f"('{h}', {len(b)}, {len(zlib.compress(b, 6))})")
+    if not vals:
+        vals = ["('', NULL, NULL)"]
+    ratio = "CAST(floor(10000 * n_compressed / n_bytes) AS bigint)"
+    return f"""
+SELECT doc_id, n_bytes, n_compressed,
+  CASE WHEN n_bytes > 0 THEN {ratio} END AS ratio_bp,
+  coalesce(n_bytes >= 64 AND n_bytes > 0 AND {ratio} < 3000, false)
+    AS too_repetitive,
+  coalesce(n_bytes >= 64 AND n_bytes > 0 AND {ratio} > 9500, false)
+    AS too_random
+FROM (
+  SELECT d.doc_id, CAST(z.nb AS bigint) AS n_bytes,
+         CAST(z.nc AS bigint) AS n_compressed
+  FROM documents d
+  LEFT JOIN (VALUES {', '.join(vals)}) z(h, nb, nc)
+    ON d.text IS NOT NULL AND md5(d.text) = z.h
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    d = dict(ORACLE)
+    try:
+        d["compression_quality"] = _compression_quality_oracle()
+    except Exception:
+        pass  # corpus unavailable → the query stays rows-only
+    return d

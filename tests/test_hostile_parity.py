@@ -243,6 +243,9 @@ QUERIES = [
     "dispersion_profile",
     "pmi_collocations",
     "dedup_graph_stats",
+    # zlib replayed via a content-hash-keyed VALUES oracle (covers the
+    # hostile texts too — see __spark_entry__._compression_quality_oracle)
+    "compression_quality",
 ]
 
 
@@ -288,3 +291,66 @@ def test_gate_covers_every_oracled_query():
     """QUERIES is the whole oracled surface — adding an oracle without
     hostile coverage (or vice versa) fails here instead of rotting."""
     assert sorted(QUERIES) == sorted(entry.oracle_sql())
+
+
+# ---- rows-only queries: no SQL oracle exists (xxhash64 / payload decode
+# aren't SQL-expressible), so the hostile gate pins row counts and per-row
+# invariants instead of hashes — every queries() entry asserts something
+# non-vacuous on the adversarial corpus.
+
+
+def test_hostile_minhash_pairs_invariants(spark, hostile_dir):
+    rows = entry.queries()["minhash_pairs"](spark, hostile_dir).collect()
+    # hostile docs 5 and 6 share identical non-trivial text → identical
+    # signatures → LSH must surface at least that pair; NULL/empty/short
+    # texts must never appear as candidates
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert len(pairs) == len(rows), "duplicate candidate pairs"
+    assert all(a is not None and b is not None and a < b for a, b in pairs)
+    assert ("5", "6") in pairs or (5, 6) in pairs
+    bad_ids = {"1", "2", "3", 1, 2, 3}  # NULL/empty texts
+    assert all(a not in bad_ids and b not in bad_ids for a, b in pairs)
+
+
+def test_hostile_simhash_docs_invariants(spark, hostile_dir):
+    rows = entry.queries()["simhash_docs"](spark, hostile_dir).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in rows}
+    # one signature row per document (NULL doc_id row included)
+    assert len(rows) == 11
+    # identical texts → identical signatures, and int64 range is respected
+    assert by_id[5] == by_id[6]
+    for v in by_id.values():
+        assert v is not None and -(1 << 63) <= v < (1 << 63)
+    # NULL and empty texts collapse to the deterministic empty-shingle
+    # signature — stable, never a per-row garbage hash
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[1] != by_id[5]
+
+
+def test_hostile_media_features_invariants(spark):
+    rows = entry.queries()["media_features"](spark, "unused").collect()
+    assert len(rows) == 200  # one feature row per synthetic payload
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["payload_sha"]) == 64
+        if r["media_kind"] == "image":
+            assert r["decoded"] and r["width"] > 0 and r["height"] > 0
+            assert r["duration_ms"] is None and r["sample_rate"] is None
+        elif r["media_kind"] == "audio":
+            assert r["decoded"] and r["sample_rate"] == 4000
+            assert r["duration_ms"] > 0 and r["rms"] > 0
+        else:
+            assert r["width"] > 0 and r["height"] > 0 and r["duration_ms"] > 0
+
+
+def test_hostile_video_frames_invariants(spark):
+    rows = entry.queries()["video_frames"](spark, "unused").collect()
+    # 40 videos (ids 2,5,…,119), each sampled at 250 ms over
+    # n_frames = 2 + (i//3) % 3 frames at 4 fps → n_frames grid points
+    expected = sum(2 + k % 3 for k in range(40))
+    assert len(rows) == expected
+    for r in rows:
+        i = int(r["media_ref"][2:])
+        assert r["width"] == 8 + i % 8 and r["height"] == 8 + (i // 3) % 8
+        assert r["ts_ms"] == 250 * r["sample_ix"]
+        assert r["decoded"] and len(r["frame_sha"]) == 64
