@@ -249,8 +249,14 @@ def _raw_key_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _raw_id_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evalidate_spark.operators.table_checks import id_collisions
 
+    # uncapped: the suite member FILTERS on benign, and a filter applied
+    # after a top-1000 cap would drop non-benign ids outside the top-N
+    # (the oracle is uncapped) — max_ids=None keeps count parity exact
     return id_collisions(
-        _t(spark, sf_dir, "documents"), "doc_id", ["text", "lang", "source"]
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        ["text", "lang", "source"],
+        max_ids=None,
     ).filter(~F.col("benign"))
 
 

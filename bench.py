@@ -58,6 +58,74 @@ def _force(df) -> int:
     return 0
 
 
+class _StageMetrics:
+    """Per-query shuffle/input telemetry from the JVM AppStatusStore —
+    wall time alone hides plan regressions (a query can stay fast at
+    sf0.1 while its shuffle bytes triple), so each bench row also
+    records the bytes that crossed a shuffle boundary and the bytes/rows
+    read.  Deltas are computed over NEW stage ids since the last mark
+    (stage ids are monotonic; the retained-stage eviction window never
+    shrinks a delta taken this way).  Uses an internal Spark API via
+    py4j (statusStore.stageList) — any failure degrades to zeros rather
+    than failing the bench."""
+
+    FIELDS = (
+        "shuffle_write_bytes",
+        "shuffle_read_bytes",
+        "input_bytes",
+        "input_records",
+    )
+
+    def __init__(self, spark):
+        self._ok = True
+        try:
+            sc = spark.sparkContext
+            self._store = sc._jsc.sc().statusStore()
+            self._jvm = sc._jvm
+            self._last = -1
+        except Exception:
+            self._ok = False
+
+    def _stages(self):
+        store = self._store
+        empty = self._jvm.java.util.ArrayList()
+        d4 = getattr(store, "stageList$default$4")()
+        d5 = getattr(store, "stageList$default$5")()
+        return store.stageList(empty, False, False, d4, d5)
+
+    def mark(self) -> None:
+        if not self._ok:
+            return
+        try:
+            s = self._stages()
+            for i in range(s.size()):
+                self._last = max(self._last, s.apply(i).stageId())
+        except Exception:
+            self._ok = False
+
+    def delta(self) -> dict:
+        out = dict.fromkeys(self.FIELDS, 0)
+        if not self._ok:
+            return out
+        try:
+            s = self._stages()
+            mx = self._last
+            for i in range(s.size()):
+                st = s.apply(i)
+                sid = st.stageId()
+                if sid <= self._last:
+                    continue
+                mx = max(mx, sid)
+                out["shuffle_write_bytes"] += st.shuffleWriteBytes()
+                out["shuffle_read_bytes"] += st.shuffleReadBytes()
+                out["input_bytes"] += st.inputBytes()
+                out["input_records"] += st.inputRecords()
+            self._last = mx
+        except Exception:
+            self._ok = False
+        return out
+
+
 def spans_input(spark, n_docs: int):
     """Generated interleaved docs cached as parquet (deterministic seed 42)."""
     path = os.path.join(CACHE, f"docs_{n_docs}")
@@ -97,18 +165,25 @@ def main() -> None:
     docs = spans_input(spark, n_docs)
 
     timings: dict[str, float] = {}
+    query_metrics: dict[str, dict] = {}
+    meter = _StageMetrics(spark)
 
     def timed(name, fn, runs=2):
         """min of *runs* — the first run pays one-off codegen compilation +
         parquet footer reads, and this VM's run-to-run noise is 2-5×;
-        steady-state throughput is what scales to the cluster."""
+        steady-state throughput is what scales to the cluster.  Byte/row
+        telemetry is taken from the LAST run (shuffle/input volumes are
+        deterministic across runs; only wall time is noisy)."""
         best = None
-        for _ in range(runs):
+        for i in range(runs):
+            if i == runs - 1:
+                meter.mark()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        query_metrics[name] = meter.delta()
 
     # warm the JVM/codegen once with a trivial job
     spark.range(1000).count()
@@ -350,6 +425,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_metrics": query_metrics,
+                "total_shuffle_write_bytes": sum(
+                    m["shuffle_write_bytes"] for m in query_metrics.values()
+                ),
+                "total_input_bytes": sum(
+                    m["input_bytes"] for m in query_metrics.values()
+                ),
                 "sf": _sf(),
                 "n_docs": n_docs,
                 "docs_per_sec": docs_per_sec,

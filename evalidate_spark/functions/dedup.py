@@ -2513,7 +2513,11 @@ def novelty_trend(
     joined by broadcast.  NULL-text docs count in ``n_docs`` but can
     never be repeats (no fingerprint — unknown content is not evidence
     of duplication); NULL-id docs are excluded (no position in ingest
-    order)."""
+    order).  The min-id window runs on the fp-NOT-NULL subset only and
+    NULL-fp rows union back with ``repeat = false`` — partitioning the
+    window by a key that is NULL for every fingerprint-less doc would
+    funnel all of them into ONE window partition (a pure-waste straggler
+    at corpus scale, since ``__first`` is never consumed for NULL fps)."""
     if n_buckets < 1:
         raise ValueError("novelty_trend: n_buckets must be >= 1")
     tc = F.col("`%s`" % text_col)
@@ -2527,9 +2531,18 @@ def novelty_trend(
         )
     )
     w = Window.partitionBy("__fp")
+    marked = (
+        d.filter(F.col("__fp").isNotNull())
+        .withColumn("__first", F.min("__id").over(w))
+        .select("__id", (F.col("__id") > F.col("__first")).alias("__rep"))
+        .unionByName(
+            d.filter(F.col("__fp").isNull()).select(
+                "__id", F.lit(False).alias("__rep")
+            )
+        )
+    )
     flagged = (
-        d.withColumn("__first", F.min("__id").over(w))
-        .crossJoin(F.broadcast(lim))
+        marked.crossJoin(F.broadcast(lim))
         .select(
             # negative ids clamp to bucket 0; non-negative ids spread over
             # equal ranges of [0, max]; pure int64 DIV (operands >= 0)
@@ -2539,8 +2552,7 @@ def novelty_trend(
             )
             .cast("int")
             .alias("bucket"),
-            (F.col("__fp").isNotNull() & (F.col("__id") > F.col("__first")))
-            .alias("__rep"),
+            "__rep",
         )
     )
     return flagged.groupBy("bucket").agg(

@@ -443,7 +443,45 @@ def ivf_append(
     drift is the documented trade: appended vectors are assigned to the
     ORIGINAL centroids, so after heavy distribution shift the recall
     audit (``lsh_recall``-style) decides when a refit+rewrite is due.
-    Returns the number of vectors appended."""
+    Returns the number of vectors appended.
+
+    Guard rails: the passed centroids are validated against the index
+    that already lives at *path* — mismatched centroid dimensions or an
+    existing ``cell=`` partition outside ``[0, len(centroids))`` means
+    the wrong centroid list for this layout, and silently appending
+    would misroute every new vector (probes would never find them).
+    The assignment is localCheckpoint-pinned so the count and the write
+    execute the projection + source scan ONCE, and the returned count
+    is the count of exactly what was written."""
+    import os as _os
+
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1:
+        raise ValueError("ivf_append: centroids have inconsistent dimensions")
+    (dim,) = dims
+    if _os.path.isdir(path):
+        cells = [
+            int(name.split("=", 1)[1])
+            for name in _os.listdir(path)
+            if name.startswith("cell=")
+        ]
+        if cells and not (0 <= min(cells) and max(cells) < len(centroids)):
+            raise ValueError(
+                "ivf_append: existing index at %r has cell=%d outside "
+                "[0, %d) — these centroids do not match the index layout"
+                % (path, max(cells), len(centroids))
+            )
+        if cells:
+            first = (
+                new_vectors.sparkSession.read.parquet(path)
+                .select(F.size(F.col("embedding")).alias("d"))
+                .first()
+            )
+            if first is not None and first["d"] != dim:
+                raise ValueError(
+                    "ivf_append: index vectors at %r have dim %d, "
+                    "centroids have dim %d" % (path, first["d"], dim)
+                )
     assigned = ivf_assign(
         new_vectors.filter(
             F.col("`%s`" % id_col).isNotNull()
@@ -455,7 +493,7 @@ def ivf_append(
         F.col("`%s`" % id_col).alias("vec_id"),
         F.col("`%s`" % vec_col).alias("embedding"),
         "cell",
-    )
+    ).localCheckpoint()
     n = assigned.count()
     assigned.write.mode("append").partitionBy("cell").parquet(path)
     return n

@@ -3826,47 +3826,51 @@ def encoding_advisor(
     with high ``avg_len_centi`` is the scan cost driver and the first
     column to prune from ``ReadSchema``.  Exact ``count(DISTINCT)`` per
     column — this is the audit tool; the sketch path (``profile``'s HLL)
-    is the default at full scale.  One aggregate per column (Spark plans
-    multi-distinct via expand — still one scan), NULLs excluded from
-    distinct/length, counted in ``n_rows``."""
+    is the default at full scale.  ONE aggregate for ALL columns —
+    Spark plans the multi-distinct via expand, so a k-column call is a
+    single scan (k separate ``df.agg`` branches unioned would scan the
+    table k times: Spark does not reuse scans across union branches) —
+    then an explode of one k-struct array row to the per-column report.
+    NULLs excluded from distinct/length, counted in ``n_rows``."""
     if not columns:
         raise ValueError("encoding_advisor needs at least one column")
     names = {f.name for f in df.schema.fields}
-    outs: List[DataFrame] = []
     for col in columns:
         if col not in names:
             raise ValueError(f"encoding_advisor: unknown column {col!r}")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, col in enumerate(columns):
         c = F.col("`%s`" % col)
-        s = c.cast("string")
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(c).cast("long").alias("n_distinct"),
-            F.sum(F.length(s)).cast("long").alias("__len"),
-            F.count(c).cast("long").alias("__nn"),
+        aggs.append(F.countDistinct(c).cast("long").alias("__nd%d" % i))
+        aggs.append(
+            F.coalesce(F.sum(F.length(c.cast("string"))), F.lit(0))
+            .cast("long")
+            .alias("__len%d" % i)
         )
-        outs.append(
-            agg.select(
-                F.lit(col).alias("column"),
-                "n_rows",
-                "n_distinct",
-                F.expr("n_distinct * 10000L DIV greatest(n_rows, 1)")
-                .cast("long")
-                .alias("distinct_bp"),
-                F.expr(
-                    "CASE WHEN __nn > 0 THEN __len * 100L DIV __nn END"
-                )
-                .cast("long")
-                .alias("avg_len_centi"),
-                F.expr(
-                    f"n_distinct * 10000L DIV greatest(n_rows, 1)"
-                    f" <= {int(dict_bp)}L"
-                ).alias("dict_candidate"),
+        aggs.append(F.count(c).cast("long").alias("__nn%d" % i))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(col).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col("__nd%d" % i).alias("n_distinct"),
+            F.expr("__nd%d * 10000L DIV greatest(n_rows, 1)" % i)
+            .cast("long")
+            .alias("distinct_bp"),
+            F.expr(
+                "CASE WHEN __nn%d > 0 THEN __len%d * 100L DIV __nn%d END"
+                % (i, i, i)
             )
+            .cast("long")
+            .alias("avg_len_centi"),
+            F.expr(
+                f"__nd{i} * 10000L DIV greatest(n_rows, 1)"
+                f" <= {int(dict_bp)}L"
+            ).alias("dict_candidate"),
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+        for i, col in enumerate(columns)
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def partition_advisor(
@@ -4021,7 +4025,7 @@ def id_collisions(
     df: DataFrame,
     id_col: str,
     content_cols: Sequence[str],
-    max_ids: int = 1000,
+    max_ids: Optional[int] = 1000,
 ) -> DataFrame:
     """Key-collision triage — the follow-up question the uniqueness
     check raises but cannot answer: for every duplicated id, is it a
@@ -4038,7 +4042,10 @@ def id_collisions(
     variants-per-id are both bounded by the duplication factor, never
     corpus-sized.  Output is duplicated ids only, capped at ``max_ids``
     by (most rows, id) so a catastrophic ingest loop cannot flood the
-    report.  NULL ids are excluded (no identity to collide on)."""
+    report; pass ``max_ids=None`` for the uncapped set when the result
+    feeds a downstream FILTER rather than a human (a post-cap filter
+    over a capped report would silently drop rows past the top-N).
+    NULL ids are excluded (no identity to collide on)."""
     if not content_cols:
         raise ValueError("id_collisions needs at least one content column")
     ic = F.col("`%s`" % id_col)
@@ -4063,16 +4070,17 @@ def id_collisions(
         )
         .filter(F.col("n_rows") >= 2)
     )
-    return (
-        g.select(
-            "id",
-            F.col("n_rows").cast("long").alias("n_rows"),
-            "n_variants",
-            (F.col("n_variants") == 1).alias("benign"),
-        )
-        .orderBy(F.col("n_rows").desc(), F.col("id").asc())
-        .limit(int(max_ids))
+    out = g.select(
+        "id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_variants",
+        (F.col("n_variants") == 1).alias("benign"),
     )
+    if max_ids is None:
+        return out
+    return out.orderBy(
+        F.col("n_rows").desc(), F.col("id").asc()
+    ).limit(int(max_ids))
 
 
 def group_freshness(

@@ -84,7 +84,12 @@ def test_snm_null_and_param_contracts(spark):
 
 def test_snm_window_is_partitioned(spark):
     # the rank window must key on the block -- a global (unpartitioned)
-    # window would serialize the corpus through one task
+    # window would serialize the corpus through one task.  Spark renders
+    # executed-plan Window nodes as `Window [fns], [part exprs], [order
+    # exprs]` (never the literal `partitionBy=`), so assert the
+    # windowspecdefinition itself mentions the block key.
+    import re
+
     d = docs(spark, [(i, "t%d word" % i, "en", "a", 1) for i in range(20)])
     plan = (
         dedup.snm_pairs(d)
@@ -92,8 +97,12 @@ def test_snm_window_is_partitioned(spark):
         .executedPlan()
         .toString()
     )
-    assert "Window" in plan
-    assert "partitionBy=[]" not in plan.replace(" ", "")
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins, "no Window node in plan:\n" + plan
+    for spec in wins:
+        assert "__block" in spec, (
+            "window not partitioned by __block: %s" % spec
+        )
 
 
 # -------------------------------------------------------- lsh_band_stats
