@@ -2225,6 +2225,19 @@ def q_media_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep container-metadata probe over the synthetic media table
+    (`multimodal.probe_containers`): MP4 box-tree walk (codec fourcc,
+    track layout) and AVI RIFF-header walk (mjpg/dib, stream count)
+    without decoding a frame — the codec-inventory audit a 100 TB media
+    column needs before planning any decode pass.  Every field is
+    closed-form in the generator's id scheme (video rotation mjpg-avi /
+    dib-avi / avc1-mp4, one video stream, no audio), so the whole probe
+    enters the hash gate."""
+    m = multimodal.synth_media(spark, 120, mp4_videos=True)
+    return multimodal.probe_containers(m)
+
+
 def q_video_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The structural projection of `video_frames`: REAL AVI frame sampling
     (MJPEG + uncompressed-DIB decode) on a 250 ms grid, minus the
@@ -3784,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims": q_media_dims,
         "media_format_check": q_media_format_check,
         "video_frame_grid": q_video_frame_grid,
+        "container_probe": q_container_probe,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
         "video_near_dups": q_video_near_dups,
@@ -6513,6 +6527,26 @@ SELECT 'm-' || cast(i AS varchar) AS media_ref,
     ELSE (CASE (i // 3) % 3 WHEN 2 THEN 'mp4' ELSE 'avi' END) END AS sniffed,
   true AS format_ok
 FROM generate_series(0, 199) t(i)
+"""
+
+ORACLE["container_probe"] = """
+SELECT 'm-' || cast(i AS varchar) AS media_ref,
+  CASE i % 3
+    WHEN 0 THEN (CASE (i // 3) % 3 WHEN 0 THEN 'png'
+                 WHEN 1 THEN 'bmp' ELSE 'jpeg' END)
+    WHEN 1 THEN 'wav'
+    ELSE (CASE (i // 3) % 3 WHEN 2 THEN 'mp4' ELSE 'avi' END) END
+    AS container,
+  CASE WHEN i % 3 = 2 THEN
+    (CASE WHEN (i // 3) % 3 = 2 THEN 'avc1'
+          WHEN (i // 3) % 2 = 0 THEN 'mjpg' ELSE 'dib' END) END AS codec,
+  CASE WHEN i % 3 = 2 THEN cast(1 AS integer) END AS n_tracks,
+  CASE WHEN i % 3 = 2 THEN false END AS has_audio,
+  CASE WHEN i % 3 = 2 THEN cast(8 + i % 8 AS integer) END AS width,
+  CASE WHEN i % 3 = 2 THEN cast(8 + (i // 3) % 8 AS integer) END AS height,
+  CASE WHEN i % 3 = 2 THEN cast((2 + (i // 3) % 3) * 250 AS integer) END
+    AS duration_ms
+FROM generate_series(0, 119) t(i)
 """
 
 ORACLE["video_frame_grid"] = """

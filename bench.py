@@ -326,6 +326,7 @@ def main() -> None:
         "association_rules",
         "suppress_repeats",
         "media_dims",
+        "container_probe",
         "video_frame_grid",
         "shard_plan",
         "file_health",

@@ -150,10 +150,11 @@ def _walk(data: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]
 
 
 class AviInfo:
-    """Header-only parse result — dims, frame count, timing, codec."""
+    """Header-only parse result — dims, frame count, timing, codec,
+    stream layout."""
 
     __slots__ = ("width", "height", "n_frames", "fps", "handler", "bpp",
-                 "compression", "_movi")
+                 "compression", "n_streams", "has_audio", "_movi")
 
     @property
     def duration_ms(self) -> int:
@@ -172,6 +173,8 @@ def probe_avi(data: bytes) -> AviInfo:
     info.handler = b""
     info.compression = 0
     info.bpp = 24
+    info.n_streams = 0
+    info.has_audio = False
     for ckid, s, e in _walk(data, 12, len(data)):
         if ckid == b"hdrl":
             for hid, hs, he in _walk(data, s, e):
@@ -185,11 +188,14 @@ def probe_avi(data: bytes) -> AviInfo:
                     # the strl's OWN strh (audio strls carry a WAVEFORMATEX,
                     # not a BITMAPINFOHEADER) — only the vids stream's strf
                     # may set bpp/compression
+                    info.n_streams += 1
                     is_vids = False
                     for sid, ss, se in _walk(data, hs, he):
                         if sid == b"strh":
                             fcc, handler = struct.unpack_from("<4s4s", data, ss)
                             is_vids = fcc == b"vids"
+                            if fcc == b"auds":
+                                info.has_audio = True
                             if is_vids:
                                 info.handler = handler
                                 scale, rate = struct.unpack_from("<II", data, ss + 20)

@@ -466,6 +466,135 @@ def media_format_check(
     return out.withColumn("format_ok", ok)
 
 
+CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("has_audio", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\x1a"[:4], "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"BM", "bmp"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+)
+
+
+def _sniff_bytes(p: bytes) -> str:
+    """Python twin of :func:`sniff_format`'s Column logic, for the rows
+    the container probe does not deep-parse."""
+    if len(p) == 0:
+        return "empty"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if p[:4] == b"RIFF":
+        if p[8:12] == b"WAVE":
+            return "wav"
+        if p[8:12] == b"AVI ":
+            return "avi"
+        return "unknown"
+    if p[:2] == b"BM":
+        return "bmp"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if p[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def probe_containers(media: DataFrame) -> DataFrame:
+    """Container-metadata probe over a media table — the deep-parse
+    companion to :func:`sniff_format`: per payload, the container, the
+    declared codec, and the track layout, WITHOUT decoding a frame.
+    MP4 payloads walk the ISO-BMFF box tree (:func:`mp4.probe_mp4` —
+    brand/codec/tracks/dims/duration); AVI payloads walk the RIFF
+    headers (:func:`avi.probe_avi` — ``mjpg``/``dib``/fourcc, stream
+    count, audio presence).  Other containers report their sniffed
+    format with NULL codec fields (pixel-level facts belong to
+    :func:`extract_features`).  Unparseable payloads report container
+    ``'corrupt:<sniff>'`` — a malformed MP4 is a data-quality finding,
+    not an exception.
+
+    Scale shape: map-only ``mapInPandas``, the probe touches only the
+    first/last KB of each payload in memory, 8 small columns out —
+    payload bytes never shuffle, never reach the driver."""
+    import pandas as pd
+
+    def one(p) -> dict:
+        p = bytes(p) if p is not None else b""
+        out = {
+            "container": None, "codec": None, "n_tracks": None,
+            "has_audio": None, "width": None, "height": None,
+            "duration_ms": None,
+        }
+        sniff = _sniff_bytes(p)
+        out["container"] = sniff
+        try:
+            if sniff == "mp4":
+                info = mp4.probe_mp4(p)
+                out.update(
+                    codec=info.video_codec.lower() or None,
+                    n_tracks=info.n_tracks,
+                    has_audio=info.has_audio,
+                    width=info.width or None,
+                    height=info.height or None,
+                    duration_ms=info.duration_ms,
+                )
+            elif sniff == "avi":
+                info = avi.probe_avi(p)
+                if info.handler.upper() == b"MJPG":
+                    codec = "mjpg"
+                elif info.compression == 0:
+                    codec = "dib"
+                else:
+                    codec = info.handler.decode("latin-1").strip().lower() or None
+                out.update(
+                    codec=codec,
+                    n_tracks=info.n_streams,
+                    has_audio=info.has_audio,
+                    width=info.width,
+                    height=info.height,
+                    duration_ms=info.duration_ms,
+                )
+        except Exception:
+            out = dict.fromkeys(out, None)
+            out["container"] = "corrupt:%s" % sniff
+        return out
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            probed = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    **{
+                        k: [d[k] for d in probed]
+                        for k in (
+                            "container", "codec", "n_tracks", "has_audio",
+                            "width", "height", "duration_ms",
+                        )
+                    },
+                }
+            ).astype(
+                {
+                    "n_tracks": "Int32", "width": "Int32",
+                    "height": "Int32", "duration_ms": "Int32",
+                }
+            )
+
+    return media.mapInPandas(batches, schema=CONTAINER_SCHEMA)
+
+
 def synth_media(
     spark,
     n: int = 100,

@@ -246,6 +246,7 @@ QUERIES = [
     # zlib replayed via a content-hash-keyed VALUES oracle (covers the
     # hostile texts too — see __spark_entry__._compression_quality_oracle)
     "compression_quality",
+    "container_probe",
 ]
 
 

@@ -106,6 +106,28 @@ class TestMp4Spark:
         assert got["b"] == ("mp4", False)      # ...but not a legal image one
         assert got["c"] == ("unknown", False)
 
+    def test_probe_containers(self, spark):
+        rows = [
+            ("mp4", "video", bytearray(mp4.encode_mp4(32, 16, 750, with_audio=True))),
+            ("trunc", "video", bytearray(mp4.encode_mp4(32, 16, 750)[:40])),
+            ("junk", "video", bytearray(b"\x00" * 32)),
+            ("png", "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_ref string, media_kind string, payload binary"
+        )
+        got = {r["media_ref"]: r for r in multimodal.probe_containers(df).collect()}
+        m = got["mp4"]
+        assert (m["container"], m["codec"], m["n_tracks"], m["has_audio"]) == (
+            "mp4", "avc1", 2, True,
+        )
+        assert (m["width"], m["height"], m["duration_ms"]) == (32, 16, 750)
+        # truncated MP4 is a finding, not an exception
+        assert got["trunc"]["container"] == "corrupt:mp4"
+        assert got["trunc"]["codec"] is None
+        assert got["junk"]["container"] == "unknown"
+        assert got["png"]["container"] == "png" and got["png"]["codec"] is None
+
     def test_synth_media_mp4_rotation(self, spark):
         feats = multimodal.extract_features(
             multimodal.synth_media(spark, 36, mp4_videos=True)
