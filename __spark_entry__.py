@@ -1637,6 +1637,39 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cosine")
 
 
+def q_srp_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP-LSH over embeddings with the md5-keyed INTEGER-EXACT
+    hash family (`similarity.srp_candidates_md5`) — the embedding twin
+    of `minhash_pairs_md5`: plane weights, sign bits, banding, bucket
+    pairing, and the exact-cosine filter all replay bit-for-bit in
+    DuckDB (int64 dots of round(x·10^6) against md5-derived [-1000,1000]
+    planes — no float summation-order hazard).  The corpus is unioned
+    with a 1.01-scaled id-shifted copy: positive scaling preserves every
+    sign bit, so each injected twin collides in ALL bands (n_bands = 4,
+    cosine 1.0), while random Gaussian pairs must pass a 8-sign-bit band
+    and then survive the ≥0.9 exact-cosine gate."""
+    from evalidate_spark.functions.similarity import srp_candidates_md5
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return srp_candidates_md5(
+        emb.select("vec_id", "embedding", "label").union(dup),
+        n_planes=32,
+        bands=4,
+        dim=64,
+        max_bucket=1024,
+        min_cosine=0.9,
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-pairwise) with an EXACT oracle via the same
     duplicate-injection construction as embedding_near_dups: the corpus
@@ -3745,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "srp_pairs_md5": q_srp_pairs_md5,
         "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
         "filter_agreement": q_filter_agreement,
@@ -5649,6 +5683,55 @@ SELECT doc_id,
        ELSE coalesce(array_to_string(kept, chr(10)), '') END AS cleaned,
   coalesce(NOT pd AND len(kept) > 0, false) AS keep_doc
 FROM k
+"""
+
+ORACLE["srp_pairs_md5"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND vec_id % 25 = 0
+), v AS (
+  -- ve: freshly materialized double list — feeding the parquet-backed
+  -- FLOAT[] column through the candidate hash joins trips a DuckDB
+  -- list_dot_product NULL-slot error on the join's lazy vectors even
+  -- though no element is NULL; a transform-materialized copy is immune
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+      AS qv
+  FROM base
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), bits AS (
+  SELECT vec_id, p.p AS p,
+    CASE WHEN CAST(list_dot_product(qv,
+      list_transform(generate_series(0, 63),
+        d -> CAST('0x' || substr(md5('srp:' || p.p || ':' || d), 1, 8)
+                  AS BIGINT) % 2001 - 1000)) AS BIGINT) >= 0
+      THEN 1 ELSE 0 END AS bit
+  FROM v, generate_series(0, 31) p(p)
+), bands AS (
+  SELECT vec_id, p // 8 AS band,
+    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS h
+  FROM bits GROUP BY 1, 2
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, count(*) AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h = b.h AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, CAST(p.n_bands AS INTEGER) AS n_bands,
+  round({_cos_sql('va.ve', 'vb.ve')}, 6) AS cosine,
+  false AS truncated
+FROM pairs p
+JOIN v va ON va.vec_id = p.id_a
+JOIN v vb ON vb.vec_id = p.id_b
+WHERE round({_cos_sql('va.ve', 'vb.ve')}, 6) >= 0.9
 """
 
 ORACLE["semantic_dedup"] = f"""

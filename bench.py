@@ -286,6 +286,7 @@ def main() -> None:
         "suggested_constraints",
         "profile_incremental",
         "semantic_dedup",
+        "srp_pairs_md5",
         "gopher_rules",
         "filter_funnel",
         "c4_filters",

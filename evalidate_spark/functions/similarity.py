@@ -114,6 +114,120 @@ def dequantize(q_col: Column, scale_col: Column) -> Column:
     )
 
 
+def _srp_plane_weight(p: int, d: int) -> int:
+    """md5-derived SRP plane weight in [-1000, 1000] — deterministic and
+    replayable in any engine with md5: ``int(md5('srp:p:d')[:8], 16)
+    % 2001 - 1000``."""
+    import hashlib
+
+    h = int(hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+def srp_candidates_md5(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    max_bucket: int = 256,
+    min_cosine: float = 0.9,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Signed-random-projection LSH over embeddings with an md5-keyed,
+    INTEGER-EXACT hash family — the embedding-side twin of
+    ``dedup.minhash_candidates_md5``: every stage (plane weights, sign
+    bits, banding, bucketing, pair generation, exact-cosine filter) is
+    replayable bit-for-bit as an ANSI-SQL oracle, putting the whole
+    sublinear embedding-dedup pipeline under the cross-engine hash gate.
+    The numpy-seeded :func:`lsh_bucket_pairs` stays the cheap production
+    default; this family is the verification path.
+
+    Exactness across engines: vectors quantise to ``round(x·10^6)``
+    int64 and plane weights are md5-derived ints in [-1000, 1000], so
+    each projection is an exact integer dot (|dot| ≤ d·10^9 ≪ 2^63 —
+    no float summation-order hazard); the sign bit is then unambiguous.
+    ``n_planes`` bits split into *bands* OR-amplified bands (r =
+    n_planes/bands sign bits each): near-identical vectors agree on all
+    bits and collide in every band, while a random pair passes a band
+    with probability 2^-r.  Candidates within capped buckets get an
+    EXACT cosine (rounded to 6 dp — the cross-engine float contract)
+    and only pairs ≥ *min_cosine* survive → ``(id_a, id_b, n_bands,
+    cosine, truncated)`` (``truncated`` marks pairs from a capped
+    bucket — explicit recall-loss visibility, as in the text LSH
+    family).
+
+    Scale shape: one shuffle on (band, bucket) at signature cardinality,
+    per-bucket cap BEFORE any collect buffer (``cap_per_group``), the
+    exact-cosine join runs at candidate cardinality only.  NULL ids,
+    NULL vectors, wrong-dimension vectors, and vectors containing NULL
+    elements are excluded up front (a NULL element would void the whole
+    integer dot — unknown geometry is not evidence of similarity)."""
+    if n_planes % bands != 0:
+        raise ValueError("srp_candidates_md5: bands must divide n_planes")
+    r = n_planes // bands
+    if r > 62:
+        raise ValueError("srp_candidates_md5: band width must fit an int64")
+    ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    base = df.filter(
+        ic.isNotNull()
+        & vc.isNotNull()
+        & (F.size(vc) == dim)
+        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+    ).select(ic.alias("__id"), vc.alias("__v"))
+
+    qv = F.transform(
+        F.col("__v"),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    # let-bind the quantised vector so the n_planes aggregates don't each
+    # re-inline the per-element round (same plan-blow-up hazard as the
+    # quantize_embeddings scale binding)
+    sigd = base.withColumn("__qv", qv)
+
+    def plane_dot(p: int):
+        w = F.array(*[
+            F.lit(_srp_plane_weight(p, d)).cast("long") for d in range(dim)
+        ])
+        return F.aggregate(
+            F.zip_with(F.col("__qv"), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    band_keys = []
+    for b in range(bands):
+        h = F.lit(0).cast("long")
+        for i in range(r):
+            bit = (plane_dot(b * r + i) >= 0).cast("long")
+            h = h + bit * F.lit(1 << i).cast("long")
+        band_keys.append(
+            F.struct(F.lit(b).alias("band"), h.alias("h"))
+        )
+    banded = sigd.select(
+        "__id", F.explode(F.array(*band_keys)).alias("bh")
+    ).select(F.col("bh.band").alias("band"), F.col("bh.h").alias("h"), "__id")
+
+    from .dedup import _bucket_pairs
+
+    pairs = _bucket_pairs(banded, max_bucket)
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    scored = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_bands").cast("int").alias("n_bands"),
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+            "truncated",
+        )
+    )
+    return scored.filter(F.col("cosine") >= float(min_cosine))
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -71,6 +71,43 @@ class TestSimilarity:
         assert pairs.get((0, 1)) == pytest.approx(1.0)
         assert all(3 not in p for p in pairs)
 
+    def test_srp_candidates_md5(self, spark):
+        rng = np.random.default_rng(7)
+        base = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+        # twin 0 by positive scaling (all sign bits preserved → collides
+        # in EVERY band); vector 999 is 5's exact negation (every bit
+        # flips → never shares a band bucket with 5)
+        rows = (
+            base
+            + [(1000, [x * 1.5 for x in base[0][1]])]
+            + [(999, [-x for x in base[5][1]])]
+            + [(None, base[1][1]), (998, None), (997, [1.0, 2.0])]  # excluded
+        )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in similarity.srp_candidates_md5(
+                df, n_planes=16, bands=4, dim=16, min_cosine=0.9
+            ).collect()
+        }
+        assert (0, 1000) in got
+        r = got[(0, 1000)]
+        assert r["n_bands"] == 4 and r["cosine"] == 1.0 and not r["truncated"]
+        assert all(999 not in p or 5 not in p for p in got)
+        assert all(p[0] not in (997, 998) and p[1] not in (997, 998) for p in got)
+
+        with pytest.raises(ValueError):
+            similarity.srp_candidates_md5(df, n_planes=10, bands=4)
+
+    def test_srp_plane_weights_pinned(self):
+        # the md5 derivation is the cross-engine contract — pin a few values
+        w = similarity._srp_plane_weight
+        import hashlib
+        for p, d in [(0, 0), (3, 17), (31, 63)]:
+            h = int(hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:8], 16)
+            assert w(p, d) == h % 2001 - 1000
+            assert -1000 <= w(p, d) <= 1000
+
 
 class TestCodecs:
     def test_bmp_roundtrip(self):

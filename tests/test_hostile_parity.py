@@ -247,6 +247,7 @@ QUERIES = [
     # hostile texts too — see __spark_entry__._compression_quality_oracle)
     "compression_quality",
     "container_probe",
+    "srp_pairs_md5",
 ]
 
 
