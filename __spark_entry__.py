@@ -1670,6 +1670,21 @@ def q_srp_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-over-wave embedding-distribution drift
+    (`similarity.embedding_drift`): per id-range ingest wave, the cosine
+    between its integer-exact centroid and the previous wave's — how a
+    silent encoder swap or domain shift surfaces in a 10^12-row vector
+    column.  Per-dim sums are round(x·10^6) int64 (order-independent),
+    centroids floor-divide, only the final cosine is float (round 6) —
+    the whole pipeline replays in DuckDB."""
+    from evalidate_spark.functions.similarity import embedding_drift
+
+    return embedding_drift(
+        _t(spark, sf_dir, "embeddings"), dim=64, n_waves=5
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-pairwise) with an EXACT oracle via the same
     duplicate-injection construction as embedding_near_dups: the corpus
@@ -3779,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "srp_pairs_md5": q_srp_pairs_md5,
+        "embedding_drift": q_embedding_drift,
         "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
         "filter_agreement": q_filter_agreement,
@@ -5683,6 +5699,47 @@ SELECT doc_id,
        ELSE coalesce(array_to_string(kept, chr(10)), '') END AS cleaned,
   coalesce(NOT pd AND len(kept) > 0, false) AS keep_doc
 FROM k
+"""
+
+ORACLE["embedding_drift"] = """
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+      AS qv
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), lim AS (
+  SELECT greatest(max(greatest(vec_id, 0)) + 1, 1) AS m FROM base
+), waved AS (
+  SELECT CAST(least(4, greatest(vec_id, 0) * 5 // m) AS INTEGER) AS wave, qv
+  FROM base, lim
+), counts AS (
+  SELECT wave, CAST(count(*) AS BIGINT) AS n_vecs FROM waved GROUP BY 1
+), dims AS (
+  SELECT wave, dd.d AS d, sum(qv[dd.d]) AS s
+  FROM waved, (SELECT unnest(generate_series(1, 64)) AS d) dd
+  GROUP BY 1, 2
+), cent AS (
+  SELECT dims.wave, d,
+    CAST(floor(CAST(s AS DOUBLE) / c.n_vecs) AS BIGINT) AS cd
+  FROM dims JOIN counts c ON c.wave = dims.wave
+), dotp AS (
+  SELECT a.wave,
+    CAST(sum(a.cd * b.cd) AS DOUBLE) AS dab,
+    CAST(sum(a.cd * a.cd) AS DOUBLE) AS daa,
+    CAST(sum(b.cd * b.cd) AS DOUBLE) AS dbb
+  FROM cent a JOIN cent b ON b.wave = a.wave - 1 AND b.d = a.d
+  GROUP BY 1
+)
+SELECT c.wave, c.n_vecs,
+  CASE WHEN p.wave IS NULL THEN NULL
+       WHEN sqrt(p.daa) * sqrt(p.dbb) > 0
+         THEN round(p.dab / (sqrt(p.daa) * sqrt(p.dbb)), 6)
+       ELSE 0.0 END AS centroid_cos_prev
+FROM counts c LEFT JOIN dotp p ON p.wave = c.wave
 """
 
 ORACLE["srp_pairs_md5"] = f"""

@@ -287,6 +287,7 @@ def main() -> None:
         "profile_incremental",
         "semantic_dedup",
         "srp_pairs_md5",
+        "embedding_drift",
         "gopher_rules",
         "filter_funnel",
         "c4_filters",

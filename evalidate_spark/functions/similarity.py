@@ -228,6 +228,110 @@ def srp_candidates_md5(
     return scored.filter(F.col("cosine") >= float(min_cosine))
 
 
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_waves: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Wave-over-wave embedding-distribution drift — the vector-space
+    twin of ``text.vocab_drift``: vectors slice into *n_waves* equal
+    id-ranges (ingest order proxy, as in ``dedup.novelty_trend``) and
+    each wave reports the cosine between ITS centroid and the previous
+    wave's — ``(wave, n_vecs, centroid_cos_prev)`` (NULL for the first
+    wave).  A falling curve is how a silent encoder-version change, a
+    domain shift, or a preprocessing regression shows up in a 10^12-row
+    embedding column long before recall metrics move.
+
+    Cross-engine exactness: per-dim centroid sums accumulate
+    ``round(x·10^6)`` int64 (order-independent — float mean vectors are
+    NOT reproducible across engines), centroids floor-divide by the wave
+    count (explicit double-floor: Spark ``div`` truncates while DuckDB
+    ``//`` floors, and sums go negative), and only the final cosine is
+    a float, rounded to 6 dp.  Plan: ONE aggregate computes all
+    dim×waves sums (64 map-side-combined sum expressions — no explode,
+    the shuffle carries n_waves rows of 64 longs, never row×dim), then
+    an (n_waves)-row self-join.  NULL ids/vectors/elements and
+    wrong-dimension vectors are excluded (same contract as
+    :func:`srp_candidates_md5`).  At 10^12 rows × |x|≤2000 the int64
+    sum headroom is ~4 orders of magnitude; widen to decimal if your
+    embeddings are unnormalised beyond that."""
+    if n_waves < 1:
+        raise ValueError("embedding_drift: n_waves must be >= 1")
+    ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    base = df.filter(
+        ic.isNotNull()
+        & vc.isNotNull()
+        & (F.size(vc) == dim)
+        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+    ).select(ic.alias("__id"), vc.alias("__v"))
+    lim = base.agg(
+        F.greatest(
+            F.max(F.greatest(F.col("__id"), F.lit(0))) + 1, F.lit(1)
+        ).alias("__m")
+    )
+    waved = base.crossJoin(F.broadcast(lim)).select(
+        F.expr(
+            f"least({int(n_waves) - 1}L,"
+            f" greatest(__id, 0) * {int(n_waves)}L DIV __m)"
+        )
+        .cast("int")
+        .alias("wave"),
+        "__v",
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    for d in range(dim):
+        el = F.element_at(F.col("__v"), d + 1).cast("double")
+        aggs.append(
+            F.sum(F.round(el * F.lit(float(scale))).cast("long"))
+            .cast("long")
+            .alias("__s%d" % d)
+        )
+    per_wave = waved.groupBy("wave").agg(*aggs)
+    cent = per_wave.select(
+        "wave",
+        "n_vecs",
+        F.array(*[
+            F.floor(F.col("__s%d" % d).cast("double") / F.col("n_vecs"))
+            .cast("long")
+            for d in range(dim)
+        ]).alias("__c"),
+    )
+    prev = cent.select(
+        (F.col("wave") + 1).alias("wave"), F.col("__c").alias("__cp")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("__c"), F.col("__cp"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+    def inorm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).cast("double")
+        )
+
+    denom = inorm(F.col("__c")) * inorm(F.col("__cp"))
+    return (
+        cent.join(prev, "wave", "left")
+        .select(
+            "wave",
+            "n_vecs",
+            F.when(
+                F.col("__cp").isNull(), F.lit(None).cast("double")
+            )
+            .when(denom > 0, F.round(idot.cast("double") / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("centroid_cos_prev"),
+        )
+        .orderBy("wave")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,

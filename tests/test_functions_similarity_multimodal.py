@@ -99,6 +99,27 @@ class TestSimilarity:
         with pytest.raises(ValueError):
             similarity.srp_candidates_md5(df, n_planes=10, bands=4)
 
+    def test_embedding_drift(self, spark):
+        # waves 0-1: centered on +e0; wave 2: centered on -e0 → the
+        # drift curve reads 1.0 (no drift) then -1.0 (inversion)
+        rows = []
+        for i in range(30):
+            sign = -1.0 if i >= 20 else 1.0
+            v = [sign * 1.0] + [0.01 * ((i % 3) - 1)] * 7
+            rows.append((i, v))
+        rows += [(None, [1.0] * 8), (90, None), (91, [1.0, 2.0])]  # excluded
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["wave"]: r for r in similarity.embedding_drift(
+            df, dim=8, n_waves=3
+        ).collect()}
+        assert sorted(got) == [0, 1, 2]
+        assert got[0]["centroid_cos_prev"] is None
+        assert got[0]["n_vecs"] == 10 and got[2]["n_vecs"] == 10
+        assert got[1]["centroid_cos_prev"] == pytest.approx(1.0, abs=1e-3)
+        assert got[2]["centroid_cos_prev"] == pytest.approx(-1.0, abs=1e-3)
+        with pytest.raises(ValueError):
+            similarity.embedding_drift(df, n_waves=0)
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight

@@ -248,6 +248,7 @@ QUERIES = [
     "compression_quality",
     "container_probe",
     "srp_pairs_md5",
+    "embedding_drift",
 ]
 
 
