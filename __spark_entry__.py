@@ -1663,7 +1663,7 @@ def q_srp_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_candidates_md5(
         emb.select("vec_id", "embedding", "label").union(dup),
         n_planes=32,
-        bands=4,
+        bands=2,
         dim=64,
         max_bucket=1024,
         min_cosine=0.9,
@@ -5773,8 +5773,8 @@ WITH base AS (
       THEN 1 ELSE 0 END AS bit
   FROM v, generate_series(0, 31) p(p)
 ), bands AS (
-  SELECT vec_id, p // 8 AS band,
-    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS h
+  SELECT vec_id, p // 16 AS band,
+    CAST(sum(bit * (1 << (p % 16))) AS BIGINT) AS h
   FROM bits GROUP BY 1, 2
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, count(*) AS n_bands

@@ -181,27 +181,35 @@ def srp_candidates_md5(
         F.col("__v"),
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
     )
-    # let-bind the quantised vector so the n_planes aggregates don't each
+    # let-bind the quantised vector so the plane projections don't each
     # re-inline the per-element round (same plan-blow-up hazard as the
-    # quantize_embeddings scale binding)
-    sigd = base.withColumn("__qv", qv)
-
-    def plane_dot(p: int):
-        w = F.array(*[
+    # quantize_embeddings scale binding); compute ALL plane dots through
+    # ONE transform over a 2D plane literal — n_planes separate
+    # aggregate trees cost ~10 s of analyzer/codegen compile alone
+    planes2d = F.array(*[
+        F.array(*[
             F.lit(_srp_plane_weight(p, d)).cast("long") for d in range(dim)
         ])
-        return F.aggregate(
+        for p in range(n_planes)
+    ])
+    dots = F.transform(
+        planes2d,
+        lambda w: F.aggregate(
             F.zip_with(F.col("__qv"), w, lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
-        )
+        ),
+    )
+    sigd = base.withColumn("__qv", qv).withColumn("__dots", dots)
+
+    def bit(p: int):
+        return (F.element_at(F.col("__dots"), p + 1) >= 0).cast("long")
 
     band_keys = []
     for b in range(bands):
         h = F.lit(0).cast("long")
         for i in range(r):
-            bit = (plane_dot(b * r + i) >= 0).cast("long")
-            h = h + bit * F.lit(1 << i).cast("long")
+            h = h + bit(b * r + i) * F.lit(1 << i).cast("long")
         band_keys.append(
             F.struct(F.lit(b).alias("band"), h.alias("h"))
         )
