@@ -1685,6 +1685,32 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable embedding-centroid states
+    (`similarity.embedding_centroid_state` + `merge_centroid_states`):
+    the scan-once-forever incremental companion to `embedding_drift` —
+    per-increment (n_vecs, per-dim int64 sums) states fold without ever
+    rescanning history, same stance as the HLL/KLL/Theta families.
+    The query emits the even-id and odd-id increment states plus their
+    merged fold; the oracle recomputes all three from scratch, so the
+    merge arithmetic itself is hash-gated (merged ≡ one-shot is
+    additionally pinned in pytest)."""
+    from evalidate_spark.functions.similarity import (
+        embedding_centroid_state,
+        merge_centroid_states,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = embedding_centroid_state(emb.filter(F.col("vec_id") % 2 == 0))
+    odd = embedding_centroid_state(emb.filter(F.col("vec_id") % 2 == 1))
+    merged = merge_centroid_states(even.union(odd))
+    return (
+        even.select(F.lit("even").alias("part"), "n_vecs", "sums")
+        .union(odd.select(F.lit("odd").alias("part"), "n_vecs", "sums"))
+        .union(merged.select(F.lit("merged").alias("part"), "n_vecs", "sums"))
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-pairwise) with an EXACT oracle via the same
     duplicate-injection construction as embedding_near_dups: the corpus
@@ -3795,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "srp_pairs_md5": q_srp_pairs_md5,
         "embedding_drift": q_embedding_drift,
+        "centroid_states": q_centroid_states,
         "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
         "filter_agreement": q_filter_agreement,
@@ -5699,6 +5726,33 @@ SELECT doc_id,
        ELSE coalesce(array_to_string(kept, chr(10)), '') END AS cleaned,
   coalesce(NOT pd AND len(kept) > 0, false) AS keep_doc
 FROM k
+"""
+
+ORACLE["centroid_states"] = """
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+      AS qv
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), parts AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS part, qv
+  FROM base
+  UNION ALL SELECT 'merged', qv FROM base
+), counts AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_vecs FROM parts GROUP BY 1
+), dims AS (
+  SELECT part, dd.d AS d, CAST(coalesce(sum(qv[dd.d]), 0) AS BIGINT) AS s
+  FROM parts, (SELECT unnest(generate_series(1, 64)) AS d) dd
+  GROUP BY 1, 2
+), sums AS (
+  SELECT part, list(s ORDER BY d) AS sums FROM dims GROUP BY 1
+)
+SELECT c.part, c.n_vecs, s.sums
+FROM counts c JOIN sums s ON s.part = c.part
 """
 
 ORACLE["embedding_drift"] = """

@@ -288,6 +288,7 @@ def main() -> None:
         "semantic_dedup",
         "srp_pairs_md5",
         "embedding_drift",
+        "centroid_states",
         "gopher_rules",
         "filter_funnel",
         "c4_filters",

@@ -340,6 +340,86 @@ def embedding_drift(
     )
 
 
+def embedding_centroid_state(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ONE-ROW mergeable centroid state for an embedding increment:
+    ``(n_vecs, sums)`` where ``sums`` is the per-dim int64 sum of
+    ``round(x·10^6)`` — the same integer-exact accumulation as
+    :func:`embedding_drift`, factored into the scan-once-forever shape
+    of the HLL/KLL/Theta state families: fold increments with
+    :func:`merge_centroid_states`, compare any two states with
+    :func:`centroid_state_cosine`, and history vectors are never
+    rescanned.  Exclusion contract matches ``embedding_drift``
+    (NULL id/vector/element, wrong dim)."""
+    ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    base = df.filter(
+        ic.isNotNull()
+        & vc.isNotNull()
+        & (F.size(vc) == dim)
+        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+    ).select(vc.alias("__v"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    for d in range(dim):
+        el = F.element_at(F.col("__v"), d + 1).cast("double")
+        aggs.append(
+            F.coalesce(
+                F.sum(F.round(el * F.lit(float(scale))).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__s%d" % d)
+        )
+    # a global agg yields exactly one row even on empty input (count 0,
+    # sums coalesced to 0) — the empty-increment state is valid
+    return base.agg(*aggs).select(
+        "n_vecs",
+        F.array(*[F.col("__s%d" % d) for d in range(dim)]).alias("sums"),
+    )
+
+
+def merge_centroid_states(states: DataFrame) -> DataFrame:
+    """Fold per-increment :func:`embedding_centroid_state` rows into one:
+    counts and per-dim sums just add (exact int64, order-insensitive).
+    O(increments) rows in, one row out; ``array_sort`` on (dim, sum)
+    structs restores dimension order after the fold (``collect_list``
+    order is not deterministic)."""
+    sums = (
+        states.select(F.posexplode("sums").alias("d", "s"))
+        .groupBy("d")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda x: x["s"],
+            ).alias("sums")
+        )
+    )
+    return (
+        states.agg(F.sum("n_vecs").cast("long").alias("n_vecs"))
+        .crossJoin(F.broadcast(sums))
+        .select("n_vecs", "sums")
+    )
+
+
+def centroid_state_cosine(a_row, b_row) -> float:
+    """Cosine between two centroid states (driver-side, two tiny rows):
+    floor-divided integer centroids, float only at the end — the same
+    arithmetic as :func:`embedding_drift`'s wave comparison."""
+    import math
+
+    ca = [math.floor(s / a_row["n_vecs"]) for s in a_row["sums"]]
+    cb = [math.floor(s / b_row["n_vecs"]) for s in b_row["sums"]]
+    dot = sum(x * y for x, y in zip(ca, cb))
+    na = math.sqrt(sum(x * x for x in ca))
+    nb = math.sqrt(sum(x * x for x in cb))
+    return round(dot / (na * nb), 6) if na * nb > 0 else 0.0
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,

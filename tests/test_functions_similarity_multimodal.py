@@ -120,6 +120,30 @@ class TestSimilarity:
         with pytest.raises(ValueError):
             similarity.embedding_drift(df, n_waves=0)
 
+    def test_centroid_states_merge_equals_oneshot(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+        rows += [(None, [1.0] * 8), (90, None), (91, [1.0])]  # excluded
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = similarity.embedding_centroid_state(df.filter("vec_id < 15"), dim=8)
+        b = similarity.embedding_centroid_state(df.filter("vec_id >= 15"), dim=8)
+        whole = similarity.embedding_centroid_state(df, dim=8).first()
+        merged = similarity.merge_centroid_states(a.union(b)).first()
+        assert merged["n_vecs"] == whole["n_vecs"] == 30
+        assert list(merged["sums"]) == list(whole["sums"])
+        # state-vs-state comparison: identical states → cosine 1.0
+        assert similarity.centroid_state_cosine(whole, merged) == 1.0
+        # empty increment is a valid state and a merge no-op
+        empty = similarity.embedding_centroid_state(
+            df.filter("vec_id < 0"), dim=8
+        )
+        e = empty.first()
+        assert e["n_vecs"] == 0 and list(e["sums"]) == [0] * 8
+        remerged = similarity.merge_centroid_states(
+            a.union(b).union(empty)
+        ).first()
+        assert list(remerged["sums"]) == list(whole["sums"])
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight

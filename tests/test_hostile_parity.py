@@ -249,6 +249,7 @@ QUERIES = [
     "container_probe",
     "srp_pairs_md5",
     "embedding_drift",
+    "centroid_states",
 ]
 
 
