@@ -985,3 +985,58 @@ def novelty_stream(
             ).alias("est_repeats"),
         )
     )
+
+
+def centroid_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed embedding-centroid states — the streaming
+    twin of ``similarity.embedding_centroid_state``: per window,
+    ``(window, n_vecs, sums)`` where ``sums`` is the per-dim int64 sum
+    of ``round(x·10^6)`` over the window's valid vectors.  Downstream,
+    consecutive windows compare with
+    ``similarity.centroid_state_cosine`` (or fold with
+    ``merge_centroid_states``), so an encoder swap mid-stream surfaces
+    within one watermark delay instead of at the next batch audit.
+
+    State is O(windows) × (64 longs + a count) — integer sums are the
+    only legal streaming accumulator here (float mean vectors are
+    micro-batch-order-dependent and would break stream ≡ batch
+    equality, which the tests pin EXACTLY).  The exclusion contract
+    matches the batch state: NULL vectors, wrong dimension, or NULL
+    elements are dropped before aggregation."""
+    vc = F.col("`%s`" % vec_col)
+    d = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(
+            vc.isNotNull()
+            & (F.size(vc) == dim)
+            & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+        )
+        .select(F.col(ts_col), vc.alias("__v"))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    for i in range(dim):
+        el = F.element_at(F.col("__v"), i + 1).cast("double")
+        aggs.append(
+            F.coalesce(
+                F.sum(F.round(el * F.lit(1_000_000.0)).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__s%d" % i)
+        )
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(*aggs)
+        .select(
+            "window",
+            "n_vecs",
+            F.array(*[F.col("__s%d" % i) for i in range(dim)]).alias("sums"),
+        )
+    )

@@ -909,3 +909,51 @@ def test_novelty_stream_matches_batch_hll(spark, tmp_path):
         n, nf, ad, rep = got[r["w"]]
         assert (n, nf, ad) == (r["n"], r["nf"], r["ad"])
         assert rep == max(nf - ad, 0) and rep > 0
+
+
+def test_centroid_stream_matches_batch_state(spark, tmp_path):
+    """Windowed streaming centroid states ≡ the batch state per window —
+    EXACT equality (integer sums are micro-batch-order-independent),
+    including the NULL/ragged-vector exclusions and the downstream
+    state-cosine comparison."""
+    from evalidate_spark.functions import similarity
+
+    path = str(tmp_path / "cs_in")
+    (
+        spark.range(80)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) ts",
+            "CASE WHEN id % 17 = 16 THEN NULL "
+            "WHEN id % 13 = 12 THEN array(cast(1.0 AS double)) "
+            "ELSE transform(sequence(1, 8), "
+            "  d -> cast(sin(id * d) AS double)) END embedding",
+        )
+        .repartition(3)
+        .write.parquet(path)
+    )
+    cs = streaming.centroid_stream(
+        _stream(spark, path), "ts", dim=8, window="30 minutes"
+    )
+    _run_to_memory(cs, "cs_out", mode="complete")
+    got = {
+        r["window"]["start"]: r for r in spark.table("cs_out").collect()
+    }
+    assert len(got) == 3  # 80 rows at 60 s spacing span three half-hours
+
+    static = spark.read.parquet(path)
+    for w_start, row in got.items():
+        import datetime
+
+        lo = w_start
+        hi = lo + datetime.timedelta(minutes=30)
+        batch = similarity.embedding_centroid_state(
+            static.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .withColumn("vec_id", F.lit(1)),
+            dim=8,
+        ).first()
+        assert row["n_vecs"] == batch["n_vecs"] > 0
+        assert list(row["sums"]) == list(batch["sums"])
+    # consecutive-window comparison through the shared state arithmetic
+    ws = sorted(got)
+    c = similarity.centroid_state_cosine(got[ws[0]], got[ws[1]])
+    assert -1.0 <= c <= 1.0
