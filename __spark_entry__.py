@@ -3011,6 +3011,18 @@ def q_span_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_grammar(_grammar_spans(spark, sf_dir), grammar="^t[tm]*$")
 
 
+def q_span_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-template mining (`spans.span_templates`): docs sharing
+    one span-kind skeleton are one extractor template — the layout-level
+    boilerplate report over the interleaved corpus.  Same explode-free
+    signature fold as span_grammar, then a template-cardinality groupBy
+    + broadcast total + deterministic top-k; the oracle replays the
+    deterministic span construction and the whole rollup."""
+    from evalidate_spark.operators.spans import span_templates
+
+    return span_templates(_grammar_spans(spark, sf_dir), min_docs=2, top_k=50)
+
+
 def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join fan-out audit (``table_checks.join_fanout``): projected
     output cardinality of the events ⋈ events self-join on user_id —
@@ -3911,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "props_extract": q_props_extract,
         "span_grammar": q_span_grammar,
+        "span_templates": q_span_templates,
         "props_keys": q_props_keys,
         "rule_cooccurrence": q_rule_cooccurrence,
         "containment_pairs": q_containment_pairs,
@@ -7862,6 +7875,30 @@ SELECT doc_id,
 FROM s
 """
 
+
+ORACLE["span_templates"] = """
+WITH d AS (
+  SELECT doc_id, 1 + ((doc_id % 5) + 5) % 5 AS n FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id IS NULL THEN NULL ELSE
+      array_to_string(list_transform(range(0, CAST(n AS BIGINT)), j ->
+        CASE WHEN ((doc_id % 23) + 23) % 23 = 0 AND j = n - 1 THEN '?'
+             WHEN (((doc_id + j*j) % 3) + 3) % 3 = 0 THEN 'm'
+             ELSE 't' END), '') END AS sig
+  FROM d
+), g AS (
+  SELECT coalesce(sig, '') AS template,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    min(doc_id) AS example_doc_id
+  FROM s GROUP BY 1
+), t AS (SELECT sum(n_docs) AS total FROM g)
+SELECT template, n_docs,
+  CAST(n_docs * 10000 // greatest(t.total, 1) AS BIGINT) AS share_bp,
+  example_doc_id
+FROM g, t WHERE n_docs >= 2
+ORDER BY n_docs DESC, template ASC LIMIT 50
+"""
 
 ORACLE["join_fanout"] = """
 WITH f AS (

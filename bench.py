@@ -372,6 +372,7 @@ def main() -> None:
         "seasonal_anomalies",
         "props_extract",
         "span_grammar",
+        "span_templates",
         "props_keys",
         "rule_cooccurrence",
         "containment_pairs",

@@ -274,6 +274,79 @@ def span_grammar(
     )
 
 
+def span_templates(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+    kind_chars: Sequence[tuple] = (("text", "t"), ("media", "m")),
+    other_char: str = "?",
+    min_docs: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Structural-template mining over the interleaved span arrays —
+    the layout-level boilerplate detector: docs sharing one kind-sequence
+    skeleton (the :func:`span_grammar` signature) were almost certainly
+    produced by one extractor template, and a template owning a large
+    corpus share is the structural analogue of a duplicated line.
+    Returns the top *top_k* templates with ≥ *min_docs* members::
+
+        (template, n_docs, share_bp, example_doc_id)
+
+    ``share_bp`` is the template's exact integer-bp share of all docs
+    (including NULL/empty-span docs, which report as the ``''``
+    template — an empty skeleton is itself a data-quality finding);
+    ``example_doc_id`` is the minimum member id (deterministic, and the
+    row a reviewer opens first).
+
+    Scale shape: the per-doc signature fold is the same explode-free
+    projection as ``span_grammar`` (≤1 char per span), then ONE groupBy
+    at template cardinality (bounded by distinct layouts, not docs), a
+    broadcast 1-row total, and a TakeOrdered top-k — no corpus-sized
+    window, no second scan."""
+    if min_docs < 1:
+        raise ValueError("span_templates: min_docs must be >= 1")
+    spans = _spans(spans_col)
+
+    def _char(s):
+        e = None
+        for kind, c in kind_chars:
+            e = (F.when(s["kind"] == kind, F.lit(c)) if e is None
+                 else e.when(s["kind"] == kind, F.lit(c)))
+        return e.otherwise(F.lit(other_char))
+
+    sig = F.coalesce(
+        F.array_join(F.transform(spans, _char), ""), F.lit("")
+    )
+    per_template = (
+        docs.select(
+            sig.alias("template"),
+            F.col("`%s`" % doc_id).alias("__id"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__id").alias("example_doc_id"),
+        )
+    )
+    total = per_template.agg(
+        F.sum("n_docs").cast("long").alias("__total")
+    )
+    return (
+        per_template.filter(F.col("n_docs") >= int(min_docs))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "template",
+            "n_docs",
+            F.expr("n_docs * 10000L DIV greatest(__total, 1)")
+            .cast("long")
+            .alias("share_bp"),
+            "example_doc_id",
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("template").asc())
+        .limit(int(top_k))
+    )
+
+
 def caption_proximity_violations(
     docs: DataFrame,
     max_distance: int,

@@ -71,6 +71,37 @@ class TestSpanGrammar:
         assert out == {"d1": 3, "d2": 0}
 
 
+class TestSpanTemplates:
+    def test_template_mining(self, spark):
+        from evalidate_spark.operators.spans import span_templates
+
+        df = _docs(spark, [
+            ("d1", [_span("text"), _span("media")]),
+            ("d2", [_span("text"), _span("media")]),
+            ("d3", [_span("text"), _span("media")]),
+            ("d4", [_span("media"), _span("text")]),   # singleton layout
+            ("d5", None),                               # NULL spans -> ''
+            ("d6", []),                                 # empty spans -> ''
+        ])
+        rows = {r["template"]: r for r in
+                span_templates(df, min_docs=2).collect()}
+        # singleton 'mt' filtered; 'tm' x3 and '' x2 survive
+        assert set(rows) == {"tm", ""}
+        tm = rows["tm"]
+        assert tm["n_docs"] == 3 and tm["example_doc_id"] == "d1"
+        assert tm["share_bp"] == 3 * 10000 // 6
+        empty = rows[""]
+        assert empty["n_docs"] == 2 and empty["share_bp"] == 2 * 10000 // 6
+
+        # top_k tie-break is deterministic: n_docs desc then template asc
+        all_rows = span_templates(df, min_docs=1, top_k=2).collect()
+        assert [r["template"] for r in all_rows] == ["tm", ""]
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            span_templates(df, min_docs=0)
+
+
 class TestJoinFanout:
     def _frames(self, spark):
         left = spark.createDataFrame(

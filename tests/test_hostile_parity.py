@@ -250,6 +250,7 @@ QUERIES = [
     "srp_pairs_md5",
     "embedding_drift",
     "centroid_states",
+    "span_templates",
 ]
 
 
