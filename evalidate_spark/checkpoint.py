@@ -53,6 +53,7 @@ QUANTILE_STATES_DIR = "quantile_states"
 CHECK_STATES_DIR = "check_states"
 HOTKEY_STATES_DIR = "hotkey_states"
 UNIQUENESS_STATES_DIR = "uniqueness_states"
+CENTROID_STATES_DIR = "centroid_states"
 
 
 def list_units(input_path: str, files_per_unit: int = 8) -> List[Dict[str, Any]]:
@@ -136,6 +137,15 @@ class CheckpointedRun:
     #: answers "did later units reintroduce earlier units' keys" from
     #: states alone.
     uniqueness_columns: Sequence[str] = ()
+    #: embedding column to fold into a per-unit centroid state
+    #: (``similarity.embedding_centroid_state`` — integer-exact per-dim
+    #: sums); :meth:`centroid` merges them into the run-level centroid
+    #: and :meth:`centroid_drift` reports each unit's centroid-cosine
+    #: against all PRIOR units — the encoder-swap tripwire, from states
+    #: alone, without rescanning any completed unit.
+    centroid_vec_col: Optional[str] = None
+    #: dimensionality for ``centroid_vec_col`` states
+    centroid_dim: int = 64
 
     def _manifest_path(self) -> str:
         return os.path.join(self.out_dir, MANIFEST_DIR)
@@ -231,6 +241,20 @@ class CheckpointedRun:
                     os.path.join(self.out_dir, UNIQUENESS_STATES_DIR)
                 )
 
+            if self.centroid_vec_col:
+                from .functions.similarity import embedding_centroid_state
+
+                embedding_centroid_state(
+                    df,
+                    vec_col=self.centroid_vec_col,
+                    id_col=list(self.id_cols)[0],
+                    dim=self.centroid_dim,
+                ).withColumn(
+                    "increment", F.lit(unit["unit_id"])
+                ).write.mode("overwrite").partitionBy("increment").parquet(
+                    os.path.join(self.out_dir, CENTROID_STATES_DIR)
+                )
+
             # stats from the verdicts JUST WRITTEN (a tiny parquet read of
             # one row per input partition) — not by re-running the whole
             # validation as a second action, which would double per-unit
@@ -311,6 +335,50 @@ class CheckpointedRun:
                 % (subdir[: -len("_states")], ", ".join(missing), opt_name)
             )
         return states, done
+
+    def centroid(self) -> DataFrame:
+        """Run-level embedding-centroid state folded from the per-unit
+        states (one row: ``n_vecs, sums``) — exact integer arithmetic,
+        no completed unit ever rescanned.  Same manifest cross-check as
+        :meth:`profile`."""
+        from .functions.similarity import merge_centroid_states
+
+        if not self.centroid_vec_col:
+            raise ValueError("centroid_vec_col was not set on this run")
+        states, done = self._checked_states(CENTROID_STATES_DIR, "centroid_vec_col")
+        return merge_centroid_states(
+            states.filter(F.col("increment").isin(done)).select("n_vecs", "sums")
+        )
+
+    def centroid_drift(self) -> List[Dict[str, Any]]:
+        """Per-unit drift report from states alone: each unit's centroid
+        cosine against the fold of all PRIOR units (ingest order =
+        unit-id order) — the encoder-swap tripwire.  Driver-side over
+        O(units) tiny rows; first unit and empty-prior folds report
+        ``None``.  Returns ``[{unit_id, n_vecs, cos_prior}, ...]``."""
+        from .functions.similarity import centroid_state_cosine
+
+        if not self.centroid_vec_col:
+            raise ValueError("centroid_vec_col was not set on this run")
+        states, done = self._checked_states(CENTROID_STATES_DIR, "centroid_vec_col")
+        rows = {
+            r["increment"]: r
+            for r in states.filter(F.col("increment").isin(done)).collect()
+        }
+        out: List[Dict[str, Any]] = []
+        acc_n, acc_sums = 0, [0] * self.centroid_dim
+        for uid in sorted(done):
+            r = rows[uid]
+            cos = None
+            if acc_n > 0 and r["n_vecs"] > 0:
+                prior = {"n_vecs": acc_n, "sums": acc_sums}
+                cos = centroid_state_cosine(prior, r)
+            out.append(
+                {"unit_id": uid, "n_vecs": int(r["n_vecs"]), "cos_prior": cos}
+            )
+            acc_n += int(r["n_vecs"])
+            acc_sums = [a + b for a, b in zip(acc_sums, r["sums"])]
+        return out
 
     def quantiles(self) -> DataFrame:
         """Run-level quantile estimates folded from the per-unit KLL

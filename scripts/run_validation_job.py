@@ -58,6 +58,19 @@ def main(argv=None) -> int:
         "merged cross-unit uniqueness summary prints in the summary",
     )
     ap.add_argument(
+        "--centroid-vec-col",
+        default="",
+        help="embedding column to fold into per-unit integer-exact "
+        "centroid states; the merged run centroid plus the per-unit "
+        "centroid-vs-prior-units drift report print in the summary",
+    )
+    ap.add_argument(
+        "--centroid-dim",
+        type=int,
+        default=64,
+        help="dimensionality for --centroid-vec-col states",
+    )
+    ap.add_argument(
         "--checks",
         default="",
         help="JSON file of row-level SQL constraints (check_id -> boolean "
@@ -150,6 +163,8 @@ def main(argv=None) -> int:
         hotkey_columns=tuple(hotkey_cols),
         uniqueness_columns=tuple(uniq_cols),
         checks=checks,
+        centroid_vec_col=args.centroid_vec_col or None,
+        centroid_dim=args.centroid_dim,
     )
     summary = run.run(max_units=args.max_units)
     if schema_report is not None:
@@ -166,6 +181,8 @@ def main(argv=None) -> int:
         summary["uniqueness"] = [
             r.asDict() for r in run.uniqueness_summary().collect()
         ]
+    if args.centroid_vec_col and not run.pending_units():
+        summary["centroid_drift"] = run.centroid_drift()
     print(json.dumps(summary))
     return 0
 

@@ -337,3 +337,64 @@ def test_empty_unit_and_clean_run_contracts(spark, tmp_path):
     assert summary["total_units_done"] == 2
     assert summary["rows"] == 20 and summary["failed_rows"] == 0
     assert run.rule_trends().count() == 0  # clean run -> empty, not error
+
+
+def test_centroid_states_resume_merge_and_drift(spark, tmp_path):
+    """Per-unit centroid states fold to exactly the whole-input state
+    after a crash-and-resume (re-run units overwrite, never
+    double-count), and the drift report flags the unit whose embeddings
+    flipped sign."""
+    from evalidate_spark.functions.similarity import embedding_centroid_state
+
+    path = str(tmp_path / "emb_in")
+    (
+        spark.range(120)
+        .selectExpr(
+            "concat('d', id) AS doc_id",
+            "'valid text here' AS text",
+            "'en' AS lang",
+            # last quarter of ids: inverted embeddings (encoder 'swap')
+            "transform(sequence(1, 8), d -> CASE WHEN id >= 90 "
+            "THEN -cast(1.0 + d AS double) ELSE cast(1.0 + d AS double) END)"
+            " AS embedding",
+        )
+        .repartitionByRange(8, F.col("id"))
+        .write.parquet(path)
+    )
+    out = str(tmp_path / "c")
+    run = CheckpointedRun(
+        spark, path, RULES, out,
+        files_per_unit=2, centroid_vec_col="embedding", centroid_dim=8,
+    )
+    run.run(max_units=1)
+    # crash AFTER state write, BEFORE manifest: the unit must re-run and
+    # OVERWRITE its state rather than double-count
+    import os
+    mdir = os.path.join(out, "manifest")
+    os.remove(os.path.join(mdir, sorted(os.listdir(mdir))[0]))
+    run.run()
+
+    merged = run.centroid().first()
+    whole = embedding_centroid_state(
+        spark.read.parquet(path), vec_col="embedding", id_col="doc_id", dim=8
+    ).first()
+    assert merged["n_vecs"] == whole["n_vecs"] == 120
+    assert list(merged["sums"]) == list(whole["sums"])
+
+    drift = run.centroid_drift()
+    assert len(drift) == 4 and drift[0]["cos_prior"] is None
+    assert sum(d["n_vecs"] for d in drift) == 120
+    # range-partitioned input puts the inverted ids in the LAST unit:
+    # aligned units read ~1.0 against their prior fold, the swapped unit
+    # reads strongly negative — the tripwire fires
+    cs = [d["cos_prior"] for d in drift[1:]]
+    assert all(c is not None for c in cs)
+    assert max(cs) > 0.99 and min(cs) < -0.5
+
+
+def test_centroid_raises_when_not_configured(spark, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path), RULES, str(tmp_path / "x"))
+    with pytest.raises(ValueError):
+        run.centroid()
+    with pytest.raises(ValueError):
+        run.centroid_drift()
