@@ -3023,6 +3023,18 @@ def q_span_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_templates(_grammar_spans(spark, sf_dir), min_docs=2, top_k=50)
 
 
+def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-over-wave span-template drift (`spans.template_drift`):
+    TVD between consecutive ingest waves' layout distributions plus
+    never-seen-template share — the extractor-swap tripwire, completing
+    the drift triad (text: vocab_drift, vectors: embedding_drift,
+    layout: this).  Single template-keyed shuffle, exact int-bp
+    arithmetic, one-aggregate transition rollup."""
+    from evalidate_spark.operators.spans import template_drift
+
+    return template_drift(_grammar_spans(spark, sf_dir), n_waves=5)
+
+
 def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join fan-out audit (``table_checks.join_fanout``): projected
     output cardinality of the events ⋈ events self-join on user_id —
@@ -3740,9 +3752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window: the first 50 entries are the curated
         # correctness window — one representative per SURVEY.md §2
-        # family plus every former red and the newest flagship
-        # composites, so the driver (not the builder's own gate)
-        # certifies them.  Order past 50 is not significant. ---
+        # family plus former reds and the newest flagship composites
+        # (round-4 adds: container_probe, srp_pairs_md5,
+        # embedding_drift, centroid_states, span_templates), so the
+        # driver — not the builder's own gate — certifies them.
+        # Order past 50 is not significant. ---
         "validate_documents": q_validate_documents,
         "clean_documents": q_clean_documents,
         "optional_default": q_optional_default,
@@ -3759,15 +3773,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inclusion_deps": q_inclusion_deps,
         "histogram_events_value": q_histogram_events_value,
         "span_structure": q_span_structure,
-        "span_refs_dangling": q_span_refs_dangling,
         "partition_verdicts": q_partition_verdicts,
         "rule_firing_stats": q_rule_firing_stats,
-        "violation_examples": q_violation_examples,
         "freshness": q_freshness,
         "rule_or": q_rule_or,
         "lib_validators": q_lib_validators,
         "converters": q_converters,
-        "token_counts": q_token_counts,
         "token_counts_bpe": q_token_counts_bpe,
         "quality_documents": q_quality_documents,
         "lang_marker_counts": q_lang_marker_counts,
@@ -3776,10 +3787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_and_on_error": q_rule_and_on_error,
         "deprecated_keys": q_deprecated_keys,
         "nested_childs": q_nested_childs,
-        "password": q_password,
         "custom_validator": q_custom_validator,
         "sampled_docs": q_sampled_docs,
-        "stratified_sample": q_stratified_sample,
         "shard_plan": q_shard_plan,
         "sessions": q_sessions,
         "asof_features": q_asof_features,
@@ -3793,7 +3802,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "classifier_auc": q_classifier_auc,
         "lm_scores": q_lm_scores,
+        "container_probe": q_container_probe,
+        "srp_pairs_md5": q_srp_pairs_md5,
+        "embedding_drift": q_embedding_drift,
+        "centroid_states": q_centroid_states,
+        "span_templates": q_span_templates,
         # --- beyond the driver window (still gate-checked locally) ---
+        "password": q_password,
+        "stratified_sample": q_stratified_sample,
+        "violation_examples": q_violation_examples,
+        "token_counts": q_token_counts,
+        "span_refs_dangling": q_span_refs_dangling,
         "referential_bloom": q_referential_bloom,
         "uniqueness_composite": q_uniqueness_composite,
         "mad_outliers": q_mad_outliers,
@@ -3831,9 +3850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "srp_pairs_md5": q_srp_pairs_md5,
-        "embedding_drift": q_embedding_drift,
-        "centroid_states": q_centroid_states,
         "filter_funnel": q_filter_funnel,
         "c4_filters": q_c4_filters,
         "filter_agreement": q_filter_agreement,
@@ -3886,7 +3902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims": q_media_dims,
         "media_format_check": q_media_format_check,
         "video_frame_grid": q_video_frame_grid,
-        "container_probe": q_container_probe,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
         "video_near_dups": q_video_near_dups,
@@ -3923,7 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "props_extract": q_props_extract,
         "span_grammar": q_span_grammar,
-        "span_templates": q_span_templates,
+        "template_drift": q_template_drift,
         "props_keys": q_props_keys,
         "rule_cooccurrence": q_rule_cooccurrence,
         "containment_pairs": q_containment_pairs,
@@ -7898,6 +7913,59 @@ SELECT template, n_docs,
   example_doc_id
 FROM g, t WHERE n_docs >= 2
 ORDER BY n_docs DESC, template ASC LIMIT 50
+"""
+
+ORACLE["template_drift"] = """
+WITH dn AS (
+  SELECT doc_id, 1 + ((doc_id % 5) + 5) % 5 AS n FROM documents
+  WHERE doc_id IS NOT NULL
+), s AS (
+  SELECT doc_id AS id,
+    array_to_string(list_transform(range(0, CAST(n AS BIGINT)), j ->
+      CASE WHEN ((doc_id % 23) + 23) % 23 = 0 AND j = n - 1 THEN '?'
+           WHEN (((doc_id + j*j) % 3) + 3) % 3 = 0 THEN 'm'
+           ELSE 't' END), '') AS t
+  FROM dn
+), m AS (
+  SELECT greatest(max(greatest(id, 0)) + 1, 1) AS mx FROM s
+), w AS (
+  SELECT least(4, greatest(id, 0) * 5 // mx) AS wv, t FROM s, m
+), pt AS (
+  SELECT t,
+    sum(CASE WHEN wv = 0 THEN 1 ELSE 0 END) AS c0,
+    sum(CASE WHEN wv = 1 THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN wv = 2 THEN 1 ELSE 0 END) AS c2,
+    sum(CASE WHEN wv = 3 THEN 1 ELSE 0 END) AS c3,
+    sum(CASE WHEN wv = 4 THEN 1 ELSE 0 END) AS c4
+  FROM w GROUP BY 1
+), tot AS (
+  SELECT sum(c0) AS t0, sum(c1) AS t1, sum(c2) AS t2,
+         sum(c3) AS t3, sum(c4) AS t4
+  FROM pt
+), r AS (
+  SELECT
+    sum(abs(c0*10000//greatest(t0,1) - c1*10000//greatest(t1,1))) // 2 AS tvd_0,
+    sum(abs(c1*10000//greatest(t1,1) - c2*10000//greatest(t2,1))) // 2 AS tvd_1,
+    sum(abs(c2*10000//greatest(t2,1) - c3*10000//greatest(t3,1))) // 2 AS tvd_2,
+    sum(abs(c3*10000//greatest(t3,1) - c4*10000//greatest(t4,1))) // 2 AS tvd_3,
+    sum(CASE WHEN c0 = 0 AND c1 > 0 THEN 1 ELSE 0 END) AS nt_0,
+    sum(CASE WHEN c1 = 0 AND c2 > 0 THEN 1 ELSE 0 END) AS nt_1,
+    sum(CASE WHEN c2 = 0 AND c3 > 0 THEN 1 ELSE 0 END) AS nt_2,
+    sum(CASE WHEN c3 = 0 AND c4 > 0 THEN 1 ELSE 0 END) AS nt_3,
+    sum(CASE WHEN c0 = 0 THEN c1 ELSE 0 END) * 10000 // greatest(sum(c1),1) AS no_0,
+    sum(CASE WHEN c1 = 0 THEN c2 ELSE 0 END) * 10000 // greatest(sum(c2),1) AS no_1,
+    sum(CASE WHEN c2 = 0 THEN c3 ELSE 0 END) * 10000 // greatest(sum(c3),1) AS no_2,
+    sum(CASE WHEN c3 = 0 THEN c4 ELSE 0 END) * 10000 // greatest(sum(c4),1) AS no_3
+  FROM pt, tot
+)
+SELECT 0 AS from_wave, 1 AS to_wave, CAST(tvd_0 AS BIGINT) AS tvd_bp,
+  CAST(nt_0 AS BIGINT) AS new_templates, CAST(no_0 AS BIGINT) AS new_docs_bp FROM r
+UNION ALL
+SELECT 1, 2, CAST(tvd_1 AS BIGINT), CAST(nt_1 AS BIGINT), CAST(no_1 AS BIGINT) FROM r
+UNION ALL
+SELECT 2, 3, CAST(tvd_2 AS BIGINT), CAST(nt_2 AS BIGINT), CAST(no_2 AS BIGINT) FROM r
+UNION ALL
+SELECT 3, 4, CAST(tvd_3 AS BIGINT), CAST(nt_3 AS BIGINT), CAST(no_3 AS BIGINT) FROM r
 """
 
 ORACLE["join_fanout"] = """

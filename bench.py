@@ -373,6 +373,7 @@ def main() -> None:
         "props_extract",
         "span_grammar",
         "span_templates",
+        "template_drift",
         "props_keys",
         "rule_cooccurrence",
         "containment_pairs",

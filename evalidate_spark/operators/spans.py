@@ -347,6 +347,115 @@ def span_templates(
     )
 
 
+def template_drift(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+    kind_chars: Sequence[tuple] = (("text", "t"), ("media", "m")),
+    other_char: str = "?",
+    n_waves: int = 5,
+) -> DataFrame:
+    """Wave-over-wave span-TEMPLATE drift — the extractor-swap tripwire:
+    docs slice into *n_waves* equal id-ranges (ingest order proxy) and
+    consecutive waves' template distributions (the :func:`span_templates`
+    skeletons, one per doc) compare by total-variation distance —
+    ``(from_wave, to_wave, tvd_bp, new_templates, new_docs_bp)``.
+
+    A TVD spike between waves means the upstream extractor changed the
+    LAYOUT it emits (new pipeline version, new source mix) even when
+    per-doc validation still passes; ``new_templates`` / ``new_docs_bp``
+    count skeletons (and their doc share of the TO wave) never seen in
+    the FROM wave.  The layout analogue of ``text.vocab_drift`` and the
+    structural analogue of ``similarity.embedding_drift`` — the three
+    drift monitors cover text, vectors, and layout.
+
+    Plan: identical to vocab_drift minus the explode (one TEMPLATE per
+    doc): one template-keyed groupBy computes all waves' conditional
+    counts, a broadcast 1-row total, then ONE aggregate emits every
+    transition's exact int-bp terms and a tiny unpivot — the shuffle is
+    template-cardinality, never corpus-cardinality, and nothing is
+    rescanned per transition.  NULL ids are excluded (no wave position);
+    NULL/empty span arrays participate as the ``''`` template (layout
+    absence drifting in IS drift)."""
+    if n_waves < 2:
+        raise ValueError("template_drift: n_waves must be >= 2")
+    spans = _spans(spans_col)
+    ids = F.col("`%s`" % doc_id)
+
+    def _char(s):
+        e = None
+        for kind, c in kind_chars:
+            e = (F.when(s["kind"] == kind, F.lit(c)) if e is None
+                 else e.when(s["kind"] == kind, F.lit(c)))
+        return e.otherwise(F.lit(other_char))
+
+    sig = F.coalesce(
+        F.array_join(F.transform(spans, _char), ""), F.lit("")
+    )
+    d = docs.filter(ids.isNotNull()).select(
+        ids.alias("__id"), sig.alias("__t")
+    )
+    lim = d.agg(
+        F.greatest(
+            F.max(F.greatest(F.col("__id"), F.lit(0))) + 1, F.lit(1)
+        ).alias("__m")
+    )
+    waved = d.crossJoin(F.broadcast(lim)).select(
+        F.expr(
+            f"least({int(n_waves) - 1}L,"
+            f" greatest(__id, 0) * {int(n_waves)}L DIV __m)"
+        ).alias("__w"),
+        "__t",
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col("__w") == w, 1).otherwise(0))
+        .cast("long")
+        .alias("c%d" % w)
+        for w in range(n_waves)
+    ]
+    # pin the template-cardinality table (group_drift precedent): wave
+    # totals and the transition rollup both read it
+    per_tpl = waved.groupBy("__t").agg(*cnt_cols).localCheckpoint(eager=False)
+    tot = per_tpl.agg(
+        *[F.sum("c%d" % w).alias("t%d" % w) for w in range(n_waves)]
+    )
+    wide = per_tpl.crossJoin(F.broadcast(tot))
+    aggs = []
+    for w in range(n_waves - 1):
+        a, b = "c%d" % w, "c%d" % (w + 1)
+        ta, tb = "t%d" % w, "t%d" % (w + 1)
+        share_a = f"{a} * 10000L DIV greatest({ta}, 1)"
+        share_b = f"{b} * 10000L DIV greatest({tb}, 1)"
+        aggs += [
+            F.expr(f"sum(abs(({share_a}) - ({share_b}))) DIV 2")
+            .cast("long")
+            .alias("tvd_%d" % w),
+            F.sum(F.when((F.col(a) == 0) & (F.col(b) > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("nt_%d" % w),
+            F.expr(
+                f"sum(CASE WHEN {a} = 0 THEN {b} ELSE 0 END)"
+                f" * 10000L DIV greatest(sum({b}), 1)"
+            )
+            .cast("long")
+            .alias("no_%d" % w),
+        ]
+    row = wide.agg(*aggs)
+    transitions = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("int").alias("from_wave"),
+                F.lit(w + 1).cast("int").alias("to_wave"),
+                F.col("tvd_%d" % w).alias("tvd_bp"),
+                F.col("nt_%d" % w).alias("new_templates"),
+                F.col("no_%d" % w).alias("new_docs_bp"),
+            )
+            for w in range(n_waves - 1)
+        ]
+    )
+    return row.select(F.explode(transitions).alias("t")).select("t.*")
+
+
 def caption_proximity_violations(
     docs: DataFrame,
     max_distance: int,

@@ -102,6 +102,42 @@ class TestSpanTemplates:
             span_templates(df, min_docs=0)
 
 
+class TestTemplateDrift:
+    def test_extractor_swap_trips(self, spark):
+        from evalidate_spark.operators.spans import template_drift
+
+        # waves 0-2 emit layout 'tm'; waves 3-4 emit 'tmm' — the swap
+        # boundary transition reads full TVD + full new-template share
+        rows = []
+        for i in range(50):
+            layout = (
+                [_span("text"), _span("media")] if i < 30
+                else [_span("text"), _span("media"), _span("media")]
+            )
+            rows.append((str(i).zfill(3), layout))
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        # doc_id is a string here; use a numeric frame for wave slicing
+        num = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+        out = {(r["from_wave"], r["to_wave"]): r
+               for r in template_drift(num, n_waves=5).collect()}
+        assert len(out) == 4
+        # steady transitions: zero drift
+        assert out[(0, 1)]["tvd_bp"] == 0 and out[(0, 1)]["new_templates"] == 0
+        assert out[(3, 4)]["tvd_bp"] == 0
+        # the swap transition (waves 2→3): total distribution change
+        assert out[(2, 3)]["tvd_bp"] == 10000
+        assert out[(2, 3)]["new_templates"] == 1
+        assert out[(2, 3)]["new_docs_bp"] == 10000
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            template_drift(num, n_waves=1)
+
+
 class TestJoinFanout:
     def _frames(self, spark):
         left = spark.createDataFrame(

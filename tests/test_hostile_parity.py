@@ -251,6 +251,7 @@ QUERIES = [
     "embedding_drift",
     "centroid_states",
     "span_templates",
+    "template_drift",
 ]
 
 
