@@ -144,6 +144,24 @@ class TestSimilarity:
         ).first()
         assert list(remerged["sums"]) == list(whole["sums"])
 
+    def test_embedding_drift_plan_shape(self, spark):
+        # docstring promise: ONE aggregate carries all dim×wave sums —
+        # no explode (row×dim expansion) anywhere in the plan, and no
+        # global window
+        rng = np.random.default_rng(5)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        plan = (
+            similarity.embedding_drift(df, dim=8, n_waves=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Generate " not in plan, plan
+        assert "Window" not in plan, plan
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight

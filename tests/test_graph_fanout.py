@@ -137,6 +137,21 @@ class TestTemplateDrift:
         with _pytest.raises(ValueError):
             template_drift(num, n_waves=1)
 
+    def test_plan_has_single_tiny_unpivot(self, spark):
+        # docstring promise: one template-keyed shuffle + one-aggregate
+        # rollup — the ONLY Generate in the plan is the (n_waves-1)-row
+        # transitions unpivot, never a corpus-row explode
+        from evalidate_spark.operators.spans import template_drift
+
+        df = _docs(spark, [
+            (str(i), [_span("text"), _span("media")]) for i in range(20)
+        ]).withColumn("doc_id", F.col("doc_id").cast("long"))
+        plan = (
+            template_drift(df, n_waves=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Generate ") == 1, plan
+
 
 class TestJoinFanout:
     def _frames(self, spark):
