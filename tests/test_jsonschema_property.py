@@ -77,6 +77,27 @@ def scalar_schema():
 
 
 @st.composite
+def anyof_schema(draw):
+    """``anyOf`` with single-validator string-shaped branches (the
+    importer's supported subset → validator-level OrV): a value passes
+    iff ANY branch's constraint passes."""
+    branches = []
+    n = draw(st.integers(2, 3))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["minlen", "pattern", "enum"]))
+        if kind == "minlen":
+            branches.append({"minLength": draw(st.integers(1, 4))})
+        elif kind == "pattern":
+            branches.append({"pattern": draw(st.sampled_from(_PATTERNS))})
+        else:
+            branches.append(
+                {"enum": draw(st.lists(st.sampled_from(["a", "ab", "b"]),
+                                       min_size=1, max_size=2, unique=True))}
+            )
+    return {"anyOf": branches}
+
+
+@st.composite
 def object_schema(draw, nested=True, focus=None):
     """*focus* forces property ``p0`` to the given kind WITH its bound
     keywords present — without it, a 15-example run can easily sample
@@ -101,6 +122,9 @@ def object_schema(draw, nested=True, focus=None):
             continue
         if n == "p0" and focus == "object":
             props[n] = draw(object_schema(nested=False, focus=None))
+            continue
+        if n == "p0" and focus == "anyof":
+            props[n] = draw(anyof_schema())
             continue
         kinds = ["scalar", "array"] + (["object"] if nested else [])
         kind = draw(st.sampled_from(kinds))
@@ -129,6 +153,22 @@ def _value_for(sub):
     """Boundary-biased: half the draws land exactly ON a declared bound
     (length == minLength, value == maximum, len == maxItems …) so
     off-by-one strictness bugs in either implementation can't hide."""
+    if "anyOf" in sub:
+        bounds = [
+            b + d
+            for br in sub["anyOf"]
+            if "minLength" in br
+            for d in (-1, 0, 1)
+            for b in (br["minLength"],)
+            if b + d >= 0
+        ]
+        on_bound = (
+            st.sampled_from(bounds).map(lambda k: "a" * k)
+            if bounds else st.just("a")
+        )
+        return st.one_of(
+            st.none(), st.text(alphabet="ab", max_size=6), on_bound
+        )
     t = sub.get("type")
     if t == "string":
         bounds = [
@@ -189,6 +229,8 @@ def row_for(draw, schema):
 
 
 def _spark_type(sub):
+    if "anyOf" in sub:
+        return T.StringType()
     t = sub.get("type")
     if t == "string":
         return T.StringType()
@@ -212,6 +254,10 @@ def _spark_type(sub):
 
 
 def _scalar_ok(sub, v) -> bool:
+    if "anyOf" in sub:
+        return any(
+            _scalar_ok(dict(br, type="string"), v) for br in sub["anyOf"]
+        )
     t = sub.get("type")
     if t == "string":
         ln = len(v)
@@ -270,7 +316,7 @@ def eval_ok(schema, row) -> bool:
 import pytest
 
 
-@pytest.mark.parametrize("focus", ["string", "integer", "array", "object"])
+@pytest.mark.parametrize("focus", ["string", "integer", "array", "object", "anyof"])
 @settings(
     max_examples=10,
     deadline=None,
