@@ -1711,6 +1711,38 @@ def q_centroid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE embedding-dedup pipeline as one hash-gated query — the
+    vector twin of `minhash_dedup_attrition`: corpus + 1.01-scaled twin
+    injection → integer-exact md5 SRP-LSH candidates → exact-cosine
+    filter → connected components (`duplicate_clusters`) → min-id
+    representative per component → per-label survival report
+    (`cluster_attrition`).  Every stage replays in DuckDB (the
+    srp_pairs_md5 CTE + recursive-CTE components + the attrition
+    rollup), so the hash gate covers raw vectors to business report
+    end-to-end."""
+    from evalidate_spark.functions import dedup
+    from evalidate_spark.functions.similarity import srp_candidates_md5
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
+    valid = emb.filter(F.col("embedding").isNotNull())
+    twins = valid.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").union(twins)
+    pairs = srp_candidates_md5(
+        corpus, n_planes=32, bands=2, dim=64, max_bucket=1024, min_cosine=0.9
+    )
+    cl = dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+    return dedup.cluster_attrition(
+        corpus, cl, group_col="label", id_col="vec_id"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-pairwise) with an EXACT oracle via the same
     duplicate-injection construction as embedding_near_dups: the corpus
@@ -3808,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_states": q_centroid_states,
         "span_templates": q_span_templates,
         # --- beyond the driver window (still gate-checked locally) ---
+        "embedding_dedup_attrition": q_embedding_dedup_attrition,
         "password": q_password,
         "stratified_sample": q_stratified_sample,
         "violation_examples": q_violation_examples,
@@ -5782,6 +5815,42 @@ WITH base AS (
 SELECT c.part, c.n_vecs, s.sums
 FROM counts c JOIN sums s ON s.part = c.part
 """
+
+def _embedding_dedup_attrition_oracle() -> str:
+    # f-string deferral: ORACLE["srp_pairs_md5"] is defined later in the
+    # module; resolved at oracle_sql() time
+    return f"""
+WITH RECURSIVE cand AS ({ORACLE["srp_pairs_md5"]}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+), cl AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+), reps AS (
+  SELECT cluster_id, min(id) AS rep FROM cl GROUP BY cluster_id
+), corpus AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id IS NOT NULL
+  UNION ALL
+  SELECT vec_id + 100000, label FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND vec_id % 25 = 0
+), m AS (
+  SELECT d.label, (c.id IS NULL OR d.vec_id = r.rep) AS kept
+  FROM corpus d
+  LEFT JOIN cl c ON d.vec_id = c.id
+  LEFT JOIN reps r ON c.cluster_id = r.cluster_id
+)
+SELECT label,
+       cast(count(*) AS bigint) AS docs_in,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS docs_kept,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS double) / count(*)
+         AS kept_ratio
+FROM m GROUP BY label
+"""
+
 
 ORACLE["embedding_drift"] = """
 WITH base AS (
@@ -9338,6 +9407,7 @@ FROM (
 
 def oracle_sql() -> dict[str, str]:
     d = dict(ORACLE)
+    d["embedding_dedup_attrition"] = _embedding_dedup_attrition_oracle()
     try:
         d["compression_quality"] = _compression_quality_oracle()
     except Exception:

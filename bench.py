@@ -289,6 +289,7 @@ def main() -> None:
         "srp_pairs_md5",
         "embedding_drift",
         "centroid_states",
+        "embedding_dedup_attrition",
         "gopher_rules",
         "filter_funnel",
         "c4_filters",

@@ -252,6 +252,7 @@ QUERIES = [
     "centroid_states",
     "span_templates",
     "template_drift",
+    "embedding_dedup_attrition",
 ]
 
 
