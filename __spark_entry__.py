@@ -1743,6 +1743,44 @@ def q_embedding_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment EMBEDDING dedup from states alone — the vector
+    twin of `incremental_minhash`: history increments store only their
+    packed SRP sign-bit signatures (`similarity.srp_state`), and the new
+    increment (which carries 1.01-scaled twins of historical vectors —
+    scaling preserves every sign bit) dedups against ALL history via
+    band-key bit arithmetic + a bipartite bucket join
+    (`srp_dedup_against_state`) — no historical embedding is ever
+    rescanned, and similarity is the exact integer bit-agreement share.
+    Signature, banding, join, and hamming all replay in DuckDB."""
+    from evalidate_spark.functions.similarity import (
+        srp_dedup_against_state,
+        srp_state,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    vid = F.col("vec_id")
+    old = srp_state(emb.filter(vid % 3 == 1), "u0").unionByName(
+        srp_state(emb.filter(vid % 3 == 2), "u1")
+    )
+    twins = emb.filter((vid % 25 == 0) & (vid % 3 != 0)).select(
+        (vid + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    new = srp_state(
+        emb.filter(vid % 3 == 0)
+        .select("vec_id", "embedding", "label")
+        .union(twins),
+        "u2",
+    )
+    return srp_dedup_against_state(new, old, n_planes=32, bands=2)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-pairwise) with an EXACT oracle via the same
     duplicate-injection construction as embedding_near_dups: the corpus
@@ -3840,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_states": q_centroid_states,
         "span_templates": q_span_templates,
         # --- beyond the driver window (still gate-checked locally) ---
+        "incremental_srp": q_incremental_srp,
         "embedding_dedup_attrition": q_embedding_dedup_attrition,
         "password": q_password,
         "stratified_sample": q_stratified_sample,
@@ -5851,6 +5890,65 @@ SELECT label,
 FROM m GROUP BY label
 """
 
+
+ORACLE["incremental_srp"] = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), allsrc AS (
+  SELECT vec_id, embedding, 'u2' AS inc, true AS is_new
+  FROM base WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT)),
+         'u2', true
+  FROM base WHERE vec_id % 25 = 0 AND vec_id % 3 <> 0
+  UNION ALL
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 3 = 1 THEN 'u0' ELSE 'u1' END, false
+  FROM base WHERE vec_id % 3 <> 0
+), v AS (
+  SELECT vec_id, inc, is_new,
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+      AS qv
+  FROM allsrc
+  WHERE len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), bits AS (
+  SELECT vec_id, inc, is_new, p.p AS p,
+    CASE WHEN CAST(list_dot_product(qv,
+      list_transform(generate_series(0, 63),
+        d -> CAST('0x' || substr(md5('srp:' || p.p || ':' || d), 1, 8)
+                  AS BIGINT) % 2001 - 1000)) AS BIGINT) >= 0
+      THEN 1 ELSE 0 END AS bit
+  FROM v, generate_series(0, 31) p(p)
+), sig AS (
+  SELECT vec_id, inc, is_new,
+    CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS sig
+  FROM bits GROUP BY 1, 2, 3
+), banded AS (
+  SELECT vec_id, inc, is_new, sig, b.b AS band,
+    (sig // (1::BIGINT << (b.b * 16))) % 65536 AS h
+  FROM sig, generate_series(0, 1) b(b)
+), j AS (
+  SELECT n.vec_id AS id_new, n.inc AS inc_new,
+         o.vec_id AS id_old, o.inc AS inc_old,
+         n.sig AS sa, o.sig AS sb
+  FROM banded n JOIN banded o ON n.band = o.band AND n.h = o.h
+  WHERE n.is_new AND NOT o.is_new
+), p AS (
+  SELECT id_new, inc_new, id_old, inc_old,
+         CAST(count(*) AS INTEGER) AS n_bands,
+         any_value(sa) AS sa, any_value(sb) AS sb
+  FROM j GROUP BY 1, 2, 3, 4
+)
+SELECT id_new, inc_new, id_old, inc_old, n_bands,
+  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming,
+  CAST((32 - bit_count(xor(sa, sb))) * 10000 // 32 AS BIGINT) AS sim_bp,
+  false AS truncated
+FROM p
+"""
 
 ORACLE["embedding_drift"] = """
 WITH base AS (

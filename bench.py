@@ -290,6 +290,7 @@ def main() -> None:
         "embedding_drift",
         "centroid_states",
         "embedding_dedup_attrition",
+        "incremental_srp",
         "gopher_rules",
         "filter_funnel",
         "c4_filters",

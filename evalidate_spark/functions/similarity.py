@@ -177,30 +177,7 @@ def srp_candidates_md5(
         & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
     ).select(ic.alias("__id"), vc.alias("__v"))
 
-    qv = F.transform(
-        F.col("__v"),
-        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
-    )
-    # let-bind the quantised vector so the plane projections don't each
-    # re-inline the per-element round (same plan-blow-up hazard as the
-    # quantize_embeddings scale binding); compute ALL plane dots through
-    # ONE transform over a 2D plane literal — n_planes separate
-    # aggregate trees cost ~10 s of analyzer/codegen compile alone
-    planes2d = F.array(*[
-        F.array(*[
-            F.lit(_srp_plane_weight(p, d)).cast("long") for d in range(dim)
-        ])
-        for p in range(n_planes)
-    ])
-    dots = F.transform(
-        planes2d,
-        lambda w: F.aggregate(
-            F.zip_with(F.col("__qv"), w, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ),
-    )
-    sigd = base.withColumn("__qv", qv).withColumn("__dots", dots)
+    sigd = _with_srp_dots(base, n_planes, dim, scale)
 
     def bit(p: int):
         return (F.element_at(F.col("__dots"), p + 1) >= 0).cast("long")
@@ -337,6 +314,150 @@ def embedding_drift(
             .alias("centroid_cos_prev"),
         )
         .orderBy("wave")
+    )
+
+
+def _with_srp_dots(
+    base: DataFrame, n_planes: int, dim: int, scale: int
+) -> DataFrame:
+    """Attach ``__dots`` (array of the n_planes integer plane dots) to a
+    frame carrying ``__v`` — the shared signature core of
+    :func:`srp_candidates_md5` and :func:`srp_state`: one transform over
+    a 2D plane literal (n_planes separate aggregate trees cost ~10 s of
+    analyzer/codegen compile alone), quantised vector let-bound so the
+    per-element round is never re-inlined."""
+    qv = F.transform(
+        F.col("__v"),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    planes2d = F.array(*[
+        F.array(*[
+            F.lit(_srp_plane_weight(p, d)).cast("long") for d in range(dim)
+        ])
+        for p in range(n_planes)
+    ])
+    dots = F.transform(
+        planes2d,
+        lambda w: F.aggregate(
+            F.zip_with(F.col("__qv"), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    return base.withColumn("__qv", qv).withColumn("__dots", dots)
+
+
+def srp_state(
+    df: DataFrame,
+    increment: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 32,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stored SRP signature state for one ingest increment:
+    ``(increment, vec_id, sig)`` where ``sig`` packs the *n_planes*
+    md5-keyed sign bits (:func:`srp_candidates_md5`'s integer-exact
+    family) into one int64.  The cross-increment dedup shape: write this
+    tiny state per ingest, and
+    :func:`srp_dedup_against_state` dedups any new increment against
+    ALL history from states alone — historical vectors are never
+    rescanned, and similarity is estimated from the stored bits
+    (bit-agreement share), not from the embeddings.  Exclusion contract
+    matches the batch family."""
+    if n_planes > 62:
+        raise ValueError("srp_state: n_planes must fit an int64 signature")
+    ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    base = df.filter(
+        ic.isNotNull()
+        & vc.isNotNull()
+        & (F.size(vc) == dim)
+        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+    ).select(ic.alias("vec_id"), vc.alias("__v"))
+    sigd = _with_srp_dots(base, n_planes, dim, scale)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bit = (F.element_at(F.col("__dots"), p + 1) >= 0).cast("long")
+        sig = sig + bit * F.lit(1 << p).cast("long")
+    return sigd.select(
+        F.lit(increment).alias("increment"), "vec_id", sig.alias("sig")
+    )
+
+
+def srp_dedup_against_state(
+    new_state: DataFrame,
+    old_state: DataFrame,
+    n_planes: int = 32,
+    bands: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Bipartite cross-increment near-dup candidates from SRP states
+    alone: band keys derive from the stored signatures by bit
+    arithmetic, new×old buckets join, and similarity is the exact
+    bit-agreement share — ``(id_new, inc_new, id_old, inc_old, n_bands,
+    hamming, sim_bp)`` with ``sim_bp = (n_planes − hamming)·10000 div
+    n_planes``.  No embedding is touched on either side: at 10^12
+    vectors the history scan this replaces is the entire cost.
+    (``sim_bp`` is monotone in angular cosine — rank/threshold on it
+    directly; recover a cosine estimate as ``cos(π·hamming/n_planes)``
+    downstream if needed.  Integer output keeps the gate exact.)
+
+    The old (history) side caps per bucket BEFORE the join
+    (``cap_per_group``) so one degenerate bucket cannot explode the
+    bipartite product; capped pairs carry ``truncated = true``."""
+    if n_planes % bands != 0:
+        raise ValueError("srp_dedup_against_state: bands must divide n_planes")
+    r = n_planes // bands
+    mask = (1 << r) - 1
+
+    def banded(state: DataFrame, prefix: str) -> DataFrame:
+        keys = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr("CAST(sig DIV %d AS BIGINT) %% %d" % (1 << (b * r), mask + 1))
+                .alias("h"),
+            )
+            for b in range(bands)
+        ])
+        return state.select(
+            F.col("vec_id").alias(prefix + "_id"),
+            F.col("increment").alias(prefix + "_inc"),
+            F.col("sig").alias(prefix + "_sig"),
+            F.explode(keys).alias("bh"),
+        ).select(
+            prefix + "_id", prefix + "_inc", prefix + "_sig",
+            F.col("bh.band").alias("band"), F.col("bh.h").alias("h"),
+        )
+
+    nb = banded(new_state, "new")
+    # min_size=1: a singleton HISTORY bucket still pairs with new-side
+    # members (the self-join default of 2 only makes sense when pairs
+    # come from within one bucket)
+    ob = cap_per_group(
+        banded(old_state, "old"), ["band", "h"], "old_id", max_bucket,
+        min_size=1,
+    )
+    j = nb.join(ob, ["band", "h"])
+    pairs = j.groupBy("new_id", "new_inc", "old_id", "old_inc").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands"),
+        F.first("new_sig").alias("__sa"),
+        F.first("old_sig").alias("__sb"),
+        (F.max("__gsz") > max_bucket).alias("truncated"),
+    )
+    hamming = F.bit_count(F.expr("__sa ^ __sb")).cast("int")
+    return pairs.select(
+        F.col("new_id").alias("id_new"),
+        F.col("new_inc").alias("inc_new"),
+        F.col("old_id").alias("id_old"),
+        F.col("old_inc").alias("inc_old"),
+        "n_bands",
+        hamming.alias("hamming"),
+        F.expr(
+            "CAST((%d - bit_count(__sa ^ __sb)) * 10000 DIV %d AS BIGINT)"
+            % (n_planes, n_planes)
+        ).alias("sim_bp"),
+        "truncated",
     )
 
 

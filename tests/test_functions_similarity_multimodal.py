@@ -162,6 +162,39 @@ class TestSimilarity:
         assert "Generate " not in plan, plan
         assert "Window" not in plan, plan
 
+    def test_srp_state_bipartite_dedup(self, spark):
+        rng = np.random.default_rng(11)
+        hist = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+        df_h = spark.createDataFrame(hist, "vec_id long, embedding array<double>")
+        # new increment: scaled twin of history id 3 (all sign bits kept)
+        # + one fresh random vector
+        new_rows = [
+            (1003, [x * 2.0 for x in hist[3][1]]),
+            (2000, [float(x) for x in rng.normal(size=16)]),
+        ]
+        df_n = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+        old = similarity.srp_state(df_h, "u0", n_planes=32, dim=16)
+        new = similarity.srp_state(df_n, "u1", n_planes=32, dim=16)
+        pairs = {
+            (r["id_new"], r["id_old"]): r
+            for r in similarity.srp_dedup_against_state(
+                new, old, n_planes=32, bands=2
+            ).collect()
+        }
+        r = pairs[(1003, 3)]
+        # scaled twin: identical signature → both bands, zero hamming,
+        # full bit-agreement — found WITHOUT touching history vectors
+        assert r["n_bands"] == 2 and r["hamming"] == 0
+        assert r["sim_bp"] == 10000 and not r["truncated"]
+        assert r["inc_new"] == "u1" and r["inc_old"] == "u0"
+        # signature packs exactly n_planes bits
+        for row in old.collect():
+            assert 0 <= row["sig"] < (1 << 32)
+        with pytest.raises(ValueError):
+            similarity.srp_dedup_against_state(new, old, n_planes=32, bands=5)
+        with pytest.raises(ValueError):
+            similarity.srp_state(df_h, "u0", n_planes=64, dim=16)
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight

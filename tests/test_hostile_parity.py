@@ -253,6 +253,7 @@ QUERIES = [
     "span_templates",
     "template_drift",
     "embedding_dedup_attrition",
+    "incremental_srp",
 ]
 
 
