@@ -195,6 +195,46 @@ class TestSimilarity:
         with pytest.raises(ValueError):
             similarity.srp_state(df_h, "u0", n_planes=64, dim=16)
 
+    def test_srp_signature_matches_pure_python(self, spark):
+        """Third-implementation pin: the packed SRP signature computed by
+        Spark must equal a from-scratch pure-Python replay (quantise →
+        integer plane dots → sign bits → pack) on random vectors — so the
+        Spark column pipeline and the DuckDB oracle can't share a bug."""
+        import math
+
+        rng = np.random.default_rng(23)
+        rows = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(25)]
+        # adversarial extras: zeros (dot==0 → bit 1), large magnitudes
+        rows += [(100, [0.0] * 12), (101, [1e3, -1e3] * 6)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r["vec_id"]: r["sig"]
+            for r in similarity.srp_state(
+                df, "u", n_planes=24, dim=12
+            ).collect()
+        }
+
+        def py_sig(vec):
+            # HALF_UP-away-from-zero rounding, the contract both engines
+            # implement for round() on doubles
+            q = []
+            for x in vec:
+                v = x * 1_000_000
+                f = math.floor(abs(v) + 0.5)
+                q.append(int(math.copysign(f, v)))
+            sig = 0
+            for p in range(24):
+                dot = sum(
+                    qd * similarity._srp_plane_weight(p, d)
+                    for d, qd in enumerate(q)
+                )
+                if dot >= 0:
+                    sig |= 1 << p
+            return sig
+
+        for vid, vec in rows:
+            assert got[vid] == py_sig(vec), vid
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight
