@@ -412,6 +412,35 @@ def test_mad_outliers(spark):
     assert mad_outliers(nul, "v", exact=True).count() == 0
 
 
+def test_column_fingerprints_match_pure_python(spark):
+    """Third-implementation pin: the split fingerprint halves must equal
+    a from-scratch pure-Python replay (md5 of the cast-to-string value,
+    15-hex-char prefix fold, sum, divmod 2^62) — so the Spark expression
+    and the DuckDB oracle cannot share a bug."""
+    import hashlib
+
+    from evalidate_spark.operators.table_checks import column_fingerprints
+
+    rows = [(1, "alpha"), (2, ""), (3, None), (4, "ünïcode ✓"), (None, "x")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["column"]: r for r in column_fingerprints(df, ["id", "t"]).collect()}
+
+    def py_fp(values):
+        total = 0
+        for v in values:
+            if v is None:
+                continue
+            h = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            total += int(h[:15], 16)
+        return divmod(total, 1 << 62)
+
+    for col, vals in (("id", [r[0] for r in rows]), ("t", [r[1] for r in rows])):
+        hi, lo = py_fp(vals)
+        assert (got[col]["fp_hi"], got[col]["fp_lo"]) == (hi, lo), col
+        assert got[col]["n_rows"] == 5
+        assert got[col]["n_nulls"] == sum(1 for v in vals if v is None)
+
+
 def test_column_fingerprints_merge_and_sensitivity(spark):
     from evalidate_spark.operators.table_checks import (
         column_fingerprints,
