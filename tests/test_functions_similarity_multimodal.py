@@ -144,6 +144,44 @@ class TestSimilarity:
         ).first()
         assert list(remerged["sums"]) == list(whole["sums"])
 
+    def test_embedding_drift_matches_pure_python(self, spark):
+        """Third-implementation pin: wave slicing, integer sums,
+        floor-divided centroids, and the round-6 cosine replayed from
+        scratch in Python must match the Spark pipeline exactly."""
+        import math
+
+        rng = np.random.default_rng(31)
+        rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(37)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["wave"]: r for r in similarity.embedding_drift(
+            df, dim=6, n_waves=4
+        ).collect()}
+
+        m = max(i for i, _ in rows) + 1
+        waves = {}
+        for i, vec in rows:
+            w = min(3, i * 4 // m)
+            q = [int(math.copysign(math.floor(abs(x * 1e6) + 0.5), x * 1e6))
+                 for x in vec]
+            n, sums = waves.get(w, (0, [0] * 6))
+            waves[w] = (n + 1, [a + b for a, b in zip(sums, q)])
+
+        def cent(w):
+            n, sums = waves[w]
+            return [math.floor(s / n) for s in sums]
+
+        for w, row in got.items():
+            assert row["n_vecs"] == waves[w][0]
+            if w == 0:
+                assert row["centroid_cos_prev"] is None
+                continue
+            ca, cb = cent(w), cent(w - 1)
+            dot = sum(a * b for a, b in zip(ca, cb))
+            na = math.sqrt(sum(a * a for a in ca))
+            nb = math.sqrt(sum(b * b for b in cb))
+            want = round(dot / (na * nb), 6) if na * nb > 0 else 0.0
+            assert row["centroid_cos_prev"] == want, w
+
     def test_embedding_drift_plan_shape(self, spark):
         # docstring promise: ONE aggregate carries all dim×wave sums —
         # no explode (row×dim expansion) anywhere in the plan, and no
