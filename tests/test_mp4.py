@@ -88,6 +88,56 @@ class TestMp4Probe:
         assert img["decoded"] is False and img["width"] != 100
 
 
+class TestMp4Property:
+    def test_roundtrip_property(self):
+        """encode→probe is the identity on (dims, duration, codec,
+        audio) across the whole parameter space, and truncating an
+        encoded file at any box boundary raises rather than returning
+        garbage."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            w=st.integers(1, 8192),
+            h=st.integers(1, 8192),
+            dur=st.integers(0, 10**7),
+            codec=st.sampled_from([b"avc1", b"hvc1", b"vp09", b"av01", b"mp4v"]),
+            audio=st.booleans(),
+            ts=st.sampled_from([600, 1000, 90000]),
+        )
+        def roundtrip(w, h, dur, codec, audio, ts):
+            p = mp4.encode_mp4(
+                w, h, dur, codec=codec, with_audio=audio, timescale=ts
+            )
+            info = mp4.probe_mp4(p)
+            assert (info.width, info.height) == (w, h)
+            # duration survives the timescale round-trip to ±1ms
+            assert abs(info.duration_ms - dur) <= max(1, 1000 // ts)
+            assert info.video_codec == codec.decode()
+            assert info.has_audio == audio
+            assert info.n_tracks == (2 if audio else 1)
+
+        roundtrip()
+
+    def test_truncation_raises_everywhere(self):
+        p = mp4.encode_mp4(33, 17, 1234, with_audio=True)
+        # cutting inside the moov must raise; cutting after it is legal
+        # (mdat may stream) — find moov end
+        moov_end = None
+        for cc, s, e in mp4._walk(p, 0, len(p)):
+            if cc == b"moov":
+                moov_end = e
+        for cut in range(12, moov_end, 97):
+            try:
+                info = mp4.probe_mp4(p[:cut])
+                # parse may succeed only if the whole moov fit
+                assert cut >= moov_end
+                assert info.width == 33
+            except ValueError:
+                assert cut < moov_end
+
+
 class TestMp4Spark:
     def test_sniff_and_format_check(self, spark):
         rows = [
