@@ -5837,7 +5837,7 @@ WITH base AS (
   FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     AND len(embedding) = 64
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), parts AS (
   SELECT CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS part, qv
   FROM base
@@ -5914,7 +5914,7 @@ WITH base AS (
       AS qv
   FROM allsrc
   WHERE len(embedding) = 64
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), bits AS (
   SELECT vec_id, inc, is_new, p.p AS p,
     CASE WHEN CAST(list_dot_product(qv,
@@ -5959,7 +5959,7 @@ WITH base AS (
   FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     AND len(embedding) = 64
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), lim AS (
   SELECT greatest(max(greatest(vec_id, 0)) + 1, 1) AS m FROM base
 ), waved AS (
@@ -6012,7 +6012,7 @@ WITH base AS (
       AS qv
   FROM base
   WHERE len(embedding) = 64
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), bits AS (
   SELECT vec_id, p.p AS p,
     CASE WHEN CAST(list_dot_product(qv,

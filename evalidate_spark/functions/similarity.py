@@ -114,6 +114,21 @@ def dequantize(q_col: Column, scale_col: Column) -> Column:
     )
 
 
+def _vec_ok(vc, dim: int):
+    """Shared validity predicate for the integer-exact vector family:
+    non-NULL, exactly *dim* wide, and every element finite — a NULL/NaN/
+    Inf element would otherwise poison the integer dot SILENTLY (Spark
+    casts NaN·scale to 0L while DuckDB refuses the cast), so unknown or
+    non-finite geometry is excluded, never fabricated."""
+    bad = F.filter(
+        vc,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return vc.isNotNull() & (F.size(vc) == dim) & (F.size(bad) == 0)
+
+
 def _srp_plane_weight(p: int, d: int) -> int:
     """md5-derived SRP plane weight in [-1000, 1000] — deterministic and
     replayable in any engine with md5: ``int(md5('srp:p:d')[:8], 16)
@@ -162,8 +177,9 @@ def srp_candidates_md5(
     per-bucket cap BEFORE any collect buffer (``cap_per_group``), the
     exact-cosine join runs at candidate cardinality only.  NULL ids,
     NULL vectors, wrong-dimension vectors, and vectors containing NULL
-    elements are excluded up front (a NULL element would void the whole
-    integer dot — unknown geometry is not evidence of similarity)."""
+    or non-finite elements are excluded up front (a NULL/NaN/Inf element
+    would void the whole integer dot — unknown geometry is not evidence
+    of similarity)."""
     if n_planes % bands != 0:
         raise ValueError("srp_candidates_md5: bands must divide n_planes")
     r = n_planes // bands
@@ -172,9 +188,7 @@ def srp_candidates_md5(
     ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
     base = df.filter(
         ic.isNotNull()
-        & vc.isNotNull()
-        & (F.size(vc) == dim)
-        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+        & _vec_ok(vc, dim)
     ).select(ic.alias("__id"), vc.alias("__v"))
 
     sigd = _with_srp_dots(base, n_planes, dim, scale)
@@ -248,9 +262,7 @@ def embedding_drift(
     ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
     base = df.filter(
         ic.isNotNull()
-        & vc.isNotNull()
-        & (F.size(vc) == dim)
-        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+        & _vec_ok(vc, dim)
     ).select(ic.alias("__id"), vc.alias("__v"))
     lim = base.agg(
         F.greatest(
@@ -371,9 +383,7 @@ def srp_state(
     ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
     base = df.filter(
         ic.isNotNull()
-        & vc.isNotNull()
-        & (F.size(vc) == dim)
-        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+        & _vec_ok(vc, dim)
     ).select(ic.alias("vec_id"), vc.alias("__v"))
     sigd = _with_srp_dots(base, n_planes, dim, scale)
     sig = F.lit(0).cast("long")
@@ -480,9 +490,7 @@ def embedding_centroid_state(
     ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
     base = df.filter(
         ic.isNotNull()
-        & vc.isNotNull()
-        & (F.size(vc) == dim)
-        & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+        & _vec_ok(vc, dim)
     ).select(vc.alias("__v"))
     aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
     for d in range(dim):

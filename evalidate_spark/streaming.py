@@ -1008,15 +1008,25 @@ def centroid_stream(
     only legal streaming accumulator here (float mean vectors are
     micro-batch-order-dependent and would break stream ≡ batch
     equality, which the tests pin EXACTLY).  The exclusion contract
-    matches the batch state: NULL vectors, wrong dimension, or NULL
-    elements are dropped before aggregation."""
+    matches the batch state: NULL vectors, wrong dimension, or NULL/
+    non-finite elements are dropped before aggregation."""
     vc = F.col("`%s`" % vec_col)
     d = (
         stream_df.withWatermark(ts_col, watermark)
         .filter(
             vc.isNotNull()
             & (F.size(vc) == dim)
-            & (F.size(F.filter(vc, lambda x: x.isNull())) == 0)
+            & (
+                F.size(
+                    F.filter(
+                        vc,
+                        lambda x: x.isNull()
+                        | F.isnan(x.cast("double"))
+                        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+                    )
+                )
+                == 0
+            )
         )
         .select(F.col(ts_col), vc.alias("__v"))
     )

@@ -273,6 +273,33 @@ class TestSimilarity:
         for vid, vec in rows:
             assert got[vid] == py_sig(vec), vid
 
+    def test_vector_family_excludes_nonfinite(self, spark):
+        """NaN/Inf elements must EXCLUDE a vector everywhere in the
+        integer-exact family — Spark would otherwise cast NaN·scale to
+        0L and hand the vector a fake-valid signature/centroid
+        contribution (while DuckDB refuses the cast and the oracle
+        errors)."""
+        nan, inf = float("nan"), float("inf")
+        rows = [
+            (0, [1.0] * 8),
+            (1, [1.0] * 8),                       # twin of 0
+            (2, [nan] + [1.0] * 7),               # excluded
+            (3, [1.0] * 7 + [inf]),               # excluded
+            (4, [-inf] + [1.0] * 7),              # excluded
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = similarity.srp_candidates_md5(
+            df, n_planes=16, bands=2, dim=8, min_cosine=0.9
+        ).collect()
+        ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+        assert ids == {0, 1}
+        st = similarity.srp_state(df, "u", n_planes=16, dim=8)
+        assert {r["vec_id"] for r in st.collect()} == {0, 1}
+        cs = similarity.embedding_centroid_state(df, dim=8).first()
+        assert cs["n_vecs"] == 2
+        dr = similarity.embedding_drift(df, dim=8, n_waves=2).collect()
+        assert sum(r["n_vecs"] for r in dr) == 2
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight
