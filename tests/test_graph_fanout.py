@@ -153,6 +153,51 @@ class TestTemplateDrift:
         assert plan.count("Generate ") == 1, plan
 
 
+class TestTemplateDriftPurePython:
+    def test_matches_pure_python(self, spark):
+        """Third-implementation pin: wave slicing, per-template counts,
+        int-bp shares, TVD halving, and new-template share replayed from
+        scratch in Python must match the Spark pipeline exactly."""
+        from collections import Counter
+
+        from evalidate_spark.operators.spans import template_drift
+
+        import random
+        rnd = random.Random(9)
+        layouts = [
+            [_span("text")],
+            [_span("text"), _span("media")],
+            [_span("media"), _span("text"), _span("text")],
+        ]
+        rows = [(i, rnd.choice(layouts)) for i in range(41)]
+        df = _docs(
+            spark, [(str(i), l) for i, l in rows]
+        ).withColumn("doc_id", F.col("doc_id").cast("long"))
+        got = {(r["from_wave"], r["to_wave"]): r
+               for r in template_drift(df, n_waves=3).collect()}
+
+        sig = lambda l: "".join(  # noqa: E731
+            "t" if sp.kind == "text" else "m" for sp in l
+        )
+        m = max(i for i, _ in rows) + 1
+        waves = [Counter() for _ in range(3)]
+        for i, l in rows:
+            waves[min(2, i * 3 // m)][sig(l)] += 1
+        for w in range(2):
+            a, b = waves[w], waves[w + 1]
+            ta, tb = sum(a.values()), sum(b.values())
+            tvd = sum(
+                abs(a[t] * 10000 // max(ta, 1) - b[t] * 10000 // max(tb, 1))
+                for t in set(a) | set(b)
+            ) // 2
+            nt = sum(1 for t in b if a[t] == 0)
+            no = sum(b[t] for t in b if a[t] == 0) * 10000 // max(tb, 1)
+            r = got[(w, w + 1)]
+            assert (r["tvd_bp"], r["new_templates"], r["new_docs_bp"]) == (
+                tvd, nt, no,
+            ), w
+
+
 class TestJoinFanout:
     def _frames(self, spark):
         left = spark.createDataFrame(
