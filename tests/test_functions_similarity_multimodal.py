@@ -300,6 +300,39 @@ class TestSimilarity:
         dr = similarity.embedding_drift(df, dim=8, n_waves=2).collect()
         assert sum(r["n_vecs"] for r in dr) == 2
 
+    def test_srp_bipartite_sim_matches_pure_python(self, spark):
+        """Pin the bipartite similarity math: hamming and sim_bp reported
+        by srp_dedup_against_state must equal popcount(xor) of the two
+        pure-Python-recomputed signatures for every reported pair."""
+        rng = np.random.default_rng(41)
+        hist = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(15)]
+        # near-twins with small perturbations → nonzero hamming likely
+        news = [
+            (1000 + i, [x + 0.3 * float(rng.normal()) for x in vec])
+            for i, vec in hist[:6]
+        ]
+        df_h = spark.createDataFrame(hist, "vec_id long, embedding array<double>")
+        df_n = spark.createDataFrame(news, "vec_id long, embedding array<double>")
+        old = similarity.srp_state(df_h, "h", n_planes=24, dim=12)
+        new = similarity.srp_state(df_n, "n", n_planes=24, dim=12)
+        sigs = {r["vec_id"]: r["sig"] for r in old.union(new).collect()}
+        got = similarity.srp_dedup_against_state(
+            new, old, n_planes=24, bands=3
+        ).collect()
+        assert got, "perturbed twins should collide in at least one band"
+        for r in got:
+            ham = bin(sigs[r["id_new"]] ^ sigs[r["id_old"]]).count("1")
+            assert r["hamming"] == ham
+            assert r["sim_bp"] == (24 - ham) * 10000 // 24
+            # n_bands consistent with per-band key agreement
+            agree = sum(
+                1
+                for b in range(3)
+                if (sigs[r["id_new"]] >> (b * 8)) & 255
+                == (sigs[r["id_old"]] >> (b * 8)) & 255
+            )
+            assert r["n_bands"] == agree
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight
