@@ -3064,7 +3064,7 @@ def _grammar_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j * 10).cast("int").alias("offset"),
         ),
     )
-    return d.select(i.alias("doc_id"), spans.alias("spans"))
+    return d.select(i.alias("doc_id"), spans.alias("spans"), "source")
 
 
 def q_span_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3103,6 +3103,16 @@ def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evalidate_spark.operators.spans import template_drift
 
     return template_drift(_grammar_spans(spark, sf_dir), n_waves=5)
+
+
+def q_template_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-attribution matrix (`spans.template_source_matrix`): which
+    source emits which span-layout template, with each cell's exact
+    integer-bp share of its own feed — the WHO to template_drift's WHEN.
+    One (source × template)-cardinality groupBy + broadcast totals."""
+    from evalidate_spark.operators.spans import template_source_matrix
+
+    return template_source_matrix(_grammar_spans(spark, sf_dir), min_docs=2)
 
 
 def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3879,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_templates": q_span_templates,
         # --- beyond the driver window (still gate-checked locally) ---
         "incremental_srp": q_incremental_srp,
+        "template_source_matrix": q_template_source_matrix,
         "embedding_dedup_attrition": q_embedding_dedup_attrition,
         "password": q_password,
         "stratified_sample": q_stratified_sample,
@@ -8133,6 +8144,29 @@ UNION ALL
 SELECT 2, 3, CAST(tvd_2 AS BIGINT), CAST(nt_2 AS BIGINT), CAST(no_2 AS BIGINT) FROM r
 UNION ALL
 SELECT 3, 4, CAST(tvd_3 AS BIGINT), CAST(nt_3 AS BIGINT), CAST(no_3 AS BIGINT) FROM r
+"""
+
+ORACLE["template_source_matrix"] = """
+WITH d AS (
+  SELECT doc_id, source, 1 + ((doc_id % 5) + 5) % 5 AS n FROM documents
+), s AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS source,
+    coalesce(CASE WHEN doc_id IS NULL THEN NULL ELSE
+      array_to_string(list_transform(range(0, CAST(n AS BIGINT)), j ->
+        CASE WHEN ((doc_id % 23) + 23) % 23 = 0 AND j = n - 1 THEN '?'
+             WHEN (((doc_id + j*j) % 3) + 3) % 3 = 0 THEN 'm'
+             ELSE 't' END), '') END, '') AS template
+  FROM d
+), cells AS (
+  SELECT source, template, CAST(count(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(n_docs) AS t FROM cells GROUP BY 1
+)
+SELECT c.source, c.template, c.n_docs,
+  CAST(c.n_docs * 10000 // greatest(t.t, 1) AS BIGINT) AS source_share_bp
+FROM cells c JOIN tot t ON t.source = c.source
+WHERE c.n_docs >= 2
 """
 
 ORACLE["join_fanout"] = """

@@ -376,6 +376,7 @@ def main() -> None:
         "span_grammar",
         "span_templates",
         "template_drift",
+        "template_source_matrix",
         "props_keys",
         "rule_cooccurrence",
         "containment_pairs",

@@ -456,6 +456,67 @@ def template_drift(
     return row.select(F.explode(transitions).alias("t")).select("t.*")
 
 
+def template_source_matrix(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+    source_col: str = "source",
+    kind_chars: Sequence[tuple] = (("text", "t"), ("media", "m")),
+    other_char: str = "?",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Feed-attribution companion to :func:`template_drift`: the drift
+    report says WHEN the layout mix moved; this matrix says WHICH FEED
+    emits which layout — ``(source, template, n_docs, source_share_bp)``
+    per (source, template) cell with ≥ *min_docs* members, where
+    ``source_share_bp`` is the template's exact integer-bp share of its
+    OWN source's docs.  A feed whose dominant template changes between
+    runs is the extractor to go look at.
+
+    NULL sources report as ``'__null__'`` (repo convention); NULL/empty
+    span arrays form the ``''`` template.  Plan: the explode-free
+    signature fold, ONE groupBy at (source × template) cardinality, a
+    broadcast source-totals join (source-cardinality), no corpus window.
+    Deterministic output — every cell is exact counts."""
+    if min_docs < 1:
+        raise ValueError("template_source_matrix: min_docs must be >= 1")
+    spans = _spans(spans_col)
+
+    def _char(s):
+        e = None
+        for kind, c in kind_chars:
+            e = (F.when(s["kind"] == kind, F.lit(c)) if e is None
+                 else e.when(s["kind"] == kind, F.lit(c)))
+        return e.otherwise(F.lit(other_char))
+
+    sig = F.coalesce(
+        F.array_join(F.transform(spans, _char), ""), F.lit("")
+    )
+    src = F.coalesce(
+        F.col("`%s`" % source_col).cast("string"), F.lit("__null__")
+    )
+    cells = (
+        docs.select(src.alias("source"), sig.alias("template"))
+        .groupBy("source", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("__tot")
+    )
+    return (
+        cells.filter(F.col("n_docs") >= int(min_docs))
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "template",
+            "n_docs",
+            F.expr("n_docs * 10000L DIV greatest(__tot, 1)")
+            .cast("long")
+            .alias("source_share_bp"),
+        )
+    )
+
+
 def caption_proximity_violations(
     docs: DataFrame,
     max_distance: int,

@@ -198,6 +198,39 @@ class TestTemplateDriftPurePython:
             ), w
 
 
+class TestTemplateSourceMatrix:
+    def test_matrix_cells(self, spark):
+        from evalidate_spark.operators.spans import template_source_matrix
+
+        rows = [
+            ("a", [_span("text"), _span("media")], "feedA"),
+            ("b", [_span("text"), _span("media")], "feedA"),
+            ("c", [_span("text")], "feedA"),           # singleton cell
+            ("d", [_span("text")], "feedB"),
+            ("e", [_span("text")], "feedB"),
+            ("f", None, None),                          # NULL source + spans
+            ("g", [], None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, source string",
+        )
+        got = {(r["source"], r["template"]): r for r in
+               template_source_matrix(df, min_docs=2).collect()}
+        assert set(got) == {("feedA", "tm"), ("feedB", "t"), ("__null__", "")}
+        a = got[("feedA", "tm")]
+        assert a["n_docs"] == 2 and a["source_share_bp"] == 2 * 10000 // 3
+        b = got[("feedB", "t")]
+        assert b["n_docs"] == 2 and b["source_share_bp"] == 10000
+        nul = got[("__null__", "")]
+        assert nul["n_docs"] == 2 and nul["source_share_bp"] == 10000
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            template_source_matrix(df, min_docs=0)
+
+
 class TestJoinFanout:
     def _frames(self, spark):
         left = spark.createDataFrame(

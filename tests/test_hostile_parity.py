@@ -254,6 +254,7 @@ QUERIES = [
     "template_drift",
     "embedding_dedup_attrition",
     "incremental_srp",
+    "template_source_matrix",
 ]
 
 
