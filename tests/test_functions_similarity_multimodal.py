@@ -333,6 +333,25 @@ class TestSimilarity:
             )
             assert r["n_bands"] == agree
 
+    def test_srp_zero_vectors_never_pair(self, spark):
+        """Zero vectors produce IDENTICAL signatures (every dot is 0 →
+        every bit 1) and collide in every band — but the exact-cosine
+        stage scores zero-norm pairs 0.0 by contract, so they can never
+        surface as near-duplicates.  The LSH stage alone would be fooled;
+        the pipeline as a whole must not be."""
+        rng = np.random.default_rng(13)
+        rows = [(0, [0.0] * 8), (1, [0.0] * 8), (2, [0.0] * 8)]
+        rows += [(i, [float(x) for x in rng.normal(size=8)]) for i in range(10, 16)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        sigs = {r["vec_id"]: r["sig"] for r in
+                similarity.srp_state(df, "u", n_planes=16, dim=8).collect()}
+        assert sigs[0] == sigs[1] == sigs[2] == (1 << 16) - 1
+        pairs = similarity.srp_candidates_md5(
+            df, n_planes=16, bands=2, dim=8, min_cosine=0.5
+        ).collect()
+        for r in pairs:
+            assert r["id_a"] not in (0, 1, 2) and r["id_b"] not in (0, 1, 2)
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight
