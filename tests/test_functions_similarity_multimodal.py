@@ -352,6 +352,31 @@ class TestSimilarity:
         for r in pairs:
             assert r["id_a"] not in (0, 1, 2) and r["id_b"] not in (0, 1, 2)
 
+    def test_centroid_merge_preserves_dim_order_many_increments(self, spark):
+        """The merge re-assembles per-dim sums from an exploded fold —
+        collect_list order is not deterministic, so dimension order must
+        survive a many-increment, many-partition shuffle (the array_sort
+        on (dim, sum) structs is the guarantee under test)."""
+        incs = []
+        for k in range(20):
+            df = spark.createDataFrame(
+                [(i, [float((k + 1) * (d + 1)) for d in range(8)])
+                 for i in range(3)],
+                "vec_id long, embedding array<double>",
+            )
+            incs.append(similarity.embedding_centroid_state(df, dim=8))
+        states = incs[0]
+        for s in incs[1:]:
+            states = states.union(s)
+        merged = similarity.merge_centroid_states(states.repartition(16)).first()
+        assert merged["n_vecs"] == 60
+        # dim d total: Σ_k 3·(k+1)·(d+1)·10^6 — strictly increasing in d,
+        # so any dimension scramble is caught
+        tot_k = sum(k + 1 for k in range(20)) * 3
+        assert list(merged["sums"]) == [
+            tot_k * (d + 1) * 1_000_000 for d in range(8)
+        ]
+
     def test_srp_plane_weights_pinned(self):
         # the md5 derivation is the cross-engine contract — pin a few values
         w = similarity._srp_plane_weight
