@@ -231,6 +231,45 @@ class TestTemplateSourceMatrix:
             template_source_matrix(df, min_docs=0)
 
 
+class TestSpanTemplatesPurePython:
+    def test_matches_pure_python(self, spark):
+        """Third-implementation pin: template grouping, shares, example
+        ids, and the (n_docs desc, template asc) top-k cut replayed from
+        scratch in Python match the Spark pipeline exactly."""
+        from collections import Counter, defaultdict
+        import random
+
+        from evalidate_spark.operators.spans import span_templates
+
+        rnd = random.Random(17)
+        layouts = [
+            [_span("text")],
+            [_span("text"), _span("media")],
+            [_span("media")],
+            [],
+        ]
+        rows = [("d%03d" % i, rnd.choice(layouts)) for i in range(60)]
+        df = _docs(spark, rows)
+        got = [(r["template"], r["n_docs"], r["share_bp"], r["example_doc_id"])
+               for r in span_templates(df, min_docs=2, top_k=3).collect()]
+
+        sig = lambda l: "".join(  # noqa: E731
+            "t" if sp.kind == "text" else "m" for sp in l
+        )
+        counts, first = Counter(), defaultdict(lambda: "zzzz")
+        for did, l in rows:
+            t = sig(l)
+            counts[t] += 1
+            first[t] = min(first[t], did)
+        total = sum(counts.values())
+        want = sorted(
+            ((t, c) for t, c in counts.items() if c >= 2),
+            key=lambda tc: (-tc[1], tc[0]),
+        )[:3]
+        want = [(t, c, c * 10000 // total, first[t]) for t, c in want]
+        assert sorted(got) == sorted(want)
+
+
 class TestJoinFanout:
     def _frames(self, spark):
         left = spark.createDataFrame(
