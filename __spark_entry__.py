@@ -1645,9 +1645,10 @@ def q_srp_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (int64 dots of round(x·10^6) against md5-derived [-1000,1000]
     planes — no float summation-order hazard).  The corpus is unioned
     with a 1.01-scaled id-shifted copy: positive scaling preserves every
-    sign bit, so each injected twin collides in ALL bands (n_bands = 4,
-    cosine 1.0), while random Gaussian pairs must pass a 8-sign-bit band
-    and then survive the ≥0.9 exact-cosine gate."""
+    sign bit, so each injected twin collides in BOTH bands (n_bands = 2,
+    32 planes → two 16-sign-bit bands, cosine 1.0), while random
+    Gaussian pairs must match all 16 sign bits of a band and then
+    survive the ≥0.9 exact-cosine gate."""
     from evalidate_spark.functions.similarity import srp_candidates_md5
 
     emb = _t(spark, sf_dir, "embeddings").filter(
@@ -1704,10 +1705,23 @@ def q_centroid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = embedding_centroid_state(emb.filter(F.col("vec_id") % 2 == 0))
     odd = embedding_centroid_state(emb.filter(F.col("vec_id") % 2 == 1))
     merged = merge_centroid_states(even.union(odd))
-    return (
+    states = (
         even.select(F.lit("even").alias("part"), "n_vecs", "sums")
         .union(odd.select(F.lit("odd").alias("part"), "n_vecs", "sums"))
         .union(merged.select(F.lit("merged").alias("part"), "n_vecs", "sums"))
+    )
+    # GATE SHAPE: the driver canonicalizer cannot sort array cells
+    # (round-4 red: `sums: array<bigint>` → pandas `unhashable type:
+    # 'list'`), so the 64-dim state flattens to scalar
+    # (part, n_vecs, dim, sum_val) rows — 1-based dim matching the
+    # oracle's generate_series ordinality.  3 parts × 64 dims = 192 rows.
+    return states.select(
+        "part", "n_vecs", F.posexplode("sums").alias("dim", "sum_val")
+    ).select(
+        "part",
+        "n_vecs",
+        (F.col("dim") + 1).cast("int").alias("dim"),
+        F.col("sum_val").cast("long").alias("sum_val"),
     )
 
 
@@ -2620,10 +2634,23 @@ def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         scale=2,
     )
+    # GATE SHAPE: decimal(38,2) exceeds the driver canon's int64-safe
+    # numeric envelope (precision 38 renders engine-divergently past
+    # int64); emit exact centi-units as bigint instead — ×100 is lossless
+    # on a scale-2 decimal, and order totals keep centi values far below
+    # 2^63.  The internal operator stays full-precision decimal.
     return (
         out.filter(F.col("diff").isNotNull())
         .orderBy(F.abs(F.col("diff")).desc(), F.col("o_orderkey").asc())
         .limit(200)
+        .select(
+            "o_orderkey",
+            "n_fact_rows",
+            (F.col("fact_sum") * 100).cast("long").alias("fact_sum_c"),
+            (F.col("stored_value") * 100).cast("long").alias("stored_value_c"),
+            (F.col("diff") * 100).cast("long").alias("diff_c"),
+            "matched",
+        )
     )
 
 
@@ -5859,11 +5886,9 @@ WITH base AS (
   SELECT part, dd.d AS d, CAST(coalesce(sum(qv[dd.d]), 0) AS BIGINT) AS s
   FROM parts, (SELECT unnest(generate_series(1, 64)) AS d) dd
   GROUP BY 1, 2
-), sums AS (
-  SELECT part, list(s ORDER BY d) AS sums FROM dims GROUP BY 1
 )
-SELECT c.part, c.n_vecs, s.sums
-FROM counts c JOIN sums s ON s.part = c.part
+SELECT c.part, c.n_vecs, CAST(d.d AS INTEGER) AS dim, d.s AS sum_val
+FROM counts c JOIN dims d ON d.part = c.part
 """
 
 def _embedding_dedup_attrition_oracle() -> str:
@@ -7497,7 +7522,12 @@ WITH agg AS (
   FROM orders LEFT JOIN agg ON o_orderkey = k
   WHERE o_orderkey IS NOT NULL
 )
-SELECT * FROM r WHERE diff IS NOT NULL
+SELECT o_orderkey, n_fact_rows,
+       CAST(fact_sum * 100 AS BIGINT) AS fact_sum_c,
+       CAST(stored_value * 100 AS BIGINT) AS stored_value_c,
+       CAST(diff * 100 AS BIGINT) AS diff_c,
+       matched
+FROM r WHERE diff IS NOT NULL
 ORDER BY abs(diff) DESC, o_orderkey ASC LIMIT 200
 """
 

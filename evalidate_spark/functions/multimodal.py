@@ -123,7 +123,12 @@ def decode_media(kind: str, payload: bytes, strict: bool = False) -> dict:
                     decoded=False,
                 )
                 return out
-        except ValueError:
+        except Exception:
+            # probe_mp4 raises ValueError on contract violations but can
+            # surface IndexError/struct.error on truncated box payloads
+            # (e.g. ftyp + empty mvhd) — a malformed payload must fall
+            # through to the stub path, never crash the Arrow stage
+            # (same contract as the AVI/WAV branches above/below).
             pass
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
@@ -478,15 +483,6 @@ CONTAINER_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.IntegerType()),
     ]
 )
-
-_MAGIC = (
-    (b"\x89PNG\r\n\x1a\x1a"[:4], "png"),
-    (b"\xff\xd8\xff", "jpeg"),
-    (b"BM", "bmp"),
-    (b"GIF87a", "gif"),
-    (b"GIF89a", "gif"),
-)
-
 
 def _sniff_bytes(p: bytes) -> str:
     """Python twin of :func:`sniff_format`'s Column logic, for the rows

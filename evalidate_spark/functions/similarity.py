@@ -254,9 +254,13 @@ def embedding_drift(
     the shuffle carries n_waves rows of 64 longs, never row×dim), then
     an (n_waves)-row self-join.  NULL ids/vectors/elements and
     wrong-dimension vectors are excluded (same contract as
-    :func:`srp_candidates_md5`).  At 10^12 rows × |x|≤2000 the int64
-    sum headroom is ~4 orders of magnitude; widen to decimal if your
-    embeddings are unnormalised beyond that."""
+    :func:`srp_candidates_md5`).  int64 envelope: a per-dim sum reaches
+    n_rows × |x|_max × scale, so at 10^12 rows the default scale=10^6
+    is safe only for |x|≤9 (9.2e18 / 10^18) — normalised or
+    near-normalised embeddings, which is the intended domain.  For
+    unnormalised vectors at that row count, lower ``scale`` (10^3 buys
+    |x|≤9·10^3) or widen the accumulators to decimal; non-ANSI Spark
+    long sums wrap SILENTLY on overflow, so stay inside the envelope."""
     if n_waves < 1:
         raise ValueError("embedding_drift: n_waves must be >= 1")
     ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
@@ -486,7 +490,12 @@ def embedding_centroid_state(
     :func:`merge_centroid_states`, compare any two states with
     :func:`centroid_state_cosine`, and history vectors are never
     rescanned.  Exclusion contract matches ``embedding_drift``
-    (NULL id/vector/element, wrong dim)."""
+    (NULL id/vector/element, wrong dim).  int64 envelope is also
+    ``embedding_drift``'s: a per-dim sum (across ALL folded increments)
+    reaches n_rows × |x|_max × scale — at 10^12 total rows the default
+    scale=10^6 holds only for |x|≤9 (normalised embeddings); lower
+    ``scale`` or widen to decimal beyond that, since long sums wrap
+    silently."""
     ic, vc = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
     base = df.filter(
         ic.isNotNull()

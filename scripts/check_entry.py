@@ -15,6 +15,19 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+class NonScalarCell(Exception):
+    """Raised fail-closed where the driver's pandas canonicalizer would
+    die (`sort_values` on list cells → `unhashable type: 'list'`) or
+    render engine-divergently (>int64 → HUGEINT/Decimal/%.6g splits).
+    Round-4 lesson (`centroid_states`): the old str()-based canon
+    accepted arrays the driver errors on, so local green contradicted a
+    driver err.  This gate now rejects the same shapes the driver
+    cannot certify."""
+
+
+_I64 = (1 << 63) - 1
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -22,6 +35,14 @@ def canon(v):
         return "true" if v else "false"
     if isinstance(v, float):
         return "%.6g" % v
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        raise NonScalarCell(f"non-scalar cell of type {type(v).__name__}")
+    if isinstance(v, int) and not -_I64 - 1 <= v <= _I64:
+        raise NonScalarCell(f"integer out of int64 range: {v}")
+    import decimal
+
+    if isinstance(v, decimal.Decimal) and not -_I64 - 1 <= v <= _I64:
+        raise NonScalarCell(f"decimal out of int64 range: {v}")
     return str(v)
 
 
@@ -55,14 +76,27 @@ def main() -> int:
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
-            print(f"{name:35s} rows-only: {len(srows)} rows (no oracle)")
+            try:
+                value_hash(scols, srows)
+            except NonScalarCell as exc:
+                print(f"{name:35s} FAIL  driver-uncertifiable: {exc}")
+                failures += 1
+            else:
+                print(f"{name:35s} rows-only: {len(srows)} rows (no oracle)")
             continue
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
-        ok_hash = ok_cols and value_hash(scols, srows) == value_hash(ocols, orows)
+        try:
+            ok_hash = (
+                ok_cols and value_hash(scols, srows) == value_hash(ocols, orows)
+            )
+        except NonScalarCell as exc:
+            print(f"{name:35s} FAIL  driver-uncertifiable: {exc}")
+            failures += 1
+            continue
         status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
         print(f"{name:35s} {status}  spark={len(srows)} oracle={len(orows)} "
               f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} hash={'=' if ok_hash else 'DIFF'}")

@@ -10,7 +10,7 @@ import re
 import __spark_entry__ as entry
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROW = re.compile(r"^\| (\d+) \| `([a-z0-9_]+)` \| (sql|rows-only) \|")
+_ROW = re.compile(r"^\| (\d+)( \\\*)? \| `([a-z0-9_]+)` \| (sql|rows-only) \|")
 
 
 def _parse_md():
@@ -19,7 +19,9 @@ def _parse_md():
         for line in f:
             m = _ROW.match(line)
             if m:
-                rows.append((int(m.group(1)), m.group(2), m.group(3)))
+                rows.append(
+                    (int(m.group(1)), m.group(3), m.group(4), bool(m.group(2)))
+                )
     return rows
 
 
@@ -27,11 +29,15 @@ def test_queries_md_in_lockstep():
     md = _parse_md()
     qs = list(entry.queries())
     oracles = entry.oracle_sql()
-    assert [n for _, n, _ in md] == qs, (
+    assert [n for _, n, _, _ in md] == qs, (
         "QUERIES.md is stale — run `python scripts/gen_queries_md.py`"
     )
-    assert [p for p, _, _ in md] == list(range(1, len(qs) + 1))
-    for _, name, kind in md:
+    assert [p for p, _, _, _ in md] == list(range(1, len(qs) + 1))
+    # the \* marker must flag exactly the driver window (positions 1-50)
+    assert [w for p, _, _, w in md] == [p <= 50 for p, _, _, _ in md], (
+        "QUERIES.md window markers out of lockstep — regenerate"
+    )
+    for _, name, kind, _ in md:
         want = "sql" if name in oracles else "rows-only"
         assert kind == want, (
             f"{name}: QUERIES.md says {kind}, registry says {want} — "
