@@ -4577,6 +4577,7 @@ WHERE a.doc_id % 50 = 0
 WITH e AS (
   SELECT vec_id, cast(embedding AS double[]) AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), scored AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
     round({_cos_sql('c.emb', 'p.emb')}, 6) AS cosine
@@ -4590,9 +4591,11 @@ WHERE rank <= 3
 WITH v AS (
   SELECT vec_id, cast(embedding AS double[]) AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
   UNION ALL
   SELECT vec_id + 100000, cast(embedding AS double[]) AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_cos_sql('a.emb', 'b.emb')}, 6) AS cosine
@@ -5369,6 +5372,7 @@ WITH s AS (
          list_aggregate(list_transform(cast(embedding AS double[]),
                                        x -> abs(x)), 'max') AS amax
   FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), dq AS (
   SELECT vec_id,
     list_transform(e, x ->
@@ -5554,6 +5558,7 @@ WITH e AS (
   SELECT vec_id, label, cast(embedding AS double[]) AS emb
   FROM embeddings
   WHERE label IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), pos AS (
   SELECT label, ord, round(avg(emb[ord]), 6) AS m
   FROM e, range(1, 65) t(ord)
@@ -6084,6 +6089,7 @@ WITH allr AS (
 ), v AS (
   SELECT vec_id, cast(embedding AS double[]) AS emb FROM allr
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), d AS (
   SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
   WHERE round({_cos_sql('a.emb', 'b.emb')}, 6) >= 0.999
@@ -7915,6 +7921,7 @@ ORACLE["label_noise"] = f"""
 WITH e AS (
   SELECT vec_id, label, cast(embedding AS double[]) AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), scored AS (
   SELECT p.vec_id AS qid, p.label AS qlab, c.vec_id AS nid, c.label AS nlab,
     round({_cos_sql('c.emb', 'p.emb')}, 6) AS cosine
@@ -8381,6 +8388,7 @@ WITH e AS (
   SELECT vec_id, cast(embedding AS double[]) AS emb FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), c AS (
   SELECT vec_id AS cid, emb AS cemb FROM e
   WHERE ((vec_id % 199) + 199) % 199 = 0

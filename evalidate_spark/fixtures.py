@@ -85,6 +85,55 @@ def gen_documents(
     return base.select(doc_id.alias("doc_id"), spans.alias("spans"))
 
 
+def gen_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    partitions: int | None = None,
+    twin_every: int = 25,
+) -> DataFrame:
+    """Deterministic synthetic embedding corpus for scaling benches:
+    ``vec_id long, embedding array<float>, label int`` — weakly
+    clusterable spike-plus-noise vectors (spike 0.2 at dim
+    ``vec_id % 4``, hash-noise in [-0.2, 0.2]) generated entirely
+    JVM-side (one fused projection, no Python, no collect — the
+    generator itself scales with the job it feeds).  The spike is
+    NOISE-SCALE on purpose: a dominant spike would collapse every
+    same-label vector onto one SRP sign pattern and the LSH bucket
+    distribution would be 4 mega-buckets instead of the high-entropy
+    spread real embeddings have.  Every *twin_every*-th vector is
+    followed by a 1.01-scaled twin at ``vec_id + n_vecs`` (scaling
+    preserves SRP sign bits), so LSH candidate generation has real
+    positives at every scale."""
+    base = spark.range(0, n_vecs, numPartitions=partitions)
+    i = F.col("id")
+
+    def vec(scale: float) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (
+                    F.when(j == F.pmod(i, F.lit(4)).cast("int"), F.lit(0.2))
+                    .otherwise(F.lit(0.0))
+                    + (F.pmod(_h(i, j), F.lit(4001)) - 2000) / 10000.0
+                )
+                * scale
+            ).cast("float"),
+        )
+
+    orig = base.select(
+        i.alias("vec_id"),
+        vec(1.0).alias("embedding"),
+        F.pmod(i, F.lit(4)).cast("int").alias("label"),
+    )
+    twins = base.filter(F.pmod(i, F.lit(twin_every)) == 0).select(
+        (i + n_vecs).alias("vec_id"),
+        vec(1.01).alias("embedding"),
+        F.pmod(i, F.lit(4)).cast("int").alias("label"),
+    )
+    return orig.unionByName(twins)
+
+
 def gen_media_catalog(spark: SparkSession, n_media: int = 10_000) -> DataFrame:
     """media_catalog(media_ref PK, media_kind, size_bytes) — FIXTURES.md §2."""
     i = F.col("id")
@@ -281,6 +330,15 @@ def _hostile_embeddings():
         (104, [0.0] * 32 + [1.0] + [0.0] * 31, None),  # NULL label
         (105, dup, 3),                      # exact duplicates of id 7 —
         (106, dup, 0),                      #   near-dup recall stays provable
+        # non-finite rows (SURVEY §9.5): every embedding operator must
+        # EXCLUDE these by the shared finite-vector contract — a NaN/Inf
+        # element otherwise diverges across engines (Spark orders NaN
+        # greatest / casts NaN·scale to 0L, DuckDB refuses the cast and
+        # comparisons on NaN are false), so presence here gate-enforces
+        # the exclusion in every oracled embedding query
+        (108, [float("nan")] + [0.25] * 63, 0),    # NaN head
+        (109, [0.25] * 63 + [float("inf")], 1),    # +Inf tail
+        (110, [float("-inf")] + [0.25] * 63, 2),   # -Inf head
     ]
     return rows
 

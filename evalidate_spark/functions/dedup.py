@@ -1672,13 +1672,15 @@ def semantic_dedup(
     ``max_cell`` hard-caps membership BEFORE the shuffle (first
     *max_cell* ids per cell, deterministic) so one fat cell cannot
     quadratic-blow a task.  Parallelism equals the number of cells —
-    another reason k grows with the corpus.  Rows with NULL id/vector or
-    a non-*dim* vector cannot be compared and are always kept.
+    another reason k grows with the corpus.  Rows with NULL id/vector,
+    a non-*dim* vector, or a NULL/NaN/±Inf element cannot be compared
+    and are always kept (`similarity._finite_vec`: a NaN cosine would
+    rank engine-divergently and must never decide a drop).
     ``truncated_col`` (optional) appends a boolean marking kept rows whose
     cell exceeded *max_cell* — those were only partially inspected (the
     honest-signal contract shared with the minhash/simhash paths).
     """
-    from .similarity import _kmeans_centroids, ivf_assign
+    from .similarity import _finite_vec, _kmeans_centroids, ivf_assign
 
     qid, qv = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
     def _passthrough(d0: DataFrame) -> DataFrame:
@@ -1694,7 +1696,7 @@ def semantic_dedup(
         if first is None:
             return _passthrough(df)  # nothing comparable -> nothing to drop
         dim = first["d"]
-    valid = df.filter(qid.isNotNull() & (F.size(qv) == dim))
+    valid = df.filter(qid.isNotNull() & (F.size(qv) == dim) & _finite_vec(qv))
     if centroids is None:
         try:
             centroids = _kmeans_centroids(
@@ -1752,7 +1754,13 @@ def semantic_dedup(
     # compared — mark them so callers can distinguish clean from uninspected
     tcells = cells.filter(F.col("__gsz") > max_cell).select("cell").distinct()
     flagged = (
-        ivf_assign(kept.filter(qid.isNotNull() & (F.size(qv) == dim)), centroids, vec_col)
+        ivf_assign(
+            kept.filter(
+                qid.isNotNull() & (F.size(qv) == dim) & _finite_vec(qv)
+            ),
+            centroids,
+            vec_col,
+        )
         .select(qid.alias("__tid"), "cell")
         .join(tcells, "cell", "left_semi")
         .select("__tid")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -85,17 +86,30 @@ def quantize_embeddings(
     The scale is LET-BOUND via a 1-element ``transform`` — naively
     referencing the ``aggregate``-computed scale inside the per-element
     lambda would re-inline the whole max-reduction per element (O(d²) per
-    row; see the MinHash plan-blow-up note in dedup.py)."""
+    row; see the MinHash plan-blow-up note in dedup.py).
+
+    A vector with a NULL/NaN/±Inf element quantises to NULL scale + NULL
+    codes (unanswerable, not fabricated): the naive arithmetic would
+    silently turn a NaN vector into the all-zero code vector (Spark's
+    non-ANSI NaN→tinyint cast is 0), which then scores 0.0 downstream —
+    a fake-valid neighbour.  NULL propagates into the scorers' existing
+    NULL-vector exclusion instead."""
     v = F.col("`%s`" % vec_col)
     amax = F.aggregate(
         v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
     )
-    scale = F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(1.0))
+    scale = F.when(
+        _finite_vec(v),
+        F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(1.0)),
+    )
     qv = F.element_at(
         F.transform(
             F.array(scale),
-            lambda s: F.transform(
-                v, lambda x: F.round(x.cast("double") / s).cast("tinyint")
+            lambda s: F.when(
+                s.isNotNull(),
+                F.transform(
+                    v, lambda x: F.round(x.cast("double") / s).cast("tinyint")
+                ),
             ),
         ),
         1,
@@ -112,6 +126,26 @@ def dequantize(q_col: Column, scale_col: Column) -> Column:
         ),
         1,
     )
+
+
+def _finite_vec(vc):
+    """Dimension-agnostic finite-geometry predicate shared by the FLOAT
+    scoring family (cosine top-k, IVF, centroid outliers/silhouette,
+    LSH buckets, semantic dedup): a vector with a NULL/NaN/±Inf element
+    is EXCLUDED, never scored.  NaN comparisons diverge across engines
+    (Spark orders NaN greatest and ``NaN > 0`` is true; DuckDB's NaN
+    comparisons are false), so a non-finite cosine would rank
+    engine-divergently — exclusion is the only portable contract.
+    ``embedding_health`` owns *counting* these rows; every scorer owns
+    excluding them.  :func:`_vec_ok` is the fixed-dim variant used by
+    the integer-exact family."""
+    bad = F.filter(
+        vc,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return vc.isNotNull() & (F.size(bad) == 0)
 
 
 def _vec_ok(vc, dim: int):
@@ -334,33 +368,71 @@ def embedding_drift(
 
 
 def _with_srp_dots(
-    base: DataFrame, n_planes: int, dim: int, scale: int
+    base: DataFrame, n_planes: int, dim: int, scale: int, method: str = "arrow"
 ) -> DataFrame:
     """Attach ``__dots`` (array of the n_planes integer plane dots) to a
     frame carrying ``__v`` — the shared signature core of
-    :func:`srp_candidates_md5` and :func:`srp_state`: one transform over
-    a 2D plane literal (n_planes separate aggregate trees cost ~10 s of
-    analyzer/codegen compile alone), quantised vector let-bound so the
-    per-element round is never re-inlined."""
-    qv = F.transform(
-        F.col("__v"),
-        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
-    )
-    planes2d = F.array(*[
-        F.array(*[
-            F.lit(_srp_plane_weight(p, d)).cast("long") for d in range(dim)
+    :func:`srp_candidates_md5` and :func:`srp_state`.
+
+    Default path is an Arrow ``pandas_udf``: ONE int64 numpy matmul per
+    batch (quantise → ``Q @ planesᵀ``).  Integer addition is
+    associative, so the matmul is BIT-IDENTICAL to the Catalyst HOF
+    fold and to the DuckDB oracle — no float summation-order hazard —
+    while replacing ~n_planes·dim interpreted expression steps per row
+    (HOFs never enter whole-stage codegen; ~1 ms/row at 32×64, the
+    dominant cost of the whole verification family in BENCH_r04) with
+    vectorized BLAS-shape work (~1 µs/row).  Quantisation replicates
+    Spark's ``F.round`` HALF_UP via sign-aware ``floor(|x|·scale+0.5)``
+    (the ``cosine_topk_blas`` precedent); overflow is structurally
+    impossible (|dot| ≤ dim·(scale·|x|_max)·1000 ≪ 2^63 inside the
+    :func:`_vec_ok` envelope).
+
+    ``method="hof"`` keeps the pure-Column twin: one transform over a
+    2D plane literal (n_planes separate aggregate trees would cost
+    ~10 s of analyzer/codegen compile alone), quantised vector
+    let-bound so the per-element round is never re-inlined.  The twins
+    are pinned equal in tests/test_srp_arrow_parity.py."""
+    if method == "hof":
+        qv = F.transform(
+            F.col("__v"),
+            lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+        )
+        planes2d = F.array(*[
+            F.array(*[
+                F.lit(_srp_plane_weight(p, d)).cast("long") for d in range(dim)
+            ])
+            for p in range(n_planes)
         ])
-        for p in range(n_planes)
-    ])
-    dots = F.transform(
-        planes2d,
-        lambda w: F.aggregate(
-            F.zip_with(F.col("__qv"), w, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ),
+        dots = F.transform(
+            planes2d,
+            lambda w: F.aggregate(
+                F.zip_with(F.col("__qv"), w, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        return base.withColumn("__qv", qv).withColumn("__dots", dots)
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [[_srp_plane_weight(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.int64,
     )
-    return base.withColumn("__qv", qv).withColumn("__dots", dots)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _dots(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        a = np.abs(v) * float(scale)
+        q = (np.floor(a + 0.5) * np.sign(v)).astype(np.int64)
+        d = q @ planes.T
+        return pd.Series(list(d))
+
+    return base.withColumn("__dots", _dots(F.col("__v")))
 
 
 def srp_state(
@@ -582,15 +654,19 @@ def cosine_topk(
     query id or vector are EXCLUDED (unanswerable, not fabricated-zero);
     a corpus/probe pair of different vector lengths is excluded too (the
     cosine is undefined, and a ragged corpus should be caught by a
-    validation rule upstream).  A zero vector is valid and scores 0.0.
+    validation rule upstream).  A zero vector is valid and scores 0.0;
+    a vector with a NULL/NaN/±Inf element is excluded on either side
+    (:func:`_finite_vec` — non-finite cosines rank engine-divergently).
     """
     c = corpus.filter(
-        F.col("`%s`" % id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+        F.col("`%s`" % id_col).isNotNull()
+        & _finite_vec(F.col("`%s`" % vec_col))
     ).select(
         F.col("`%s`" % id_col).alias("neighbor_id"), F.col("`%s`" % vec_col).alias("__cv")
     )
     p = probes.filter(
-        F.col("`%s`" % probe_id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+        F.col("`%s`" % probe_id_col).isNotNull()
+        & _finite_vec(F.col("`%s`" % vec_col))
     ).select(
         F.col("`%s`" % probe_id_col).alias("query_id"), F.col("`%s`" % vec_col).alias("__pv")
     )
@@ -646,7 +722,9 @@ def lsh_bucket_pairs(
     NULL contract: rows with NULL id or vector are excluded, as are
     vectors whose length differs from *dim* (defaults to the first
     non-null vector's length — pass it explicitly for a deterministic,
-    order-independent contract)."""
+    order-independent contract) and vectors with a NULL/NaN/±Inf element
+    (:func:`_finite_vec` — a non-finite projection sign is undefined and
+    the within-bucket cosine would rank engine-divergently)."""
     import numpy as np
 
     if dim is None:
@@ -670,6 +748,7 @@ def lsh_bucket_pairs(
     df = df.filter(
         F.col("`%s`" % id_col).isNotNull()
         & (F.size(F.col("`%s`" % vec_col)) == dim)  # size(NULL) is NULL → dropped
+        & _finite_vec(F.col("`%s`" % vec_col))
     )
     rng = np.random.default_rng(seed)
     planes_m = rng.standard_normal((planes, dim))
@@ -735,7 +814,9 @@ def _kmeans_centroids(
 
     import numpy as np
 
-    vdf = df.select(F.col("`%s`" % vec_col).alias("v")).filter(F.col("v").isNotNull())
+    vdf = df.select(F.col("`%s`" % vec_col).alias("v")).filter(
+        _finite_vec(F.col("v"))  # a NaN row would poison every centroid mean
+    )
     total = vdf.count()
     if total > sample_n:
         # keep the WHOLE random draw (expected ~1.2x sample_n): trimming
@@ -807,14 +888,16 @@ def ivf_topk(
     ``cell`` so a probe touches nprobe/n_centroids of the data (partition
     pruning); here the cell filter happens in the join condition.
 
-    Same NULL/length contract as :func:`cosine_topk` (full-probe IVF must
-    reproduce brute force exactly, excluded rows included)."""
+    Same NULL/length/finite contract as :func:`cosine_topk` (full-probe
+    IVF must reproduce brute force exactly, excluded rows included)."""
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_n, iters, seed)
     corpus = corpus.filter(
-        F.col("`%s`" % id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+        F.col("`%s`" % id_col).isNotNull()
+        & _finite_vec(F.col("`%s`" % vec_col))
     )
     probes = probes.filter(
-        F.col("`%s`" % probe_id_col).isNotNull() & F.col("`%s`" % vec_col).isNotNull()
+        F.col("`%s`" % probe_id_col).isNotNull()
+        & _finite_vec(F.col("`%s`" % vec_col))
     )
     assigned = ivf_assign(corpus, centroids, vec_col).select(
         F.col("`%s`" % id_col).alias("neighbor_id"),
@@ -858,7 +941,17 @@ def ivf_write(
     parquet/Iceberg PARTITION PRUNING — the scan never touches non-probed
     cells' files (asserted from the executed plan in tests)."""
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, sample_n, iters, seed)
-    assigned = ivf_assign(corpus, centroids, vec_col).select(
+    assigned = ivf_assign(
+        # NULL-id / non-finite rows never enter the index: a NaN vector's
+        # argmax cell is engine/NaN-ordering-dependent and it could never
+        # be scored at probe time anyway (cosine_topk contract)
+        corpus.filter(
+            F.col("`%s`" % id_col).isNotNull()
+            & _finite_vec(F.col("`%s`" % vec_col))
+        ),
+        centroids,
+        vec_col,
+    ).select(
         F.col("`%s`" % id_col).alias("vec_id"),
         F.col("`%s`" % vec_col).alias("embedding"),
         "cell",
@@ -929,7 +1022,7 @@ def ivf_append(
     assigned = ivf_assign(
         new_vectors.filter(
             F.col("`%s`" % id_col).isNotNull()
-            & F.col("`%s`" % vec_col).isNotNull()
+            & _finite_vec(F.col("`%s`" % vec_col))
         ),
         centroids,
         vec_col,
@@ -1030,7 +1123,9 @@ def group_centroids(
     array<double>, n_members)``.  ONE map-side-combined aggregate of
     *dim* ``avg()`` columns — no explode, no shuffle beyond the group
     key, aggregation state O(groups · dim).  Rows with NULL group or
-    vector are excluded; vectors shorter than *dim* contribute NULL (≡
+    vector are excluded, as are vectors with a NULL/NaN/±Inf element
+    (:func:`_finite_vec` — one NaN element would otherwise poison the
+    whole position mean); vectors shorter than *dim* contribute NULL (≡
     skipped) to the missing positions, matching SQL ``avg`` semantics.
 
     Each mean is ROUNDED to 6 dp: ``avg`` partial sums merge in
@@ -1044,7 +1139,7 @@ def group_centroids(
     g = F.col("`%s`" % group_col)
     v = F.col("`%s`" % vec_col)
     return (
-        df.filter(g.isNotNull() & v.isNotNull())
+        df.filter(g.isNotNull() & _finite_vec(v))
         .groupBy(g.alias("__group"))
         .agg(
             F.array(
@@ -1078,10 +1173,12 @@ def centroid_outliers(
     ann_topk pattern), so the ordering is stable across engines despite
     float formatting.  Plan: one centroid aggregate (tiny — O(groups)
     rows) broadcast back onto the table, pure Column cosine, one window
-    rank per group key.  NULL id/group/vector rows are excluded; vectors
-    whose length differs from *dim* shape the centroid (prefix positions
-    only, per :func:`group_centroids`) but are NOT rankable — their cosine
-    against a *dim*-length centroid is undefined."""
+    rank per group key.  NULL id/group/vector rows are excluded, and
+    vectors with a NULL/NaN/±Inf element are excluded from BOTH centroid
+    shaping and ranking (:func:`_finite_vec`); vectors whose length
+    differs from *dim* shape the centroid (prefix positions only, per
+    :func:`group_centroids`) but are NOT rankable — their cosine against
+    a *dim*-length centroid is undefined."""
     if k <= 0:
         raise ValueError("k must be positive")
     g = F.col("`%s`" % group_col)
@@ -1089,7 +1186,12 @@ def centroid_outliers(
     ids = F.col("`%s`" % id_col)
     cents = group_centroids(df, dim, group_col, vec_col)
     scored = (
-        df.filter(g.isNotNull() & ids.isNotNull() & (F.size(v) == dim))
+        df.filter(
+            g.isNotNull()
+            & ids.isNotNull()
+            & (F.size(v) == dim)
+            & _finite_vec(v)
+        )
         .join(F.broadcast(cents), g == F.col("__group"))
         .select(
             g.alias("group"),
@@ -1215,7 +1317,7 @@ def cosine_topk_blas(
     """:func:`cosine_topk` with the scoring done as ONE numpy matrix
     multiply per Arrow batch instead of a per-pair JVM fold — same
     output contract (6-dp-rounded cosine, neighbour-id tiebreak, rank
-    1..k, zero-norm → 0.0, NULL/ragged rows excluded), same single
+    1..k, zero-norm → 0.0, NULL/ragged/non-finite rows excluded), same single
     final exchange, ~50× faster once |probes| is in the thousands
     (each batch costs one BLAS ``C @ Pᵀ`` — 10⁸ multiply-adds run in
     milliseconds where 10⁸ interpreted HOF steps run in minutes).
@@ -1238,7 +1340,7 @@ def cosine_topk_blas(
     p_rows = (
         probes.filter(
             F.col("`%s`" % probe_id_col).isNotNull()
-            & F.col("`%s`" % vec_col).isNotNull()
+            & _finite_vec(F.col("`%s`" % vec_col))
         )
         .select(
             F.col("`%s`" % probe_id_col).alias("query_id"),
@@ -1260,7 +1362,7 @@ def cosine_topk_blas(
     ntype = corpus.schema[id_col].dataType.simpleString()
     out_schema = "query_id %s, neighbor_id %s, cosine double" % (qtype, ntype)
 
-    live = corpus.filter(c_id.isNotNull() & c_vec.isNotNull()).select(
+    live = corpus.filter(c_id.isNotNull() & _finite_vec(c_vec)).select(
         c_id.alias("__nid"), c_vec.alias("__cv")
     )
     # a small/compacted corpus can arrive as ONE input split (the sf0.1
@@ -1354,8 +1456,9 @@ def centroid_silhouette(
     IVF index passes that index's centroids; tests and oracles pass a
     fixed slice.  NULL silhouette when there is only one centroid (no
     runner-up — nothing to compare against).  Vectors with NULL
-    id/vector or length ≠ *dim* are excluded (embedding_health owns
-    those).
+    id/vector, length ≠ *dim*, or a NULL/NaN/±Inf element are excluded
+    (embedding_health owns those; :func:`_finite_vec` on both the
+    vector and centroid sides).
 
     Scale shape: centroid set broadcast (k rows), per-vector cosines in
     one fused JVM projection over the cross product (n·k rows, k small),
@@ -1365,12 +1468,14 @@ def centroid_silhouette(
     independent."""
     ids = F.col("`%s`" % id_col)
     v = F.col("`%s`" % vec_col)
-    cents = centroids.select(
+    cents = centroids.filter(
+        _finite_vec(F.col("`%s`" % cent_vec_col))
+    ).select(
         F.col("`%s`" % cent_id_col).alias("__cid"),
         F.col("`%s`" % cent_vec_col).alias("__cvec"),
     )
     scored = (
-        df.filter(ids.isNotNull() & v.isNotNull() & (F.size(v) == dim))
+        df.filter(ids.isNotNull() & (F.size(v) == dim) & _finite_vec(v))
         .select(ids.alias("vec_id"), v.alias("__v"))
         .crossJoin(F.broadcast(cents))
         .select(
