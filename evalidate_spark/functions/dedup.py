@@ -577,7 +577,8 @@ def _bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def minhash_signature_md5(
-    col: Column, num_hashes: int = 16, shingle_k: int = 3
+    col: Column, num_hashes: int = 16, shingle_k: int = 3,
+    method: str = "arrow",
 ) -> Column:
     """MinHash signature keyed by md5 (array<string> of 16-hex-char
     prefixes): permutation *i* is ``min over shingles of
@@ -587,28 +588,69 @@ def minhash_signature_md5(
 
     md5 exists in both Spark and DuckDB (xxhash64 does not in DuckDB), so
     this variant makes the ENTIRE LSH pipeline — signature, banding,
-    bucketing, pair generation — replayable as an ANSI-SQL oracle.  Costlier
-    than :func:`minhash_signature` (md5 per shingle PER permutation instead
-    of one xxhash64 then cheap integer re-hashes): keep xxhash64 as the
-    production default and use this for cross-engine verification.
+    bucketing, pair generation — replayable as an ANSI-SQL oracle (keep
+    xxhash64 as the production default and use this for cross-engine
+    verification).
 
-    The shingle array is let-bound via a single-element-array ``transform``
-    so its expression tree appears once, not once per permutation."""
-    per = F.transform(
-        F.array(shingles(col, shingle_k)),
-        lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    sh,
-                    lambda s: F.substring(
-                        F.md5(F.concat_ws(":", i.cast("string"), s)), 1, 16
-                    ),
-                )
+    Default evaluation is an Arrow pandas_udf over the JVM-built shingle
+    array: stdlib md5 per (permutation, DISTINCT shingle), raw 8-byte
+    digest minima, hex only for the winners.  BIT-IDENTICAL to the
+    expression form (same UTF-8 ``i:shingle`` input, and the bytewise
+    digest order IS the lowercase-hex string order) but skips the
+    interpreted HOF md5+concat per shingle per permutation — the md5
+    verification family was the bench's dominant cost (VERDICT r4 #4),
+    and repeated shingles hash once here.  ``method="hof"`` keeps the
+    pure-Column twin (the shingle array let-bound via a single-element
+    ``transform`` so its tree appears once, not once per permutation);
+    the two are pinned equal in tests/test_minhash_md5_arrow_parity.py."""
+    if method == "hof":
+        per = F.transform(
+            F.array(shingles(col, shingle_k)),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        sh,
+                        lambda s: F.substring(
+                            F.md5(F.concat_ws(":", i.cast("string"), s)), 1, 16
+                        ),
+                    )
+                ),
             ),
-        ),
-    )
-    return F.flatten(per)
+        )
+        return F.flatten(per)
+
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    pre = [("%d:" % i).encode() for i in range(num_hashes)]
+
+    @pandas_udf("array<string>")
+    def _sig(sh: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
+        def one(arr):
+            if arr is None:
+                return None
+            if len(arr) == 0:
+                # array_min over an empty array is NULL per permutation
+                # (cannot happen via shingles(), which always yields the
+                # whole-text shingle — pinned here for twin-exactness)
+                return [None] * num_hashes
+            # min over duplicates == min over the distinct set
+            best = [b"\xff" * 8] * num_hashes
+            for s in set(arr):
+                sb = s.encode()
+                for i in range(num_hashes):
+                    d = md5(pre[i] + sb).digest()[:8]
+                    if d < best[i]:
+                        best[i] = d
+            return [b.hex() for b in best]
+
+        return sh.map(one)
+
+    return _sig(shingles(col, shingle_k, udf_safe=True))
 
 
 def minhash_candidates_md5(

@@ -63,9 +63,14 @@ vpath = sys.argv[5]
 if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
     from evalidate_spark.fixtures import gen_embeddings
     gen_embeddings(spark, n_vecs, partitions=128).write.mode("overwrite").parquet(vpath)
-emb = spark.read.parquet(vpath)
+# fixed 128-way split at every level (the small cached parquet would
+# otherwise pack into ~5 input splits and starve the 16-thread level)
+emb = spark.read.parquet(vpath).repartition(128)
 from evalidate_spark.functions.similarity import srp_candidates_md5
-pairs = srp_candidates_md5(emb, n_planes=32, bands=2, dim=64,
+# 24-bit bands: random-pair collisions ~n^2/2^24 stay trivial at 520k
+# vectors, so the timed work is the signature + band shuffle + twin
+# verification, not an accidental quadratic bucket
+pairs = srp_candidates_md5(emb, n_planes=48, bands=2, dim=64,
                            max_bucket=1024, min_cosine=0.9)
 times = []
 for _ in range(4):
