@@ -707,6 +707,7 @@ def lsh_bucket_pairs(
     seed: int = 42,
     max_bucket: int = 256,
     dim: Optional[int] = None,
+    method: str = "arrow",
 ) -> DataFrame:
     """All-pairs candidate generation via random-hyperplane LSH: bucket =
     sign bits of *planes* fixed random projections (deterministic seed),
@@ -724,7 +725,18 @@ def lsh_bucket_pairs(
     non-null vector's length — pass it explicitly for a deterministic,
     order-independent contract) and vectors with a NULL/NaN/±Inf element
     (:func:`_finite_vec` — a non-finite projection sign is undefined and
-    the within-bucket cosine would rank engine-divergently)."""
+    the within-bucket cosine would rank engine-divergently).
+
+    ``method``: ``"arrow"`` (default) computes the sign-bit bucket as
+    ONE float64 numpy matmul per Arrow batch — the production shape for
+    a 10^12-vector corpus (the pure-Column HOF dot is interpreted, not
+    codegen'd: ~planes·dim expression steps per row).  ``"hof"`` keeps
+    the Column fold.  Unlike the integer-exact SRP family the float dot
+    is not formally order-independent, so the twins are pinned equal on
+    test fixtures rather than proven equal — a sign can only differ
+    when a projection lands within ~1 ulp of zero, and the recall
+    constructions used by the gates (exact duplicates share buckets
+    under ANY per-vector function) are unaffected either way."""
     import numpy as np
 
     if dim is None:
@@ -753,17 +765,35 @@ def lsh_bucket_pairs(
     rng = np.random.default_rng(seed)
     planes_m = rng.standard_normal((planes, dim))
 
-    vec = F.col("__v")
-    bits = [
-        (dot(vec, F.array(*[F.lit(float(x)) for x in row])) >= 0).cast("int").alias(f"b{i}")
-        for i, row in enumerate(planes_m)
-    ]
+    if method == "hof":
+        vec = F.col("__v")
+        bits = [
+            (dot(vec, F.array(*[F.lit(float(x)) for x in row])) >= 0).cast("int").alias(f"b{i}")
+            for i, row in enumerate(planes_m)
+        ]
+        bucket = F.concat_ws("", *[b.cast("string") for b in bits])
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        pm = planes_m.T.copy()  # (dim, planes)
+
+        @pandas_udf("string")
+        def _bucket(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+            bits = (v @ pm >= 0).astype(np.uint8) + ord("0")
+            return pd.Series(
+                [b.tobytes().decode("ascii") for b in bits]
+            )
+
+        bucket = _bucket(F.col("__v"))
     sigs = df.select(
         F.col("`%s`" % id_col).alias("__id"), F.col("`%s`" % vec_col).alias("__v")
     ).select(
         "__id",
         "__v",
-        F.concat_ws("", *[b.cast("string") for b in bits]).alias("__bucket"),
+        bucket.alias("__bucket"),
     )
     # cap BEFORE aggregating: the collect_list buffer holds ≤ max_bucket full
     # vectors per bucket, never the whole (possibly-degenerate) bucket

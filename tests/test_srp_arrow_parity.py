@@ -95,3 +95,60 @@ def test_arrow_path_is_in_the_plan(spark):
     assert "ArrowEvalPython" in arrow_plan
     assert "ArrowEvalPython" not in hof_plan
     assert "BatchEvalPython" not in hof_plan
+
+
+class TestLshBucketArrowParity:
+    """Float LSH bucket twin (`lsh_bucket_pairs` method=arrow vs hof):
+    not formally order-independent like the integer family, so the pin
+    is fixture equality — random vectors, the hostile corpus, and the
+    full pair output of an injected-duplicate construction."""
+
+    def _pairs(self, spark, rows, method, planes=8, dim=4):
+        from evalidate_spark.functions.similarity import lsh_bucket_pairs
+
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = lsh_bucket_pairs(
+            df, planes=planes, max_bucket=64, dim=dim, method=method
+        ).collect()
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"], r["truncated"]) for r in got
+        )
+
+    def test_pair_outputs_equal_on_random_corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(80)
+        ] + [(1000 + i, [rng.uniform(-1, 1)] * 4) for i in range(5)]
+        a = self._pairs(spark, rows, "arrow")
+        h = self._pairs(spark, rows, "hof")
+        assert a == h
+        assert a  # non-vacuous: some bucket produced pairs
+
+    def test_exact_duplicates_always_pair_either_method(self, spark):
+        v = [0.3, -0.2, 0.9, 0.1]
+        rows = [(1, v), (2, v), (3, [-0.9, 0.4, 0.0, -0.3])]
+        for method in ("arrow", "hof"):
+            pairs = self._pairs(spark, rows, method)
+            assert any(p[:2] == (1, 2) and p[2] == 1.0 for p in pairs)
+
+    def test_hostile_corpus_equal_and_nonfinite_excluded(self, spark):
+        from evalidate_spark.fixtures import HOSTILE_EMBEDDINGS
+
+        rows = [
+            (i, r[1]) for i, r in enumerate(HOSTILE_EMBEDDINGS)
+            if r[1] is not None
+        ]
+        a = self._pairs(spark, rows, "arrow", dim=64)
+        h = self._pairs(spark, rows, "hof", dim=64)
+        assert a == h
+        nonfinite_ix = {
+            i for i, r in enumerate(HOSTILE_EMBEDDINGS)
+            if r[1] is not None
+            and any(x is None or x != x or abs(x) == float("inf") for x in r[1])
+        }
+        assert nonfinite_ix  # the corpus really carries non-finite rows
+        assert all(
+            p[0] not in nonfinite_ix and p[1] not in nonfinite_ix for p in a
+        )
