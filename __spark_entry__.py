@@ -634,6 +634,23 @@ def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checks.embedding_health(emb, "embedding", expected_dim=64)
 
 
+def q_embedding_health_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-wave embedding health
+    (`table_checks.embedding_health_trend`): the same integer counters
+    as `embedding_health` plus `n_valid` (the full scoring contract —
+    non-NULL, dim-64, every element finite), sliced into 5 id-range
+    waves.  The WHEN report: a NaN burst confined to one wave is an
+    encoder deploy, a rising wrong-dim tail is a model-version mix —
+    invisible in the corpus-global one-row report.  Pure integer
+    outputs; one wave-keyed groupBy, vectors never shuffle."""
+    from evalidate_spark.operators import table_checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return table_checks.embedding_health_trend(
+        emb, "embedding", "vec_id", expected_dim=64, n_waves=5
+    )
+
+
 def q_rule_firing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-coverage report: violations per rule_id + distinct offending
     docs — the spec-lint signal (a rule that never fires is dead weight;
@@ -3918,10 +3935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": q_lm_scores,
         "container_probe": q_container_probe,
         "srp_pairs_md5": q_srp_pairs_md5,
-        "embedding_drift": q_embedding_drift,
+        "embedding_health_trend": q_embedding_health_trend,
         "centroid_states": q_centroid_states,
         "span_templates": q_span_templates,
         # --- beyond the driver window (still gate-checked locally) ---
+        "embedding_drift": q_embedding_drift,
         "sampled_docs": q_sampled_docs,
         "template_source_matrix": q_template_source_matrix,
         "scd2_history": q_scd2_history,
@@ -7031,6 +7049,40 @@ SELECT
                              x -> x IS DISTINCT FROM 0)) = 0
                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero_norm
 FROM embeddings
+"""
+
+
+
+ORACLE["embedding_health_trend"] = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL
+), lim AS (
+  SELECT greatest(max(greatest(vec_id, 0)) + 1, 1) AS m FROM base
+), waved AS (
+  SELECT CAST(least(4, greatest(vec_id, 0) * 5 // m) AS INTEGER) AS wave,
+         embedding
+  FROM base, lim
+)
+SELECT wave,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_null_vec,
+  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_wrong_dim,
+  CAST(coalesce(sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_elem,
+  CAST(coalesce(sum(CASE WHEN len(list_filter(embedding,
+                         x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonfinite,
+  CAST(coalesce(sum(CASE WHEN len(embedding) > 0
+                         AND len(list_filter(embedding,
+                             x -> x IS DISTINCT FROM 0)) = 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero_norm,
+  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+                         AND len(list_filter(embedding,
+                             x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_valid
+FROM waved GROUP BY 1
 """
 
 

@@ -2198,6 +2198,94 @@ def embedding_health(
     )
 
 
+def embedding_health_trend(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    expected_dim: int = 0,
+    n_waves: int = 5,
+) -> DataFrame:
+    """Per-ingest-wave :func:`embedding_health` — the WHEN to the global
+    report's WHAT: rows slice into *n_waves* equal id-ranges (the ingest
+    proxy shared with ``similarity.embedding_drift`` and
+    ``dedup.novelty_trend``) and each wave reports the same integer
+    counters plus ``n_valid`` (vectors passing the full scoring
+    contract: non-NULL, exactly *expected_dim* wide, every element
+    finite).  A NaN burst confined to one wave is an encoder deploy; a
+    rising ``n_wrong_dim`` tail is a model-version mix — the global
+    one-row report cannot distinguish either from background noise.
+
+    Rows with NULL id cannot be placed on the ingest axis and are
+    excluded (the global report owns them).  One fused projection into
+    ONE groupBy on the wave key — counters partial-combine map-side, so
+    n_waves rows of int64 move and the vectors themselves never
+    shuffle.  All outputs are integers (bit-stable cross-engine)."""
+    if expected_dim <= 0:
+        raise ValueError("expected_dim must be a positive int")
+    if n_waves < 1:
+        raise ValueError("n_waves must be >= 1")
+    ic, v = F.col("`%s`" % id_col), F.col("`%s`" % vec_col)
+    dim = F.size(v)
+    base = df.filter(ic.isNotNull()).select(ic.alias("__id"), v.alias("__v"))
+    lim = base.agg(
+        F.greatest(
+            F.max(F.greatest(F.col("__id"), F.lit(0))) + 1, F.lit(1)
+        ).alias("__m")
+    )
+    v, dim = F.col("__v"), F.size(F.col("__v"))
+    waved = base.crossJoin(F.broadcast(lim)).select(
+        F.expr(
+            f"least({int(n_waves) - 1}L,"
+            f" greatest(__id, 0) * {int(n_waves)}L DIV __m)"
+        )
+        .cast("int")
+        .alias("wave"),
+        "__v",
+    )
+
+    def cnt(cond: Column, name: str) -> Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).cast("long").alias(name)
+
+    zero = F.lit(0.0)
+    inf = F.lit(float("inf"))
+    bad_elem = lambda x: x.isNull() | F.isnan(x.cast("double")) | (
+        F.abs(x.cast("double")) == inf
+    )
+    return (
+        waved.groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            cnt(v.isNull(), "n_null_vec"),
+            cnt(v.isNotNull() & (dim != F.lit(expected_dim)), "n_wrong_dim"),
+            cnt(
+                F.coalesce(F.exists(v, lambda x: x.isNull()), F.lit(False)),
+                "n_null_elem",
+            ),
+            cnt(
+                F.coalesce(
+                    F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == inf)),
+                    F.lit(False),
+                ),
+                "n_nonfinite",
+            ),
+            cnt(
+                (dim > 0)
+                & F.coalesce(F.forall(v, lambda x: x == zero), F.lit(False)),
+                "n_zero_norm",
+            ),
+            cnt(
+                v.isNotNull()
+                & (dim == F.lit(expected_dim))
+                & (F.size(F.filter(v, bad_elem)) == 0),
+                "n_valid",
+            ),
+        )
+        .orderBy("wave")
+    )
+
+
 def rate_anomalies(
     df: DataFrame,
     ts_col: str = "ts",

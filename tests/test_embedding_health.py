@@ -79,3 +79,71 @@ def test_single_aggregate_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Window" not in plan and "Generate" not in plan
+
+
+class TestEmbeddingHealthTrend:
+    """Per-wave twin: counter placement on the ingest axis, NULL-id
+    exclusion, n_valid contract, validation, and the plan shape (one
+    wave-keyed exchange; vectors never shuffle)."""
+
+    def _trend(self, spark, rows, dim=3, n_waves=2):
+        df = spark.createDataFrame(rows, SCHEMA)
+        return {
+            r["wave"]: r
+            for r in table_checks.embedding_health_trend(
+                df, "embedding", "vec_id", expected_dim=dim, n_waves=n_waves
+            ).collect()
+        }
+
+    def test_counters_land_in_the_right_wave(self, spark):
+        # ids 0-4 -> wave 0, ids 5-9 -> wave 1 (m = 10, 2 waves)
+        rows = [
+            (0, [1.0, 2.0, 3.0]),           # healthy, wave 0
+            (1, None),                      # null vec, wave 0
+            (2, [float("nan"), 1.0, 2.0]),  # nonfinite, wave 0
+            (5, [1.0, 2.0]),                # wrong dim, wave 1
+            (6, [0.0, 0.0, 0.0]),           # zero-norm (valid), wave 1
+            (9, [1.0, None, 3.0]),          # null elem, wave 1
+        ]
+        t = self._trend(spark, rows)
+        assert set(t) == {0, 1}
+        w0, w1 = t[0], t[1]
+        assert (w0.n_rows, w0.n_null_vec, w0.n_nonfinite, w0.n_valid) == (3, 1, 1, 1)
+        assert (w1.n_rows, w1.n_wrong_dim, w1.n_zero_norm, w1.n_null_elem) == (3, 1, 1, 1)
+        # zero-norm IS valid (scores 0.0 by contract); null-elem is not
+        assert w1.n_valid == 1
+
+    def test_null_ids_are_excluded_from_the_axis(self, spark):
+        rows = [(0, [1.0, 2.0, 3.0]), (None, [float("nan")] * 3)]
+        t = self._trend(spark, rows)
+        assert sum(r.n_rows for r in t.values()) == 1
+        assert all(r.n_nonfinite == 0 for r in t.values())
+
+    def test_single_wave_equals_global_counters(self, spark):
+        t = self._trend(spark, CORPUS, n_waves=1)
+        g = report(spark, CORPUS)
+        r = t[0]
+        # NULL-id rows: none in CORPUS, so the single wave == global
+        assert (r.n_rows, r.n_null_vec, r.n_wrong_dim) == (
+            g.n_rows, g.n_null_vec, g.n_wrong_dim
+        )
+        assert (r.n_null_elem, r.n_nonfinite, r.n_zero_norm) == (
+            g.n_null_elem, g.n_nonfinite, g.n_zero_norm
+        )
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(CORPUS, SCHEMA)
+        with pytest.raises(ValueError):
+            table_checks.embedding_health_trend(df, expected_dim=0)
+        with pytest.raises(ValueError):
+            table_checks.embedding_health_trend(df, expected_dim=3, n_waves=0)
+
+    def test_vectors_never_shuffle(self, spark):
+        df = spark.createDataFrame(CORPUS, SCHEMA)
+        plan = (
+            table_checks.embedding_health_trend(df, expected_dim=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # partial aggregation before the exchange: the shuffle carries
+        # per-partition counter rows keyed by wave, not embedding arrays
+        assert "partial" in plan.lower()

@@ -72,6 +72,7 @@ QUERIES = [
     "audio_near_dups",
     "video_near_dups",
     "embedding_health",
+    "embedding_health_trend",
     "repetition_signals",
     "script_mix",
     "rate_anomalies",
