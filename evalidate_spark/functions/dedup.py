@@ -693,8 +693,17 @@ def _banded_md5(
     rows = num_hashes // bands
     ids = F.col("`%s`" % id_col)
     tc = F.col("`%s`" % text_col)
+    live = df.filter(tc.isNotNull())
+    # a small/compacted corpus can arrive as 1-2 input splits and would
+    # run the whole signature stage on as many cores (the cosine_topk_blas
+    # precedent): round-robin up to the cluster's parallelism.  At scale
+    # the scan already yields >> defaultParallelism splits and this never
+    # fires — no shuffle is added to the big-corpus path.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < par:
+        live = live.repartition(par)
     sig = minhash_signature_md5(tc, num_hashes, shingle_k)
-    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
+    sigs = live.select(ids.alias("__id"), sig.alias("__sig"))
     per_band = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
