@@ -339,6 +339,7 @@ def main() -> None:
         "freshness",
         "lsh_recall",
         "embedding_health",
+        "embedding_health_trend",
         "repetition_signals",
         "script_mix",
         "rate_anomalies",
