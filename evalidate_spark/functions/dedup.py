@@ -536,7 +536,13 @@ def minhash_candidates(
     # Catalyst's CollapseProject re-duplicates cheap-looking projections).
     # NULL-text rows are dropped up front: xxhash64 hashes a NULL slice to
     # the seed constant, so without the filter NULL docs co-bucket.
-    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
+    live = df.filter(tc.isNotNull())
+    # small/compacted corpus → 1-2 input splits would starve the signature
+    # stage (see _banded_md5); never fires when the scan yields >= cores
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < par:
+        live = live.repartition(par)
+    sigs = live.select(ids.alias("__id"), sig.alias("__sig"))
     banded = sigs.select(
         "__id", F.explode(minhash_bands(F.col("__sig"), bands, rows)).alias("b")
     ).select(F.col("b.band").alias("band"), F.col("b.h").alias("h"), "__id")
@@ -1226,7 +1232,11 @@ def simhash_candidates(
     tc = F.col("`%s`" % text_col)
     sig = simhash64(tc, shingle_k)
     # NULL-text rows never produce candidates (same rationale as MinHash)
-    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
+    live = df.filter(tc.isNotNull())
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < par:  # see _banded_md5
+        live = live.repartition(par)
+    sigs = live.select(ids.alias("__id"), sig.alias("__sig"))
     return hamming_candidates(
         sigs, id_col="__id", sig_col="__sig", n_chunks=4, max_bucket=max_bucket
     )
@@ -1344,7 +1354,13 @@ def simhash_candidates_md5(
     tc = F.col("`%s`" % text_col)
     sig_fn = simhash64_md5_arrow if arrow else simhash64_md5
     sig = sig_fn(tc, shingle_k)
-    sigs = df.filter(tc.isNotNull()).select(ids.alias("__id"), sig.alias("__sig"))
+    live = df.filter(tc.isNotNull())
+    # small/compacted corpus -> 1-2 input splits would starve the
+    # signature stage (see _banded_md5); no-op when splits >= cores
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < par:
+        live = live.repartition(par)
+    sigs = live.select(ids.alias("__id"), sig.alias("__sig"))
     return hamming_candidates(
         sigs, id_col="__id", sig_col="__sig", n_chunks=4, max_bucket=max_bucket
     )
