@@ -1050,3 +1050,80 @@ def centroid_stream(
             F.array(*[F.col("__s%d" % i) for i in range(dim)]).alias("sums"),
         )
     )
+
+
+def vector_health_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    vec_col: str = "embedding",
+    expected_dim: int = 64,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed embedding-column health — the streaming twin
+    of ``table_checks.embedding_health_trend`` with the window as the
+    ingest axis: per window the same integer counters (``n_rows,
+    n_null_vec, n_wrong_dim, n_null_elem, n_nonfinite, n_zero_norm``)
+    plus ``n_valid`` (the full scoring contract — non-NULL,
+    *expected_dim* wide, every element finite).  A ``n_nonfinite``
+    spike in the live window is an encoder deploy gone bad NOW —
+    within one watermark delay instead of at the next batch audit, and
+    BEFORE the poisoned vectors reach an index build.
+
+    Every flag is computed in the pre-aggregation projection (pure
+    Column expressions over the array), so the stateful part is a plain
+    windowed count/sum: state is O(windows) × 7 longs, every counter
+    merges per micro-batch, and integer sums make stream ≡ batch EXACT
+    (pinned in tests).  Unlike the id-waved batch trend no id column is
+    needed — event time is the axis — so NULL-vector rows are counted
+    (nothing is excluded except rows the watermark drops)."""
+    vc = F.col("`%s`" % vec_col)
+    dim_c = F.size(vc)
+    inf = F.lit(float("inf"))
+    bad = F.filter(
+        vc,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == inf),
+    )
+    flagged = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        vc.isNull().cast("long").alias("__nullv"),
+        (vc.isNotNull() & (dim_c != F.lit(int(expected_dim))))
+        .cast("long")
+        .alias("__wrongd"),
+        F.coalesce(F.exists(vc, lambda x: x.isNull()), F.lit(False))
+        .cast("long")
+        .alias("__nulle"),
+        F.coalesce(
+            F.exists(vc, lambda x: F.isnan(x) | (F.abs(x) == inf)),
+            F.lit(False),
+        )
+        .cast("long")
+        .alias("__nonf"),
+        (
+            (dim_c > 0)
+            & F.coalesce(F.forall(vc, lambda x: x == F.lit(0.0)), F.lit(False))
+        )
+        .cast("long")
+        .alias("__zero"),
+        (
+            vc.isNotNull()
+            & (dim_c == F.lit(int(expected_dim)))
+            & (F.size(bad) == 0)
+        )
+        .cast("long")
+        .alias("__valid"),
+    )
+    return (
+        flagged.groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__nullv").cast("long").alias("n_null_vec"),
+            F.sum("__wrongd").cast("long").alias("n_wrong_dim"),
+            F.sum("__nulle").cast("long").alias("n_null_elem"),
+            F.sum("__nonf").cast("long").alias("n_nonfinite"),
+            F.sum("__zero").cast("long").alias("n_zero_norm"),
+            F.sum("__valid").cast("long").alias("n_valid"),
+        )
+    )

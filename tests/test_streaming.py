@@ -957,3 +957,61 @@ def test_centroid_stream_matches_batch_state(spark, tmp_path):
     ws = sorted(got)
     c = similarity.centroid_state_cosine(got[ws[0]], got[ws[1]])
     assert -1.0 <= c <= 1.0
+
+
+def test_vector_health_stream_matches_batch_counters(spark, tmp_path):
+    """Windowed streaming vector-health counters ≡ the batch
+    embedding_health counters per window — EXACT (integer sums),
+    including NULL vectors, wrong dims, non-finite elements, zeros-and-
+    NULLs, and the n_valid scoring contract."""
+    from evalidate_spark.operators import table_checks
+
+    path = str(tmp_path / "vh_in")
+    (
+        spark.range(90)
+        .selectExpr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) ts",
+            "CASE WHEN id % 11 = 10 THEN NULL "
+            "WHEN id % 13 = 12 THEN array(cast(1.0 AS float)) "
+            "WHEN id % 17 = 16 THEN array(cast('NaN' AS float), cast(1.0 AS float), cast(2.0 AS float), cast(3.0 AS float)) "
+            "WHEN id % 19 = 18 THEN array(cast(0.0 AS float), cast(0.0 AS float), cast(0.0 AS float), cast(0.0 AS float)) "
+            "WHEN id % 23 = 22 THEN array(cast(1.0 AS float), NULL, cast(2.0 AS float), cast(3.0 AS float)) "
+            "ELSE transform(sequence(1, 4), d -> cast(sin(id * d) AS float)) END embedding",
+        )
+        .repartition(4)
+        .write.parquet(path)
+    )
+    vh = streaming.vector_health_stream(
+        _stream(spark, path), "ts", expected_dim=4, window="30 minutes"
+    )
+    _run_to_memory(vh, "vh_out", mode="complete")
+    got = {r["window"]["start"]: r for r in spark.table("vh_out").collect()}
+    assert len(got) == 3  # 90 rows at 60 s spacing span three half-hours
+
+    static = spark.read.parquet(path)
+    import datetime
+
+    total_valid = 0
+    for w_start, row in got.items():
+        lo, hi = w_start, w_start + datetime.timedelta(minutes=30)
+        win = static.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        b = table_checks.embedding_health(win, "embedding", expected_dim=4).first()
+        assert row["n_rows"] == b["n_rows"] > 0
+        assert row["n_null_vec"] == b["n_null_vec"]
+        assert row["n_wrong_dim"] == b["n_wrong_dim"]
+        assert row["n_null_elem"] == b["n_null_elem"]
+        assert row["n_nonfinite"] == b["n_nonfinite"]
+        assert row["n_zero_norm"] == b["n_zero_norm"]
+        total_valid += row["n_valid"]
+    # n_valid has no one-row-batch twin column; pin it against the
+    # trend operator's definition over the whole table (single wave)
+    t = table_checks.embedding_health_trend(
+        static.withColumn("vec_id", F.monotonically_increasing_id()),
+        "embedding", "vec_id", expected_dim=4, n_waves=1,
+    ).first()
+    assert total_valid == t["n_valid"] > 0
+    # the corpus really exercises every pathology
+    agg = {k: sum(r[k] for r in got.values()) for k in
+           ("n_null_vec", "n_wrong_dim", "n_null_elem", "n_nonfinite",
+            "n_zero_norm")}
+    assert all(v > 0 for v in agg.values()), agg
