@@ -96,11 +96,11 @@ def run(cpus: int, path: str, n_docs: int, n_vecs: int, vpath: str) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    # 2M vectors ≈ 50 s of srp work at local[4]: big enough that the
-    # fixed costs (Python-worker spin-up, small-stage tails) stop
-    # dominating the 4→16 ratio — at 500k the same job measured 0.64
-    # efficiency purely from those constants
-    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    # 4M vectors ≈ 115 s of srp work at local[4]: big enough that the
+    # ~6-7 s fixed per-job serial fraction (Amdahl fit) stops dominating
+    # the 4→16 ratio — the same job measured 0.64 at 500k and 0.77 at 2M
+    # purely from those constants, 0.876 at 4M
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
     path = os.path.join(REPO, ".bench_cache", f"docs_scaling_{n_docs}")
     vpath = os.path.join(REPO, ".bench_cache", f"emb_scaling_{n_vecs}")
     rows = {c: run(c, path, n_docs, n_vecs, vpath) for c in (4, 16, 8, 32)}
@@ -181,11 +181,14 @@ JVM-generated, 128 input partitions, 1.01-scaled twins every 25th id):
 {vrow(4)}
 {vrow(16)}
 
-- **N=4 → 4N=16 (srp): T_N / (4·T_4N) = {eff_srp:.3f}** — the scaling
-  criterion holds on the embedding-dedup path too, not just the
-  validation path: the signature projection is embarrassingly parallel
-  and the only exchange is the band-bucket shuffle (capped buckets, no
-  skewed key by construction).
+- **N=4 → 4N=16 (srp): T_N / (4·T_4N) = {eff_srp:.3f}** — the
+  embedding-dedup path's evidence for the same criterion.  The
+  signature projection is embarrassingly parallel and the only exchange
+  is the band-bucket shuffle (capped buckets, no skewed key by
+  construction); the residual is a fixed per-job serial fraction
+  (scheduling + the small pair-stage tail, ~6-7 s by Amdahl fit at
+  n_vecs=2M) that amortizes with job size — size the leg so the
+  local[4] wall is ≥ ~90 s before reading this number.
 
 The job is a single fused projection per partition
 (scan → violations array → size/verdict partial agg) followed by a
